@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline; random-hyperplane
+LSH bucketing as the scale path (the reference has nothing like this —
+extension surface per repo mission).
+
+Scale design: the query set broadcasts; the corpus scan + cosine are one
+codegen stage with no shuffle. The only shuffle is the per-query top-k
+(TakeOrderedAndProject-style via window on query_id — key cardinality =
+#queries, so the shuffle is trivial). The LSH variant prunes the corpus
+to matching hash buckets before scoring — at 1B vectors the bucket join
+replaces the full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.functions import numeric as NR
+
+from spark_data_engineering_spark.functions.vectors import cosine
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank), self-matches excluded,
+    deterministic tie-break on neighbor id over the rounded similarity.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", NR.round4(cosine(F.col("_qvec"), F.col("_cvec"))))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes via an LCG walk
+    (no RNG state; reproducible across runs and engines)."""
+    planes, x = [], 1_234_567
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            x = (1_103_515_245 * x + 12_345) % (1 << 31)
+            row.append((x / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_signature(vec, planes: list[list[float]]):
+    """Bit signature column: sign of the dot product with each plane."""
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(v) for v in plane])
+        d = F.aggregate(
+            F.zip_with(vec, plane_arr, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(d > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    hyperplane bucket. Recall depends on bucket granularity; at scale,
+    multi-probe (flip one bit) would raise recall — single-probe here.
+    """
+    planes = _hyperplanes(num_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_bucket_signature(F.col(vec_col), planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket_signature(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", NR.round4(cosine(F.col("_qvec"), F.col("_cvec"))))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )

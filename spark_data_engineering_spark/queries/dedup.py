@@ -1,0 +1,75 @@
+"""Dedup queries over the documents table, wired to the registry."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_data_engineering_spark.operators import dedup as D
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+
+# Exact pairwise Jaccard on word 3-gram shingles, as one SQL statement —
+# shared by the exact query and (as verification target) the LSH query.
+_JACCARD_SQL = """
+    WITH sh AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(LEN(STRING_SPLIT(text, ' ')) - 2),
+                   i -> STRING_SPLIT(text, ' ')[i + 1] || ' ' ||
+                        STRING_SPLIT(text, ' ')[i + 2] || ' ' ||
+                        STRING_SPLIT(text, ' ')[i + 3]))) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           FLOOR((CAST(i AS DOUBLE) / (sa.sz + sb.sz - i)) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE FLOOR((CAST(i AS DOUBLE) / (sa.sz + sb.sz - i)) * 10000 + 0.5) / 10000 >= 0.8
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint groupBy, min doc_id kept."""
+    return D.exact_duplicates(load_table(spark, "documents", sf_dir))
+
+
+@query("ngram_jaccard_pairs", oracle=_JACCARD_SQL)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word 3-gram Jaccard ≥ 0.8 via shingle
+    inverted-index self-join."""
+    return D.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+
+
+@query("minhash_lsh_pairs", oracle=_JACCARD_SQL)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4 rows) candidates, exact-verified at
+    Jaccard ≥ 0.8 — the linear-scale dedup path. Oracle is the exact
+    pairwise Jaccard: at this corpus's similarity profile (planted dups
+    at J≈0.99) banded-LSH recall is ~1, so results coincide; a recall
+    miss would surface as a correctness diff, which is exactly what we
+    want measured."""
+    return D.minhash_lsh_dedup(load_table(spark, "documents", sf_dir), threshold=0.8)
+
+
+@query("simhash_near_pairs")
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(48-bit) banded near-dup pairs at hamming ≤ 6 (rows-only:
+    bit-majority signatures have no tractable SQL oracle)."""
+    return D.simhash_near_pairs(load_table(spark, "documents", sf_dir))

@@ -1,0 +1,509 @@
+"""Relational operator coverage — SURVEY.md §2 inventory plus the
+extension surface the reference lacks (§2.6: windows, sorts, limits,
+set ops, distinct aggs, grouping sets).
+
+Each query maps one or more reference operators (cited) onto the driver
+testdata and carries a DuckDB oracle. Column aliases match the oracle
+exactly (the driver hashes after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.functions import numeric as NR
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+
+
+# --- P1/P2/P5/P6/P8: projection, rename, arithmetic derive, cast, filter ---
+@query(
+    "project_derive_filter",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           l_linenumber AS linenumber,
+           l_quantity AS qty,
+           FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS disc_price,
+           FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100 AS charge,
+           DATE_TRUNC('day', l_shipdate) AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_returnflag = 'R'
+    """,
+)
+def project_derive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit projection + alias renames + decimal-ish arithmetic + cast
+    + predicate filter (reference P1 bronze/order_item.py:165-175,
+    P2 dim_category_silver.py:133, P5 fact_order_items_silver.py:99-101,
+    P6 daily_order_metrics.py:97-99, P8 bronze/orders.py:155-161).
+    Filters + projection push down to the parquet scan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")) & (F.col("l_returnflag") == "R"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_quantity").alias("qty"),
+            NR.round2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+            NR.round2(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("charge"),
+            F.date_trunc("day", F.col("l_shipdate")).alias("ship_date"),
+        )
+    )
+
+
+# --- J1/J2: inner equi-join with duplicate-key drop (dim_buyer pattern) ---
+@query(
+    "dim_customer",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           c.c_name AS customer_name,
+           c.c_mktsegment AS mktsegment,
+           c.c_acctbal AS acctbal,
+           n.n_name AS nation_name,
+           r.r_name AS region_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer dim: inner join + left join chain with alias renames —
+    the dim_buyer / dim_product pattern (reference dim_buyer_silver.py:126-132
+    J1; dim_product_silver.py:148-158 J3+J4). nation/region broadcast."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner").join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey, "left"
+    )
+    return joined.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )
+
+
+# --- J6/J7: multi-way name-based joins (wide_order_items pattern) ---
+@query(
+    "wide_lineitem",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           l.l_linenumber AS linenumber,
+           FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue,
+           o.o_orderstatus AS orderstatus,
+           DATE_TRUNC('day', o.o_orderdate) AS order_date,
+           p.p_name AS part_name,
+           p.p_brand AS part_brand,
+           s.s_name AS supplier_name,
+           n.n_name AS supplier_nation
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def wide_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide_order_items gold table analog: fact left-joined to every
+    dim (reference wide_order_items_gold.py:110-124, J6/J7). All dims
+    broadcast; the only shuffle-join is lineitem-orders (at 100 TB:
+    bucket both by orderkey to eliminate it)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus", "o_orderdate")
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_name", "p_brand")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    wide = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left")
+    )
+    return wide.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        NR.round2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("order_date"),
+        F.col("p_name").alias("part_name"),
+        F.col("p_brand").alias("part_brand"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("n_name").alias("supplier_nation"),
+    )
+
+
+# --- A3 + G1: collect_list(struct) rollup then explode round-trip ---
+@query(
+    "collect_explode_roundtrip",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           l_partkey AS partkey,
+           l_linenumber AS linenumber
+    FROM lineitem
+    """,
+)
+def collect_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-structs rollup per order then explode back to rows —
+    the categories-array pattern (reference wide_order_items_gold.py:126-128
+    A3; daily_category_metrics.py:121 G1). The round-trip makes the output
+    flat and order-insensitive so it hash-matches the plain projection."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rolled = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.struct("l_partkey", "l_linenumber"))).alias("items")
+    )
+    return rolled.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.explode("items").alias("item"),
+    ).select(
+        "orderkey",
+        F.col("item.l_partkey").alias("partkey"),
+        F.col("item.l_linenumber").alias("linenumber"),
+    )
+
+
+# --- A1/A5: group-by aggregates incl. struct group key (unpacked) ---
+@query(
+    "brand_type_metrics",
+    oracle="""
+    SELECT p_brand AS brand,
+           p_type AS type,
+           COUNT(*) AS n_parts,
+           FLOOR((SUM(p_retailprice)) * 100 + 0.5) / 100 AS sum_price,
+           FLOOR((AVG(p_retailprice)) * 100 + 0.5) / 100 AS mean_price,
+           FLOOR((MIN(p_retailprice)) * 100 + 0.5) / 100 AS min_price,
+           FLOOR((MAX(p_retailprice)) * 100 + 0.5) / 100 AS max_price
+    FROM part
+    GROUP BY p_brand, p_type
+    """,
+)
+def brand_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation with a struct-valued group key, unpacked after
+    grouping (reference A5 daily_category_metrics.py:121-128 groups by an
+    exploded struct; we group by struct then project its fields so the
+    output is flat)."""
+    p = load_table(spark, "part", sf_dir)
+    return (
+        p.groupBy(F.struct("p_brand", "p_type").alias("cat"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            NR.round2(F.sum("p_retailprice")).alias("sum_price"),
+            NR.round2(F.avg("p_retailprice")).alias("mean_price"),
+            NR.round2(F.min("p_retailprice")).alias("min_price"),
+            NR.round2(F.max("p_retailprice")).alias("max_price"),
+        )
+        .select(
+            F.col("cat.p_brand").alias("brand"),
+            F.col("cat.p_type").alias("type"),
+            "n_parts",
+            "sum_price",
+            "mean_price",
+            "min_price",
+            "max_price",
+        )
+    )
+
+
+# --- A4: global scalar max (latest-partition discovery pattern) ---
+@query(
+    "global_maxima",
+    oracle="""
+    SELECT MAX(DATE_TRUNC('day', o_orderdate)) AS max_order_date,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR((MAX(o_totalprice)) * 100 + 0.5) / 100 AS max_price
+    FROM orders
+    """,
+)
+def global_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global max/count scalars — the latest-partition discovery idiom
+    (reference bronze/orders.py:148-153, A4). In the snapshot store this
+    is replaced by partition listing (sources/snapshot.py) to avoid a
+    full scan; here it demonstrates the one-row global aggregate."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.agg(
+        F.max(F.date_trunc("day", F.col("o_orderdate"))).alias("max_order_date"),
+        F.count("*").alias("n_orders"),
+        NR.round2(F.max("o_totalprice")).alias("max_price"),
+    )
+
+
+# --- Extension: window functions (absent from reference, SURVEY §2.6) ---
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT custkey, orderkey, order_date FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               DATE_TRUNC('day', o_orderdate) AS order_date,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number window — latest order per customer with deterministic
+    tie-break. One shuffle on custkey; at scale the window and any
+    subsequent per-customer agg share that partitioning."""
+    o = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("order_date"),
+        )
+    )
+
+
+@query(
+    "customer_running_revenue",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           o_custkey AS custkey,
+           FLOOR((SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_revenue
+    FROM orders
+    """,
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window per customer (frame-based window agg)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        NR.round2(F.sum("o_totalprice").over(w)).alias("running_revenue"),
+    )
+
+
+# --- Extension: top-k (sort + limit with deterministic tie-break) ---
+@query(
+    "top10_customers_by_revenue",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 10
+    """,
+)
+def top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: agg then orderBy+limit. Spark executes this as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    driver; no global sort materializes even at 100 TB."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(NR.round2(F.sum("o_totalprice")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(10)
+    )
+
+
+# --- Extension: semi / anti joins ---
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS customer_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("customer_name")
+    )
+
+
+@query(
+    "customers_with_high_value_orders",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def customers_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) with a pushed-down predicate on the probe."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+
+
+# --- Extension: set operations ---
+@query(
+    "segment_set_ops",
+    oracle="""
+    SELECT custkey, CAST(src AS VARCHAR) AS src FROM (
+        SELECT c_custkey AS custkey, 'building_or_rich' AS src
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey, 'building_or_rich' FROM customer WHERE c_acctbal > 5000
+        UNION ALL
+        SELECT c_custkey, 'building_and_rich' FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+        UNION ALL
+        SELECT c_custkey, 'building_not_rich' FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+    )
+    """,
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / unionAll / intersect / except in one labeled result."""
+    c = load_table(spark, "customer", sf_dir)
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    either = building.union(rich).distinct().withColumn("src", F.lit("building_or_rich"))
+    both = building.intersect(rich).withColumn("src", F.lit("building_and_rich"))
+    only = building.exceptAll(rich.distinct()).withColumn("src", F.lit("building_not_rich"))
+    return (
+        either.unionByName(both)
+        .unionByName(only)
+        .select(F.col("c_custkey").alias("custkey"), "src")
+    )
+
+
+# --- Extension: distinct aggregation ---
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) aggregation (absent from reference, SURVEY §2.4).
+    Spark expands multi-distinct into an Expand + two-phase agg."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the scale path for distinct
+    counting (no oracle: approximate by design; rows-only check)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+# --- Extension: rollup / grouping sets ---
+@query(
+    "rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent from reference, SURVEY §2.4)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup(
+        F.col("l_returnflag").alias("returnflag"), F.col("l_linestatus").alias("linestatus")
+    ).agg(F.count("*").alias("n_rows"), NR.round2(F.sum("l_quantity")).alias("sum_qty"))
+
+
+# --- Extension: pivot ---
+@query(
+    "pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           FLOOR((COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0)) * 100 + 0.5) / 100 AS "O",
+           FLOOR((COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0)) * 100 + 0.5) / 100 AS "F"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (explicit list avoids the
+    distinct-scan a dynamic pivot needs — required at scale)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    pivoted = (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return pivoted.select(
+        "returnflag",
+        NR.round2(F.coalesce(F.col("O"), F.lit(0.0))).alias("O"),
+        NR.round2(F.coalesce(F.col("F"), F.lit(0.0))).alias("F"),
+    )
+
+
+# --- Extension: JSON extraction (events.props) ---
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (semi-structured path;
+    absent from reference — no JSON functions used anywhere, SURVEY §2.2)."""
+    e = load_table(spark, "events", sf_dir)
+    return e.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+# --- Extension: time-window aggregation over events (batch form) ---
+@query(
+    "hourly_event_stats",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch form; the streaming variant
+    (streaming/events.py) runs the same logical plan with a watermark."""
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n_events"), NR.round2(F.sum("value")).alias("sum_value"))

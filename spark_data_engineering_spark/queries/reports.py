@@ -1,0 +1,128 @@
+"""The reference's two deliverable reports, re-expressed over the driver
+testdata schema.
+
+Reference deliverables (reference README.md:29-31, run_etl.py:9-28):
+- daily_order_report    — total + avg revenue per day
+  (gold/daily_order_metrics.py:103-106; interface/daily_order_report.py:18-24)
+- daily_category_report — avg + median revenue per day x product category
+  (gold/daily_category_metrics.py:125-131; interface/daily_category_report.py:16-23)
+
+Schema mapping (rainforest -> TPC-H-ish testdata):
+  orders.total_price   -> orders.o_totalprice
+  order_ts             -> o_orderdate
+  buyer ``is_active``  -> customer.c_acctbal > 0 (an "active account" analog;
+                          keeps the dim-join + boolean-filter shape of
+                          reference daily_order_metrics.py:101)
+  order_item actual_price = base_price - tax
+                       -> l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          (fact_order_items_silver.py:99-101 analog)
+  product category     -> part.p_type
+  median               -> exact percentile 0.5 (the reference used
+                          percentile_approx, SURVEY.md §2.4 A2; we use the
+                          exact form so the DuckDB oracle can match)
+
+Interface column names keep the reference's spaced names
+("Mean Revenue" etc., interface/daily_order_report.py:18-24).
+
+Scale notes: the customer/part dims are broadcast; the orders/lineitem fact
+side never shuffles for the join. The groupBy shuffles once on the group
+key with map-side partial aggregation. At 100 TB the same plan holds —
+group-by cardinality (days x categories) is tiny, so the final agg is cheap;
+AQE coalesces post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.functions import numeric as NR
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+
+
+def active_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders joined to the customer dim, filtered to active accounts.
+
+    Mirrors reference wide_orders -> is_active filter
+    (wide_orders_gold.py:101-105 with quirk Q1 resolved to the buyer dim,
+    daily_order_metrics.py:101).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    active = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return orders.join(F.broadcast(active), orders.o_custkey == active.c_custkey, "inner")
+
+
+@query(
+    "daily_order_report",
+    oracle="""
+    SELECT DATE_TRUNC('day', o.o_orderdate) AS "Date",
+           FLOOR((SUM(o.o_totalprice)) * 100 + 0.5) / 100 AS "Revenue",
+           FLOOR((AVG(o.o_totalprice)) * 100 + 0.5) / 100 AS "Mean Revenue"
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 0
+    GROUP BY DATE_TRUNC('day', o.o_orderdate)
+    """,
+)
+def daily_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total + mean revenue per day over active-account orders."""
+    return (
+        active_orders(spark, sf_dir)
+        .withColumn("Date", F.date_trunc("day", F.col("o_orderdate")))
+        .groupBy("Date")
+        .agg(
+            NR.round2(F.sum("o_totalprice")).alias("Revenue"),
+            NR.round2(F.avg("o_totalprice")).alias("Mean Revenue"),
+        )
+    )
+
+
+def order_item_actual_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem with the derived actual_price (fact_order_item analog,
+    reference fact_order_items_silver.py:99-101)."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return lineitem.withColumn(
+        "actual_price",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+    )
+
+
+@query(
+    "daily_category_report",
+    oracle="""
+    SELECT DATE_TRUNC('day', o.o_orderdate) AS "Date",
+           p.p_type AS "Product Category",
+           FLOOR((AVG(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax))) * 100 + 0.5) / 100
+               AS "Mean Revenue",
+           FLOOR((QUANTILE_CONT(
+               l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax), 0.5)) * 100 + 0.5) / 100
+               AS "Median Revenue"
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY DATE_TRUNC('day', o.o_orderdate), p.p_type
+    """,
+)
+def daily_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean + median of derived item revenue per day x product category.
+
+    The part dim broadcasts; lineitem->orders is the one real shuffle-join
+    (both sides big at scale — at 100 TB this would be the bucketing
+    candidate: bucket lineitem and orders by orderkey to make it
+    shuffle-free).
+    """
+    items = order_item_actual_price(spark, sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    return (
+        items.join(orders, items.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), items.l_partkey == part.p_partkey)
+        .withColumn("Date", F.date_trunc("day", F.col("o_orderdate")))
+        .groupBy("Date", F.col("p_type").alias("Product Category"))
+        .agg(
+            NR.round2(F.avg("actual_price")).alias("Mean Revenue"),
+            NR.round2(F.percentile("actual_price", F.lit(0.5))).alias("Median Revenue"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.operators import similarity as S
+from spark_data_engineering_spark.functions import numeric as NR
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+
+
+@query(
+    "knn_bruteforce",
+    oracle="""
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           FLOOR((LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY FLOOR((LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 DESC,
+                        c.vec_id ASC) AS BIGINT) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+    QUALIFY rank <= 10
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id < 5 — broadcast the
+    query set, scan the corpus once, no shuffle except the trivial
+    per-query window."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_knn(emb, queries, k=10)
+
+
+@query("knn_lsh")
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucketing (rows-only:
+    approximate by design — recall vs the brute-force oracle is measured
+    in tests, not hash-matched)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_knn(emb, queries, k=10)
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           FLOOR((LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND FLOOR((LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 >= 0.45
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold chosen to produce
+    a non-empty result on this corpus). Brute-force pairwise here; the
+    LSH-bucketed variant is the scale path."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    from spark_data_engineering_spark.functions.vectors import cosine
+
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", NR.round4(cosine(F.col("_va"), F.col("_vb"))))
+        .filter(F.col("cos_sim") >= 0.45)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,59 @@
+"""Parquet table source over the driver testdata.
+
+Stands in for the reference's JDBC bronze extraction
+(reference etl/utils/database.py:9-38 — one ``spark.read.jdbc`` per
+table). Here the upstream is parquet; the scan is columnar with filter
+pushdown and column pruning handled by Catalyst, which the JDBC path in
+the reference never got (it always pulled full tables).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should broadcast in joins at any scale: these stay
+# small even at 100 TB total (region=5, nation=25; supplier/part grow but
+# far slower than the fact tables).
+BROADCAST_TABLES = ("region", "nation")
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    sf_dir = sf_dir or default_sf_dir()
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is INT64 TIMESTAMP(NANOS) in parquet; Spark reads it as a
+    # nanosecond long (spark.sql.legacy.parquet.nanosAsLong) — convert to
+    # a microsecond timestamp so downstream time functions work.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every table as a temp view for the SQL entry points."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,52 @@
+"""Unit tests for dedup operators on small inline DataFrames."""
+
+from __future__ import annotations
+
+from spark_data_engineering_spark.operators import dedup as D
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different words appear in this sentence here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark):
+    out = D.exact_duplicates(_docs(spark)).collect()
+    by_copies = {r.keep_id: r.n_copies for r in out}
+    assert by_copies[1] == 2  # docs 1 and 2 collapse, min id kept
+    assert by_copies[3] == 1
+    assert by_copies[4] == 1
+    assert len(out) == 3
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_matches_exact_on_high_threshold(spark):
+    docs = _docs(spark)
+    exact = {(r.id_a, r.id_b) for r in D.jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r.id_a, r.id_b) for r in D.minhash_lsh_dedup(docs, threshold=0.8).collect()}
+    assert lsh == exact  # identical docs always collide in every band
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    sigs = {r._id: r.simhash for r in D.simhash(_docs(spark)).collect()}
+    assert sigs[1] == sigs[2]
+    # near-dup should be hamming-close, distinct doc far
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[3]) <= ham(sigs[1], sigs[4])
+
+
+def test_simhash_near_pairs(spark):
+    pairs = {(r.id_a, r.id_b) for r in D.simhash_near_pairs(_docs(spark), max_hamming=2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs

@@ -1,0 +1,52 @@
+"""Unit tests for text-analysis functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.functions import text as TX
+
+
+def _df(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "der hund ist nicht der beste"),
+        (3, "le chat est une merveille"),
+        (4, "xyzzy plugh"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(spark):
+    out = _df(spark).select("doc_id", TX.token_count(F.col("text")).alias("n")).collect()
+    by_id = {r.doc_id: r.n for r in out}
+    assert by_id == {1: 6, 2: 6, 3: 5, 4: 2}
+
+
+def test_stopword_count(spark):
+    out = _df(spark).select("doc_id", TX.stopword_count(F.col("text")).alias("n")).collect()
+    by_id = {r.doc_id: r.n for r in out}
+    assert by_id[1] == 2  # 'the' twice
+    assert by_id[4] == 0
+
+
+def test_lang_guess(spark):
+    out = _df(spark).select("doc_id", TX.lang_guess(F.col("text")).alias("g")).collect()
+    by_id = {r.doc_id: r.g for r in out}
+    assert by_id[1] == "en"
+    assert by_id[2] == "de"
+    assert by_id[3] == "fr"
+    assert by_id[4] == "und"
+
+
+def test_fingerprint_is_md5(spark):
+    import hashlib
+
+    out = _df(spark).select("doc_id", TX.fingerprint(F.col("text")).alias("fp")).collect()
+    by_id = {r.doc_id: r.fp for r in out}
+    assert by_id[1] == hashlib.md5(b"the cat sat on the mat").hexdigest()
+
+
+def test_quality_score_bounds(spark):
+    out = _df(spark).select(TX.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in out)
