@@ -1,0 +1,148 @@
+"""Declarative pipeline DAG: nodes, registry, topological runner.
+
+The reference's unit of work is ``TableETL`` — an abstract class per table
+with ``extract_upstream → transform_upstream → validate → write → read``
+orchestrated by ``run()`` (reference etl/utils/base_table.py:53-240).
+Its control flow re-executes shared upstream subtrees once *per parent*
+(reference run_etl.py:14-25 runs the whole bronze+silver tree twice —
+SURVEY.md §3 E1.3) and materializes storage at every layer boundary,
+cutting the Catalyst plan at each node (E1 step 4).
+
+This module replaces that with:
+
+- ``Node``: a named pure transform ``dict[dep_name, DataFrame] → DataFrame``
+  plus metadata (primary keys, checks, partition keys) — same information
+  as ``ETLDataSet`` + TableETL subclass, no per-table class.
+- ``Registry``: name → Node, with cycle detection.
+- ``Runner``: topological, memoized execution — each node computes ONCE
+  per run regardless of fan-out, with a single batch timestamp shared by
+  every node (the reference stamps ``datetime.now()`` per node, quirk Q5).
+  Nodes are lazy DataFrames end-to-end: with no store attached the whole
+  pipeline is ONE Catalyst plan (filters push across layer boundaries —
+  the reference could never do this); with a store, only nodes marked
+  ``materialize=True`` (typically gold) snapshot to storage and are
+  re-read, preserving the reference's snapshot semantics where they
+  matter.
+
+At 100 TB: memoization removes redundant subtree scans; plan fusion lets
+Catalyst push the gold-layer ``is_active`` filter down into the bronze
+scan; materialization stays available per-node where checkpointing or
+snapshot isolation is worth the write.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_data_engineering_spark.checks import Check, CheckError
+
+
+@dataclass
+class Dataset:
+    """Metadata wrapper for a produced table (≈ reference ``ETLDataSet``,
+    etl/utils/base_table.py:29-50)."""
+
+    name: str
+    df: DataFrame
+    primary_keys: tuple[str, ...] = ()
+    partition_keys: tuple[str, ...] = ()
+    storage_path: str | None = None
+    data_format: str = "parquet"
+
+
+TransformFn = Callable[[dict[str, DataFrame]], DataFrame]
+
+
+@dataclass
+class Node:
+    name: str
+    transform: TransformFn
+    deps: tuple[str, ...] = ()
+    primary_keys: tuple[str, ...] = ()
+    checks: tuple[Check, ...] = ()
+    partition_keys: tuple[str, ...] = ()
+    materialize: bool = False
+
+
+class Registry:
+    def __init__(self) -> None:
+        self._nodes: dict[str, Node] = {}
+
+    def register(self, node: Node) -> Node:
+        if node.name in self._nodes:
+            raise ValueError(f"duplicate node {node.name!r}")
+        self._nodes[node.name] = node
+        return node
+
+    def node(self, name: str) -> Node:
+        return self._nodes[name]
+
+    def names(self) -> list[str]:
+        return list(self._nodes)
+
+    def topo_order(self, target: str) -> list[str]:
+        """Dependency-first order for ``target``; raises on cycles."""
+        order: list[str] = []
+        state: dict[str, int] = {}  # 1 = visiting, 2 = done
+
+        def visit(name: str) -> None:
+            st = state.get(name)
+            if st == 2:
+                return
+            if st == 1:
+                raise ValueError(f"cycle through {name!r}")
+            state[name] = 1
+            for dep in self._nodes[name].deps:
+                visit(dep)
+            state[name] = 2
+            order.append(name)
+
+        visit(target)
+        return order
+
+
+@dataclass
+class Runner:
+    """Memoized topological executor with one batch timestamp per run."""
+
+    spark: SparkSession
+    registry: Registry
+    store: object | None = None  # SnapshotStore, optional
+    batch_ts: _dt.datetime = field(default_factory=lambda: _dt.datetime.now(tz=_dt.timezone.utc))
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def run(self, target: str) -> DataFrame:
+        for name in self.registry.topo_order(target):
+            if name in self._cache:
+                continue
+            node = self.registry.node(name)
+            upstream = {dep: self._cache[dep] for dep in node.deps}
+            df = node.transform(upstream)
+            self._validate(node, df)
+            if node.materialize and self.store is not None:
+                self.store.write(name, df, self.batch_ts, partition_keys=node.partition_keys)
+                df = self.store.read_latest(self.spark, name)
+            self._cache[name] = df
+        return self._cache[target]
+
+    def dataset(self, target: str) -> Dataset:
+        node = self.registry.node(target)
+        return Dataset(
+            name=target,
+            df=self.run(target),
+            primary_keys=node.primary_keys,
+            partition_keys=node.partition_keys,
+            storage_path=(self.store.path(target) if self.store is not None and node.materialize else None),
+        )
+
+    def _validate(self, node: Node, df: DataFrame) -> None:
+        """Run declared data-quality checks; any failure blocks the write
+        (reference ``validate()`` gate, base_table.py:140-196 — Great
+        Expectations replaced by plain DataFrame assertions)."""
+        failures = [msg for check in node.checks if (msg := check(df)) is not None]
+        if failures:
+            raise CheckError(f"node {node.name!r}: " + "; ".join(failures))

@@ -1,0 +1,123 @@
+"""Pipeline engine tests: DAG runner memoization, checks gate, snapshot
+round-trip, conflict renaming — mirrors the reference's unit/integration
+tiers (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark import checks as C
+from spark_data_engineering_spark.checks import CheckError
+from spark_data_engineering_spark.operators.rename import prefix_conflicts
+from spark_data_engineering_spark.pipeline import build_registry, run_reports
+from spark_data_engineering_spark.plans import Node, Registry, Runner
+from spark_data_engineering_spark.sources.snapshot import SnapshotStore
+
+
+def test_runner_memoizes_shared_upstreams(spark):
+    calls: list[str] = []
+
+    def make(name, deps=()):
+        def t(up):
+            calls.append(name)
+            return spark.range(3).withColumn("src", F.lit(name))
+
+        return Node(name=name, transform=t, deps=deps)
+
+    reg = Registry()
+    reg.register(make("base"))
+    reg.register(make("left", ("base",)))
+    reg.register(make("right", ("base",)))
+    reg.register(make("top", ("left", "right")))
+    runner = Runner(spark, reg)
+    runner.run("top")
+    # 'base' must run once despite two parents (the reference re-runs it
+    # per parent, SURVEY.md §3 E1.3)
+    assert calls.count("base") == 1
+    assert sorted(calls) == ["base", "left", "right", "top"]
+
+
+def test_checks_block_on_failure(spark):
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], ["id", "v"])
+    reg = Registry()
+    reg.register(Node(name="bad", transform=lambda up: dup, checks=(C.unique("id"),)))
+    with pytest.raises(CheckError, match="duplicate key"):
+        Runner(spark, reg).run("bad")
+
+
+def test_checks_pass_clean(spark):
+    ok = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "v"])
+    reg = Registry()
+    reg.register(
+        Node(
+            name="good",
+            transform=lambda up: ok,
+            checks=(C.unique("id"), C.not_null("id", "v"), C.bounds("v", lo=0, hi=100)),
+        )
+    )
+    assert Runner(spark, reg).run("good").count() == 2
+
+
+def test_cycle_detection(spark):
+    reg = Registry()
+    reg.register(Node(name="a", transform=lambda up: None, deps=("b",)))
+    reg.register(Node(name="b", transform=lambda up: None, deps=("a",)))
+    with pytest.raises(ValueError, match="cycle"):
+        reg.topo_order("a")
+
+
+def test_snapshot_roundtrip(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path))
+    df1 = spark.createDataFrame([(1, "x")], ["id", "v"])
+    df2 = spark.createDataFrame([(2, "y")], ["id", "v"])
+    t1 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t2 = dt.datetime(2026, 1, 2, 12, 0, 0)
+    store.write("t", df1, t1)
+    store.write("t", df2, t2)
+    assert len(store.batches("t")) == 2
+    latest = store.read_latest(spark, "t").select("id", "v").collect()
+    assert [(r.id, r.v) for r in latest] == [(2, "y")]
+    # time travel to the first batch
+    first = store.read_batch(spark, "t", store.batches("t")[0]).select("id", "v").collect()
+    assert [(r.id, r.v) for r in first] == [(1, "x")]
+
+
+def test_snapshot_missing_table(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        store.read_latest(spark, "nope")
+
+
+def test_prefix_conflicts(spark):
+    a = spark.createDataFrame([(1, "x", "t1")], ["id", "name", "etl_inserted"])
+    b = spark.createDataFrame([(1, "y", "t2")], ["id", "name", "etl_inserted"])
+    out = prefix_conflicts(a, b, "left", keep=("id",))
+    # conflicting non-key columns prefixed — incl. etl_inserted, matching
+    # the reference's observable behavior (test_dim_buyer_silver.py:131)
+    assert set(out.columns) == {"id", "left_name", "left_etl_inserted"}
+
+
+def test_pipeline_reports_end_to_end(spark, sf_dir):
+    out = run_reports(spark, sf_dir, register_views=True)
+    order = out["daily_order_report"]
+    cat = out["daily_category_report"]
+    assert order.columns == ["Date", "Revenue", "Mean Revenue"]
+    assert cat.columns == ["Date", "Product Category", "Mean Revenue", "Median Revenue"]
+    assert order.count() > 0 and cat.count() > 0
+    # consumable via SQL like reference run_etl.py:18
+    via_sql = spark.sql("select * from global_temp.daily_order_report")
+    assert via_sql.count() == order.count()
+
+
+def test_pipeline_with_materialization(spark, sf_dir, tmp_path):
+    """Gold metrics materialize through the store and re-read."""
+    reg = build_registry(spark, sf_dir)
+    reg.node("daily_order_metrics").materialize = True
+    store = SnapshotStore(str(tmp_path))
+    runner = Runner(spark, reg, store=store)
+    df = runner.run("daily_order_report")
+    assert df.count() > 0
+    assert store.batches("daily_order_metrics")  # snapshot written
