@@ -50,18 +50,43 @@ def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("_tokens", F.split(F.col(text_col), " "))
 
 
-def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document as array<string>."""
-    toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+def shingle_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(_id, _shingle) inverted index of DISTINCT word n-gram shingles.
+
+    Plan: posexplode tokens -> window lead() x (n-1) per document ->
+    concat -> dropDuplicates. Everything is whole-stage-codegen'd; the
+    higher-order-function formulation (transform over an array column)
+    runs interpreted and measured ~10x slower. One shuffle on the doc id
+    (for the window), one for the dedup — both keyed and partial-agg
+    friendly at 100 TB.
+
+    Documents shorter than ``n`` tokens produce no shingles (mirrors the
+    SQL-oracle semantics of RANGE(len - n + 1)).
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
     )
-    return df.withColumn(
-        "shingles",
-        F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, shingle))).otherwise(
-            F.array(F.col(text_col))
-        ),
+    w = W.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
+    shingled = toks.select(
+        "_id", F.concat_ws(" ", *parts).alias("_shingle"), parts[-1].alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    return shingled.select("_id", "_shingle").dropDuplicates(["_id", "_shingle"])
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct shingles as an array column (for API consumers that want
+    the per-doc array shape; the exploded ``shingle_index`` is the fast
+    path used internally)."""
+    idx = shingle_index(df, text_col, id_col, n)
+    arr = idx.groupBy("_id").agg(F.collect_list("_shingle").alias("shingles"))
+    return df.join(arr, df[id_col] == arr._id, "left").drop("_id").withColumn(
+        "shingles", F.coalesce("shingles", F.array())
     )
 
 
@@ -78,13 +103,6 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) inverted index — exploded distinct shingles."""
-    return with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("_id"), F.explode("shingles").alias("_shingle")
-    )
-
-
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -98,7 +116,7 @@ def jaccard_pairs(
     >= threshold. Quadratic in the worst case — the correctness baseline
     the LSH path is validated against.
     """
-    idx = _shingle_index(df, text_col, id_col, n)
+    idx = shingle_index(df, text_col, id_col, n)
     sizes = idx.groupBy("_id").agg(F.count("*").alias("_sz"))
     a = idx.alias("a")
     b = idx.alias("b")
@@ -133,26 +151,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document as array<bigint>[num_hashes].
 
-    Shingle → 32-bit int via md5 prefix (deterministic across engines),
-    then k permutation-hash minima via higher-order array functions —
-    entirely inside codegen, no shuffle.
+    Plan shape chosen for codegen: explode shingles to rows, xxhash64
+    each shingle once, then ONE hash aggregation with k ``min()``
+    aggregates (whole-stage codegen + map-side partial aggregation).
+    The higher-order-function alternative (aggregate() over an array
+    column) runs on the expression interpreter and measured ~10x slower.
+    At 100 TB the exploded form shuffles only #docs x #partitions
+    partial-agg rows, so it scales with corpus size, not shingle count.
     """
     ca, cb = _minhash_coeffs(num_hashes)
-    shingled = with_shingles(df, text_col, n)
-    hashed = shingled.withColumn(
-        "_hvals",
-        F.transform(
-            "shingles", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % _P
-        ),
+    hashed = shingle_index(df, text_col, id_col, n).select(
+        "_id", F.pmod(F.xxhash64("_shingle"), F.lit(_P)).alias("_h")
     )
-    def _min_hasher(a: int, b: int):
-        return lambda acc, h: F.least(acc, (F.lit(a) * h + F.lit(b)) % _P)
-
-    sig_entries = [
-        F.aggregate("_hvals", F.lit(_P).cast("bigint"), _min_hasher(a_j, b_j)).alias(f"_mh{j}")
+    mins = [
+        F.min((F.lit(a_j) * F.col("_h") + F.lit(b_j)) % _P).alias(f"_mh{j}")
         for j, (a_j, b_j) in enumerate(zip(ca, cb))
     ]
-    return hashed.select(F.col(id_col).alias("_id"), F.array(*sig_entries).alias("signature"))
+    agg = hashed.groupBy("_id").agg(*mins)
+    return agg.select(
+        "_id", F.array(*[f"_mh{j}" for j in range(num_hashes)]).alias("signature")
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
@@ -203,34 +221,73 @@ def minhash_lsh_dedup(
     with candidate generation that scales linearly in corpus size.
     """
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows)
-    exact = jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    # The candidate set is tiny (near-dup pairs) but its plan is the
+    # whole signature pipeline; downstream references it three times
+    # (semi-join, pair join, sizes). Materialize it once — at cluster
+    # scale this would be a persisted table between stages.
+    cands = lsh_candidate_pairs(sigs, bands, rows).localCheckpoint(eager=True)
+    # Exact verification ONLY for candidate pairs: restrict the shingle
+    # index to candidate docs (semi join), count shared shingles per
+    # candidate pair, then Jaccard from per-doc sizes. O(#candidates x
+    # shingles/doc) — never the full pairwise index join, which is
+    # quadratic and defeats the point of LSH.
+    idx = shingle_index(df, text_col, id_col, n)
+    cand_docs = cands.select(F.col("id_a").alias("_id")).union(
+        cands.select(F.col("id_b").alias("_id"))
+    ).distinct()
+    idx_c = idx.join(F.broadcast(cand_docs), "_id", "left_semi")
+    sizes = idx_c.groupBy("_id").agg(F.count("*").alias("_sz"))
+    a, b = idx_c.alias("a"), idx_c.alias("b")
+    inter = (
+        cands.join(a, F.col("id_a") == F.col("a._id"))
+        .join(b, (F.col("id_b") == F.col("b._id")) & (F.col("a._shingle") == F.col("b._shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
-        cands.join(exact, ["id_a", "id_b"])
+        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa._id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb._id"))
+        .withColumn(
+            "jaccard",
+            NR.round4(
+                F.col("_inter").cast("double")
+                / (F.col("sa._sz") + F.col("sb._sz") - F.col("_inter"))
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48, n: int = 3
 ) -> DataFrame:
-    """SimHash bit signature per document (Charikar 2002): per bit,
-    majority vote of token-hash bits; near-dup docs get hamming-close
-    signatures. Returns (_id, simhash: bigint)."""
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    hashed = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint"))
+    """SimHash bit signature per document (Charikar 2002, "Similarity
+    estimation techniques from rounding algorithms"): per bit, majority
+    vote over feature-hash bits. Features are word n-gram shingles — on
+    a small-vocabulary corpus unigram features make every document look
+    alike (measured: random pairs reach hamming 0); shingles restore the
+    feature-space diversity SimHash needs.
 
-    def _bit_vote(i: int):
-        # shiftrightunsigned needs a Python-int bit position, so the bit
-        # loop is unrolled driver-side (bits is small and fixed).
-        return lambda acc, h: acc + (F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
-
+    Plan shape: exploded shingle index -> xxhash64 -> one codegen'd
+    aggregation with ``bits`` sum() votes -> signature assembly.
+    Returns (_id, simhash: bigint).
+    """
+    hashed = shingle_index(df, text_col, id_col, n).select(
+        "_id", F.xxhash64("_shingle").alias("_h")
+    )
+    votes = [
+        (F.sum(F.shiftrightunsigned("_h", i).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy("_id").agg(*votes)
     sig = F.lit(0).cast("bigint")
     for i in range(bits):
-        vote = F.aggregate(hashed, F.lit(0).cast("bigint"), _bit_vote(i))
-        sig = sig + F.when(vote > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return df.select(F.col(id_col).alias("_id"), sig.alias("simhash"))
+        sig = sig + F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return agg.select("_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -239,11 +296,12 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     bits: int = 48,
     band_bits: int = 12,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the signature (pigeonhole — any pair
-    within hamming ≤ bands-1 shares a band), join on band value, then
-    exact hamming filter via bit_count(xor)."""
+    within hamming < #bands is guaranteed to share a band), join on band
+    value, then exact hamming filter via bit_count(xor). With 48 bits /
+    12-bit bands, recall is exact for hamming ≤ 3."""
     sigs = simhash(df, text_col, id_col, bits)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1

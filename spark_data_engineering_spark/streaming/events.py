@@ -1,0 +1,100 @@
+"""Structured Streaming over the events table.
+
+The reference batch-loads its clickstream like every other table
+(reference bronze/clickstream.py:75 — no streaming anywhere, SURVEY.md
+§2.6); this module is the streaming extension surface: the same logical
+plans as the batch queries (`hourly_event_stats`), executed incrementally
+with watermarked state.
+
+Local testing drives a file source with ``availableNow`` so a finite
+parquet directory flushes through the stream deterministically; in
+production the source would be Kafka/kinesis with the identical plan.
+
+Scale notes: state is keyed by (window, event_type) — bounded by the
+watermark horizon × type cardinality, so state stays small no matter the
+input rate. ``dropDuplicatesWithinWatermark`` covers at-least-once
+sources. Output mode "append" emits only finalized windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event parquet files (one file per
+    micro-batch by default)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def hourly_event_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``hourly_event_stats`` query:
+    tumbling 1-hour windows per event_type with late-data tolerance."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_event_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming counterpart of the batch exact-dedup operator (needed
+    for at-least-once upstream delivery)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user: events separated by < gap merge into one
+    session (built-in session_window — no custom state needed)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a finite file-source stream to completion synchronously
+    (availableNow) into an in-memory table for assertions/smoke."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,74 @@
+"""Structured Streaming tests: drive finite file-source streams to
+completion and compare against the equivalent batch plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources import load_table
+from spark_data_engineering_spark.streaming import events as SE
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as micro-batch-able parquet files (the raw
+    testdata file uses nanos timestamps Spark can't stream natively).
+
+    Files are written one time-quartile at a time so arrival order tracks
+    event time — like a real event stream — and the watermark doesn't
+    discard whole quartiles as late data.
+    """
+    import time
+
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, "events", sf_dir).cache()
+    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for lo, hi in zip(bounds, bounds[1:]):
+        # event_id order == time order in this data (generator emits in ts order)
+        chunk = ev.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi))
+        chunk.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)  # distinct mtimes -> deterministic arrival order
+    ev.unpersist()
+    return path
+
+
+def test_hourly_stats_stream_matches_batch(spark, stream_dir):
+    stream = SE.read_event_stream(spark, stream_dir)
+    SE.run_to_memory(SE.hourly_event_stats_stream(stream), "hourly_out")
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("select * from hourly_out").collect()
+    }
+    batch = (
+        spark.read.parquet(stream_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    want = {(r.hour, r.event_type): (r.n, r.s) for r in batch.collect()}
+    # availableNow + watermark: all windows close by end-of-stream except
+    # those still inside the final watermark horizon; everything emitted
+    # must match the batch result exactly.
+    assert got
+    for k, v in got.items():
+        assert want[k] == v, k
+    # and the vast majority of windows must have been emitted
+    assert len(got) >= len(want) * 0.9
+
+
+def test_stream_dedup(spark, stream_dir):
+    stream = SE.read_event_stream(spark, stream_dir)
+    SE.run_to_memory(SE.dedup_event_stream(stream), "dedup_out")
+    n = spark.sql("select count(*) c, count(distinct event_id) d from dedup_out").collect()[0]
+    assert n.c == n.d  # no duplicates pass through
+    assert n.c > 0
+
+
+def test_sessionize_stream(spark, stream_dir):
+    stream = SE.read_event_stream(spark, stream_dir)
+    SE.run_to_memory(SE.sessionize_stream(stream, gap="30 minutes"), "sessions_out")
+    rows = spark.sql("select * from sessions_out").collect()
+    assert rows
+    # session invariants: end >= start, n_events >= 1
+    assert all(r.session_end >= r.session_start and r.n_events >= 1 for r in rows)
