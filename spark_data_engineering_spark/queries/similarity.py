@@ -61,17 +61,8 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold chosen to produce
-    a non-empty result on this corpus). Brute-force pairwise here; the
-    LSH-bucketed variant is the scale path."""
+    a non-empty result on this corpus). numpy-blocked brute force (see
+    operators.similarity.cosine_pairs); the LSH-bucketed variant is the
+    scale path."""
     emb = load_table(spark, "embeddings", sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    from spark_data_engineering_spark.functions.vectors import cosine
-
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", NR.round4(cosine(F.col("_va"), F.col("_vb"))))
-        .filter(F.col("cos_sim") >= 0.45)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return S.cosine_pairs(emb, threshold=0.45)

@@ -42,9 +42,11 @@ def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from spark_data_engineering_spark.queries import (  # noqa: F401
         dedup,
+        multimodal,
         pipeline,
         relational,
         reports,
         similarity,
         text,
+        tpch,
     )

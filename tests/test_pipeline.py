@@ -45,7 +45,7 @@ def test_checks_block_on_failure(spark):
     reg = Registry()
     reg.register(Node(name="bad", transform=lambda up: dup, checks=(C.unique("id"),)))
     with pytest.raises(CheckError, match="duplicate key"):
-        Runner(spark, reg).run("bad")
+        Runner(spark, reg, validate="all").run("bad")
 
 
 def test_checks_pass_clean(spark):
@@ -58,7 +58,7 @@ def test_checks_pass_clean(spark):
             checks=(C.unique("id"), C.not_null("id", "v"), C.bounds("v", lo=0, hi=100)),
         )
     )
-    assert Runner(spark, reg).run("good").count() == 2
+    assert Runner(spark, reg, validate="all").run("good").count() == 2
 
 
 def test_cycle_detection(spark):
