@@ -1,0 +1,271 @@
+"""Event-stream analytics in batch form: as-of join, sessionization,
+funnel — plus scalar-function coverage (strings, dates, conditionals,
+maps) absent from the reference (SURVEY.md §2.2 lists none)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.functions import numeric as NR
+from spark_data_engineering_spark.operators.asof import asof_join
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+
+
+@query(
+    "asof_purchase_click",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           p.ts,
+           c.ts AS ts_click,
+           CAST(DATE_DIFF('second', c.ts, p.ts) AS BIGINT) AS secs_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (window strategy): each purchase matched to the same
+    user's latest click at or before it. DuckDB's native ASOF JOIN is
+    the oracle; Spark expresses it as union + last-ignorenulls window —
+    one shuffle on user_id, no range-join explosion (see
+    operators/asof.py for the 100 TB rationale)."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="ts", by="user_id", suffix="_click")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_click",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_click")).alias("secs_since_click"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR((SUM(value)) * 100 + 0.5) / 100 AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session id,
+    then per-session aggregates (the streaming twin uses
+    session_window, streaming/events.py). Two window passes + one agg,
+    all partitioned by user_id — a single shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        NR.round2(F.sum("value")).alias("session_value"),
+    )
+
+
+@query(
+    "signup_click_purchase_funnel",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_click IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END)
+               AS BIGINT) AS clicked_after_signup,
+           CAST(SUM(CASE WHEN t_purchase IS NOT NULL AND t_click IS NOT NULL
+                          AND t_purchase > t_click AND t_click > t_signup THEN 1 ELSE 0 END)
+               AS BIGINT) AS purchased_after_click
+    FROM (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    WHERE t_signup IS NOT NULL
+    """,
+)
+def signup_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: conditional-aggregation first-touch times then ordered-
+    step counting — one shuffle, no self-joins."""
+    ev = load_table(spark, "events", sf_dir)
+    first_touch = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    funnel = first_touch.filter(F.col("t_signup").isNotNull())
+    return funnel.agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            (F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_signup"))).cast("long")
+        ).alias("clicked_after_signup"),
+        F.sum(
+            (
+                F.col("t_purchase").isNotNull()
+                & F.col("t_click").isNotNull()
+                & (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup"))
+            ).cast("long")
+        ).alias("purchased_after_click"),
+    )
+
+
+@query(
+    "orders_by_year_quarter",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+    FROM orders
+    GROUP BY YEAR(o_orderdate), QUARTER(o_orderdate)
+    """,
+)
+def orders_by_year_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + rollup grouping (date functions are absent
+    from the reference beyond casts, SURVEY.md §2.2 P6)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.quarter("o_orderdate").alias("qtr")
+    ).agg(F.count("*").alias("n_orders"), NR.round2(F.sum("o_totalprice")).alias("revenue"))
+
+
+@query(
+    "part_name_analysis",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTRING(p_name, 1, 3) AS name_prefix,
+           REGEXP_EXTRACT(p_name, '^(\\w+)', 1) AS first_word,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           CONCAT(p_brand, '/', p_type) AS brand_type,
+           REPLACE(p_type, 'ANODIZED', 'ANOD.') AS type_short
+    FROM part
+    """,
+)
+def part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function coverage: upper, substring, regexp_extract,
+    length, concat, replace — all JVM codegen'd."""
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 3).alias("name_prefix"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit("ANODIZED"), F.lit("ANOD.")).alias("type_short"),
+    )
+
+
+@query(
+    "customer_tiers",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 7500 THEN 'platinum'
+                WHEN c_acctbal > 5000 THEN 'gold'
+                WHEN c_acctbal > 0 THEN 'standard'
+                ELSE 'delinquent' END AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'CONSTRUCTION') AS segment_alias,
+           FLOOR((GREATEST(c_acctbal, 0.0)) * 100 + 0.5) / 100 AS credit
+    FROM customer
+    """,
+)
+def customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression coverage: when/otherwise chains, coalesce,
+    nullif, greatest (absent from reference — no when/otherwise or null
+    handling anywhere, SURVEY.md §2.2)."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 7500, "platinum")
+        .when(F.col("c_acctbal") > 5000, "gold")
+        .when(F.col("c_acctbal") > 0, "standard")
+        .otherwise("delinquent")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("CONSTRUCTION")).alias(
+            "segment_alias"
+        ),
+        NR.round2(F.greatest(F.col("c_acctbal"), F.lit(0.0))).alias("credit"),
+    )
+
+
+@query(
+    "unpivot_brand_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT p_brand,
+               FLOOR((SUM(p_retailprice)) * 100 + 0.5) / 100 AS sum_price,
+               FLOOR((AVG(p_retailprice)) * 100 + 0.5) / 100 AS mean_price
+        FROM part GROUP BY p_brand
+    )
+    SELECT p_brand AS brand, 'sum_price' AS metric, sum_price AS value FROM m
+    UNION ALL
+    SELECT p_brand, 'mean_price', mean_price FROM m
+    """,
+)
+def unpivot_brand_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via the melt/stack pattern."""
+    p = load_table(spark, "part", sf_dir)
+    m = p.groupBy("p_brand").agg(
+        NR.round2(F.sum("p_retailprice")).alias("sum_price"),
+        NR.round2(F.avg("p_retailprice")).alias("mean_price"),
+    )
+    return m.unpivot(
+        ids=["p_brand"], values=["sum_price", "mean_price"], variableColumnName="metric", valueColumnName="value"
+    ).select(F.col("p_brand").alias("brand"), "metric", "value")
+
+
+@query(
+    "event_type_map_roundtrip",
+    oracle="""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def event_type_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType coverage: per-user map<event_type, count> built with
+    map_from_entries, then exploded back flat (map construction +
+    explode both exercise the MapType path; the round-trip keeps the
+    output hashable)."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    as_map = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("by_type")
+    )
+    return as_map.select("user_id", F.explode("by_type").alias("event_type", "n"))

@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from spark_data_engineering_spark.queries import (  # noqa: F401
         dedup,
+        events_analytics,
         multimodal,
         pipeline,
         relational,

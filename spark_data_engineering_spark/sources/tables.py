@@ -45,7 +45,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: epoch-nanos (~1.7e18) exceeds double's 53-bit
+        # mantissa, so `/ 1000` + cast would round off microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,49 @@
+"""Bucketed-join test: the lineitem-orders join must run shuffle-free
+when both sides are bucketed by the join key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources import load_table
+from spark_data_engineering_spark.sources.bucketed import read_table, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    write_bucketed(li, "b_lineitem", "l_orderkey", num_buckets=8)
+    write_bucketed(o, "b_orders", "o_orderkey", num_buckets=8)
+    yield "b_lineitem", "b_orders"
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables, sf_dir):
+    li_t, o_t = bucketed_tables
+    li, o = read_table(spark, li_t), read_table(spark, o_t)
+    # disable broadcast so the planner takes the sort-merge path it would
+    # take on two 100 TB fact tables (at test scale it prefers broadcast,
+    # which bypasses bucketing entirely — also correct, also shuffle-free)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan  # no shuffle
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # and results match the plain-parquet join
+    plain = (
+        load_table(spark, "lineitem", sf_dir)
+        .join(
+            load_table(spark, "orders", sf_dir),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert joined.count() == plain
