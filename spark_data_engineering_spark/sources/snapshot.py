@@ -107,3 +107,51 @@ class SnapshotStore:
         return sorted(
             d.split("=", 1)[1] for d in os.listdir(base) if d.startswith(f"{PARTITION_COL}=")
         )
+
+    # ---- mutation & change-data-capture on snapshots -------------------
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        name: str,
+        updates: DataFrame,
+        keys: list[str],
+        batch_ts: _dt.datetime,
+    ) -> None:
+        """MERGE-emulation without Delta (public pattern: anti-join +
+        union): new snapshot = updates ∪ (previous ∖ matching keys).
+        Writes a complete new batch partition — readers of the previous
+        snapshot are unaffected (snapshot isolation by construction)."""
+        try:
+            current = self.read_latest(spark, name).drop(PARTITION_COL)
+        except FileNotFoundError:
+            merged = updates
+        else:
+            survivors = current.join(updates.select(*keys), keys, "left_anti")
+            merged = survivors.unionByName(updates, allowMissingColumns=True)
+        self.write(name, merged, batch_ts)
+
+    def changes_between(
+        self, spark: SparkSession, name: str, batch_a: str, batch_b: str, keys: list[str]
+    ) -> DataFrame:
+        """CDC diff of two snapshots: one full-outer join on the keys
+        classifying every row as inserted / deleted / updated / unchanged
+        (hash compare over non-key columns). Returns key columns +
+        ``change_type``."""
+        a = self.read_batch(spark, name, batch_a).drop(PARTITION_COL)
+        b = self.read_batch(spark, name, batch_b).drop(PARTITION_COL)
+        value_cols = [c for c in b.columns if c not in keys]
+        fp = lambda df: df.select(  # noqa: E731
+            *keys, F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in value_cols]).alias("_fp")
+        )
+        fa = fp(a).withColumnRenamed("_fp", "_fp_a")
+        fb = fp(b).withColumnRenamed("_fp", "_fp_b")
+        joined = fa.join(fb, keys, "full_outer")
+        return joined.select(
+            *keys,
+            F.when(F.col("_fp_a").isNull(), "inserted")
+            .when(F.col("_fp_b").isNull(), "deleted")
+            .when(F.col("_fp_a") != F.col("_fp_b"), "updated")
+            .otherwise("unchanged")
+            .alias("change_type"),
+        )

@@ -121,3 +121,31 @@ def test_pipeline_with_materialization(spark, sf_dir, tmp_path):
     df = runner.run("daily_order_report")
     assert df.count() > 0
     assert store.batches("daily_order_metrics")  # snapshot written
+
+
+def test_snapshot_upsert_and_cdc(spark, tmp_path):
+    import datetime as dt
+
+    store = SnapshotStore(str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "v"]
+    )
+    store.write("t", base, dt.datetime(2026, 1, 1))
+    updates = spark.createDataFrame(
+        [(2, "b", 25.0), (4, "d", 40.0)], ["id", "name", "v"]
+    )
+    store.upsert(spark, "t", updates, keys=["id"], batch_ts=dt.datetime(2026, 1, 2))
+
+    latest = {r.id: (r.name, r.v) for r in store.read_latest(spark, "t").collect()}
+    assert latest == {1: ("a", 10.0), 2: ("b", 25.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    b1, b2 = store.batches("t")
+    changes = {
+        r.id: r.change_type
+        for r in store.changes_between(spark, "t", b1, b2, keys=["id"]).collect()
+    }
+    assert changes == {1: "unchanged", 2: "updated", 3: "unchanged", 4: "inserted"}
+
+    # upsert into an empty table bootstraps it
+    store.upsert(spark, "fresh", base, keys=["id"], batch_ts=dt.datetime(2026, 1, 3))
+    assert store.read_latest(spark, "fresh").count() == 3
