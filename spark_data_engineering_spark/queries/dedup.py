@@ -73,3 +73,35 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(48-bit) banded near-dup pairs at hamming ≤ 6 (rows-only:
     bit-majority signatures have no tractable SQL oracle)."""
     return D.simhash_near_pairs(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT id_a, id_b FROM (""" + _JACCARD_SQL + """)
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: near-dup pairs (Jaccard >= 0.8) ->
+    connected components via iterative min-label propagation (the
+    'duplicates are transitive' post-step every dedup pipeline needs).
+    Oracle: DuckDB recursive CTE computing the same reachability
+    closure."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    return D.dedup_clusters(pairs, docs)

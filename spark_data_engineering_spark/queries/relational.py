@@ -507,3 +507,132 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(F.count("*").alias("n_events"), NR.round2(F.sum("value")).alias("sum_value"))
+
+
+# --- S6: the SQL-API surface (spark.sql over registered views) ---------
+@query(
+    "sql_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           FLOOR((SUM(o.o_totalprice)) * 100 + 0.5) / 100 AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same engine, SQL surface: the query is a spark.sql() string over
+    registered temp views (reference S6, run_etl.py:18 — its only SQL).
+    Catalyst produces the identical plan either way."""
+    from spark_data_engineering_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               FLOOR(SUM(o.o_totalprice) * 100 + 0.5) / 100 AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+# --- window rank suite + non-equi band join -----------------------------
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           o_custkey AS custkey,
+           FLOOR((o_totalprice) * 100 + 0.5) / 100 AS price,
+           FLOOR((AVG(o_totalprice) OVER (PARTITION BY o_custkey)) * 100 + 0.5) / 100
+               AS cust_avg
+    FROM orders
+    QUALIFY o_totalprice > AVG(o_totalprice) OVER (PARTITION BY o_custkey)
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-comparison pattern (each order vs its customer's
+    average) as a single window aggregate — no self-join."""
+    o = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey")
+    avg = F.avg("o_totalprice").over(w)
+    return (
+        o.withColumn("cust_avg_raw", avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg_raw"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            NR.round2(F.col("o_totalprice")).alias("price"),
+            NR.round2(F.col("cust_avg_raw")).alias("cust_avg"),
+        )
+    )
+
+
+@query(
+    "customer_rank_suite",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           c_mktsegment AS mktsegment,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           FLOOR((PERCENT_RANK() OVER w) * 10000 + 0.5) / 10000 AS prnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    QUALIFY rnk <= 5
+    """,
+)
+def customer_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank per segment, top-5 (deterministic
+    tie-break on key)."""
+    c = load_table(spark, "customer", sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            NR.round4(F.percent_rank().over(w)).alias("prnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@query(
+    "quantity_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 20.0),
+               ('medium', 20.0, 35.0), ('large', 35.0, 51.0)
+    )
+    SELECT b.band,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           FLOOR((SUM(l.l_extendedprice)) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem l
+    JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+)
+def quantity_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/band) join: lineitem quantities into value bands.
+    The band table broadcasts -> BroadcastNestedLoopJoin with the range
+    predicate evaluated in codegen; at 100 TB the alternative is
+    precomputing the band with a CASE expression — this form keeps the
+    bands data-driven."""
+    li = load_table(spark, "lineitem", sf_dir)
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 20.0), ("medium", 20.0, 35.0), ("large", 35.0, 51.0)],
+        ["band", "lo", "hi"],
+    )
+    joined = li.join(
+        F.broadcast(bands),
+        (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_items"), NR.round2(F.sum("l_extendedprice")).alias("revenue")
+    )

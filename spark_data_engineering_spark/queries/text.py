@@ -96,3 +96,27 @@ def doc_quality_and_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score(F.col("text")).alias("quality"),
         TX.lang_guess(F.col("text")).alias("lang_guess"),
     )
+
+
+@query(
+    "token_regex_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{5,}')) AS BIGINT) AS n_long_tokens,
+           CAST(LENGTH(REGEXP_REPLACE(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+    FROM documents
+    """,
+)
+def token_regex_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenization counts (the BPE-ish pre-tokenizer shape:
+    pattern-based token classes) — regexp_count / regexp_replace are
+    JVM-side; patterns restricted to the regex subset both engines
+    implement identically."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+")).cast("bigint").alias("n_word_tokens"),
+        F.regexp_count("text", F.lit("[a-z]{5,}")).cast("bigint").alias("n_long_tokens"),
+        F.length(F.regexp_replace("text", "[^aeiou]", "")).cast("bigint").alias("n_vowels"),
+    )

@@ -1,0 +1,116 @@
+"""Second text-analysis batch: TF-IDF, vocabulary statistics, embedding
+centroids — the feature-engineering queries of a training-data pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.functions import numeric as NR
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+
+
+@query(
+    "vocab_top_tokens",
+    oracle="""
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY tf DESC, token ASC
+    LIMIT 20
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term + document frequency, top-20. explode ->
+    one aggregation (tf and df together) -> TakeOrderedAndProject."""
+    d = load_table(spark, "documents", sf_dir)
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token,
+           FLOOR((tf * LN(n_docs / df)) * 10000 + 0.5) / 10000 AS tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT tf.doc_id, tf.token,
+               tf.tf, df.df, n.n_docs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY FLOOR((tf.tf * LN(n.n_docs / df.df)) * 10000 + 0.5) / 10000 DESC,
+                            tf.token ASC) AS rnk
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    WHERE rnk <= 3 AND doc_id < 50
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (raw tf x ln(N/df)) with top-3 terms per document
+    (restricted to doc_id < 50 to keep the gate output bounded).
+    Three aggregations + one broadcast join; the window partitions by
+    doc — all shuffles keyed and partial-agg friendly."""
+    d = load_table(spark, "documents", sf_dir)
+    n_docs = d.count()
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").withColumn(
+        "tfidf", NR.round4(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "token", "tfidf", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(pos AS INT) AS pos,
+           FLOOR((AVG(val)) * 10000 + 0.5) / 10000 AS mean_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM (
+        SELECT label,
+               UNNEST(RANGE(LEN(embedding))) AS pos,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS val
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, flattened to (label, pos, mean):
+    posexplode -> one aggregation keyed by (label, dimension). The
+    vector-aggregation shape every embedding pipeline needs (cluster
+    centers, class prototypes)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        NR.round4(F.avg("val")).alias("mean_val"), F.count("*").alias("n_vectors")
+    )

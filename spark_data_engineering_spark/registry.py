@@ -49,5 +49,6 @@ def load_all() -> None:
         reports,
         similarity,
         text,
+        text2,
         tpch,
     )

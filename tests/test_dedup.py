@@ -50,3 +50,21 @@ def test_simhash_near_pairs(spark):
     pairs = {(r.id_a, r.id_b) for r in D.simhash_near_pairs(_docs(spark), max_hamming=2).collect()}
     assert (1, 2) in pairs
     assert (1, 4) not in pairs
+
+
+def test_dedup_clusters_transitive(spark):
+    # chain 1-2, 2-3 plus isolated 4: one cluster {1,2,3} labeled 1
+    pairs = spark.createDataFrame([(1, 2, 1.0), (2, 3, 0.9)], ["id_a", "id_b", "jaccard"])
+    ids = spark.createDataFrame([(i,) for i in range(1, 5)], ["doc_id"])
+    out = {r.doc_id: r.cluster_id for r in D.dedup_clusters(pairs, ids).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_dedup_clusters_long_chain(spark):
+    # 0-1-2-...-9 chain needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(9)], ["id_a", "id_b", "jaccard"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    out = {r.doc_id: r.cluster_id for r in D.dedup_clusters(pairs, ids).collect()}
+    assert all(v == 0 for v in out.values())
