@@ -1,0 +1,62 @@
+"""Structured-Streaming query under the correctness gate: the streaming
+hourly aggregation must hash-match the SAME DuckDB oracle as its batch
+twin — end-of-stream (availableNow) state equals the batch answer."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.functions import numeric as NR
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+from spark_data_engineering_spark.streaming.events import EVENT_SCHEMA
+
+
+@query(
+    "streaming_hourly_event_stats",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the events table through a real streaming query (file
+    source, multiple micro-batches, stateful window aggregation in
+    COMPLETE mode) and return the end-of-stream state. Complete mode —
+    not append — because the gate wants every window, including those a
+    watermark would still be holding open at end-of-stream.
+
+    The input is staged once per (session, sf_dir) into a multi-file
+    copy so maxFilesPerTrigger yields genuine incremental batches.
+    """
+    staged = f"/tmp/spark_de_stream_input/{abs(hash(sf_dir))}"
+    if not os.path.isdir(staged):
+        load_table(spark, "events", sf_dir).repartition(8).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 2).parquet(staged)
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("sum_value_raw")
+    )
+    name = "streaming_hourly_gate"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("hour"),
+        "event_type",
+        "n_events",
+        NR.round2(F.col("sum_value_raw")).alias("sum_value"),
+    )

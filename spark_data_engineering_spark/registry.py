@@ -48,6 +48,7 @@ def load_all() -> None:
         relational,
         reports,
         similarity,
+        streaming_q,
         text,
         text2,
         tpch,

@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # exact percentile/collect aggregates use ObjectHashAggregate,
+        # which falls back to slow sort-based aggregation after only 128
+        # distinct keys per partition by default; our metric queries have
+        # ~1e5 groups of a handful of values each, so buffering them in
+        # memory is safe and ~20% faster (measured on the category report)
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
         # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark won't
         # read natively; read as long and convert in the source adapter.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

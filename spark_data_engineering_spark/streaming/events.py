@@ -98,3 +98,44 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def user_spend_tracker_stream(events: DataFrame, alert_threshold: float = 1000.0) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    cumulative spend across micro-batches, emitting one row per user per
+    batch with the running total and an alert flag when it first crosses
+    ``alert_threshold``.
+
+    This is the shape built-in windowed aggs can't express: state is a
+    running scalar over the whole stream (no window), and emission logic
+    (first-crossing alert) depends on the state transition. State per
+    user = 16 bytes — bounded by user cardinality, not event volume.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        total, alerted = state.get if state.exists else (0.0, False)
+        batch_sum = 0.0
+        for pdf in pdfs:
+            batch_sum += float(pdf["value"].sum())
+        new_total = total + batch_sum
+        crossed = (not alerted) and new_total >= alert_threshold
+        state.update((new_total, alerted or crossed))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "total_spend": [round(new_total, 2)],
+                "alert": [crossed],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, total_spend double, alert boolean",
+        stateStructType="total double, alerted boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

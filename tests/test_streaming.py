@@ -72,3 +72,34 @@ def test_sessionize_stream(spark, stream_dir):
     assert rows
     # session invariants: end >= start, n_events >= 1
     assert all(r.session_end >= r.session_start and r.n_events >= 1 for r in rows)
+
+
+def test_stateful_spend_tracker(spark, stream_dir):
+    """applyInPandasWithState: running per-user totals accumulate across
+    micro-batches; final totals must equal the batch sum; the alert fires
+    exactly once per user that crosses the threshold."""
+    stream = SE.read_event_stream(spark, stream_dir)
+    SE.run_to_memory(SE.user_spend_tracker_stream(stream, alert_threshold=500.0), "spend_out")
+    rows = spark.sql("select * from spend_out").collect()
+    assert rows
+    # last emission per user == batch total
+    import collections
+
+    last: dict[int, float] = {}
+    alerts = collections.Counter()
+    for r in rows:  # memory sink preserves batch order
+        last[r.user_id] = r.total_spend
+        if r.alert:
+            alerts[r.user_id] += 1
+    batch = {
+        r.user_id: round(r.s, 2)
+        for r in spark.read.parquet(stream_dir)
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("s"))
+        .collect()
+    }
+    for uid, total in batch.items():
+        assert abs(last[uid] - total) < 0.05, uid
+    # every user whose total crossed 500 alerted exactly once
+    for uid, total in batch.items():
+        assert alerts[uid] == (1 if total >= 500.0 else 0), (uid, total)
