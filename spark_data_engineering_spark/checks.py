@@ -38,23 +38,38 @@ class Check:
     name: str
     build: Callable[[str], list[Column]]
     interpret: Callable[[Row, str], "str | None"]
+    # set instead of build/interpret when the check needs its own plan
+    # (e.g. an anti-join) and can't fold into the shared aggregate
+    standalone: "Callable[[DataFrame], str | None] | None" = None
 
     def __call__(self, df: DataFrame) -> "str | None":
-        """Standalone evaluation (one job) — the runner prefers batching
+        """Single-check evaluation (one job) — the runner prefers batching
         many checks into a single agg via build/interpret."""
+        if self.standalone is not None:
+            return self.standalone(df)
         row = df.agg(*self.build("c0")).collect()[0]
         return self.interpret(row, "c0")
 
 
 def run_checks(df: DataFrame, checks: tuple[Check, ...]) -> list[str]:
-    """Evaluate all checks in ONE aggregate job; return failure messages."""
+    """Evaluate all aggregate-foldable checks in ONE job; checks that
+    need their own plan (e.g. foreign_key's anti-join) run standalone."""
     if not checks:
         return []
-    aggs: list[Column] = []
-    for i, c in enumerate(checks):
-        aggs.extend(c.build(f"c{i}"))
-    row = df.agg(*aggs).collect()[0]
-    return [msg for i, c in enumerate(checks) if (msg := c.interpret(row, f"c{i}")) is not None]
+    failures: list[str] = []
+    foldable = [c for c in checks if c.standalone is None]
+    for c in checks:
+        if c.standalone is not None and (msg := c.standalone(df)) is not None:
+            failures.append(msg)
+    if foldable:
+        aggs: list[Column] = []
+        for i, c in enumerate(foldable):
+            aggs.extend(c.build(f"c{i}"))
+        row = df.agg(*aggs).collect()[0]
+        failures.extend(
+            msg for i, c in enumerate(foldable) if (msg := c.interpret(row, f"c{i}")) is not None
+        )
+    return failures
 
 
 def unique(*cols: str) -> Check:
@@ -118,3 +133,36 @@ def row_count_min(n: int) -> Check:
         return None if cnt >= n else f"row count {cnt} < required {n}"
 
     return Check(name=f"row_count_min({n})", build=build, interpret=interpret)
+
+
+def accepted_values(col: str, values: tuple) -> Check:
+    """Column domain check: every non-null value must be in ``values``."""
+
+    def build(tag: str) -> list[Column]:
+        bad = (~F.col(col).isin(*values)) & F.col(col).isNotNull()
+        return [F.sum(bad.cast("long")).alias(f"{tag}_bad")]
+
+    def interpret(row: Row, tag: str) -> "str | None":
+        n = row[f"{tag}_bad"]
+        return f"{col}: {n} rows outside accepted values {values}" if n else None
+
+    return Check(name=f"accepted_values({col})", build=build, interpret=interpret)
+
+
+def foreign_key(df_col: str, dim: DataFrame, dim_col: str) -> Check:
+    """Referential integrity: every non-null ``df_col`` must exist in the
+    dimension's ``dim_col``. One anti-join job (not foldable into the
+    shared agg — needs the dim side)."""
+
+    def standalone(df: DataFrame) -> "str | None":
+        orphans = (
+            df.filter(F.col(df_col).isNotNull())
+            .join(dim.select(F.col(dim_col).alias(df_col)), df_col, "left_anti")
+            .limit(1)
+            .count()
+        )
+        return f"{df_col}: values missing from dimension {dim_col}" if orphans else None
+
+    return Check(
+        name=f"foreign_key({df_col})", build=None, interpret=None, standalone=standalone
+    )

@@ -129,7 +129,11 @@ def build_registry(spark: SparkSession, sf_dir: str) -> Registry:
             transform=fact_orders,
             deps=("bronze_orders",),
             primary_keys=("o_orderkey",),
-            checks=(C.unique("o_orderkey"),),  # reference V3
+            checks=(
+                C.unique("o_orderkey"),  # reference V3
+                C.accepted_values("o_orderstatus", ("O", "F", "P")),
+                C.foreign_key("o_custkey", load_table(spark, "customer", sf_dir), "c_custkey"),
+            ),
         )
     )
 

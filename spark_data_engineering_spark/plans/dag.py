@@ -79,7 +79,12 @@ class Registry:
         return node
 
     def node(self, name: str) -> Node:
-        return self._nodes[name]
+        try:
+            return self._nodes[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown node {name!r}; registered nodes: {sorted(self._nodes)}"
+            ) from None
 
     def names(self) -> list[str]:
         return list(self._nodes)
@@ -96,7 +101,7 @@ class Registry:
             if st == 1:
                 raise ValueError(f"cycle through {name!r}")
             state[name] = 1
-            for dep in self._nodes[name].deps:
+            for dep in self.node(name).deps:
                 visit(dep)
             state[name] = 2
             order.append(name)

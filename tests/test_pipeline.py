@@ -149,3 +149,17 @@ def test_snapshot_upsert_and_cdc(spark, tmp_path):
     # upsert into an empty table bootstraps it
     store.upsert(spark, "fresh", base, keys=["id"], batch_ts=dt.datetime(2026, 1, 3))
     assert store.read_latest(spark, "fresh").count() == 3
+
+
+def test_accepted_values_and_foreign_key_checks(spark):
+    import spark_data_engineering_spark.checks as C2
+
+    dim = spark.createDataFrame([(1,), (2,)], ["id"])
+    good = spark.createDataFrame([(1, "A"), (2, "B")], ["fk", "status"])
+    bad = spark.createDataFrame([(1, "A"), (9, "Z")], ["fk", "status"])
+    ok_checks = (C2.accepted_values("status", ("A", "B")), C2.foreign_key("fk", dim, "id"))
+    assert C2.run_checks(good, ok_checks) == []
+    fails = C2.run_checks(bad, ok_checks)
+    assert len(fails) == 2
+    assert any("accepted values" in m for m in fails)
+    assert any("missing from dimension" in m for m in fails)

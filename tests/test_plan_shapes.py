@@ -1,0 +1,64 @@
+"""Plan-shape regression tests: lock in the physical-plan properties the
+100 TB design depends on (SCALE.md). A change that silently turns a
+broadcast join into a shuffle or drops a pushed filter fails here, not
+in a profiler three rounds later."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    df = entrymod.queries()["tpch_q6_forecast_revenue"](spark, sf_dir)
+    scan = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull" in scan
+    assert "GreaterThanOrEqual(l_shipdate" in scan
+    # column pruning: only the 4 needed columns reach the scan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in scan
+
+
+def test_report_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "daily_order_report")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top10_customers_by_revenue")
+    assert "TakeOrderedAndProject" in plan  # no global sort materializes
+    assert "Sort " not in plan
+
+
+def test_wide_lineitem_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wide_lineitem")
+    # part/supplier/nation dims broadcast; at most the orders join shuffles
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_semi_anti_join_physical(spark, sf_dir):
+    anti = _plan(spark, sf_dir, "customers_without_orders")
+    semi = _plan(spark, sf_dir, "customers_with_high_value_orders")
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+
+
+def test_dedup_exact_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_exact")
+    # two HashAggregates (partial map-side + final) around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize("name", ["project_derive_filter", "doc_stats", "token_regex_stats"])
+def test_scan_queries_have_no_shuffle(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange" not in plan  # pure scan+project pipelines
