@@ -73,17 +73,35 @@ def run_checks(df: DataFrame, checks: tuple[Check, ...]) -> list[str]:
 
 
 def unique(*cols: str) -> Check:
+    """Primary-key uniqueness: no duplicate non-null keys, at most one
+    all-null key (count_distinct ignores NULLs, so NULL keys are counted
+    separately instead of being misreported as duplicates)."""
+
     def build(tag: str) -> list[Column]:
-        key = F.struct(*[F.col(c) for c in cols]) if len(cols) > 1 else F.col(cols[0])
+        if len(cols) > 1:
+            # a struct is non-null even when its fields are, so NULL
+            # components group as ordinary values here
+            key = F.struct(*[F.col(c) for c in cols])
+        else:
+            key = F.col(cols[0])
         return [
             F.count(F.lit(1)).alias(f"{tag}_total"),
+            F.count(key).alias(f"{tag}_nonnull"),
             F.count_distinct(key).alias(f"{tag}_distinct"),
         ]
 
     def interpret(row: Row, tag: str) -> "str | None":
-        total, distinct = row[f"{tag}_total"], row[f"{tag}_distinct"]
-        if total != distinct:
-            return f"duplicate keys on {cols}: {total - distinct} extra rows"
+        total, nonnull, distinct = (
+            row[f"{tag}_total"],
+            row[f"{tag}_nonnull"],
+            row[f"{tag}_distinct"],
+        )
+        dups = nonnull - distinct
+        nulls = total - nonnull
+        if dups:
+            return f"duplicate keys on {cols}: {dups} extra rows"
+        if nulls > 1:
+            return f"{nulls} NULL keys on {cols}"
         return None
 
     return Check(name=f"unique{cols}", build=build, interpret=interpret)
@@ -149,15 +167,18 @@ def accepted_values(col: str, values: tuple) -> Check:
     return Check(name=f"accepted_values({col})", build=build, interpret=interpret)
 
 
-def foreign_key(df_col: str, dim: DataFrame, dim_col: str) -> Check:
+def foreign_key(df_col: str, dim, dim_col: str) -> Check:
     """Referential integrity: every non-null ``df_col`` must exist in the
     dimension's ``dim_col``. One anti-join job (not foldable into the
-    shared agg — needs the dim side)."""
+    shared agg — needs the dim side). ``dim`` may be a DataFrame or a
+    zero-arg callable returning one (resolved at validation time, so the
+    check always sees the dimension as currently defined)."""
 
     def standalone(df: DataFrame) -> "str | None":
+        dim_df = dim() if callable(dim) else dim
         orphans = (
             df.filter(F.col(df_col).isNotNull())
-            .join(dim.select(F.col(dim_col).alias(df_col)), df_col, "left_anti")
+            .join(dim_df.select(F.col(dim_col).alias(df_col)), df_col, "left_anti")
             .limit(1)
             .count()
         )

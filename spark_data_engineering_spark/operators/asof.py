@@ -89,7 +89,9 @@ def _asof_pandas(left, right, on, by, right_value_cols, suffix):
         rp = rp[[on, *right_value_cols]].sort_values(on, kind="mergesort").rename(columns=rename)
         if rp.empty:
             res = lp.copy()
-            res[f"{on}{suffix}"] = pd.NaT
+            # None (not NaT): the `on` column may be numeric, and Arrow
+            # rejects NaT in non-datetime columns
+            res[f"{on}{suffix}"] = None
             for c in right_value_cols:
                 res[f"{c}{suffix}"] = None
         else:

@@ -178,7 +178,18 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, rows: int = 4) ->
 
     Shuffle key is (band_idx, band_sig) — volume #docs × #bands, not
     quadratic. Returns distinct (id_a, id_b).
+
+    ``bands * rows`` must not exceed the signature length: an
+    out-of-range slice would give every document the empty band
+    signature and silently pair ALL documents (quadratic blowup).
     """
+    # per-row guard compiled into the plan (no extra job): fails loudly at
+    # execution instead of silently producing empty band signatures
+    guard = F.assert_true(
+        F.size("signature") >= bands * rows,
+        F.lit(f"lsh_candidate_pairs: bands*rows = {bands * rows} exceeds signature length"),
+    )
+    signatures = signatures.filter(guard.isNull())
     banded = signatures.select(
         "_id",
         F.explode(
@@ -349,6 +360,11 @@ def dedup_clusters(
 
     Returns (doc_id, cluster_id).
     """
+    id_type = dict(all_ids.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # cast('bigint') on e.g. string ids yields all-NULL labels and a
+        # silently empty result — fail loudly instead
+        raise TypeError(f"dedup_clusters needs an integral {id_col!r}, got {id_type}")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b"), F.col("id_a")))

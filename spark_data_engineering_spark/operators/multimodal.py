@@ -83,24 +83,16 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
-try:  # pragma: no cover - not installed in this container
-    from PIL import Image  # type: ignore  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
-
-
 def decode_metadata(media: DataFrame) -> DataFrame:
     """Decode header metadata (width/height) for each payload via
-    Arrow-batched mapInPandas. Output schema = MEDIA_META_SCHEMA."""
+    Arrow-batched mapInPandas. Output schema = MEDIA_META_SCHEMA.
+
+    Uses the deterministic fake decoder unconditionally — a real
+    deployment swaps ``_fake_decode`` for ``PIL.Image.open(io.BytesIO(p)).size``
+    inside the same batch loop; nothing else changes."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "real decode path requires wiring PIL.Image.open over io.BytesIO"
-                )
             dims = [_fake_decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {

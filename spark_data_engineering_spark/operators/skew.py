@@ -21,13 +21,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic uniform salt derived from a monotonic id hash (no
-    rand(): re-execution of a stage must produce identical salts or
-    shuffle retries corrupt results — a classic Spark pitfall)."""
-    return df.withColumn(
-        col_name, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
-    )
+def with_salt(df: DataFrame, buckets: int, *cols: str, col_name: str = "_salt") -> DataFrame:
+    """Uniform salt column. Pass content columns (``with_salt(df, 16,
+    "id", "ts")``) to derive the salt from row content — stable under
+    stage recomputation, which matters whenever downstream correctness
+    depends on a row keeping its salt (two-stage aggregations).
+
+    With no columns, falls back to hashing ``monotonically_increasing_id``
+    — uniform and cheap, but NOT stable across stage retries (it depends
+    on partition layout); only use the fallback where the salt value
+    doesn't affect results (e.g. replicate-joins)."""
+    basis = [F.col(c) for c in cols] if cols else [F.monotonically_increasing_id()]
+    return df.withColumn(col_name, F.pmod(F.xxhash64(*basis), F.lit(buckets)))
 
 
 def salted_count_distinct(

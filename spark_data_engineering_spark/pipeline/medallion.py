@@ -132,7 +132,9 @@ def build_registry(spark: SparkSession, sf_dir: str) -> Registry:
             checks=(
                 C.unique("o_orderkey"),  # reference V3
                 C.accepted_values("o_orderstatus", ("O", "F", "P")),
-                C.foreign_key("o_custkey", load_table(spark, "customer", sf_dir), "c_custkey"),
+                C.foreign_key(
+                    "o_custkey", lambda: load_table(spark, "customer", sf_dir), "c_custkey"
+                ),
             ),
         )
     )

@@ -70,8 +70,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("simhash_near_pairs")
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(48-bit) banded near-dup pairs at hamming ≤ 6 (rows-only:
-    bit-majority signatures have no tractable SQL oracle)."""
+    """SimHash(48-bit, 12-bit bands) near-dup pairs at hamming ≤ 3 — the
+    operator default, which the banding guarantees exact recall for
+    (pigeonhole: hamming < #bands). Rows-only: bit-majority signatures
+    have no tractable SQL oracle."""
     return D.simhash_near_pairs(load_table(spark, "documents", sf_dir))
 
 

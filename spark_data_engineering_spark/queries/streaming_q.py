@@ -36,7 +36,14 @@ def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The input is staged once per (session, sf_dir) into a multi-file
     copy so maxFilesPerTrigger yields genuine incremental batches.
     """
-    staged = f"/tmp/spark_de_stream_input/{abs(hash(sf_dir))}"
+    import hashlib
+
+    src = f"{sf_dir}/events.parquet"
+    stat = os.stat(src)
+    # deterministic digest (Python's hash() is process-salted) keyed on
+    # path + source mtime/size so regenerated data invalidates the stage
+    digest = hashlib.md5(f"{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()).hexdigest()[:16]
+    staged = f"/tmp/spark_de_stream_input/{digest}"
     if not os.path.isdir(staged):
         load_table(spark, "events", sf_dir).repartition(8).write.mode("overwrite").parquet(staged)
     stream = (

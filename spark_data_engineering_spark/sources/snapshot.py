@@ -55,7 +55,15 @@ class SnapshotStore:
         """Write a full snapshot stamped with the run's single batch
         timestamp (reference stamps per-node ``datetime.now()`` — quirk
         Q5; one injected timestamp makes runs deterministic)."""
-        stamped = df.withColumn(PARTITION_COL, F.lit(_fmt_ts(batch_ts)))
+        batch_id = _fmt_ts(batch_ts)
+        batch_dir = os.path.join(self.path(name), f"{PARTITION_COL}={batch_id}")
+        if os.path.isdir(batch_dir):
+            # batches are immutable: a second write with the same ts would
+            # append files into the same partition and double its rows
+            raise FileExistsError(
+                f"snapshot batch {batch_id!r} already exists for table {name!r}"
+            )
+        stamped = df.withColumn(PARTITION_COL, F.lit(batch_id))
         keys = [PARTITION_COL, *[k for k in partition_keys if k != PARTITION_COL]]
         (
             stamped.write.mode("append")

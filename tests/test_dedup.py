@@ -68,3 +68,21 @@ def test_dedup_clusters_long_chain(spark):
     ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
     out = {r.doc_id: r.cluster_id for r in D.dedup_clusters(pairs, ids).collect()}
     assert all(v == 0 for v in out.values())
+
+
+def test_dedup_clusters_rejects_string_ids(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([("a", "b", 1.0)], ["id_a", "id_b", "jaccard"])
+    ids = spark.createDataFrame([("a",), ("b",)], ["doc_id"])
+    with pytest.raises(TypeError, match="integral"):
+        D.dedup_clusters(pairs, ids)
+
+
+def test_lsh_rejects_oversized_banding(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    sigs = D.minhash_signatures(_docs(spark), num_hashes=8)
+    with pytest.raises(Exception, match="exceeds signature length"):
+        D.lsh_candidate_pairs(sigs, bands=8, rows=4).collect()

@@ -163,3 +163,25 @@ def test_accepted_values_and_foreign_key_checks(spark):
     assert len(fails) == 2
     assert any("accepted values" in m for m in fails)
     assert any("missing from dimension" in m for m in fails)
+
+
+def test_snapshot_rejects_duplicate_batch(spark, tmp_path):
+    import datetime as dt
+
+    store = SnapshotStore(str(tmp_path))
+    df = spark.createDataFrame([(1, "x")], ["id", "v"])
+    ts = dt.datetime(2026, 1, 1)
+    store.write("t", df, ts)
+    with pytest.raises(FileExistsError, match="already exists"):
+        store.write("t", df, ts)
+
+
+def test_unique_check_null_semantics(spark):
+    import spark_data_engineering_spark.checks as C2
+
+    one_null = spark.createDataFrame([(1,), (2,), (None,)], "id int")
+    assert C2.run_checks(one_null, (C2.unique("id"),)) == []  # one NULL key ok
+    two_nulls = spark.createDataFrame([(1,), (None,), (None,)], "id int")
+    assert any("NULL keys" in m for m in C2.run_checks(two_nulls, (C2.unique("id"),)))
+    real_dup = spark.createDataFrame([(1,), (1,), (None,)], "id int")
+    assert any("duplicate" in m for m in C2.run_checks(real_dup, (C2.unique("id"),)))
