@@ -636,3 +636,104 @@ def quantity_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band").agg(
         F.count("*").alias("n_items"), NR.round2(F.sum("l_extendedprice")).alias("revenue")
     )
+
+
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of the two dimensions)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube(
+        F.col("l_returnflag").alias("returnflag"), F.col("l_linestatus").alias("linestatus")
+    ).agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "daily_revenue_gapfilled",
+    oracle="""
+    WITH bounds AS (
+        SELECT DATE_TRUNC('day', MIN(o_orderdate)) AS lo,
+               DATE_TRUNC('day', MAX(o_orderdate)) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    daily AS (
+        SELECT DATE_TRUNC('day', o_orderdate) AS day,
+               FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT s.day, COALESCE(d.revenue, 0.0) AS revenue,
+           (d.day IS NULL) AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: generate the full date spine with
+    sequence+explode, left-join the actual daily aggregate, zero-fill
+    gaps. The spine generation is one row -> explode (no driver loop)."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(NR.round2(F.sum("o_totalprice")).alias("revenue"))
+    )
+    spine = (
+        o.agg(
+            F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+            F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.col("revenue").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "signup_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS cohort_day FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(DATE_DIFF('day', f.cohort_day, DATE_TRUNC('day', e.ts)) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e
+    JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY f.cohort_day, DATE_DIFF('day', f.cohort_day, DATE_TRUNC('day', e.ts))
+    """,
+)
+def signup_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    counted per day-offset. First-touch via one aggregation, then a
+    broadcast join back (cohort table is #users rows)."""
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .withColumn("day_offset", F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).cast("bigint"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query("approx_quantiles_lineitem")
+def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx sketch (the reference's actual median semantics,
+    SURVEY §2.4 A2, and the at-scale path) — rows-only: approximate by
+    design, so no hash oracle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles")
+    )
