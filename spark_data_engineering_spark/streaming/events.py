@@ -139,3 +139,49 @@ def user_spend_tracker_stream(events: DataFrame, alert_threshold: float = 1000.0
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_to_snapshot_store(
+    events: DataFrame,
+    store,
+    table: str,
+    watermark: str = "2 hours",
+):
+    """Exactly-once-ish sink: hourly aggregates upserted into the
+    SnapshotStore via foreachBatch. Each micro-batch MERGEs its windows
+    by key, so a replayed batch (failure recovery) converges to the same
+    state instead of duplicating rows — the foreachBatch idempotent-sink
+    pattern.
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F2.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F2.count("*").alias("n_events"), F2.round(F2.sum("value"), 2).alias("sum_value"))
+        .select(F2.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # epoch-derived batch ts: a replay of the same epoch targets the
+        # same snapshot partition, and the immutability guard turns the
+        # duplicate write into a no-op instead of doubled rows
+        ts = dt.datetime(2000, 1, 1) + dt.timedelta(seconds=epoch_id)
+        try:
+            store.upsert(
+                batch_df.sparkSession, table, batch_df, keys=["hour", "event_type"], batch_ts=ts
+            )
+        except FileExistsError:
+            pass  # epoch replayed after a successful commit
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )

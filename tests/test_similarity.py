@@ -45,3 +45,45 @@ def test_lsh_recall_on_real_embeddings(spark, sf_dir):
     assert lsh_top, "LSH returned nothing"
     in_bf = sum(1 for r in lsh_top if (r.query_id, r.neighbor_id) in bf)
     assert in_bf / len(lsh_top) >= 0.5
+
+
+def _recall_vs_bruteforce(spark, sf_dir, approx_fn, k=10):
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F2.col("vec_id") < 5)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_knn(emb, queries, k=k).collect()
+    }
+    approx = approx_fn(emb, queries)
+    hits = sum(1 for r in approx.collect() if (r.query_id, r.neighbor_id) in bf)
+    return hits / max(len(bf), 1)
+
+
+def test_multiprobe_beats_single_probe(spark, sf_dir):
+    single = _recall_vs_bruteforce(spark, sf_dir, lambda c, q: S.lsh_knn(c, q, k=10))
+    multi = _recall_vs_bruteforce(
+        spark, sf_dir, lambda c, q: S.lsh_knn_multiprobe(c, q, k=10, n_probes=9)
+    )
+    assert multi >= single
+    # these embeddings are near-random (max pairwise cosine ~0.5), the
+    # hardest regime for hyperplane LSH — multi-probe still triples
+    # single-probe recall (measured 0.06 -> 0.20)
+    assert multi >= 0.15
+
+
+def test_ivf_knn_recall_and_shape(spark, sf_dir):
+    recall = _recall_vs_bruteforce(
+        spark, sf_dir, lambda c, q: S.ivf_knn(c, q, k=10, n_centroids=8, n_probe=4)
+    )
+    assert recall >= 0.5  # probing half the cells
+    out = S.ivf_knn(
+        load_table(spark, "embeddings", sf_dir),
+        load_table(spark, "embeddings", sf_dir).filter("vec_id < 2"),
+        k=5,
+        n_centroids=8,
+        n_probe=8,  # probe everything -> exact within cells
+    ).collect()
+    assert {r.query_id for r in out} == {0, 1}
+    assert all(1 <= r.rank <= 5 for r in out)

@@ -103,3 +103,26 @@ def test_stateful_spend_tracker(spark, stream_dir):
     # every user whose total crossed 500 alerted exactly once
     for uid, total in batch.items():
         assert alerts[uid] == (1 if total >= 500.0 else 0), (uid, total)
+
+
+def test_foreachbatch_snapshot_sink(spark, stream_dir, tmp_path):
+    from spark_data_engineering_spark.sources.snapshot import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path))
+    stream = SE.read_event_stream(spark, stream_dir)
+    q = SE.stream_to_snapshot_store(stream, store, "hourly_metrics")
+    q.awaitTermination()
+    final = store.read_latest(spark, "hourly_metrics")
+    got = {(r.hour, r.event_type): r.n_events for r in final.collect()}
+    assert got
+    batch = (
+        spark.read.parquet(stream_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r.hour, r.event_type): r.n for r in batch.collect()}
+    # every emitted window in the store matches the batch truth; windows
+    # inside the final watermark horizon may be absent
+    for key, n in got.items():
+        assert want[key] == n, key
+    assert len(got) >= len(want) * 0.9
