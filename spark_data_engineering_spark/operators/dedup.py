@@ -3,8 +3,8 @@
 Exact (md5 hash-groupBy), n-gram Jaccard (exact pairwise over a shingle
 inverted index), MinHash+LSH (banded signature join — the 100 TB scale
 path), and SimHash (bit-signature hamming buckets). All pure DataFrame
-compositions of JVM built-ins: higher-order array functions + joins; no
-Python UDFs, fully deterministic (hash family derived from md5).
+compositions of JVM built-ins — no Python UDFs, fully deterministic
+(md5 for cross-engine fingerprints, xxhash64 for internal keys).
 
 The reference repo has no dedup operators at all — its README mentions
 duplicate *checks* only, implemented as validation (SURVEY.md §2.6/§2.7).
@@ -12,9 +12,8 @@ This module is the training-data-pipeline extension surface.
 
 Scale design:
 - exact dedup: one shuffle on the fingerprint; map-side partial agg.
-- shingle index: explode multiplies rows by ~tokens/doc; the self-join
-  shuffles on the shingle string. At 100 TB, shingle → 64-bit hash first
-  so the shuffle key is fixed-width (done here via md5→bigint).
+- shingle index: explode multiplies rows by ~tokens/doc; all joins key
+  on xxhash64(shingle) so the shuffle key is fixed-width at any scale.
 - MinHash LSH: candidate generation joins on (band_idx, band_signature) —
   shuffle volume is #docs × #bands rows, independent of pairwise count;
   this is the operator that survives 1000× scale where exact pairwise
@@ -116,12 +115,17 @@ def jaccard_pairs(
     >= threshold. Quadratic in the worst case — the correctness baseline
     the LSH path is validated against.
     """
-    idx = shingle_index(df, text_col, id_col, n)
+    # join on the 64-bit shingle hash: fixed-width shuffle key (the
+    # string shingle would shuffle ~3 words per row); collision odds over
+    # a corpus of S shingles ~ S^2/2^65 — negligible for intersection counts
+    idx = shingle_index(df, text_col, id_col, n).select(
+        "_id", F.xxhash64("_shingle").alias("_h")
+    )
     sizes = idx.groupBy("_id").agg(F.count("*").alias("_sz"))
     a = idx.alias("a")
     b = idx.alias("b")
     inter = (
-        a.join(b, (F.col("a._shingle") == F.col("b._shingle")) & (F.col("a._id") < F.col("b._id")))
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count("*").alias("_inter"))
     )
@@ -242,16 +246,18 @@ def minhash_lsh_dedup(
     # candidate pair, then Jaccard from per-doc sizes. O(#candidates x
     # shingles/doc) — never the full pairwise index join, which is
     # quadratic and defeats the point of LSH.
-    idx = shingle_index(df, text_col, id_col, n)
+    idx = shingle_index(df, text_col, id_col, n).select(
+        "_id", F.xxhash64("_shingle").alias("_h")
+    )
     cand_docs = cands.select(F.col("id_a").alias("_id")).union(
         cands.select(F.col("id_b").alias("_id"))
     ).distinct()
-    idx_c = idx.join(F.broadcast(cand_docs), "_id", "left_semi")
+    idx_c = idx.join(F.broadcast(cand_docs), "_id", "left_semi").localCheckpoint(eager=True)
     sizes = idx_c.groupBy("_id").agg(F.count("*").alias("_sz"))
     a, b = idx_c.alias("a"), idx_c.alias("b")
     inter = (
         cands.join(a, F.col("id_a") == F.col("a._id"))
-        .join(b, (F.col("id_b") == F.col("b._id")) & (F.col("a._shingle") == F.col("b._shingle")))
+        .join(b, (F.col("id_b") == F.col("b._id")) & (F.col("a._h") == F.col("b._h")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_inter"))
     )
