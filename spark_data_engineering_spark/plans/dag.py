@@ -128,11 +128,21 @@ class Runner:
     registry: Registry
     store: object | None = None  # SnapshotStore, optional
     validate: str = "materialized"
+    persist_shared: bool = False
     batch_ts: _dt.datetime = field(default_factory=lambda: _dt.datetime.now(tz=_dt.timezone.utc))
     _cache: dict[str, DataFrame] = field(default_factory=dict)
+    _persisted: list[DataFrame] = field(default_factory=list)
 
     def run(self, target: str) -> DataFrame:
-        for name in self.registry.topo_order(target):
+        order = self.registry.topo_order(target)
+        # registry-wide out-degree: a node consumed by >1 parent (possibly
+        # across separate run() calls) would otherwise recompute once per
+        # downstream action
+        fanout: dict[str, int] = {}
+        for name in self.registry.names():
+            for dep in self.registry.node(name).deps:
+                fanout[dep] = fanout.get(dep, 0) + 1
+        for name in order:
             if name in self._cache:
                 continue
             node = self.registry.node(name)
@@ -144,8 +154,21 @@ class Runner:
             if will_write:
                 self.store.write(name, df, self.batch_ts, partition_keys=node.partition_keys)
                 df = self.store.read_latest(self.spark, name)
+            elif self.persist_shared and fanout.get(name, 0) > 1:
+                # cache-vs-recompute: a shared subtree computes once per
+                # downstream ACTION under pure laziness; persisting trades
+                # executor memory for that recomputation (Delta-less
+                # equivalent of the reference's materialize-every-layer,
+                # applied only where fan-out makes it pay)
+                df = df.persist()
+                self._persisted.append(df)
             self._cache[name] = df
         return self._cache[target]
+
+    def unpersist_all(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
 
     def dataset(self, target: str) -> Dataset:
         node = self.registry.node(target)
