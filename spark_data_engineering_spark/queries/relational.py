@@ -657,6 +657,46 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_flag_status",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the non-hierarchical combination
+    {(returnflag), (linestatus)} that neither rollup nor cube expresses.
+    Spark expands this to one Expand node feeding a single hash
+    aggregate, so the fact table is scanned once regardless of how many
+    sets are requested (same plan shape at 100 TB: Expand multiplies
+    rows 2x pre-shuffle, partial aggregation collapses them before the
+    exchange). Complements cube_flag_status / rollup_flag_status
+    (reference has no multi-set grouping at all, SURVEY.md §2.4)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupingSets(
+            [[F.col("l_returnflag")], [F.col("l_linestatus")]],
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            NR.round2(F.sum("l_extendedprice")).alias("revenue"),
+        )
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            "n_rows",
+            "revenue",
+        )
+    )
+
+
+@query(
     "daily_revenue_gapfilled",
     oracle="""
     WITH bounds AS (

@@ -139,6 +139,71 @@ class SnapshotStore:
             merged = survivors.unionByName(updates, allowMissingColumns=True)
         self.write(name, merged, batch_ts)
 
+    # ---- table maintenance (Delta OPTIMIZE / VACUUM analogs) -----------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        batch: str | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """OPTIMIZE-style small-file compaction of one snapshot batch.
+
+        Incremental upserts leave each batch with however many files the
+        shuffle produced; at 100 TB a hot table accumulates thousands of
+        small files per batch and scan planning + task scheduling start to
+        dominate. This rewrites the batch's files into
+        ``ceil(bytes / target_file_bytes)`` files (Delta's OPTIMIZE bin-
+        packing semantics, default 128 MiB targets like
+        ``spark.sql.files.maxPartitionBytes``) and swaps the directory in.
+
+        The swap is two directory renames — not transactional like
+        Delta/Iceberg commit protocols; a production deployment would use
+        a table format. Batch contents are bit-identical (same rows, same
+        schema); only the file layout changes. Returns the new file count.
+        """
+        batch = batch or self.latest_batch(name)
+        if batch is None:
+            raise FileNotFoundError(f"no snapshots for table {name!r} under {self.root}")
+        batch_dir = os.path.join(self.path(name), f"{PARTITION_COL}={batch}")
+        if not os.path.isdir(batch_dir):
+            raise FileNotFoundError(f"snapshot batch {batch!r} missing for table {name!r}")
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(batch_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+        tmp_dir = os.path.join(self.path(name), f".compact_tmp.{batch}")
+        trash_dir = os.path.join(self.path(name), f".compact_old.{batch}")
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        # read the one batch dir directly (no partition col in the files),
+        # bin-pack with coalesce — a narrow dependency, no shuffle
+        df = spark.read.parquet(batch_dir)
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp_dir)
+        os.rename(batch_dir, trash_dir)
+        os.rename(tmp_dir, batch_dir)
+        shutil.rmtree(trash_dir)
+        return sum(1 for f in os.listdir(batch_dir) if f.endswith(".parquet"))
+
+    def vacuum(self, name: str, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshot batches
+        (Delta VACUUM analog — bounded storage under daily batches).
+        Returns the removed batch ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        import shutil
+
+        removed = []
+        for b in self.batches(name)[:-keep_last]:
+            shutil.rmtree(os.path.join(self.path(name), f"{PARTITION_COL}={b}"))
+            removed.append(b)
+        return removed
+
     def changes_between(
         self, spark: SparkSession, name: str, batch_a: str, batch_b: str, keys: list[str]
     ) -> DataFrame:

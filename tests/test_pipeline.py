@@ -185,3 +185,27 @@ def test_unique_check_null_semantics(spark):
     assert any("NULL keys" in m for m in C2.run_checks(two_nulls, (C2.unique("id"),)))
     real_dup = spark.createDataFrame([(1,), (1,), (None,)], "id int")
     assert any("duplicate" in m for m in C2.run_checks(real_dup, (C2.unique("id"),)))
+
+
+def test_snapshot_compact_and_vacuum(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path))
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    t1 = dt.datetime(2026, 1, 1)
+    t2 = dt.datetime(2026, 1, 2)
+    # many small files: repartition wide before writing
+    store.write("t", df.repartition(16), t1)
+    store.write("t", df.repartition(16), t2)
+    batch = store.batches("t")[-1]
+    batch_dir = f"{store.path('t')}/etl_inserted={batch}"
+    import os as _os
+
+    before = sum(1 for f in _os.listdir(batch_dir) if f.endswith(".parquet"))
+    assert before > 1
+    n_after = store.compact(spark, "t", target_file_bytes=1 << 30)
+    assert n_after == 1
+    # contents identical after compaction
+    got = sorted(r.k for r in store.read_latest(spark, "t").select("k").collect())
+    assert got == list(range(1000))
+    # vacuum drops the older batch only
+    removed = store.vacuum("t", keep_last=1)
+    assert len(removed) == 1 and store.batches("t") == [batch]
