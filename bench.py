@@ -31,6 +31,9 @@ HEADLINE = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_volume_customers",
+    "tpch_q21_sole_returned_supplier",
     "wide_lineitem",
     "project_derive_filter",
     "brand_type_metrics",
