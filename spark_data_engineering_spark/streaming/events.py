@@ -185,3 +185,57 @@ def stream_to_snapshot_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_purchase_join_stream(
+    events: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream interval self-join: each purchase matched to the
+    same user's clicks in the preceding ``max_delay`` (the streaming twin
+    of the batch ``signup_click_purchase_funnel`` / as-of attribution).
+
+    Both sides carry a watermark and the join condition time-bounds each
+    side against the other, so Spark derives the state-retention horizon
+    and evicts buffered rows automatically — state is O(rate x
+    (watermark + max_delay)), not O(stream length). Inner joins emit a
+    match as soon as both rows have arrived (no window-close latency).
+
+    At scale both branches read the same Kafka source; Spark partitions
+    join state by user_id, so throughput scales with shuffle partitions
+    while per-key state stays tiny.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

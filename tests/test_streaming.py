@@ -126,3 +126,38 @@ def test_foreachbatch_snapshot_sink(spark, stream_dir, tmp_path):
     for key, n in got.items():
         assert want[key] == n, key
     assert len(got) >= len(want) * 0.9
+
+
+def test_stream_stream_interval_join(spark, stream_dir):
+    """Stream-stream self-join emits exactly the batch join's pairs
+    (inner join: every pair whose two sides both arrived must appear,
+    and nothing else)."""
+    stream = SE.read_event_stream(spark, stream_dir)
+    SE.run_to_memory(
+        SE.click_purchase_join_stream(stream, max_delay="30 minutes"), "cp_join_out"
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("select * from cp_join_out").collect()
+    }
+    ev = spark.read.parquet(stream_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("puser"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got  # non-trivial join
+    assert got <= want  # nothing fabricated
+    assert len(got) >= len(want) * 0.9  # at most watermark-horizon misses
