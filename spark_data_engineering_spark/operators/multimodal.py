@@ -148,3 +148,42 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             )
 
     return media.mapInPandas(op, schema=schema)
+
+
+def resize_media(media: DataFrame, max_dim: int = 128) -> DataFrame:
+    """Resize stub: cap the longer image side at ``max_dim`` preserving
+    aspect ratio, emitting the new payload + dims. The pixel resample is
+    STUBBED (no codec libs here) as a deterministic byte stride that
+    shrinks the payload by the same area ratio a real resample would — a
+    real deployment swaps the stride for ``PIL.Image.resize`` inside the
+    same Arrow batch loop; schema, batch shape, and size contracts hold.
+
+    Shrinking payloads early is the point at scale: resize-at-ingest cuts
+    every downstream shuffle/cache of a 100 TB image corpus by the area
+    ratio, so this belongs immediately after decode in the DAG."""
+    schema = "media_id bigint, payload binary, width int, height int"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_id, out_payload, out_w, out_h = [], [], [], []
+        for pdf in batches:
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h = _fake_decode(p)
+                scale = min(1.0, max_dim / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                if scale >= 1.0:
+                    np_ = p
+                else:
+                    # deterministic stand-in for pixel resampling: keep
+                    # every k-th byte so len shrinks ~ area ratio
+                    k = max(1, round((w * h) / (nw * nh)))
+                    np_ = bytes(p[::k])
+                out_id.append(mid)
+                out_payload.append(np_)
+                out_w.append(nw)
+                out_h.append(nh)
+            yield pd.DataFrame(
+                {"media_id": out_id, "payload": out_payload, "width": out_w, "height": out_h}
+            )
+            out_id, out_payload, out_w, out_h = [], [], [], []
+
+    return media.mapInPandas(op, schema=schema)

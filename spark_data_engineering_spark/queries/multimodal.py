@@ -55,3 +55,25 @@ def media_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = M.extract_features(media)
     queries = feats.filter(F.col("media_id") < 3)
     return brute_force_knn(feats, queries, k=5, id_col="media_id", vec_col="feature")
+
+
+@query("media_resize_profile")
+def media_resize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-at-ingest pipeline: decode dims (stub) -> cap longer side
+    at 64px -> per-format size audit (how many bytes the resize saved —
+    the number that justifies doing it before any shuffle at 100 TB).
+    Rows-only: the stub resample has no SQL equivalent."""
+    media = M.attach_payloads(load_table(spark, "documents", sf_dir))
+    media = M.repartition_by_bytes(media, "n_bytes", target_bytes=256 * 1024)
+    resized = M.resize_media(media, max_dim=64)
+    return (
+        resized.withColumn("out_bytes", F.length("payload"))
+        .join(media.select("media_id", "format", "n_bytes"), "media_id")
+        .groupBy("format")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").cast("bigint").alias("bytes_in"),
+            F.sum("out_bytes").cast("bigint").alias("bytes_out"),
+            F.max(F.greatest("width", "height")).alias("max_dim"),
+        )
+    )

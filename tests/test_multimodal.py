@@ -64,3 +64,18 @@ def test_sample_frames_stride(spark, sf_dir):
         assert 1 <= len(rs) <= 4
         assert sorted(r.frame_idx for r in rs) == list(range(len(rs)))
         assert all(r.byte_offset == r.frame_idx * 64 for r in rs)
+
+
+def test_resize_media_caps_dims_and_shrinks_payload(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    orig = {r.media_id: r.n_bytes for r in media.select("media_id", "n_bytes").collect()}
+    out = M.resize_media(media, max_dim=64).collect()
+    assert len(out) == len(orig)
+    for r in out:
+        assert 1 <= max(r.width, r.height) <= 64
+        assert len(r.payload) <= orig[r.media_id]
+    # deterministic: same input -> same output
+    again = {r.media_id: (r.width, r.height, bytes(r.payload)) for r in
+             M.resize_media(media, max_dim=64).collect()}
+    for r in out:
+        assert again[r.media_id] == (r.width, r.height, bytes(r.payload))
