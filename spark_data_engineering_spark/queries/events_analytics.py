@@ -269,3 +269,46 @@ def event_type_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("by_type")
     )
     return as_map.select("user_id", F.explode("by_type").alias("event_type", "n"))
+
+
+@query(
+    "event_rollup_multires",
+    oracle="""
+    SELECT DATE_TRUNC('day', ts) AS day,
+           DATE_TRUNC('hour', ts) AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((DATE_TRUNC('day', ts), event_type),
+                            (DATE_TRUNC('hour', ts), event_type))
+    """,
+)
+def event_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hypertable continuous-aggregate
+    shape): hourly AND daily aggregates per event_type from ONE scan via
+    grouping sets. At 100 TB this halves the cost of maintaining rollup
+    tables vs two separate jobs: the Expand doubles rows map-side, then
+    partial aggregation collapses them before the single shuffle."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [
+                [F.col("day"), F.col("event_type")],
+                [F.col("hour"), F.col("event_type")],
+            ],
+            F.col("day"),
+            F.col("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            NR.round2(F.sum("value")).alias("sum_value"),
+        )
+        .select("day", "hour", "event_type", "n_events", "sum_value")
+    )

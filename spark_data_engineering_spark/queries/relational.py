@@ -777,3 +777,71 @@ def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles")
     )
+
+
+@query(
+    "daily_revenue_anomalies",
+    oracle="""
+    WITH d AS (SELECT DATE_TRUNC('day', o_orderdate) AS day,
+                      SUM(o_totalprice) AS rev
+               FROM orders GROUP BY 1)
+    SELECT day,
+           FLOOR(rev * 100 + 0.5) / 100 AS revenue,
+           FLOOR(((rev - AVG(rev) OVER ()) / STDDEV_SAMP(rev) OVER ()) * 100 + 0.5) / 100
+             AS z_score
+    FROM d
+    """,
+)
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-grade anomaly scoring: z-score of each day's revenue
+    against the full history (the check a pipeline runs before
+    publishing a daily metric). The global window looks like a red flag,
+    but it runs AFTER the per-day aggregation — a few thousand rows no
+    matter the input scale, so the single-partition window is fine;
+    the heavy lifting (daily sums) shuffles normally."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = W.partitionBy()
+    return daily.select(
+        "day",
+        NR.round2(F.col("rev")).alias("revenue"),
+        NR.round2(
+            (F.col("rev") - F.avg("rev").over(w)) / F.stddev_samp("rev").over(w)
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "customer_value_quartiles",
+    oracle="""
+    SELECT c_mktsegment AS segment, q AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           FLOOR((AVG(c_acctbal)) * 100 + 0.5) / 100 AS avg_bal
+    FROM (SELECT c_mktsegment, c_acctbal,
+                 CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal ASC, c_custkey ASC) AS INT) AS q
+          FROM customer) t
+    GROUP BY c_mktsegment, q
+    """,
+)
+def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: balance quartiles within each market segment,
+    then per-quartile stats. The window order includes the unique
+    custkey so tile assignment is total-ordered — deterministic across
+    engines and partitionings (ntile over a non-unique order is not)."""
+    c = load_table(spark, "customer", sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("segment", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            NR.round2(F.avg("c_acctbal")).alias("avg_bal"),
+        )
+    )

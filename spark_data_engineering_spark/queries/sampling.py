@@ -1,0 +1,84 @@
+"""Deterministic sampling / dataset-split queries over the documents
+corpus — the selection stage of a training-data pipeline.
+
+The reference has no sampling of any kind (its ETL is full-reload,
+SURVEY.md §2); these are training-data extensions. Randomness is
+replaced by a keyed LCG bucket so the sample is (a) reproducible across
+runs and engines — oracle-checkable, unlike rand() — and (b) stable
+under re-partitioning: membership depends only on the row key, never on
+task layout. That's the property that matters on a cluster: re-running
+a failed stage or changing parallelism must not change the sample.
+
+The bucket is ((doc_id % 100000007) * 1103515245 + 12345) % 100 — the
+inner modulus keeps the product far inside int64 for arbitrarily large
+keys (at 100 TB doc_ids can exceed 2^32; the multiply must not
+overflow, and Spark/DuckDB both wrap vs raise differently, so we never
+let it happen). In production you'd use xxhash64(doc_id) for better
+mixing; the LCG keeps the arithmetic bit-identical in ANSI SQL for the
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+
+
+def lcg_bucket(key):
+    """Deterministic 0-99 bucket from an integer key column (see module
+    docstring for the overflow-safety argument)."""
+    return ((key % 100000007) * 1103515245 + 12345) % 100
+
+
+@query(
+    "stratified_sample_documents",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE ((doc_id % 100000007) * 1103515245 + 12345) % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with per-language rates (50% en, 20% rest) —
+    the class-rebalancing selection a corpus pipeline runs before
+    training. Pure map-side filter: no shuffle, no state, embarrassingly
+    parallel at any scale, and the predicate pushes into codegen."""
+    docs = load_table(spark, "documents", sf_dir)
+    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return docs.filter(lcg_bucket(F.col("doc_id")) < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "train_split_counts",
+    oracle="""
+    SELECT lang,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT lang, n_chars,
+                 ((doc_id % 100000007) * 1103515245 + 12345) % 100 AS b
+          FROM documents) t
+    GROUP BY lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+    """,
+)
+def train_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split audit per language. The split is a
+    pure function of doc_id, so a document lands in the same split on
+    every engine, every run, every partitioning — the reproducibility
+    contract a training pipeline needs before it can cache splits."""
+    docs = load_table(spark, "documents", sf_dir)
+    b = lcg_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

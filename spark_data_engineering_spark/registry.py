@@ -47,6 +47,7 @@ def load_all() -> None:
         pipeline,
         relational,
         reports,
+        sampling,
         similarity,
         streaming_q,
         text,
