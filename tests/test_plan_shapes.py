@@ -62,3 +62,37 @@ def test_dedup_exact_partial_aggregation(spark, sf_dir):
 def test_scan_queries_have_no_shuffle(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "Exchange" not in plan  # pure scan+project pipelines
+
+
+def test_multires_rollup_single_scan(spark, sf_dir):
+    """Grouping sets must expand from ONE events scan (that's the whole
+    point vs two rollup jobs) and shuffle exactly once."""
+    plan = _plan(spark, sf_dir, "event_rollup_multires")
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # partial collapses the Expand
+
+
+def test_stratified_sample_is_map_only(spark, sf_dir):
+    """Deterministic sampling is a pure filter: no shuffle anywhere."""
+    plan = _plan(spark, sf_dir, "stratified_sample_documents")
+    assert "Exchange" not in plan
+
+
+def test_q18_all_joins_broadcast(spark, sf_dir):
+    """The >300-qty order set is tiny; nothing may sort-merge."""
+    plan = _plan(spark, sf_dir, "tpch_q18_volume_customers")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_pushes_derived_predicates(spark, sf_dir):
+    """Catalyst must extract single-side implications of the OR-of-ANDs
+    onto both scans (brand disjunction -> part, quantity bound ->
+    lineitem)."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    df = entrymod.queries()["tpch_q19_disjunctive_revenue"](spark, sf_dir)
+    q = df._jdf.queryExecution().toString()
+    assert "And(EqualTo(p_brand,Brand#12)" in q  # brand disjunction on part scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in q  # derived bound on lineitem scan
