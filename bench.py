@@ -42,6 +42,8 @@ HEADLINE = (
     "distinct_counts",
     "rollup_flag_status",
     "hourly_event_stats",
+    "event_rollup_multires",
+    "stratified_sample_documents",
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
