@@ -845,3 +845,34 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             NR.round2(F.avg("c_acctbal")).alias("avg_bal"),
         )
     )
+
+
+@query(
+    "customer_trailing_7d_revenue",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           DATE_TRUNC('day', o_orderdate) AS order_day,
+           FLOOR((SUM(o_totalprice) OVER (
+                    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
+             AS trailing_7d_revenue
+    FROM orders
+    """,
+)
+def customer_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval RANGE frame: per order, the customer's revenue over the
+    trailing 7 days — rangeBetween on epoch seconds (time-valued frames
+    are the window shape batch feature-engineering pipelines live on).
+    One shuffle on custkey, then a single sort feeds the sliding frame;
+    frame peers (same timestamp) resolve identically in both engines."""
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.date_trunc("day", "o_orderdate").alias("order_day"),
+        NR.round2(F.sum("o_totalprice").over(w)).alias("trailing_7d_revenue"),
+    )

@@ -191,10 +191,18 @@ def click_purchase_join_stream(
     events: DataFrame,
     max_delay: str = "30 minutes",
     watermark: str = "4 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval self-join: each purchase matched to the
     same user's clicks in the preceding ``max_delay`` (the streaming twin
     of the batch ``signup_click_purchase_funnel`` / as-of attribution).
+
+    ``how="leftOuter"`` keeps unconverted clicks: a click with no
+    purchase inside the interval emits once with null purchase columns —
+    but only after the watermark passes the end of its match interval
+    (Spark must prove no future purchase can match before emitting the
+    null row). That delay is the price of correct outer semantics on
+    unbounded streams.
 
     Both sides carry a watermark and the join condition time-bounds each
     side against the other, so Spark derives the state-retention horizon
@@ -230,7 +238,7 @@ def click_purchase_join_stream(
         (F.col("click_user") == F.col("purchase_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay}")),
-        "inner",
+        how,
     ).select(
         F.col("click_user").alias("user_id"),
         "click_id",

@@ -161,3 +161,44 @@ def test_stream_stream_interval_join(spark, stream_dir):
     assert got  # non-trivial join
     assert got <= want  # nothing fabricated
     assert len(got) >= len(want) * 0.9  # at most watermark-horizon misses
+
+
+def test_stream_stream_left_outer_join(spark, stream_dir):
+    """leftOuter: unconverted clicks emit exactly once with null
+    purchase columns, and only clicks that truly had no purchase in the
+    interval may do so."""
+    stream = SE.read_event_stream(spark, stream_dir)
+    SE.run_to_memory(
+        SE.click_purchase_join_stream(
+            stream, max_delay="30 minutes", watermark="1 hour", how="leftOuter"
+        ),
+        "cp_louter_out",
+    )
+    rows = spark.sql("select * from cp_louter_out").collect()
+    assert rows
+    matched = {r.click_id for r in rows if r.purchase_id is not None}
+    nulls = [r.click_id for r in rows if r.purchase_id is None]
+    # a click is either matched or null-emitted, never both
+    assert not (set(nulls) & matched)
+    # each unconverted click emits at most once
+    assert len(nulls) == len(set(nulls))
+    # null rows must be clicks the batch join also fails to match
+    ev = spark.read.parquet(stream_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("puser"), F.col("ts").alias("pts")
+    )
+    batch_matched = {
+        r.click_id
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("puser"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+            "left_semi",
+        ).collect()
+    }
+    assert not (set(nulls) & batch_matched)
+    assert nulls  # the stream really exercised the outer path
