@@ -147,6 +147,7 @@ class SnapshotStore:
         name: str,
         batch: str | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: list[str] | None = None,
     ) -> int:
         """OPTIMIZE-style small-file compaction of one snapshot batch.
 
@@ -182,9 +183,18 @@ class SnapshotStore:
 
         shutil.rmtree(tmp_dir, ignore_errors=True)
         # read the one batch dir directly (no partition col in the files),
-        # bin-pack with coalesce — a narrow dependency, no shuffle
+        # bin-pack with coalesce — a narrow dependency, no shuffle.
+        # sort_by adds Z-order-style clustering on the chosen columns:
+        # repartitionByRange co-locates key ranges per file and the
+        # within-partition sort tightens parquet row-group min/max stats,
+        # so later filtered scans skip whole files/row groups. That one
+        # is a shuffle — pay it only on tables you filter by those keys.
         df = spark.read.parquet(batch_dir)
-        df.coalesce(n_files).write.mode("overwrite").parquet(tmp_dir)
+        if sort_by:
+            df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(n_files)
+        df.write.mode("overwrite").parquet(tmp_dir)
         os.rename(batch_dir, trash_dir)
         os.rename(tmp_dir, batch_dir)
         shutil.rmtree(trash_dir)

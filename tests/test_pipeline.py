@@ -209,3 +209,19 @@ def test_snapshot_compact_and_vacuum(spark, tmp_path):
     # vacuum drops the older batch only
     removed = store.vacuum("t", keep_last=1)
     assert len(removed) == 1 and store.batches("t") == [batch]
+
+
+def test_snapshot_compact_clustered(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path))
+    df = spark.range(0, 2000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    )
+    store.write("t", df.repartition(8), dt.datetime(2026, 2, 1))
+    n = store.compact(spark, "t", target_file_bytes=1 << 30, sort_by=["k"])
+    assert n == 1
+    got = store.read_latest(spark, "t")
+    # contents intact
+    assert got.count() == 2000
+    # clustering held: rows inside the file are sorted by k
+    ks = [r.k for r in got.select("k").collect()]
+    assert ks == sorted(ks)

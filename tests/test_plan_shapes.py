@@ -96,3 +96,38 @@ def test_q19_pushes_derived_predicates(spark, sf_dir):
     q = df._jdf.queryExecution().toString()
     assert "And(EqualTo(p_brand,Brand#12)" in q  # brand disjunction on part scan
     assert "GreaterThanOrEqual(l_quantity,1.0)" in q  # derived bound on lineitem scan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """When a shuffle join's build side is selective, Catalyst injects a
+    runtime bloom filter (might_contain) on the probe side — at 100 TB
+    this prunes most of the fact scan's shuffle input. Local data sits
+    under the default size thresholds, so lower them to prove the
+    machinery fires; production leaves the 10 GB defaults."""
+    from pyspark.sql import functions as F
+
+    from spark_data_engineering_spark.sources import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, "lineitem", sf_dir)
+        o = load_table(spark, "orders", sf_dir).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
