@@ -112,17 +112,43 @@ def daily_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both sides big at scale — at 100 TB this would be the bucketing
     candidate: bucket lineitem and orders by orderkey to make it
     shuffle-free).
-    """
+
+    Exact median via sort + row_number instead of ``F.percentile``: the
+    day x type grouping makes ~360k tiny groups, and ObjectHashAggregate
+    pays per-group collection state that a plain sort doesn't (measured
+    ~30% faster at sf0.1; codegen sort vs object agg). One shuffle total:
+    the window partitions by the group key, so the follow-up groupBy
+    reuses that partitioning with no second exchange. The middle-rank
+    test ``0 <= 2*rn - n <= 2`` selects the one (odd n, diff 1) or two
+    (even n, diffs 0 and 2) middle rows; the interpolation
+    ``lo + (hi - lo) * 0.5`` is the identical IEEE sequence to Spark's
+    percentile AND DuckDB's QUANTILE_CONT, so the oracle hash-matches
+    bit-for-bit (plain ``(lo + hi) / 2`` would not)."""
     items = order_item_actual_price(spark, sf_dir)
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
-    return (
+    from pyspark.sql import Window as W
+
+    joined = (
         items.join(orders, items.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), items.l_partkey == part.p_partkey)
-        .withColumn("Date", F.date_trunc("day", F.col("o_orderdate")))
-        .groupBy("Date", F.col("p_type").alias("Product Category"))
-        .agg(
-            NR.round2(F.avg("actual_price")).alias("Mean Revenue"),
-            NR.round2(F.percentile("actual_price", F.lit(0.5))).alias("Median Revenue"),
+        .select(
+            F.date_trunc("day", F.col("o_orderdate")).alias("Date"),
+            F.col("p_type").alias("Product Category"),
+            "actual_price",
         )
+    )
+    keys = ["Date", "Product Category"]
+    ranked = joined.select(
+        *keys,
+        "actual_price",
+        F.row_number().over(W.partitionBy(*keys).orderBy("actual_price")).alias("_rn"),
+        F.count("*").over(W.partitionBy(*keys)).alias("_n"),
+    )
+    is_mid = (F.lit(2) * F.col("_rn") - F.col("_n")).between(0, 2)
+    mid_price = F.when(is_mid, F.col("actual_price"))
+    lo, hi = F.min(mid_price), F.max(mid_price)
+    return ranked.groupBy(*keys).agg(
+        NR.round2(F.avg("actual_price")).alias("Mean Revenue"),
+        NR.round2(lo + (hi - lo) * F.lit(0.5)).alias("Median Revenue"),
     )
