@@ -53,4 +53,5 @@ def load_all() -> None:
         text,
         text2,
         tpch,
+        tpch2,
     )

@@ -131,3 +131,24 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+def test_q8_snowflake_single_shuffle_join(spark, sf_dir):
+    """Q8's 8-way snowflake: every dimension broadcasts; the only
+    sort-merge-eligible join is lineitem x orders."""
+    plan = _plan(spark, sf_dir, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q2_min_cost_joinback_broadcasts(spark, sf_dir):
+    """Q2's decorrelated per-part MIN joins back as a broadcast, not a
+    second shuffle of the cost relation."""
+    plan = _plan(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q20_semi_join_chain(spark, sf_dir):
+    """Q20: part filter and qualifying-supplier set both apply as semi
+    joins (no row-widening inner joins on the probe side)."""
+    plan = _plan(spark, sf_dir, "tpch_q20_part_promotion_suppliers")
+    assert plan.count("LeftSemi") >= 2
