@@ -34,6 +34,14 @@ HEADLINE = (
     "tpch_q13_customer_distribution",
     "tpch_q18_volume_customers",
     "tpch_q21_sole_returned_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_part_promotion_suppliers",
     "wide_lineitem",
     "project_derive_filter",
     "brand_type_metrics",
