@@ -75,14 +75,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier) unit cost comes from lineitem (no partsupp table); the
     correlated MIN decorrelates to a per-part aggregate joined back by
     broadcast. MIN of identical IEEE divisions is order-independent, so
-    the equality join is bit-exact across engines. The size/type filter
-    prunes part ~170x before anything joins, so every join here is a
-    broadcast — at 100 TB only the lineitem cost aggregation shuffles,
-    keyed (partkey, suppkey)."""
-    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
-    )
+    the equality join is bit-exact across engines. Both the main query
+    and the correlated subquery range only over EU-supplier costs of the
+    size/type-filtered parts, so BOTH semi-joins push below the cost
+    aggregation — at 100 TB the only shuffle is the (partkey, suppkey)
+    aggregate over ~0.7% of lineitem instead of all of it."""
     eu = (
         load_table(spark, "supplier", sf_dir)
         .join(
@@ -95,6 +92,15 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "part", sf_dir)
         .filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
         .select("p_partkey", "p_name")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(parts.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(eu.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
     )
     eu_cost = cost.join(F.broadcast(eu), cost.l_suppkey == F.col("s_suppkey")).join(
         F.broadcast(parts), cost.l_partkey == F.col("p_partkey")
