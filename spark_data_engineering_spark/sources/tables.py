@@ -38,6 +38,12 @@ def default_sf_dir() -> str:
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or default_sf_dir()
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
+        # refuses to read (PARQUET_TYPE_ILLEGAL) unless nanos are surfaced
+        # as longs. Runtime-settable, so set it here instead of relying on
+        # the session having been built by this repo's session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is INT64 TIMESTAMP(NANOS) in parquet; Spark reads it as a
     # nanosecond long (spark.sql.legacy.parquet.nanosAsLong) — convert to
