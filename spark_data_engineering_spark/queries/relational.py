@@ -409,13 +409,32 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts")
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_within_2pct
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the scale path for distinct
-    counting (no oracle: approximate by design; rows-only check)."""
+    counting. The HLL estimate itself is approximate by design, so the
+    oracle-checked contract is the rsd guarantee: the query emits the
+    exact count plus a boolean asserting the HLL estimate landed within
+    2x the requested rsd (1%); the oracle expects TRUE. A sketch whose
+    error bound breaks hash-mismatches the gate."""
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.01) - F.countDistinct("l_partkey")
+            )
+            <= F.lit(0.02) * F.countDistinct("l_partkey")
+        ).alias("hll_within_2pct"),
     )
 
 
@@ -768,14 +787,28 @@ def signup_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_quantiles_lineitem")
+@query(
+    "approx_quantiles_lineitem",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           FLOOR(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) / 100 AS q25,
+           FLOOR(quantile_cont(l_extendedprice, 0.50) * 100 + 0.5) / 100 AS q50,
+           FLOOR(quantile_cont(l_extendedprice, 0.75) * 100 + 0.5) / 100 AS q75
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
 def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx sketch (the reference's actual median semantics,
-    SURVEY §2.4 A2, and the at-scale path) — rows-only: approximate by
-    design, so no hash oracle."""
+    """Per-group quartiles as scalar columns (SURVEY §2.4 A2 percentile
+    semantics). Exact ``percentile`` (linear interpolation — verified
+    bit-identical to DuckDB quantile_cont at sf0.01) so the oracle can
+    hash-match; ``percentile_approx(col, p, 10000)`` is the documented
+    at-scale swap (single-pass GK sketch, no full sort)."""
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles")
+        NR.round2(F.expr("percentile(l_extendedprice, 0.25)")).alias("q25"),
+        NR.round2(F.expr("percentile(l_extendedprice, 0.50)")).alias("q50"),
+        NR.round2(F.expr("percentile(l_extendedprice, 0.75)")).alias("q75"),
     )
 
 
