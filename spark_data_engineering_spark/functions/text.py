@@ -63,13 +63,16 @@ def quality_score(text: Column) -> Column:
     stop_ratio = stopword_count(text).cast("double") / n_tok
     punct_ratio = punct_count(text).cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
     length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    return F.round(
+    # floor(x*1e4+0.5)/1e4 — the repo's cross-engine rounding convention
+    # (Spark's ROUND(HALF_UP on BigDecimal) is not what other engines do)
+    return F.floor(
         F.greatest(
             F.lit(0.0),
             F.least(F.lit(1.0), 0.5 * length_term + 0.5 * (1.0 - punct_ratio) - 0.2 * stop_ratio),
-        ),
-        4,
-    )
+        )
+        * 10000
+        + F.lit(0.5)
+    ) / 10000
 
 
 def lang_scores(text: Column) -> Column:

@@ -174,8 +174,10 @@ def resize_media(media: DataFrame, max_dim: int = 128) -> DataFrame:
                     np_ = p
                 else:
                     # deterministic stand-in for pixel resampling: keep
-                    # every k-th byte so len shrinks ~ area ratio
-                    k = max(1, round((w * h) / (nw * nh)))
+                    # every k-th byte so len shrinks ~ area ratio.
+                    # half-up (not banker's) rounding so the arithmetic
+                    # is reproducible in plain SQL (the DuckDB oracle).
+                    k = max(1, int((w * h) / (nw * nh) + 0.5))
                     np_ = bytes(p[::k])
                 out_id.append(mid)
                 out_payload.append(np_)

@@ -35,10 +35,29 @@ def media_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_decode_metadata")
+@query(
+    "media_decode_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN lang = 'en' THEN 'png'
+                WHEN lang = 'de' THEN 'jpeg'
+                WHEN lang = 'fr' THEN 'webp'
+                ELSE 'bin' END AS format,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + OCTET_LENGTH(ENCODE(text)) % 193 AS INT) AS width,
+           CAST(64 + COALESCE(LIST_SUM(LIST_TRANSFORM(
+                    RANGE(1, LEAST(32, LENGTH(text)) + 1),
+                    i -> ASCII(SUBSTR(text, i, 1)))), 0) % 157 AS INT) AS height
+    FROM documents
+    """,
+)
 def media_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode (stubbed codec — deterministic
-    fake dims; rows-only check since the fake has no SQL equivalent)."""
+    """Arrow-batched mapInPandas decode. The codec is a STUBBED
+    deterministic fake (width = 64 + n_bytes % 193, height = 64 +
+    sum(first 32 bytes) % 157), which IS plain byte arithmetic — so the
+    oracle replays it in SQL (the corpus is ASCII, so per-char ASCII()
+    equals the payload bytes). A real deployment swaps the fake for
+    PIL and drops the oracle; the Spark plumbing is unchanged."""
     media = M.attach_payloads(load_table(spark, "documents", sf_dir))
     media = M.repartition_by_bytes(media, "n_bytes", target_bytes=256 * 1024)
     return M.decode_metadata(media)
@@ -57,12 +76,56 @@ def media_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_knn(feats, queries, k=5, id_col="media_id", vec_col="feature")
 
 
-@query("media_resize_profile")
+@query(
+    "media_resize_profile",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN lang = 'en' THEN 'png'
+                  WHEN lang = 'de' THEN 'jpeg'
+                  WHEN lang = 'fr' THEN 'webp'
+                  ELSE 'bin' END AS format,
+             OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+             64 + OCTET_LENGTH(ENCODE(text)) % 193 AS width,
+             64 + COALESCE(LIST_SUM(LIST_TRANSFORM(
+                      RANGE(1, LEAST(32, LENGTH(text)) + 1),
+                      i -> ASCII(SUBSTR(text, i, 1)))), 0) % 157 AS height
+      FROM documents
+    ), scaled AS (
+      SELECT format, n_bytes, width, height,
+             LEAST(1.0, 64.0 / GREATEST(width, height)) AS scale
+      FROM m
+    ), dims AS (
+      SELECT format, n_bytes, width, height, scale,
+             GREATEST(1, CAST(FLOOR(width * scale) AS INT)) AS nw,
+             GREATEST(1, CAST(FLOOR(height * scale) AS INT)) AS nh
+      FROM scaled
+    ), strided AS (
+      SELECT format, n_bytes, nw, nh,
+             CASE WHEN scale >= 1.0 THEN n_bytes
+                  ELSE CAST(FLOOR((n_bytes
+                           + GREATEST(1, CAST(FLOOR((width * height) / (nw * nh) + 0.5) AS INT))
+                           - 1)
+                         / GREATEST(1, CAST(FLOOR((width * height) / (nw * nh) + 0.5) AS INT)))
+                       AS BIGINT) END AS out_bytes
+      FROM dims
+    )
+    SELECT format,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes_in,
+           CAST(SUM(out_bytes) AS BIGINT) AS bytes_out,
+           CAST(MAX(GREATEST(nw, nh)) AS INT) AS max_dim
+    FROM strided
+    GROUP BY 1
+    """,
+)
 def media_resize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-at-ingest pipeline: decode dims (stub) -> cap longer side
     at 64px -> per-format size audit (how many bytes the resize saved —
     the number that justifies doing it before any shuffle at 100 TB).
-    Rows-only: the stub resample has no SQL equivalent."""
+    The stub resample keeps every k-th byte with half-up-rounded
+    k = area ratio — deterministic arithmetic the oracle replays in SQL
+    (out_len = ceil(n_bytes / k)); a real deployment swaps in
+    PIL.Image.resize and drops the oracle."""
     media = M.attach_payloads(load_table(spark, "documents", sf_dir))
     media = M.repartition_by_bytes(media, "n_bytes", target_bytes=256 * 1024)
     resized = M.resize_media(media, max_dim=64)

@@ -85,10 +85,48 @@ def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_quality_and_lang")
+@query(
+    "doc_quality_and_lang",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tok,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS n_stop,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS n_punct,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('the', 'and', 'of', 'to', 'a', 'in', 'is'))) AS h_en,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('der', 'die', 'das', 'und', 'ist', 'nicht'))) AS h_de,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('le', 'la', 'les', 'et', 'est', 'une'))) AS h_fr,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('el', 'la', 'los', 'y', 'es', 'una'))) AS h_es,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('的', '了', '是'))) AS h_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           FLOOR(GREATEST(0.0, LEAST(1.0,
+               0.5 * LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+             + 0.5 * (1.0 - CAST(n_punct AS DOUBLE)
+                            / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))
+             - 0.2 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+           )) * 10000 + 0.5) / 10000 AS quality,
+           CASE WHEN GREATEST(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+                WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'de'
+                WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+                WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'es'
+                WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_guess
+    FROM t
+    """,
+)
 def doc_quality_and_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality score + marker-based language ID per document (rows-only
-    check: the heuristic has no one-line SQL equivalent)."""
+    """Quality score + marker-based language ID per document. Both
+    heuristics are deterministic column arithmetic, replayed in the
+    oracle: the CASE checks languages in lexicographic order, which is
+    exactly ``lang_guess``'s min-lang tie-break on equal hit counts."""
     d = load_table(spark, "documents", sf_dir)
     return d.select(
         "doc_id",
