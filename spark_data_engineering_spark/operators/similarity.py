@@ -170,6 +170,88 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all pairs with round4(cosine) >= threshold (id_a < id_b),
+    computed distributed — no driver-side corpus materialization.
+
+    Block-matrix formulation: rows hash into ``n_blocks`` blocks; each of
+    the B(B+1)/2 unordered block pairs becomes one ``applyInPandas``
+    group holding both blocks' vectors, scored with one numpy (BLAS)
+    matmul. Exactness is preserved (every pair of rows lands in exactly
+    one group), unlike LSH candidate generation, whose recall < 1 would
+    break the all-pairs contract.
+
+    Scale shape: shuffle volume = N x B rows (each row replicates to the
+    B groups it participates in), compute = the inherent O(N^2) of exact
+    all-pairs spread over B(B+1)/2 independent tasks, and peak task
+    memory = 2 blocks ~ 2N/B vectors. Pick B ~ sqrt(cluster cores) to
+    saturate the cluster; for approximate near-dup at the 100 TB scale
+    where N^2 itself is infeasible, the MinHash/SimHash/LSH family
+    (operators/dedup.py, lsh_knn) is the path — this operator is the
+    exact-semantics tier.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    block_pairs = spark.createDataFrame(pair_rows, "bi int, bj int")
+
+    src = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    # a row joins every group where its block is either side; the i==j
+    # group gets each row once (dropDuplicates on the join keys below)
+    left = src.join(F.broadcast(block_pairs), F.col("_blk") == F.col("bi"))
+    right = src.join(F.broadcast(block_pairs), F.col("_blk") == F.col("bj"))
+    members = left.unionByName(right).dropDuplicates(["bi", "bj", "_id"])
+
+    def score_group(pdf):
+        import pandas as pd
+
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        blk = pdf["_blk"].to_numpy()
+        ids = pdf["_id"].to_numpy()
+        mat = np.array(list(pdf["_vec"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        li = np.nonzero(blk == bi)[0]
+        rj = np.nonzero(blk == bj)[0]
+        if len(li) == 0 or len(rj) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        sims = mat[li] @ mat[rj].T
+        sims = np.floor(sims * 10000 + 0.5) / 10000
+        ia, ib = ids[li], ids[rj]
+        if bi == bj:
+            # diagonal group: both (a,b) and (b,a) appear — keep strictly
+            # ordered pairs, which also drops self-pairs
+            mask = (sims >= threshold) & (ia[:, None] < ib[None, :])
+            ii, jj = np.nonzero(mask)
+            out_a, out_b = ia[ii], ib[jj]
+        else:
+            # cross-block group: each unordered pair appears once; order
+            # the ids on output (the smaller id may live in either block)
+            mask = sims >= threshold
+            ii, jj = np.nonzero(mask)
+            out_a = np.minimum(ia[ii], ib[jj])
+            out_b = np.maximum(ia[ii], ib[jj])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": sims[ii, jj]})
+
+    return members.groupBy("bi", "bj").applyInPandas(
+        score_group, schema="id_a bigint, id_b bigint, cos_sim double"
+    )
+
+
 def lsh_knn_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,

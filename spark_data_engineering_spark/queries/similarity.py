@@ -61,11 +61,13 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold chosen to produce
-    a non-empty result on this corpus). numpy-blocked brute force (see
-    operators.similarity.cosine_pairs); the LSH-bucketed variant is the
-    scale path."""
+    a non-empty result on this corpus). Distributed block-matrix all
+    pairs (operators.similarity.cosine_pairs_blocked): exact semantics,
+    no driver-side corpus materialization — the driver-collect
+    ``cosine_pairs`` survives only as the small-N test verifier. For
+    corpora where N^2 itself is infeasible, MinHash/LSH is the path."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.cosine_pairs(emb, threshold=0.45)
+    return S.cosine_pairs_blocked(emb, threshold=0.45)
 
 
 @query("knn_lsh_multiprobe")

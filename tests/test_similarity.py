@@ -87,3 +87,36 @@ def test_ivf_knn_recall_and_shape(spark, sf_dir):
     ).collect()
     assert {r.query_id for r in out} == {0, 1}
     assert all(1 <= r.rank <= 5 for r in out)
+
+
+def test_cosine_pairs_blocked_matches_collect_path(spark, sf_dir):
+    """The distributed block-matrix all-pairs must be bit-identical to
+    the (small-N verifier) driver-collect path, across block counts that
+    exercise diagonal-only and many-block layouts."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    expected = {
+        (r.id_a, r.id_b, r.cos_sim) for r in S.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    assert expected  # threshold produces a non-empty answer on this corpus
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in S.cosine_pairs_blocked(emb, threshold=0.4, n_blocks=n_blocks).collect()
+        }
+        assert got == expected, f"n_blocks={n_blocks}"
+
+
+def test_cosine_pairs_blocked_plan_is_distributed(spark, sf_dir):
+    """The registered near-dup query must not materialize the corpus on
+    the driver: its physical plan scores groups via FlatMapGroupsInPandas
+    over a parquet scan — no LocalTableScan of corpus size, no collect
+    during plan construction."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    plan = (
+        S.cosine_pairs_blocked(emb, threshold=0.4, n_blocks=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Scan parquet" in plan
