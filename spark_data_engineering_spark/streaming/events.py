@@ -155,6 +155,7 @@ def stream_to_snapshot_store(
 
     Returns the StreamingQuery (caller awaits/stops)."""
     import datetime as dt
+    import logging
 
     from pyspark.sql import functions as F2
 
@@ -165,19 +166,36 @@ def stream_to_snapshot_store(
         .select(F2.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
     )
 
+    # Per-run namespace for batch timestamps. Epoch ids alone are NOT a
+    # safe partition key: a new/reset checkpoint restarts epochs at 0, so
+    # a fresh run against an existing table would collide with old
+    # partitions and the immutability guard would silently DROP its
+    # batches. The query-start wall clock (a) distinguishes run lineages,
+    # (b) is monotonic across runs, so read_latest ("max partition")
+    # still resolves to the newest run, and (c) is captured in the
+    # closure, so an in-run epoch replay (task retry after a sink
+    # failure) still lands on the same partition name and hits the
+    # idempotency guard as intended.
+    run_base = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # epoch-derived batch ts: a replay of the same epoch targets the
-        # same snapshot partition, and the immutability guard turns the
-        # duplicate write into a no-op instead of doubled rows
-        ts = dt.datetime(2000, 1, 1) + dt.timedelta(seconds=epoch_id)
+        ts = run_base + dt.timedelta(seconds=epoch_id)
         try:
             store.upsert(
                 batch_df.sparkSession, table, batch_df, keys=["hour", "event_type"], batch_ts=ts
             )
         except FileExistsError:
-            pass  # epoch replayed after a successful commit
+            # true replay of this run's epoch after a successful commit —
+            # converged already, but say so instead of vanishing
+            logging.getLogger(__name__).warning(
+                "snapshot sink: epoch %d for table %r already committed at %s; "
+                "skipping replayed write",
+                epoch_id,
+                table,
+                ts.isoformat(),
+            )
 
     return (
         agg.writeStream.outputMode("update")
