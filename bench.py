@@ -26,6 +26,7 @@ registry.load_all()
 HEADLINE = (
     "daily_order_report",
     "daily_category_report",
+    "daily_category_report_bucketed",
     "pipeline_daily_order_report",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -89,9 +89,7 @@ def order_item_actual_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "daily_category_report",
-    oracle="""
+_CATEGORY_REPORT_ORACLE = """
     SELECT DATE_TRUNC('day', o.o_orderdate) AS "Date",
            p.p_type AS "Product Category",
            FLOOR((AVG(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax))) * 100 + 0.5) / 100
@@ -103,8 +101,10 @@ def order_item_actual_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY DATE_TRUNC('day', o.o_orderdate), p.p_type
-    """,
-)
+    """
+
+
+@query("daily_category_report", oracle=_CATEGORY_REPORT_ORACLE)
 def daily_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean + median of derived item revenue per day x product category.
 
@@ -127,6 +127,12 @@ def daily_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = order_item_actual_price(spark, sf_dir)
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    return _category_report(items, orders, part)
+
+
+def _category_report(items: DataFrame, orders: DataFrame, part: DataFrame) -> DataFrame:
+    """The report body over prepared inputs (shared by the parquet and
+    bucketed-table variants — identical semantics, different scan)."""
     from pyspark.sql import Window as W
 
     joined = (
@@ -152,3 +158,23 @@ def daily_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         NR.round2(F.avg("actual_price")).alias("Mean Revenue"),
         NR.round2(lo + (hi - lo) * F.lit(0.5)).alias("Median Revenue"),
     )
+
+
+@query("daily_category_report_bucketed", oracle=_CATEGORY_REPORT_ORACLE)
+def daily_category_report_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same report over lineitem/orders bucketed by orderkey: the
+    bucket-aware scans feed SortMergeJoin partition-for-partition, so
+    the lineitem-orders Exchange — the dominant shuffle of every report
+    at 100 TB — disappears from the plan (asserted in
+    tests/test_bucketed.py). First call pays a one-time bucketed write
+    (the ingest-time layout decision); reruns only read."""
+    from spark_data_engineering_spark.sources.bucketed import ensure_bucketed_fact_pair
+
+    li_t, o_t = ensure_bucketed_fact_pair(spark, sf_dir)
+    items = spark.table(li_t).withColumn(
+        "actual_price",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+    )
+    orders = spark.table(o_t).select("o_orderkey", "o_orderdate")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    return _category_report(items, orders, part)

@@ -32,3 +32,28 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def ensure_bucketed_fact_pair(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 16
+) -> tuple[str, str]:
+    """Idempotently materialize lineitem + orders bucketed by orderkey
+    for the given sf dir; returns the (lineitem, orders) table names.
+
+    One-time write cost, permanent shuffle removal for every downstream
+    orderkey join (the reports, q3/q4/q12/q18/q21 shapes...). In a real
+    deployment this is the ingest-time layout decision; here the bench
+    pays the write on first use and every rerun reads bucket-aware."""
+    import re
+
+    from spark_data_engineering_spark.sources.tables import load_table
+
+    token = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").split("/")[-1])
+    li_t, o_t = f"b_lineitem_{token}", f"b_orders_{token}"
+    for name, table in (("lineitem", li_t), ("orders", o_t)):
+        if not spark.catalog.tableExists(table):
+            key = "l_orderkey" if name == "lineitem" else "o_orderkey"
+            write_bucketed(
+                load_table(spark, name, sf_dir), table, key, num_buckets=num_buckets
+            )
+    return li_t, o_t

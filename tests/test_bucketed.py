@@ -47,3 +47,32 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables, sf_dir):
         .count()
     )
     assert joined.count() == plain
+
+
+def test_bucketed_category_report_drops_join_exchange(spark, sf_dir):
+    """The registered bucketed report variant must (a) lose the
+    lineitem-orders shuffle that the parquet variant pays, and (b)
+    produce the identical result."""
+    from spark_data_engineering_spark.queries.reports import (
+        daily_category_report,
+        daily_category_report_bucketed,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = daily_category_report_bucketed(spark, sf_dir)
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        plain = daily_category_report(spark, sf_dir)
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # the report keeps exactly one exchange (the window/group key);
+        # the parquet variant pays the join exchanges on top
+        assert plan.count("Exchange hashpartitioning") < plain_plan.count(
+            "Exchange hashpartitioning"
+        ), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    got = {tuple(r) for r in bucketed.collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want
