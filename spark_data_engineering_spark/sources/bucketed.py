@@ -45,13 +45,23 @@ def ensure_bucketed_fact_pair(
     deployment this is the ingest-time layout decision; here the bench
     pays the write on first use and every rerun reads bucket-aware."""
     import re
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
 
     from spark_data_engineering_spark.sources.tables import load_table
 
     token = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").split("/")[-1])
     li_t, o_t = f"b_lineitem_{token}", f"b_orders_{token}"
+    warehouse = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
     for name, table in (("lineitem", li_t), ("orders", o_t)):
         if not spark.catalog.tableExists(table):
+            # An in-memory catalog forgets tables between sessions but the
+            # warehouse directory survives; saveAsTable refuses to reuse the
+            # orphaned location, so clear it before rewriting.
+            stale = warehouse / table
+            if stale.exists():
+                shutil.rmtree(stale)
             key = "l_orderkey" if name == "lineitem" else "o_orderkey"
             write_bucketed(
                 load_table(spark, name, sf_dir), table, key, num_buckets=num_buckets
