@@ -277,8 +277,25 @@ def minhash_lsh_dedup(
     )
 
 
+def _shingle_hash(col, bits: int, hash_fn: str):
+    """48-bit-max feature hash for simhash voting. ``xxhash64`` is the
+    fast JVM default; ``md5_48`` (first 12 hex chars of md5 as a bigint)
+    is bit-reproducible in any engine with md5 — the cross-engine oracle
+    path (DuckDB replays it digit-by-digit)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_48":
+        return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48, n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash bit signature per document (Charikar 2002, "Similarity
     estimation techniques from rounding algorithms"): per bit, majority
@@ -292,7 +309,7 @@ def simhash(
     Returns (_id, simhash: bigint).
     """
     hashed = shingle_index(df, text_col, id_col, n).select(
-        "_id", F.xxhash64("_shingle").alias("_h")
+        "_id", _shingle_hash(F.col("_shingle"), bits, hash_fn).alias("_h")
     )
     votes = [
         (F.sum(F.shiftrightunsigned("_h", i).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"_v{i}")
@@ -314,12 +331,13 @@ def simhash_near_pairs(
     bits: int = 48,
     band_bits: int = 12,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the signature (pigeonhole — any pair
     within hamming < #bands is guaranteed to share a band), join on band
     value, then exact hamming filter via bit_count(xor). With 48 bits /
     12-bit bands, recall is exact for hamming ≤ 3."""
-    sigs = simhash(df, text_col, id_col, bits)
+    sigs = simhash(df, text_col, id_col, bits, hash_fn=hash_fn)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     band_structs = [

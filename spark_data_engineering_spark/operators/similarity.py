@@ -262,10 +262,12 @@ def lsh_knn_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Multi-probe hyperplane LSH: each query also probes the buckets at
-    hamming distance 1 from its own signature (flip one plane bit), which
-    recovers most of the recall single-probe loses when buckets are fine.
-    ``n_probes`` = 1 (own bucket) + number of bit-flips, max num_planes+1.
+    """Multi-probe hyperplane LSH: each query probes the ``n_probes``
+    buckets nearest (by hamming distance) to its own signature — mask 0
+    is the home bucket, then single-bit flips, then two-bit flips, and so
+    on. Recovers most of the recall single-probe loses when buckets are
+    fine; with ``n_probes = 2**num_planes`` every bucket is probed and
+    recall is exactly 1 (the oracle-able configuration).
 
     The corpus is still bucketed ONCE; only the (tiny) query side
     replicates per probe — the scan volume stays #corpus + #queries x
@@ -282,9 +284,8 @@ def lsh_knn_multiprobe(
         F.col(vec_col).alias("_qvec"),
         lsh_bucket_signature(F.col(vec_col), planes).alias("_sig"),
     )
-    flips = [F.col("_sig")] + [
-        F.col("_sig").bitwiseXOR(F.lit(1 << i)) for i in range(min(n_probes - 1, num_planes))
-    ]
+    masks = sorted(range(1 << num_planes), key=lambda m: (bin(m).count("1"), m))
+    flips = [F.col("_sig").bitwiseXOR(F.lit(m)) for m in masks[:n_probes]]
     probes = q.select(
         "query_id", "_qvec", F.explode(F.array(*flips)).alias("_bucket")
     )

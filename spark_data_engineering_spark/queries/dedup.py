@@ -68,13 +68,60 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(load_table(spark, "documents", sf_dir), threshold=0.8)
 
 
-@query("simhash_near_pairs")
+def _simhash_oracle(bits: int = 48, band_bits: int = 12, max_hamming: int = 3) -> str:
+    """Replay the full simhash pipeline in SQL: shingles -> 48-bit md5
+    feature hash (hex digits parsed positionally — every term is < 2^48,
+    exact in doubles) -> per-bit majority votes -> signature -> banded
+    self-join -> hamming filter. Generated, because 48 vote columns are
+    not something to hand-write."""
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+    WITH sh AS (
+        SELECT doc_id AS _id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(LEN(STRING_SPLIT(text, ' ')) - 2),
+                   i -> STRING_SPLIT(text, ' ')[i + 1] || ' ' ||
+                        STRING_SPLIT(text, ' ')[i + 2] || ' ' ||
+                        STRING_SPLIT(text, ' ')[i + 3]))) AS shingle
+        FROM documents
+    ),
+    hashed AS (
+        SELECT _id,
+               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 13),
+                   j -> (STRPOS('0123456789abcdef', SUBSTR(MD5(shingle), j, 1)) - 1)
+                        * POWER(16, 12 - j))) AS BIGINT) AS h
+        FROM sh
+    ),
+    votes AS (SELECT _id,
+               {votes}
+              FROM hashed GROUP BY _id),
+    sigs AS (SELECT _id, CAST({sig} AS BIGINT) AS sig FROM votes),
+    banded AS (
+        SELECT _id, sig, band, (sig >> (band * {band_bits})) & {mask} AS bkey
+        FROM sigs CROSS JOIN (SELECT UNNEST(RANGE(0, {n_bands})) AS band) nb
+    )
+    SELECT DISTINCT l._id AS id_a, r._id AS id_b,
+           CAST(BIT_COUNT(XOR(l.sig, r.sig)) AS INT) AS hamming
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bkey = r.bkey AND l._id < r._id
+    WHERE BIT_COUNT(XOR(l.sig, r.sig)) <= {max_hamming}
+    """
+
+
+@query("simhash_near_pairs", oracle=_simhash_oracle())
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(48-bit, 12-bit bands) near-dup pairs at hamming ≤ 3 — the
-    operator default, which the banding guarantees exact recall for
-    (pigeonhole: hamming < #bands). Rows-only: bit-majority signatures
-    have no tractable SQL oracle."""
-    return D.simhash_near_pairs(load_table(spark, "documents", sf_dir))
+    banding guarantees exact recall (pigeonhole: hamming < #bands). Uses
+    the md5_48 feature hash so the oracle can replay the signatures
+    bit-for-bit in SQL; the operator's xxhash64 default is the faster
+    production path (same algorithm, different feature hash)."""
+    return D.simhash_near_pairs(load_table(spark, "documents", sf_dir), hash_fn="md5_48")
 
 
 @query(

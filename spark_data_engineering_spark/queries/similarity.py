@@ -11,9 +11,11 @@ from spark_data_engineering_spark.registry import query
 from spark_data_engineering_spark.sources import load_table
 
 
-@query(
-    "knn_bruteforce",
-    oracle="""
+# Exact cosine top-10 for query vectors vec_id < 5 — shared by the
+# brute-force query and the exhaustive-parameter ANN twins (IVF probing
+# every cell, LSH probing every bucket), whose recall is exactly 1 and
+# whose output must therefore hash-match this same SQL.
+_BF_TOP10_ORACLE = """
     SELECT q.vec_id AS query_id,
            c.vec_id AS neighbor_id,
            FLOOR((LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
@@ -26,8 +28,10 @@ from spark_data_engineering_spark.sources import load_table
     FROM embeddings q, embeddings c
     WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
     QUALIFY rank <= 10
-    """,
-)
+    """
+
+
+@query("knn_bruteforce", oracle=_BF_TOP10_ORACLE)
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors vec_id < 5 — broadcast the
     query set, scan the corpus once, no shuffle except the trivial
@@ -88,3 +92,27 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_knn(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
+@query("knn_ivf_exhaustive", oracle=_BF_TOP10_ORACLE)
+def knn_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ``n_probe == n_centroids`` — every Voronoi cell is probed,
+    so recall is exactly 1 and the result must hash-match the brute-force
+    oracle. Exercises the full IVF machinery (k-means training, cell
+    assignment, probe join, per-query top-k) under an exact contract; the
+    production ``knn_ivf`` is the same code with fewer probes."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_knn(emb, queries, k=10, n_centroids=16, n_probe=16)
+
+
+@query("knn_lsh_exhaustive", oracle=_BF_TOP10_ORACLE)
+def knn_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH with the probe set covering every bucket (3
+    planes, 8 probes = all 2^3 masks) — recall is exactly 1, so the
+    result must hash-match the brute-force oracle. Exercises the bucket
+    signature, hamming-ordered probe generation, candidate join, and
+    rescoring under an exact contract."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_knn_multiprobe(emb, queries, k=10, num_planes=3, n_probes=8)
