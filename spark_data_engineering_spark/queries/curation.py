@@ -1,0 +1,188 @@
+"""Corpus-curation queries: the selection/packing stages that turn a raw
+document table into training-ready data (no analog in the reference —
+its ETL stops at reporting; SURVEY.md §2 extension surface).
+
+All three queries are deterministic column arithmetic + window/group
+shuffles — no UDFs, no driver state — so each has an exact DuckDB
+oracle.
+
+Scale notes:
+- ``pack_sequences`` partitions the window by a shard key, so the
+  cumulative-sum sort never sees more than one shard per task; shards
+  are the unit of parallelism exactly as in a production packing job
+  (one output file per shard). 8 shards here; at 100 TB you raise the
+  shard count with the cluster, nothing else changes.
+- ``corpus_curation_counts`` composes quality filter -> exact dedup ->
+  split audit in one plan: the dedup window shuffles on the md5
+  fingerprint (uniformly distributed — no skew by construction) and the
+  final rollup is a partial-aggregated groupBy on (lang, split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.functions import text as TX
+from spark_data_engineering_spark.queries.sampling import lcg_bucket
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+
+SEQ_BUDGET = 2048
+N_SHARDS = 8
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tok_offset AS BIGINT) AS tok_offset,
+           CAST(FLOOR(tok_offset / {SEQ_BUDGET}) AS BIGINT) AS seq_first,
+           CAST(FLOOR((tok_offset + n_tokens - 1) / {SEQ_BUDGET}) AS BIGINT) AS seq_last
+    FROM o
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing map (the GPT-style pretraining
+    layout: concatenate every document's tokens within a shard, chunk
+    into fixed {SEQ_BUDGET}-token windows). Emits, per document, the
+    token offset inside its shard and the first/last sequence index it
+    lands in — exactly the index a dataloader needs to materialize
+    packed sequences without re-tokenizing.
+
+    One shuffle (window partitioned by shard); cumulative sums are
+    integer-exact, so the oracle replays them bit-for-bit.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    tokens = TX.token_count(F.col("text"))
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % N_SHARDS).cast("bigint").alias("shard"),
+            tokens.cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"))
+        .withColumn("seq_first", F.floor(F.col("tok_offset") / SEQ_BUDGET).cast("bigint"))
+        .withColumn(
+            "seq_last",
+            F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / SEQ_BUDGET).cast("bigint"),
+        )
+    )
+
+
+@query(
+    "context_length_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(LENGTH(BIN(n_tokens)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM t GROUP BY log2_bucket
+    """,
+)
+def context_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in power-of-two buckets (bucket k holds
+    docs with 2^(k-1) <= n_tokens < 2^k) — the context-length profile
+    that sizes packing budgets and truncation policy. The bucket index
+    is ``length(bin(n))`` = floor(log2 n)+1: pure integer arithmetic,
+    identical in both engines (float log2 would disagree at exact powers
+    of two)."""
+    d = load_table(spark, "documents", sf_dir)
+    tokens = TX.token_count(F.col("text"))
+    return (
+        d.select(F.length(F.bin(tokens)).cast("bigint").alias("log2_bucket"),
+                 tokens.cast("bigint").alias("n_tokens"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "corpus_curation_counts",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tok,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS n_stop,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, text, n_tok,
+             FLOOR(GREATEST(0.0, LEAST(1.0,
+                 0.5 * LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+               + 0.5 * (1.0 - CAST(n_punct AS DOUBLE)
+                              / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))
+               - 0.2 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             )) * 10000 + 0.5) / 10000 AS quality
+      FROM t
+    ), kept AS (
+      SELECT doc_id, lang, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+      FROM q WHERE quality >= 0.5
+    )
+    SELECT lang,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM (SELECT lang, n_tok,
+                 ((doc_id % 100000007) * 1103515245 + 12345) % 100 AS b
+          FROM kept WHERE rn = 1) s
+    GROUP BY lang, split
+    """,
+)
+def corpus_curation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation audit: quality-filter (score >= 0.5) -> exact
+    dedup (md5 fingerprint, keep lowest doc_id) -> 80/10/10 split ->
+    docs/tokens per (lang, split). The one-query composition of the
+    pipeline's selection stages, with every stage replayed exactly by
+    the oracle — quality heuristic from functions/text.py, split LCG
+    from queries/sampling.py."""
+    d = load_table(spark, "documents", sf_dir)
+    tokens = TX.token_count(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        tokens.cast("bigint").alias("n_tok"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    b = lcg_bucket(F.col("doc_id"))
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return (
+        kept.select("lang", "n_tok", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -106,6 +106,44 @@ def knn_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_knn(emb, queries, k=10, n_centroids=16, n_probe=16)
 
 
+@query(
+    "embedding_dup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND FLOOR((LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 >= 0.45
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS vec_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive embedding near-dup clusters: exact cosine pairs
+    (block-matrix, distributed) -> connected components via the dedup
+    operator's min-label propagation. The "keep one per cluster" step
+    for embedding-level dedup, same contract as dedup_clusters on text.
+    Oracle: recursive CTE over the same cosine edge set."""
+    from spark_data_engineering_spark.operators.dedup import dedup_clusters
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = S.cosine_pairs_blocked(emb, threshold=0.45)
+    return dedup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
+
+
 @query("knn_lsh_exhaustive", oracle=_BF_TOP10_ORACLE)
 def knn_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH with the probe set covering every bucket (3

@@ -111,6 +111,7 @@ def load_all() -> None:
     reorder the registry so ``CHECK_PRIORITY`` queries register first
     (dict order = driver check order)."""
     from spark_data_engineering_spark.queries import (  # noqa: F401
+        curation,
         dedup,
         events_analytics,
         multimodal,
