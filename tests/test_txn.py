@@ -1,0 +1,126 @@
+"""Transaction-log table format (sources/txn.py): atomic commits,
+snapshot isolation, time travel, delete/compact/vacuum, conflicts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources.txn import ConcurrentWriteError, TxnTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return TxnTable(str(tmp_path), "t", checkpoint_every=3)
+
+
+def test_append_read_roundtrip(spark, table):
+    table.append(spark.range(5))
+    table.append(spark.range(5, 8))
+    assert table.version() == 2
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(8))
+
+
+def test_overwrite_replaces_and_time_travel_preserves(spark, table):
+    table.append(spark.range(10))
+    v1 = table.version()
+    table.overwrite(spark.range(100, 103))
+    assert sorted(r.id for r in table.read(spark).collect()) == [100, 101, 102]
+    # the pre-overwrite snapshot is intact until vacuum
+    assert table.read(spark, at_version=v1).count() == 10
+
+
+def test_commit_collision_append_retries(spark, table):
+    table.append(spark.range(3))
+    # simulate a racer claiming the next version between resolve and link:
+    # pre-create version 2's log entry manually
+    racer = {"version": 2, "action": "append", "add": [], "remove": []}
+    with open(os.path.join(table.log_dir, f"{2:020d}.json"), "w") as f:
+        json.dump(racer, f)
+    table.append(spark.range(3, 6))  # must land as version 3, not clobber 2
+    assert table.version() == 3
+    assert table.read(spark).count() == 6
+
+
+def test_rewrite_conflict_raises(spark, table):
+    table.append(spark.range(10))
+    files = table.live_files()
+    # a concurrent delete removes one of the files compact wants to rewrite
+    racer = {"version": 2, "action": "delete", "add": [], "remove": [files[0]]}
+    with open(os.path.join(table.log_dir, f"{2:020d}.json"), "w") as f:
+        json.dump(racer, f)
+    with pytest.raises(ConcurrentWriteError):
+        table._commit("compact", [], files)
+
+
+def test_delete_where_rewrites_only_hit_files(spark, table):
+    # two appends -> disjoint file sets; delete rows only in the second
+    table.append(spark.range(10).withColumn("k", F.lit("a")))
+    table.append(spark.range(100, 110).withColumn("k", F.lit("b")))
+    before = set(table.live_files())
+    table.delete_where(spark, F.col("id") >= 105)
+    after = set(table.live_files())
+    # first append's files survive untouched
+    first_files = {f for f in before if f in after}
+    assert first_files, "untouched files should remain live"
+    out = table.read(spark)
+    assert out.filter(F.col("id") >= 105).count() == 0
+    assert out.count() == 15
+
+
+def test_delete_where_null_predicate_rows_survive(spark, table):
+    df = spark.createDataFrame([(1, "x"), (2, None), (3, "y")], "id int, s string")
+    table.append(df)
+    table.delete_where(spark, F.col("s") == "x")
+    # the NULL-s row must NOT be deleted (tri-state semantics)
+    assert sorted(r.id for r in table.read(spark).collect()) == [2, 3]
+
+
+def test_compact_binpacks_and_preserves_rows(spark, table):
+    for i in range(4):
+        table.append(spark.range(i * 10, (i + 1) * 10))
+    n_before = len(table.live_files())
+    table.compact(spark)
+    assert len(table.live_files()) < n_before
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(40))
+
+
+def test_vacuum_keeps_retained_versions(spark, table):
+    table.append(spark.range(5))
+    table.overwrite(spark.range(5, 9))
+    removed = table.vacuum(keep_versions=1)
+    assert removed, "the overwritten files should be vacuumed"
+    assert table.read(spark).count() == 4
+    with pytest.raises(Exception):
+        table.read(spark, at_version=1).collect()
+
+
+def test_vacuum_age_guard_spares_young_files(spark, table):
+    table.append(spark.range(5))
+    table.overwrite(spark.range(3))
+    # everything was just written — a 1h retention removes nothing
+    assert table.vacuum(keep_versions=1, min_age_s=3600) == []
+
+
+def test_checkpoint_bounds_replay(spark, table):
+    for i in range(7):  # checkpoint_every=3 -> checkpoints at v3, v6
+        table.append(spark.range(i, i + 1))
+    cps = [f for f in os.listdir(table.log_dir) if f.endswith(".checkpoint.json")]
+    assert len(cps) == 2
+    # drop pre-checkpoint commit files: replay still resolves from the cp
+    for v in (1, 2, 3, 4, 5):
+        os.unlink(os.path.join(table.log_dir, f"{v:020d}.json"))
+    assert table.read(spark).count() == 7
+
+
+def test_crashed_stage_is_invisible(spark, table):
+    table.append(spark.range(4))
+    # a writer that staged files but never committed
+    with open(os.path.join(table.data_dir, "deadbeef-0.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    assert table.read(spark).count() == 4  # reader replays the log only
+    removed = table.vacuum(keep_versions=1)
+    assert "deadbeef-0.parquet" in removed
