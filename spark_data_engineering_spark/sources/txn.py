@@ -249,3 +249,48 @@ class TxnTable:
 
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self._commit_files()]
+
+
+class TxnStore:
+    """SnapshotStore-compatible facade over ``TxnTable`` — the duck-typed
+    ``write / read_latest / path`` surface ``plans.dag.Runner`` expects,
+    so the medallion pipeline can materialize every layer through atomic
+    commits instead of partition-directory snapshots.
+
+    Each pipeline batch is ONE ``overwrite`` commit (full-snapshot
+    semantics, matching the reference's full-reload ETL); the previous
+    batch stays time-travelable via ``read_version`` until vacuum. The
+    batch timestamp is stamped as the same ``etl_inserted`` column the
+    snapshot store uses, so downstream schemas are identical under either
+    backend."""
+
+    def __init__(self, root: str, checkpoint_every: int = 10) -> None:
+        self.root = root
+        self.checkpoint_every = checkpoint_every
+        self._tables: dict[str, TxnTable] = {}
+
+    def _table(self, name: str) -> TxnTable:
+        if name not in self._tables:
+            self._tables[name] = TxnTable(
+                self.root, name, checkpoint_every=self.checkpoint_every
+            )
+        return self._tables[name]
+
+    def path(self, name: str) -> str:
+        return self._table(name).table_dir
+
+    def write(self, name, df: DataFrame, batch_ts, partition_keys=()) -> None:
+        from spark_data_engineering_spark.sources.snapshot import PARTITION_COL, _fmt_ts
+
+        stamped = df.withColumn(PARTITION_COL, F.lit(_fmt_ts(batch_ts)))
+        self._table(name).overwrite(stamped)
+
+    def read_latest(self, spark: SparkSession, name: str, columns=None) -> DataFrame:
+        df = self._table(name).read(spark)
+        return df.select(*columns) if columns else df
+
+    def read_version(self, spark: SparkSession, name: str, version: int) -> DataFrame:
+        return self._table(name).read(spark, at_version=version)
+
+    def history(self, name: str) -> list[dict]:
+        return self._table(name).history()
