@@ -82,7 +82,7 @@ class TxnTable:
     def _checkpoint_path(self, v: int) -> str:
         return os.path.join(self.log_dir, f"{v:0{_VERSION_DIGITS}d}.checkpoint.json")
 
-    def _latest_checkpoint(self, at_version: int) -> tuple[int, list[str]]:
+    def _latest_checkpoint(self, at_version: int) -> tuple[int, list[str], dict]:
         cps = sorted(
             int(f.split(".")[0])
             for f in os.listdir(self.log_dir)
@@ -90,15 +90,16 @@ class TxnTable:
         )
         cps = [v for v in cps if v <= at_version]
         if not cps:
-            return 0, []
+            return 0, [], {}
         with open(self._checkpoint_path(cps[-1])) as f:
-            return cps[-1], json.load(f)["live"]
+            state = json.load(f)
+            return cps[-1], state["live"], state.get("stats", {})
 
     def live_files(self, at_version: int | None = None) -> list[str]:
         """Replay the log (from the nearest checkpoint) to the live file
         set at a version — the snapshot readers see."""
         head = self.version() if at_version is None else at_version
-        start, live_list = self._latest_checkpoint(head)
+        start, live_list, _ = self._latest_checkpoint(head)
         live = set(live_list)
         for v in self._commit_files():
             if start < v <= head:
@@ -106,6 +107,49 @@ class TxnTable:
                 live.difference_update(c.get("remove", ()))
                 live.update(c.get("add", ()))
         return sorted(live)
+
+    def file_stats(self, at_version: int | None = None) -> dict[str, dict]:
+        """Per-live-file column min/max collected at commit time (from the
+        parquet footers, no data read). The log — not the files — is the
+        source of truth, so planning a pruned scan is a metadata-only
+        operation: at 100 TB the driver touches a few KB of JSON instead
+        of listing and footer-reading millions of objects."""
+        head = self.version() if at_version is None else at_version
+        start, _, stats = self._latest_checkpoint(head)
+        stats = dict(stats)
+        for v in self._commit_files():
+            if start < v <= head:
+                c = self._read_commit(v)
+                for f in c.get("remove", ()):
+                    stats.pop(f, None)
+                stats.update(c.get("stats", {}))
+        return {f: stats.get(f, {}) for f in self.live_files(head)}
+
+    def prune_files(
+        self, ranges: dict[str, tuple], at_version: int | None = None
+    ) -> list[str]:
+        """Data skipping: the live files whose [min,max] column stats can
+        intersect every queried range. ``ranges`` maps column -> (lo, hi),
+        either bound None for unbounded. Files with no recorded stats for
+        a column are conservatively kept."""
+        stats = self.file_stats(at_version)
+        kept = []
+        for name, cols in stats.items():
+            keep = True
+            for col, (lo, hi) in ranges.items():
+                mm = cols.get(col)
+                if mm is None:
+                    continue
+                fmin, fmax = mm
+                if lo is not None and fmax < lo:
+                    keep = False
+                    break
+                if hi is not None and fmin > hi:
+                    keep = False
+                    break
+            if keep:
+                kept.append(name)
+        return sorted(kept)
 
     def _try_commit(self, record: dict) -> bool:
         """Atomically claim version ``record['version']``. True on win."""
@@ -121,7 +165,13 @@ class TxnTable:
         finally:
             os.unlink(tmp)
 
-    def _commit(self, action: str, add: list[str], remove: list[str]) -> int:
+    def _commit(
+        self,
+        action: str,
+        add: list[str],
+        remove: list[str],
+        stats: dict[str, dict] | None = None,
+    ) -> int:
         """Commit with optimistic retry. Appends retry blindly (their
         files conflict with nothing); rewrites re-validate that every
         file they remove is still live under the new head."""
@@ -136,54 +186,211 @@ class TxnTable:
                         f"concurrent commit: {gone[:3]}..."
                     )
             record = {"version": head + 1, "action": action, "add": add, "remove": remove}
+            if stats:
+                record["stats"] = stats
             if self._try_commit(record):
                 v = head + 1
                 if v % self.checkpoint_every == 0:
-                    # resolve the live set BEFORE creating the file — a
-                    # half-written checkpoint must never be readable
-                    state = {"version": v, "live": self.live_files(v)}
-                    tmp = os.path.join(self.log_dir, f".cp.{uuid.uuid4().hex}.json")
-                    with open(tmp, "w") as f:
-                        json.dump(state, f)
-                    os.replace(tmp, self._checkpoint_path(v))
+                    self._write_checkpoint(v)
                 return v
+
+    def _write_checkpoint(self, v: int) -> None:
+        """Materialize the full table state (live files, their stats, and
+        per-app streaming epochs) at version ``v``. The state is resolved
+        BEFORE the file is created — a half-written checkpoint must never
+        be readable — and swapped in with an atomic rename."""
+        txns: dict[str, int] = {}
+        for cv in self._commit_files():
+            if cv <= v:
+                t = self._read_commit(cv).get("txn")
+                if t:
+                    txns[t["app"]] = max(txns.get(t["app"], -1), t["epoch"])
+        state = {
+            "version": v,
+            "live": self.live_files(v),
+            "stats": self.file_stats(v),
+            "txns": txns,
+        }
+        tmp = os.path.join(self.log_dir, f".cp.{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._checkpoint_path(v))
 
     # ---- data staging ---------------------------------------------------
 
-    def _stage(self, df: DataFrame) -> list[str]:
-        """Write df's files into data/ under a commit-unique prefix.
-        Staged-but-uncommitted files are invisible to readers (the log is
-        the source of truth), so a crash here leaks bytes, not rows."""
+    @staticmethod
+    def _footer_minmax(path: str) -> dict[str, list]:
+        """Column min/max from the parquet footer's row-group statistics —
+        metadata only, zero data pages read. Values are kept only when they
+        JSON-roundtrip with ordering intact (ints, floats, utf-8 strings,
+        ISO-formatted dates/timestamps); anything else is dropped and the
+        file stays conservatively unprunable on that column."""
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        def norm(v):
+            if isinstance(v, bytes):
+                try:
+                    return v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.isoformat()  # lexical order == temporal order
+            if isinstance(v, (int, float)):
+                return v
+            if isinstance(v, str):
+                return v
+            return None
+
+        md = pq.ParquetFile(path).metadata
+        mins: dict[str, list] = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in bad:
+                    continue  # nested columns: skip (top-level stats only)
+                st = col.statistics
+                lo = norm(st.min) if st is not None and st.has_min_max else None
+                hi = norm(st.max) if st is not None and st.has_min_max else None
+                if lo is None or hi is None:
+                    bad.add(name)
+                    mins.pop(name, None)
+                    continue
+                if name in mins:
+                    mins[name] = [min(mins[name][0], lo), max(mins[name][1], hi)]
+                else:
+                    mins[name] = [lo, hi]
+        return mins
+
+    def _stage(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
+        """Write df's files into data/ under a commit-unique prefix and
+        harvest their footer stats. Staged-but-uncommitted files are
+        invisible to readers (the log is the source of truth), so a crash
+        here leaks bytes, not rows."""
         cid = uuid.uuid4().hex
         staging = os.path.join(self.table_dir, f".staging-{cid}")
         df.write.mode("overwrite").parquet(staging)
         names = []
+        stats: dict[str, dict] = {}
         i = 0
         for f in sorted(os.listdir(staging)):
             if f.endswith(".parquet"):
                 name = f"{cid}-{i}.parquet"
-                os.rename(os.path.join(staging, f), os.path.join(self.data_dir, name))
+                dest = os.path.join(self.data_dir, name)
+                os.rename(os.path.join(staging, f), dest)
                 names.append(name)
+                stats[name] = self._footer_minmax(dest)
                 i += 1
         shutil.rmtree(staging)
-        return names
+        return names, stats
 
     # ---- public operations ----------------------------------------------
 
     def append(self, df: DataFrame) -> int:
-        return self._commit("append", self._stage(df), [])
+        add, stats = self._stage(df)
+        return self._commit("append", add, [], stats)
 
     def overwrite(self, df: DataFrame) -> int:
         # resolve the files to replace BEFORE staging; _commit re-validates
         removed = self.live_files()
-        return self._commit("overwrite", self._stage(df), removed)
+        add, stats = self._stage(df)
+        return self._commit("overwrite", add, removed, stats)
 
-    def read(self, spark: SparkSession, at_version: int | None = None) -> DataFrame:
-        files = self.live_files(at_version)
+    def read(
+        self,
+        spark: SparkSession,
+        at_version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Snapshot read. ``prune`` maps column -> (lo, hi) and drops files
+        whose footer stats cannot intersect the range — the caller still
+        applies the exact filter; pruning only shrinks the scan set."""
+        files = self.prune_files(prune, at_version) if prune else self.live_files(at_version)
         if not files:
-            raise FileNotFoundError(f"table {self.table_dir} is empty at this version")
+            if not self.live_files(at_version):
+                raise FileNotFoundError(f"table {self.table_dir} is empty at this version")
+            return self.read(spark, at_version).limit(0)
         paths = [os.path.join(self.data_dir, f) for f in files]
         return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+    ) -> int:
+        """MERGE INTO (upsert), copy-on-write: only files that actually
+        contain a matching key are rewritten — discovered via one semi-join
+        against the source keys over ``_metadata.file_path``. Untouched
+        files survive the commit byte-identical, which is what keeps a
+        point upsert feasible on a 100 TB table (reference relies on
+        Delta MERGE; etl/utils/base_table.py:211-217 writes Delta).
+
+        Semantics (full-row, Delta's ``UPDATE SET * / INSERT *``):
+          - when_matched:     "update" replaces the target row with the
+                              source row; "delete" drops it; None keeps it.
+          - when_not_matched: "insert" appends source rows with no target
+                              match; None drops them.
+        Source must carry the target schema and at most one row per key
+        (multiple source matches per target row are ambiguous — Delta
+        errors; here the caller pre-aggregates).
+        """
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        src = source.cache()
+        try:
+            live = self.live_files()
+            if live and when_matched is not None:
+                tgt = self.read(spark).withColumn("_file", F.col("_metadata.file_path"))
+                src_keys = src.select(*on).distinct()
+                touched = sorted(
+                    os.path.basename(r["_file"])
+                    for r in tgt.join(F.broadcast(src_keys), on, "left_semi")
+                    .select("_file")
+                    .distinct()
+                    .collect()
+                )
+            else:
+                touched = []
+            parts = []
+            if touched:
+                t_rows = spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.data_dir, f) for f in touched]
+                )
+                # unmatched target rows in rewritten files always survive
+                parts.append(t_rows.join(F.broadcast(src.select(*on).distinct()), on, "left_anti"))
+                if when_matched == "update":
+                    parts.append(
+                        src.join(t_rows.select(*on).distinct(), on, "left_semi")
+                    )
+                # "delete": matched target rows simply not re-emitted
+            if when_not_matched == "insert":
+                if live:
+                    all_keys = self.read(spark).select(*on).distinct()
+                    parts.append(src.join(all_keys, on, "left_anti"))
+                else:
+                    parts.append(src)
+            if not parts:
+                return self.version()
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=False)
+            add, stats = (self._stage(out) if out.limit(1).count() else ([], {}))
+            if not add and not touched:
+                return self.version()
+            return self._commit("merge", add, touched, stats)
+        finally:
+            src.unpersist()
 
     def delete_where(self, spark: SparkSession, predicate) -> int:
         """DELETE: rewrite only the files that contain matching rows
@@ -205,12 +412,57 @@ class TxnTable:
             .parquet(*[os.path.join(self.data_dir, n) for n in hit_names])
             .filter(~F.coalesce(predicate, F.lit(False)))
         )
-        add = self._stage(survivors) if survivors.limit(1).count() else []
-        return self._commit("delete", add, hit_names)
+        add, stats = (self._stage(survivors) if survivors.limit(1).count() else ([], {}))
+        return self._commit("delete", add, hit_names, stats)
 
-    def compact(self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024) -> int:
-        """OPTIMIZE: bin-pack the live files into ~target-sized files and
-        swap them in one atomic commit. Readers at any version are never
+    @staticmethod
+    def _zvalue(df: DataFrame, cols: list[str], bits: int = 8):
+        """Morton (Z-order) key over numeric columns: each column is
+        range-bucketed into 2^bits buckets between its global min/max,
+        then the bucket bits are interleaved — all with built-in JVM
+        expressions (no UDF), so the clustering sort stays in whole-stage
+        codegen. Rank-perfect bucketing doesn't matter here: files just
+        need *locality*, and min/max-scaled buckets give it."""
+        n = 1 << bits
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        ).first()
+        buckets = []
+        for c in cols:
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            if lo is None or hi is None or hi == lo:
+                buckets.append(F.lit(0).cast("long"))
+            else:
+                scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo) * n
+                buckets.append(
+                    F.coalesce(
+                        F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(scaled))),
+                        F.lit(0),
+                    ).cast("long")
+                )
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for i, b in enumerate(buckets):
+                z = z + F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * len(cols) + i
+                )
+        return z
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 8,
+    ) -> int:
+        """OPTIMIZE [ZORDER BY]: bin-pack the live files into ~target-sized
+        files and swap them in one atomic commit. With ``zorder_by``, rows
+        are range-partitioned and sorted by a Morton key over those
+        (numeric) columns first, so every output file covers a tight
+        min/max box on ALL of them — that's what makes ``prune_files``
+        skip most of the table for multi-column point/range predicates
+        (Delta's OPTIMIZE ZORDER). Readers at any version are never
         affected — the old files stay until vacuum."""
         files = self.live_files()
         if not files:
@@ -218,8 +470,18 @@ class TxnTable:
         paths = [os.path.join(self.data_dir, f) for f in files]
         total = sum(os.path.getsize(p) for p in paths)
         n_out = max(1, -(-total // target_file_bytes))
-        packed = spark.read.option("mergeSchema", "true").parquet(*paths).coalesce(n_out)
-        return self._commit("compact", self._stage(packed), files)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if zorder_by:
+            packed = (
+                df.withColumn("__z", self._zvalue(df, zorder_by, zorder_bits))
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            packed = df.coalesce(n_out)
+        add, stats = self._stage(packed)
+        return self._commit("compact", add, files, stats)
 
     def vacuum(self, keep_versions: int = 1, min_age_s: float = 0.0) -> list[str]:
         """Delete data files referenced by NO retained version (the last
@@ -249,6 +511,58 @@ class TxnTable:
 
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self._commit_files()]
+
+    # ---- exactly-once streaming (Delta's txnAppId/txnVersion) ------------
+
+    def last_epoch(self, app_id: str) -> int:
+        """Highest epoch committed by ``app_id`` — replayed from the
+        nearest checkpoint like the file set, so recovery cost stays
+        O(commits since checkpoint) no matter how long the stream ran."""
+        head = self.version()
+        start, _, _ = self._latest_checkpoint(head)
+        if start:
+            with open(self._checkpoint_path(start)) as f:
+                last = json.load(f).get("txns", {}).get(app_id, -1)
+        else:
+            last = -1
+        for v in self._commit_files():
+            if start < v <= head:
+                txn = self._read_commit(v).get("txn")
+                if txn and txn["app"] == app_id:
+                    last = max(last, txn["epoch"])
+        return last
+
+    def append_idempotent(self, df: DataFrame, app_id: str, epoch_id: int) -> int | None:
+        """Exactly-once micro-batch append: a replayed epoch (foreachBatch
+        re-delivers after failure, and epochs restart from the checkpoint)
+        commits nothing. The (app, epoch) watermark travels IN the commit
+        record, so the dedup decision and the data are one atomic unit —
+        the property Delta gets from txnAppId/txnVersion and a two-phase
+        sink can't."""
+        if epoch_id <= self.last_epoch(app_id):
+            return None  # replay of an already-committed batch
+        add, stats = self._stage(df)
+        while True:
+            head = self.version()
+            # re-check under the current head: a racing replica of the
+            # same stream may have landed this epoch after our first look
+            if epoch_id <= self.last_epoch(app_id):
+                for name in add:
+                    os.unlink(os.path.join(self.data_dir, name))
+                return None
+            record = {
+                "version": head + 1,
+                "action": "streaming-append",
+                "add": add,
+                "remove": [],
+                "stats": stats,
+                "txn": {"app": app_id, "epoch": epoch_id},
+            }
+            if self._try_commit(record):
+                v = head + 1
+                if v % self.checkpoint_every == 0:
+                    self._write_checkpoint(v)
+                return v
 
 
 class TxnStore:

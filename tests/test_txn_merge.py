@@ -1,0 +1,151 @@
+"""MERGE (upsert), footer-stats data skipping, and Z-order compaction on
+the transaction-log table (sources/txn.py). Mirrors the Delta workflows
+the reference relies on (etl/utils/base_table.py:211-217 writes Delta;
+MERGE/OPTIMIZE ZORDER are its maintenance surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources.txn import TxnTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return TxnTable(str(tmp_path), "t", checkpoint_every=100)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame([Row(k=k, v=v) for k, v in pairs], "k int, v string")
+
+
+def test_merge_upsert_updates_and_inserts(spark, table):
+    table.append(_rows(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    table.merge(spark, _rows(spark, [(2, "B"), (4, "D")]), on=["k"])
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_merge_rewrites_only_touched_files(spark, table):
+    # two appends with disjoint key ranges -> separate file sets
+    table.append(_rows(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    table.append(_rows(spark, [(10, "x"), (11, "y")]).coalesce(1))
+    before = set(table.live_files())
+    table.merge(spark, _rows(spark, [(10, "X")]), on=["k"])
+    commit = table.history()[-1]
+    assert commit["action"] == "merge"
+    assert len(commit["remove"]) == 1  # only the file holding k=10
+    # the untouched file survives byte-identical (still live)
+    survivors = before & set(table.live_files())
+    assert len(survivors) == 1
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 10: "X", 11: "y"}
+
+
+def test_merge_matched_delete(spark, table):
+    table.append(_rows(spark, [(1, "a"), (2, "b")]))
+    table.merge(
+        spark,
+        _rows(spark, [(1, "whatever")]),
+        on=["k"],
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    assert {r.k for r in table.read(spark).collect()} == {2}
+
+
+def test_merge_insert_only_leaves_matched_rows(spark, table):
+    table.append(_rows(spark, [(1, "a")]))
+    v_before = table.version()
+    table.merge(
+        spark,
+        _rows(spark, [(1, "IGNORED"), (2, "b")]),
+        on=["k"],
+        when_matched=None,
+    )
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: "a", 2: "b"}  # matched row untouched, new row in
+    # no pre-existing file rewritten
+    assert table.history()[-1]["remove"] == []
+    assert table.version() == v_before + 1
+
+
+def test_merge_into_empty_table(spark, table):
+    table.merge(spark, _rows(spark, [(1, "a")]), on=["k"])
+    assert {r.k: r.v for r in table.read(spark).collect()} == {1: "a"}
+
+
+def test_merge_is_time_travelable(spark, table):
+    table.append(_rows(spark, [(1, "a")]))
+    v1 = table.version()
+    table.merge(spark, _rows(spark, [(1, "A2")]), on=["k"])
+    assert {r.v for r in table.read(spark, at_version=v1).collect()} == {"a"}
+    assert {r.v for r in table.read(spark).collect()} == {"A2"}
+
+
+def test_footer_stats_recorded_and_skipping_prunes(spark, table):
+    # three appends with disjoint id ranges -> per-file min/max boxes
+    for lo in (0, 100, 200):
+        table.append(spark.range(lo, lo + 50).coalesce(1))
+    stats = table.file_stats()
+    assert all("id" in s for s in stats.values())
+    pruned = table.prune_files({"id": (120, 130)})
+    assert len(pruned) == 1 and len(stats) == 3
+    got = table.read(spark, prune={"id": (120, 130)}).filter(
+        F.col("id").between(120, 130)
+    )
+    assert got.count() == 11
+
+
+def test_prune_with_no_match_returns_empty_frame(spark, table):
+    table.append(spark.range(10).coalesce(1))
+    df = table.read(spark, prune={"id": (1000, 2000)})
+    assert df.count() == 0
+    assert df.schema == table.read(spark).schema
+
+
+def test_string_stats_prune(spark, table):
+    a = spark.createDataFrame([("apple",), ("berry",)], "word string").coalesce(1)
+    z = spark.createDataFrame([("yak",), ("zebra",)], "word string").coalesce(1)
+    table.append(a)
+    table.append(z)
+    assert len(table.prune_files({"word": ("x", None)})) == 1
+
+
+def test_zorder_compact_prunes_on_both_columns(spark, table):
+    # 32x32 grid appended in row-major slabs: raw files are tight on x,
+    # wide on y. After ZORDER(x, y) every file is a box on both.
+    df = (
+        spark.range(32 * 32)
+        .select(
+            (F.col("id") % 32).alias("x"),
+            (F.col("id") / 32).cast("long").alias("y"),
+        )
+    )
+    table.append(df.repartitionByRange(4, "y"))
+    table.compact(spark, target_file_bytes=1200, zorder_by=["x", "y"])
+    files = table.live_files()
+    assert len(files) >= 3  # actually produced several clustered files
+    px = table.prune_files({"x": (3, 4)})
+    py = table.prune_files({"y": (3, 4)})
+    assert len(px) < len(files) and len(py) < len(files)
+    # correctness: the pruned read still returns the full filtered result
+    got = (
+        table.read(spark, prune={"x": (3, 4), "y": (3, 4)})
+        .filter(F.col("x").between(3, 4) & F.col("y").between(3, 4))
+        .count()
+    )
+    assert got == 4
+
+
+def test_stats_survive_checkpoint_replay(spark, tmp_path):
+    table = TxnTable(str(tmp_path), "cp", checkpoint_every=2)
+    for lo in (0, 100, 200, 300):
+        table.append(spark.range(lo, lo + 10).coalesce(1))
+    # head is past a checkpoint; replay must still see all stats
+    assert table.version() == 4
+    stats = table.file_stats()
+    assert len(stats) == 4 and all("id" in s for s in stats.values())
+    assert len(table.prune_files({"id": (305, 306)})) == 1
