@@ -205,6 +205,39 @@ def stream_to_snapshot_store(
     )
 
 
+def stream_to_txn_table(events: DataFrame, table, app_id: str):
+    """Exactly-once raw ingest into a transaction-logged table: each
+    micro-batch is one ``append_idempotent`` commit carrying the
+    (app_id, epoch_id) watermark IN the commit record, so a replayed
+    batch — foreachBatch re-delivers after any sink failure, and a
+    restarted checkpoint re-runs the last uncommitted epoch — commits
+    nothing. This is Delta's txnAppId/txnVersion streaming sink
+    (reference writes Delta: spark/conf/spark-defaults.conf:14); unlike
+    the snapshot-store sink above, no convergence argument is needed —
+    duplicate delivery is structurally impossible because the dedup
+    decision and the data land in the same atomic log entry.
+
+    ``app_id`` identifies the logical stream across restarts (pass the
+    same id with a fresh checkpoint and already-ingested epochs stay
+    deduplicated). Caveat, inherited from Delta: epochs are compared
+    numerically, so reusing an app_id with a RESET checkpoint over a
+    source that has since grown will skip the low-numbered epochs — keep
+    (app_id, checkpoint) paired, or use a new app_id for a new lineage.
+    Returns the StreamingQuery."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append_idempotent(batch_df, app_id=app_id, epoch_id=epoch_id)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def click_purchase_join_stream(
     events: DataFrame,
     max_delay: str = "30 minutes",
