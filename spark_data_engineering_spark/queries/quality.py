@@ -1,0 +1,174 @@
+"""Corpus-quality filters a training-data pipeline runs before training:
+Gopher-style repetition metrics and PII redaction (Rae et al., "Scaling
+Language Models: Methods, Analysis & Insights from Training Gopher",
+2021, §A.1.1 repetition filters; C4's blocklist/regex cleanup). Absent
+from the reference (SURVEY.md §2.2 — no string functions anywhere);
+first-class here because dedup/quality gating is where a 100 TB corpus
+pipeline spends most of its time.
+
+Both queries are pure JVM expressions + one keyed shuffle — no Python
+UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.functions import numeric as NR
+from spark_data_engineering_spark.functions import text as TX
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+
+
+@query(
+    "doc_repetition_metrics",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), base AS (
+      SELECT doc_id,
+             CAST(LEN(t) AS BIGINT) AS n_tokens,
+             FLOOR((1.0 - CAST(LEN(LIST_DISTINCT(t)) AS DOUBLE) / LEN(t)) * 10000 + 0.5) / 10000
+               AS dup_token_frac
+      FROM toks
+    ), bg AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS b
+      FROM toks
+    ), cnt AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+    ), ranked AS (
+      SELECT doc_id, b, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn,
+             SUM(c) OVER (PARTITION BY doc_id) AS tot
+      FROM cnt
+    )
+    SELECT base.doc_id,
+           base.n_tokens,
+           base.dup_token_frac,
+           CAST(ranked.tot AS BIGINT) AS n_bigrams,
+           ranked.b AS top_bigram,
+           CAST(ranked.c AS BIGINT) AS top_bigram_n,
+           FLOOR((CAST(ranked.c AS DOUBLE) / ranked.tot) * 10000 + 0.5) / 10000
+             AS top_bigram_frac
+    FROM base JOIN ranked ON base.doc_id = ranked.doc_id AND ranked.rn = 1
+    """,
+)
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filter inputs, token-level (this corpus has no
+    newlines, so "duplicate lines" degenerates to n-gram fractions):
+    fraction of tokens that are repeats, and the share of all bigrams
+    taken by the single most frequent bigram. High values flag
+    low-quality boilerplate/spam for removal.
+
+    Scale shape: explode(bigrams) -> groupBy(doc_id, bigram) is ONE
+    shuffle keyed by (doc_id, bigram) with map-side partial counts; the
+    window ranking then re-uses the doc_id clustering. Volume is linear
+    in corpus tokens — no all-pairs anything."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        NR.round4(1.0 - TX.unique_token_count(F.col("text")).cast("double") / n).alias(
+            "dup_token_frac"
+        ),
+    )
+    cnt = (
+        d.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = cnt.select(
+        "doc_id",
+        "b",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy(F.desc("c"), "b"))
+        .alias("rn"),
+        F.sum("c").over(Window.partitionBy("doc_id")).alias("tot"),
+    )
+    top = ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("tot").cast("bigint").alias("n_bigrams"),
+        F.col("b").alias("top_bigram"),
+        F.col("c").cast("bigint").alias("top_bigram_n"),
+        NR.round4(F.col("c").cast("double") / F.col("tot")).alias("top_bigram_frac"),
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "n_bigrams",
+        "top_bigram",
+        "top_bigram_n",
+        "top_bigram_frac",
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    ), red AS (
+      SELECT doc_id, t,
+             REGEXP_REPLACE(REGEXP_REPLACE(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS r
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t, '{_EMAIL_RE}')) AS BIGINT) AS emails_found,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t, '{_PHONE_RE}')) AS BIGINT) AS phones_found,
+           CAST(LENGTH(t) - LENGTH(r) AS BIGINT) AS chars_removed,
+           MD5(r) AS redacted_fp
+    FROM red
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and mask email/phone patterns, emit the
+    md5 of the redacted text so the oracle verifies byte-exact redaction
+    positions, not just counts. The synthetic corpus contains no natural
+    PII, so each document is first augmented with a deterministic
+    contact line derived from doc_id — the machinery (pattern library,
+    count, replace) is what a real pipeline reuses on raw crawl text.
+
+    Regexes are restricted to the Java-regex/RE2 common subset so Spark
+    and DuckDB agree byte-for-byte. Zero shuffles: one codegen stage
+    over the scan."""
+    d = load_table(spark, "documents", sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("bigint").alias("emails_found"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("bigint").alias("phones_found"),
+        (F.length(aug) - F.length(red)).cast("bigint").alias("chars_removed"),
+        F.md5(red.cast("binary")).alias("redacted_fp"),
+    )

@@ -116,6 +116,7 @@ def load_all() -> None:
         events_analytics,
         multimodal,
         pipeline,
+        quality,
         relational,
         reports,
         sampling,
