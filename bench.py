@@ -60,6 +60,8 @@ HEADLINE = (
     "knn_bruteforce",
     "embedding_near_dup",
     "doc_stats",
+    "doc_repetition_metrics",
+    "doc_pii_scrub",
     "media_feature_knn",
 )
 

@@ -124,3 +124,19 @@ def test_crashed_stage_is_invisible(spark, table):
     assert table.read(spark).count() == 4  # reader replays the log only
     removed = table.vacuum(keep_versions=1)
     assert "deadbeef-0.parquet" in removed
+
+
+def test_schema_evolution_on_append(spark, table):
+    """Delta-style additive evolution: a later append may carry new
+    columns; readers see the superset schema with NULLs backfilled for
+    old files (mergeSchema read over the live set)."""
+    from pyspark.sql import functions as F
+
+    table.append(spark.range(3))
+    table.append(spark.range(3, 5).withColumn("tag", F.lit("new")))
+    df = table.read(spark)
+    assert set(df.columns) == {"id", "tag"}
+    got = {(r.id, r.tag) for r in df.collect()}
+    assert got == {(0, None), (1, None), (2, None), (3, "new"), (4, "new")}
+    # time travel to v1 still shows the original narrow schema
+    assert table.read(spark, at_version=1).columns == ["id"]
