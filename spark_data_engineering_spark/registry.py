@@ -83,9 +83,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # Sketches / quantiles
     "approx_quantiles_lineitem",
     "approx_distinct_parts",
-    # Multimodal (stub-decode arithmetic, oracled in SQL)
+    # Multimodal (stub-decode arithmetic, oracled in SQL; resize_profile
+    # rotated out — same stub-oracle pattern as decode_metadata)
     "media_decode_metadata",
-    "media_resize_profile",
     # Streaming (end-of-stream state vs batch oracle)
     "streaming_hourly_event_stats",
     # Similarity search
@@ -94,15 +94,20 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # Sampling / train splits
     "stratified_sample_documents",
     "train_split_counts",
-    # Text analysis
+    # Text analysis (flagships; the 6 micro-queries rotated out were
+    # driver-green in round 2's window and keep their pytest coverage)
     "doc_stats",
-    "doc_fingerprints",
-    "lang_source_profile",
     "doc_quality_and_lang",
-    "token_regex_stats",
-    "vocab_top_tokens",
-    "tfidf_top_terms",
-    "label_centroids",
+    # Newly-oracled this round, never driver-checked: the simhash oracle
+    # (md5_48 replayable hash), the exact-recall ANN configurations, and
+    # the corpus-curation / quality-filter capabilities
+    "simhash_near_pairs",
+    "knn_lsh_exhaustive",
+    "knn_ivf_exhaustive",
+    "doc_repetition_metrics",
+    "doc_pii_scrub",
+    "pack_sequences",
+    "corpus_curation_counts",
 )
 
 
