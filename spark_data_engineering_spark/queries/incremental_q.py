@@ -1,0 +1,77 @@
+"""Incremental view maintenance under the correctness gate: a daily
+revenue aggregate maintained purely from the txn table's change feed —
+across two appends and a delete — must hash-match the one-shot SQL
+aggregate over the same surviving rows. This is the end-to-end proof
+that delta folding (insert +x / delete -x, decimal sums) reproduces a
+full recompute exactly (pipeline/incremental.py; reference analog: the
+full-reload gold build in etl/utils/base_table.py, re-expressed as
+maintenance instead of recompute)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.pipeline.incremental import IncrementalAggregate
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+from spark_data_engineering_spark.sources.txn import TxnTable
+
+
+@query(
+    "incremental_daily_revenue",
+    oracle="""
+    SELECT DATE_TRUNC('day', o_orderdate) AS "Date",
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*)) * 100 + 0.5) / 100 AS mean_revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 17 = 3)
+    GROUP BY DATE_TRUNC('day', o_orderdate)
+    """,
+)
+def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load orders into a txn table in three commits — an 80% append, the
+    remaining 20%, then a point delete — refreshing the incremental view
+    after each. The returned state saw every row only through the change
+    feed; the oracle recomputes from scratch over the survivors.
+
+    Decimal sums make the fold exact (associative), so the final doubles
+    are bit-identical to the oracle's; the mean uses the cross-engine
+    floor-rounding rule on identically-derived inputs.
+    """
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_incremental/{digest}"
+    shutil.rmtree(root, ignore_errors=True)  # fresh lineage per run
+
+    base = TxnTable(root, "orders_base")
+    view = IncrementalAggregate(
+        base,
+        TxnTable(root, "daily_revenue"),
+        group_by={"Date": "date_trunc('day', o_orderdate)"},
+        sums={"revenue_dec": "CAST(o_totalprice AS DECIMAL(18,2))"},
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    base.append(orders.filter(F.col("o_orderkey") % 5 != 0))
+    view.refresh(spark)
+    base.append(orders.filter(F.col("o_orderkey") % 5 == 0))
+    view.refresh(spark)
+    base.delete_where(spark, F.col("o_orderkey") % 17 == 3)
+    view.refresh(spark)
+
+    rev = F.col("revenue_dec").cast("double")
+    return view.read(spark).select(
+        F.col("Date"),
+        rev.alias("revenue"),
+        F.col("n_rows").alias("n_orders"),
+        (F.floor(rev / F.col("n_rows") * 100 + F.lit(0.5)) / 100).alias("mean_revenue"),
+    )

@@ -171,10 +171,15 @@ class TxnTable:
         add: list[str],
         remove: list[str],
         stats: dict[str, dict] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit with optimistic retry. Appends retry blindly (their
         files conflict with nothing); rewrites re-validate that every
-        file they remove is still live under the new head."""
+        file they remove is still live under the new head. ``txn``
+        stamps an (app, epoch) watermark into the commit record — the
+        same exactly-once primitive ``append_idempotent`` uses, here for
+        rewrite-style commits (e.g. an incremental view refresh records
+        which base version it consumed, atomically with its data)."""
         while True:
             head = self.version()
             if remove:
@@ -188,6 +193,8 @@ class TxnTable:
             record = {"version": head + 1, "action": action, "add": add, "remove": remove}
             if stats:
                 record["stats"] = stats
+            if txn is not None:
+                record["txn"] = {"app": txn[0], "epoch": txn[1]}
             if self._try_commit(record):
                 v = head + 1
                 if v % self.checkpoint_every == 0:
@@ -296,11 +303,11 @@ class TxnTable:
         add, stats = self._stage(df)
         return self._commit("append", add, [], stats)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         # resolve the files to replace BEFORE staging; _commit re-validates
         removed = self.live_files()
         add, stats = self._stage(df)
-        return self._commit("overwrite", add, removed, stats)
+        return self._commit("overwrite", add, removed, stats, txn=txn)
 
     def read(
         self,

@@ -1,0 +1,104 @@
+"""Incremental view maintenance: the CDF-folded state must equal a full
+recompute after every kind of base commit (append / delete / merge
+update), and a replayed refresh must be a no-op (exactly-once)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.pipeline.incremental import IncrementalAggregate
+from spark_data_engineering_spark.sources.txn import TxnTable
+
+
+@pytest.fixture()
+def view(tmp_path):
+    base = TxnTable(str(tmp_path), "base")
+    state = TxnTable(str(tmp_path), "state")
+    return base, IncrementalAggregate(
+        base,
+        state,
+        group_by={"grp": "grp"},
+        sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+    )
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(
+        [Row(grp=g, amount=float(a)) for g, a in pairs], "grp string, amount double"
+    )
+
+
+def _full(spark, base):
+    return {
+        (r.grp, str(r.amount_sum), r.n_rows)
+        for r in base.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(18,2)")).alias("amount_sum"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    }
+
+
+def _state(spark, agg):
+    return {(r.grp, str(r.amount_sum), r.n_rows) for r in agg.read(spark).collect()}
+
+
+def test_refresh_tracks_appends(spark, view):
+    base, agg = view
+    base.append(_rows(spark, [("a", 1.5), ("a", 2.0), ("b", 10.0)]))
+    assert agg.refresh(spark) is not None
+    assert _state(spark, agg) == _full(spark, base)
+
+    base.append(_rows(spark, [("a", 0.25), ("c", 7.0)]))
+    agg.refresh(spark)
+    assert _state(spark, agg) == _full(spark, base)
+    assert agg.last_refreshed_version() == base.version()
+
+
+def test_refresh_is_exactly_once(spark, view):
+    base, agg = view
+    base.append(_rows(spark, [("a", 1.0)]))
+    assert agg.refresh(spark) is not None
+    v = agg.state.version()
+    # no new base commits -> replayed refresh commits nothing
+    assert agg.refresh(spark) is None
+    assert agg.state.version() == v
+
+
+def test_delete_maintenance_drops_emptied_group(spark, view):
+    base, agg = view
+    base.append(_rows(spark, [("a", 1.0), ("a", 2.0), ("b", 5.0)]))
+    agg.refresh(spark)
+    base.delete_where(spark, F.col("grp") == "b")
+    agg.refresh(spark)
+    got = _state(spark, agg)
+    assert got == _full(spark, base)
+    assert not any(g == "b" for g, _, _ in got)
+
+
+def test_merge_update_is_delta_neutral_for_counts(spark, view):
+    base, agg = view
+    base.append(_rows(spark, [("a", 1.0), ("b", 2.0)]))
+    base.append(_rows(spark, [("b", 3.0)]))
+    agg.refresh(spark)
+    # upsert: bump one existing row's amount, insert a new group
+    src = spark.createDataFrame(
+        [Row(grp="a", amount=100.0), Row(grp="z", amount=9.0)],
+        "grp string, amount double",
+    )
+    base.merge(spark, src, on=["grp"], when_matched="update")
+    agg.refresh(spark)
+    assert _state(spark, agg) == _full(spark, base)
+
+
+def test_multi_commit_catchup_in_one_refresh(spark, view):
+    base, agg = view
+    base.append(_rows(spark, [("a", 1.0)]))
+    base.append(_rows(spark, [("b", 2.0)]))
+    base.delete_where(spark, F.col("grp") == "a")
+    base.append(_rows(spark, [("b", 4.0)]))
+    # one refresh folds all four commits
+    agg.refresh(spark)
+    assert _state(spark, agg) == _full(spark, base)
