@@ -67,3 +67,57 @@ def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         NR.round2(F.col("sum_value_raw")).alias("sum_value"),
     )
+
+
+@query(
+    "streaming_dedup_documents",
+    oracle="SELECT DISTINCT md5(text) AS fp FROM documents",
+)
+def streaming_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the documents table WITH injected content duplicates
+    (every 7th doc re-delivered under a new id) through the watermarked
+    streaming dedup; the emitted fingerprint set must equal the batch
+    ``SELECT DISTINCT md5(text)`` — i.e. every duplicate was dropped
+    in-flight, whether it landed in the same micro-batch as its
+    original or a later one (maxFilesPerTrigger forces multiple
+    batches). Only the fingerprint column is returned: which *row* is
+    first-seen depends on arrival order, the fingerprint set does not.
+    """
+    import hashlib
+
+    from spark_data_engineering_spark.streaming.dedup import fingerprint_dedup_stream
+
+    src = f"{sf_dir}/documents.parquet"
+    stat = os.stat(src)
+    digest = hashlib.md5(
+        f"dedup:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    staged = f"/tmp/spark_de_stream_input/{digest}"
+    if not os.path.isdir(staged):
+        docs = load_table(spark, "documents", sf_dir)
+        dupes = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+        # synthetic event time: one doc per second from a fixed epoch;
+        # re-deliveries arrive 10 minutes after their original, well
+        # inside the dedup watermark delay
+        full = docs.unionByName(dupes).withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1735689600) + (F.col("doc_id") % F.lit(10_000_000)) + F.when(F.col("doc_id") >= 10_000_000, F.lit(600)).otherwise(F.lit(0))
+            ),
+        )
+        full.repartition(8).write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(staged)
+    deduped = fingerprint_dedup_stream(stream, text_col="text", event_time_col="ts", delay="2 hours")
+    name = "streaming_dedup_gate"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("fp")
