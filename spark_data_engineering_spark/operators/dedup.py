@@ -430,3 +430,54 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def containment_scores(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-benchmark-doc n-gram containment in the corpus — the standard
+    train/test contamination measure (Broder 1997 containment; the
+    n-gram-overlap decontamination used for LLM training sets, e.g.
+    GPT-3 appendix C / Dolma): for each bench doc, the fraction of its
+    distinct word n-grams that occur anywhere in the corpus.
+
+    Returns (doc_id, n_shingles, n_overlap, contamination_pct). Docs
+    shorter than ``n`` tokens have no shingles and are absent.
+
+    Plan: both sides reduce to DISTINCT shingle sets first (map-side
+    partial agg), then one left join keyed on the shingle and a
+    per-doc rollup. Shuffle volume is O(distinct shingles), not
+    O(docs x tokens); the corpus side carries no doc ids at all, so at
+    100 TB the join's build side is the corpus *vocabulary* — orders of
+    magnitude smaller than the corpus, uniformly hash-distributed (no
+    skew: shingles are near-unique). The bench side is tiny by nature
+    (an eval suite), making this effectively one shuffle of the corpus
+    vocabulary; Spark's AQE will broadcast the bench side when it fits.
+    """
+    corpus_vocab = (
+        shingle_index(corpus, text_col, id_col, n)
+        .select("_shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    bench_sh = shingle_index(bench, text_col, id_col, n)
+    joined = bench_sh.join(corpus_vocab, "_shingle", "left")
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_overlap"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_overlap",
+            NR.round2(
+                F.col("n_overlap").cast("double") * 100 / F.col("n_shingles")
+            ).alias("contamination_pct"),
+        )
+    )

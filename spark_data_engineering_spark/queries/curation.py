@@ -186,3 +186,42 @@ def corpus_curation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "benchmark_contamination",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id AS _id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(LEN(STRING_SPLIT(text, ' ')) - 2),
+                   i -> STRING_SPLIT(text, ' ')[i + 1] || ' ' ||
+                        STRING_SPLIT(text, ' ')[i + 2] || ' ' ||
+                        STRING_SPLIT(text, ' ')[i + 3]))) AS shingle
+        FROM documents
+    ),
+    bench AS (SELECT _id, shingle FROM sh WHERE _id % 20 = 0),
+    vocab AS (SELECT DISTINCT shingle FROM sh WHERE _id % 20 <> 0)
+    SELECT b._id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN v.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overlap,
+           FLOOR((SUM(CASE WHEN v.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  * 100.0 / COUNT(*)) * 100 + 0.5) / 100 AS contamination_pct
+    FROM bench b LEFT JOIN vocab v USING (shingle)
+    GROUP BY b._id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: every 20th doc plays the role of
+    a benchmark/eval document; its word-3-gram containment in the rest
+    of the corpus is the contamination score (operators/dedup.py
+    containment_scores). The corpus has planted near/exact duplicates,
+    so some bench docs show ~100% containment — exactly what a
+    decontamination pass would flag and strip before training."""
+    from spark_data_engineering_spark.operators import dedup as D
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return D.containment_scores(corpus, bench)

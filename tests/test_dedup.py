@@ -86,3 +86,23 @@ def test_lsh_rejects_oversized_banding(spark):
     sigs = D.minhash_signatures(_docs(spark), num_hashes=8)
     with pytest.raises(Exception, match="exceeds signature length"):
         D.lsh_candidate_pairs(sigs, bands=8, rows=4).collect()
+
+
+def test_containment_scores(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "m n o p")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "a b c d"),        # both 3-grams contained -> 100%
+            (101, "a b c x y z"),    # 1 of 4 contained -> 25%
+            (102, "p q r s"),        # none contained -> 0%
+            (103, "hi"),             # < 3 tokens -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in D.containment_scores(corpus, bench).collect()}
+    assert set(out) == {100, 101, 102}
+    assert (out[100].n_shingles, out[100].n_overlap, out[100].contamination_pct) == (2, 2, 100.0)
+    assert (out[101].n_shingles, out[101].n_overlap, out[101].contamination_pct) == (4, 1, 25.0)
+    assert (out[102].n_shingles, out[102].n_overlap, out[102].contamination_pct) == (2, 0, 0.0)
