@@ -63,20 +63,18 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken by the single most frequent bigram. High values flag
     low-quality boilerplate/spam for removal.
 
-    Scale shape: explode(bigrams) -> groupBy(doc_id, bigram) is ONE
-    shuffle keyed by (doc_id, bigram) with map-side partial counts; the
-    window ranking then re-uses the doc_id clustering. Volume is linear
-    in corpus tokens — no all-pairs anything."""
+    Scale shape: ONE shuffle total. posexplode + lead() builds bigrams
+    codegen'd (the higher-order-function formulation runs interpreted —
+    measured slower); the following groupBy(doc_id, b) and
+    groupBy(doc_id) both reuse the window's hash(doc_id) partitioning
+    (HashPartitioning(doc_id) satisfies any clustering that contains
+    doc_id), so neither adds an Exchange. The top bigram comes from a
+    partial-aggregable min(struct(-count, bigram)) — same (count DESC,
+    bigram ASC) order as a row_number ranking, without a per-group full
+    sort. Volume is linear in corpus tokens — no all-pairs anything."""
     d = load_table(spark, "documents", sf_dir)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     base = d.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
@@ -84,26 +82,31 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_token_frac"
         ),
     )
-    cnt = (
-        d.select("doc_id", F.explode(bigrams).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("c"))
-    )
-    ranked = cnt.select(
+    tok_rows = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigram_rows = tok_rows.select(
         "doc_id",
-        "b",
-        "c",
-        F.row_number()
-        .over(Window.partitionBy("doc_id").orderBy(F.desc("c"), "b"))
-        .alias("rn"),
-        F.sum("c").over(Window.partitionBy("doc_id")).alias("tot"),
-    )
-    top = ranked.filter(F.col("rn") == 1).select(
-        "doc_id",
-        F.col("tot").cast("bigint").alias("n_bigrams"),
-        F.col("b").alias("top_bigram"),
-        F.col("c").cast("bigint").alias("top_bigram_n"),
-        NR.round4(F.col("c").cast("double") / F.col("tot")).alias("top_bigram_frac"),
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("b"),
+        F.lead("tok", 1).over(w).alias("_nxt"),
+    ).filter(F.col("_nxt").isNotNull())
+    cnt = bigram_rows.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    top = (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("tot"),
+            F.min(F.struct((-F.col("c")).alias("negc"), F.col("b").alias("b"))).alias(
+                "best"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("tot").cast("bigint").alias("n_bigrams"),
+            F.col("best.b").alias("top_bigram"),
+            (-F.col("best.negc")).cast("bigint").alias("top_bigram_n"),
+            NR.round4((-F.col("best.negc")).cast("double") / F.col("tot")).alias(
+                "top_bigram_frac"
+            ),
+        )
     )
     return base.join(top, "doc_id").select(
         "doc_id",
