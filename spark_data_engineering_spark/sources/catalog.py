@@ -1,0 +1,121 @@
+"""Metastore-catalog storage backend: pipeline layers as named tables.
+
+The reference runs with Hive support enabled and serves its reports
+through a metastore-visible catalog (run_etl.py:32-36 enableHiveSupport;
+spark-defaults.conf warehouse config) — consumers address tables by
+NAME via ``spark.sql``, not by storage path. The repo's other two
+backends (``SnapshotStore`` partition dirs, ``TxnTable`` commit log) are
+path-addressed; this one closes the catalog workflow gap:
+
+  - every pipeline batch lands as a partition of a partitioned,
+    catalog-registered table (``saveAsTable``/``insertInto`` semantics
+    via a dynamic partition overwrite), so `spark.sql("SELECT … FROM
+    db.daily_order_metrics")` works for any SQL consumer;
+  - the latest-batch lookup is a metastore partition listing (``SHOW
+    PARTITIONS``) — metadata-only, the same fix for the reference's
+    full-scan ``max(etl_inserted)`` idiom (SURVEY.md A4) the snapshot
+    store applies with directory listings;
+  - time travel = partition-value filter, pruned by the catalog.
+
+Works against the session's configured catalog: the default in-memory
+catalog in tests (shared across ``SparkSession.newSession()`` — table
+metadata outlives any one session object), or a real Hive metastore in
+production (`SparkSession.builder.enableHiveSupport()`; the derby/hive
+jars ship with pyspark). Nothing here is Hive-specific — it's the
+``spark.catalog`` / ``saveAsTable`` API surface either way.
+
+At 100 TB the catalog matters for a different reason than naming: the
+metastore prunes partitions BEFORE planning, so a reader of one batch
+never lists the other thousand partitions' files.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources.snapshot import PARTITION_COL, _fmt_ts
+
+
+class CatalogStore:
+    """SnapshotStore-compatible facade (``write / read_latest / path``)
+    over catalog-managed partitioned tables, for ``plans.dag.Runner``."""
+
+    def __init__(self, spark: SparkSession, database: str = "spark_de") -> None:
+        self.spark = spark
+        self.database = database
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
+    def _qualified(self, name: str) -> str:
+        return f"{self.database}.{name}"
+
+    def path(self, name: str) -> str:
+        return self._qualified(name)
+
+    # ---- writes ---------------------------------------------------------
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        batch_ts: _dt.datetime,
+        partition_keys: tuple[str, ...] = (),
+    ) -> None:
+        """Append one batch as a new partition of the catalog table.
+        Re-running the same batch replaces only that partition (dynamic
+        partition overwrite), never the table — concurrent readers of
+        older batches are unaffected."""
+        batch_id = _fmt_ts(batch_ts)
+        stamped = df.withColumn(PARTITION_COL, F.lit(batch_id))
+        keys = [PARTITION_COL, *[k for k in partition_keys if k != PARTITION_COL]]
+        table = self._qualified(name)
+        writer = (
+            stamped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*keys)
+        )
+        if not self.spark.catalog.tableExists(table):
+            writer.saveAsTable(table)
+        else:
+            # dynamic mode: only the partitions present in `stamped` are
+            # replaced; all other batches stay live. insertInto resolves
+            # by POSITION — realign to the table's column order first.
+            aligned = stamped.select(*self.spark.table(table).columns)
+            aligned.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).insertInto(table)
+
+    # ---- reads ----------------------------------------------------------
+
+    def batches(self, name: str) -> list[str]:
+        """All batch ids, from the metastore partition listing (no file
+        or data access)."""
+        rows = self.spark.sql(f"SHOW PARTITIONS {self._qualified(name)}").collect()
+        ids = set()
+        for r in rows:
+            for part in r[0].split("/"):
+                k, _, v = part.partition("=")
+                if k == PARTITION_COL:
+                    ids.add(v)
+        return sorted(ids)
+
+    def latest_batch(self, name: str) -> str | None:
+        ids = self.batches(name)
+        return ids[-1] if ids else None
+
+    def read_latest(
+        self, spark: SparkSession, name: str, columns: tuple[str, ...] | None = None
+    ) -> DataFrame:
+        latest = self.latest_batch(name)
+        if latest is None:
+            raise FileNotFoundError(f"no batches in table {self._qualified(name)}")
+        df = spark.table(self._qualified(name)).filter(F.col(PARTITION_COL) == latest)
+        return df.select(*columns) if columns else df
+
+    def read_batch(self, spark: SparkSession, name: str, batch: str) -> DataFrame:
+        return spark.table(self._qualified(name)).filter(F.col(PARTITION_COL) == batch)
+
+    def drop(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._qualified(name)}")
