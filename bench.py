@@ -62,6 +62,7 @@ HEADLINE = (
     "doc_stats",
     "doc_repetition_metrics",
     "doc_pii_scrub",
+    "benchmark_contamination",
     "media_feature_knn",
 )
 

@@ -152,3 +152,20 @@ def test_q20_semi_join_chain(spark, sf_dir):
     joins (no row-widening inner joins on the probe side)."""
     plan = _plan(spark, sf_dir, "tpch_q20_part_promotion_suppliers")
     assert plan.count("LeftSemi") >= 2
+
+
+def test_repetition_metrics_single_data_exchange(spark, sf_dir):
+    # posexplode+lead window is the ONLY data shuffle: both downstream
+    # aggregations reuse its hash(doc_id) partitioning, and the base
+    # join broadcasts (SCALE.md; 3x win over the window-ranking form)
+    plan = _plan(spark, sf_dir, "doc_repetition_metrics")
+    data_exchanges = plan.count("Exchange hashpartitioning")
+    assert data_exchanges == 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_bench_side_broadcasts(spark, sf_dir):
+    # the corpus reduces to a distinct shingle vocabulary; the tiny
+    # eval side must broadcast, never shuffle the vocabulary twice
+    plan = _plan(spark, sf_dir, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
