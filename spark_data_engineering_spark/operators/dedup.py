@@ -177,11 +177,10 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
-    """Banded LSH: docs sharing any band signature become candidates.
-
-    Shuffle key is (band_idx, band_sig) — volume #docs × #bands, not
-    quadratic. Returns distinct (id_a, id_b).
+def band_rows(signatures: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
+    """Explode signatures to (_id, band, sig) rows — the joinable/storable
+    LSH index form (a signature store persists THIS shape so later
+    lookups join on (band, sig) without re-banding history).
 
     ``bands * rows`` must not exceed the signature length: an
     out-of-range slice would give every document the empty band
@@ -191,10 +190,10 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, rows: int = 4) ->
     # execution instead of silently producing empty band signatures
     guard = F.assert_true(
         F.size("signature") >= bands * rows,
-        F.lit(f"lsh_candidate_pairs: bands*rows = {bands * rows} exceeds signature length"),
+        F.lit(f"band_rows: bands*rows = {bands * rows} exceeds signature length"),
     )
     signatures = signatures.filter(guard.isNull())
-    banded = signatures.select(
+    return signatures.select(
         "_id",
         F.explode(
             F.transform(
@@ -206,6 +205,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, rows: int = 4) ->
             )
         ).alias("b"),
     ).select("_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become candidates.
+
+    Shuffle key is (band_idx, band_sig) — volume #docs × #bands, not
+    quadratic. Returns distinct (id_a, id_b).
+    """
+    banded = band_rows(signatures, bands, rows)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -241,11 +249,24 @@ def minhash_lsh_dedup(
     # (semi-join, pair join, sizes). Materialize it once — at cluster
     # scale this would be a persisted table between stages.
     cands = lsh_candidate_pairs(sigs, bands, rows).localCheckpoint(eager=True)
-    # Exact verification ONLY for candidate pairs: restrict the shingle
-    # index to candidate docs (semi join), count shared shingles per
-    # candidate pair, then Jaccard from per-doc sizes. O(#candidates x
-    # shingles/doc) — never the full pairwise index join, which is
-    # quadratic and defeats the point of LSH.
+    return verify_candidate_pairs(df, cands, text_col, id_col, n, threshold)
+
+
+def verify_candidate_pairs(
+    df: DataFrame,
+    cands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verification ONLY for candidate pairs: restrict the
+    shingle index to candidate docs (semi join), count shared shingles
+    per candidate pair, then Jaccard from per-doc sizes. O(#candidates x
+    shingles/doc) — never the full pairwise index join, which is
+    quadratic and defeats the point of LSH. ``cands`` is (id_a, id_b);
+    returns the verified subset as (id_a, id_b, jaccard >= threshold).
+    """
     idx = shingle_index(df, text_col, id_col, n).select(
         "_id", F.xxhash64("_shingle").alias("_h")
     )
