@@ -82,3 +82,79 @@ def train_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@query(
+    "mixture_sample_counts",
+    oracle="""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(n_s) AS n_min FROM c),
+    r AS (
+        SELECT source, n_s,
+               CAST(FLOOR(100 * SQRT(CAST(n_min AS DOUBLE) / n_s)) AS BIGINT)
+                   AS sample_pct
+        FROM c, m
+    ),
+    s AS (
+        SELECT d.source, d.n_chars
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE ((doc_id % 100000007) * 1103515245 + 12345) % 100 < r.sample_pct
+    )
+    SELECT r.source,
+           r.n_s AS n_source_docs,
+           r.sample_pct,
+           CAST(g.n_sampled AS BIGINT) AS n_sampled,
+           CAST(g.chars_sampled AS BIGINT) AS chars_sampled
+    FROM r JOIN (
+        SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS chars_sampled
+        FROM s GROUP BY source
+    ) g ON r.source = g.source
+    """,
+)
+def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened training mixture (τ=0.5): each source is
+    sampled at rate sqrt(n_min/n_s), so effective counts flatten to
+    n_eff = sqrt(n_min · n_s) — rare sources keep everything, dominant
+    sources shrink toward the geometric mean (the standard multilingual
+    /multi-source rebalancing shape). The rate uses only MIN, division
+    and SQRT — all exactly-rounded IEEE ops, no cross-source float
+    summation — so membership is bit-identical in any engine, and the
+    keyed LCG keeps it stable under re-partitioning.
+
+    Scale: one groupBy(source) for counts (tiny result), rates broadcast
+    back onto the corpus, then a map-side filter — the sample itself
+    never shuffles; only the per-source audit rollup does."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_s",
+        F.floor(
+            F.lit(100) * F.sqrt(F.col("n_min").cast("double") / F.col("n_s"))
+        )
+        .cast("bigint")
+        .alias("sample_pct"),
+    )
+    sampled = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(lcg_bucket(F.col("doc_id")) < F.col("sample_pct"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+        )
+    )
+    return (
+        rates.join(sampled, "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_source_docs"),
+            "sample_pct",
+            "n_sampled",
+            "chars_sampled",
+        )
+    )

@@ -102,3 +102,21 @@ def test_multi_commit_catchup_in_one_refresh(spark, view):
     # one refresh folds all four commits
     agg.refresh(spark)
     assert _state(spark, agg) == _full(spark, base)
+
+
+def test_concurrent_refresh_race_is_safe(spark, view):
+    """Two refreshers of the same view: the loser must either no-op
+    (watermark already advanced) or fail the commit validation — never
+    double-fold the delta."""
+    base, agg = view
+    base.append(_rows(spark, [("a", 1.0)]))
+    agg.refresh(spark)
+    base.append(_rows(spark, [("a", 2.0)]))
+    # simulate a racing refresher that already consumed head: refresh
+    # once, then call again — the second fold sees head == last and
+    # must not commit a second time
+    assert agg.refresh(spark) is not None
+    v = agg.state.version()
+    assert agg.refresh(spark) is None
+    assert agg.state.version() == v
+    assert _state(spark, agg) == _full(spark, base)
