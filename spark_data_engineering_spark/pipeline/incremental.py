@@ -90,34 +90,77 @@ class IncrementalAggregate:
         aggs.append(F.sum(sign).cast("long").alias(_COUNT_COL))
         return changes.groupBy(*keys).agg(*aggs)
 
-    def refresh(self, spark: SparkSession) -> int | None:
+    def refresh(self, spark: SparkSession, strategy: str = "overwrite") -> int | None:
         """Fold all base changes since the last refresh into the state.
         Returns the new state version, or None if already current (also
         the replay/race outcome — the watermark check under the commit's
         optimistic retry makes a duplicate refresh commit impossible to
-        win twice for the same base version)."""
+        win twice for the same base version).
+
+        ``strategy="overwrite"`` rewrites the whole state (fine while
+        state ≈ #groups is report-sized). ``strategy="merge"`` is the
+        giant-state path: only the TOUCHED groups' new rows are computed
+        and MERGEd copy-on-write — files containing no touched group
+        survive byte-identical, so refresh cost is O(changed groups),
+        not O(state). Emptied groups ride as n_rows=0 delete markers
+        through the conditional-delete clause. Merge joins on the group
+        columns, so this strategy requires NON-NULL group keys (the
+        overwrite path has no such restriction — its groupBy is
+        null-safe)."""
+        if strategy not in ("overwrite", "merge"):
+            raise ValueError(f"strategy={strategy!r}")
         head = self.base.version()
         last = self.last_refreshed_version()
         if head <= last or head == 0:
             return None
         changes = self.base.read_changes(spark, from_version=max(last, 0), to_version=head)
         delta = self._delta(changes)
-        if last >= 0:
-            cols = [*self.group_by, *self.sums, _COUNT_COL]
+        cols = [*self.group_by, *self.sums, _COUNT_COL]
+        keys = list(self.group_by)
+        if last < 0:
+            return self.state.overwrite(
+                delta.filter(F.col(_COUNT_COL) > 0), txn=(self.app_id, head)
+            )
+        # a legitimately-empty state (every group emptied earlier) reads
+        # as an empty frame, not an error
+        old = (
+            self.state.read(spark).select(*cols)
+            if self.state.live_files()
+            else delta.select(*cols).limit(0)
+        )
+        if strategy == "overwrite":
             merged = (
-                self.state.read(spark)
-                .select(*cols)
+                old
                 .unionByName(delta.select(*cols))
-                .groupBy(*self.group_by)
+                .groupBy(*keys)
                 .agg(
                     *[F.sum(a).alias(a) for a in self.sums],
                     F.sum(_COUNT_COL).cast("long").alias(_COUNT_COL),
                 )
             )
-        else:
-            merged = delta
-        new_state = merged.filter(F.col(_COUNT_COL) > 0)
-        return self.state.overwrite(new_state, txn=(self.app_id, head))
+            return self.state.overwrite(
+                merged.filter(F.col(_COUNT_COL) > 0), txn=(self.app_id, head)
+            )
+        # merge: new full rows for touched groups only
+        touched = delta.select(*keys).distinct()
+        old_touched = old.join(touched, keys, "left_semi")
+        merged = (
+            old_touched.unionByName(delta.select(*cols))
+            .groupBy(*keys)
+            .agg(
+                *[F.sum(a).alias(a) for a in self.sums],
+                F.sum(_COUNT_COL).cast("long").alias(_COUNT_COL),
+            )
+        )
+        return self.state.merge(
+            spark,
+            merged,
+            on=keys,
+            when_matched="update",
+            when_not_matched="insert",
+            matched_delete_condition=F.col(_COUNT_COL) <= 0,
+            txn=(self.app_id, head),
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
         return self.state.read(spark)

@@ -333,6 +333,8 @@ class TxnTable:
         on: list[str],
         when_matched: str = "update",
         when_not_matched: str = "insert",
+        matched_delete_condition=None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """MERGE INTO (upsert), copy-on-write: only files that actually
         contain a matching key are rewritten — discovered via one semi-join
@@ -349,6 +351,15 @@ class TxnTable:
         Source must carry the target schema and at most one row per key
         (multiple source matches per target row are ambiguous — Delta
         errors; here the caller pre-aggregates).
+
+        ``matched_delete_condition`` (a Column over SOURCE rows) makes the
+        update conditional, Delta's ``WHEN MATCHED AND cond THEN DELETE``:
+        a matched source row satisfying it deletes the target row instead
+        of updating it, and such rows are never inserted either — they are
+        delete markers. ``txn`` stamps an (app, epoch) exactly-once
+        watermark into the commit (see ``_commit``); with ``txn`` set, a
+        no-op merge still writes a metadata-only commit so the watermark
+        always advances.
         """
         if when_matched not in ("update", "delete", None):
             raise ValueError(f"when_matched={when_matched!r}")
@@ -377,25 +388,33 @@ class TxnTable:
                 # unmatched target rows in rewritten files always survive
                 parts.append(t_rows.join(F.broadcast(src.select(*on).distinct()), on, "left_anti"))
                 if when_matched == "update":
-                    parts.append(
-                        src.join(t_rows.select(*on).distinct(), on, "left_semi")
-                    )
+                    upd = src.join(t_rows.select(*on).distinct(), on, "left_semi")
+                    if matched_delete_condition is not None:
+                        upd = upd.filter(
+                            ~F.coalesce(matched_delete_condition, F.lit(False))
+                        )
+                    parts.append(upd)
                 # "delete": matched target rows simply not re-emitted
             if when_not_matched == "insert":
+                ins = src
                 if live:
                     all_keys = self.read(spark).select(*on).distinct()
-                    parts.append(src.join(all_keys, on, "left_anti"))
-                else:
-                    parts.append(src)
+                    ins = src.join(all_keys, on, "left_anti")
+                if matched_delete_condition is not None:
+                    # delete markers never insert
+                    ins = ins.filter(
+                        ~F.coalesce(matched_delete_condition, F.lit(False))
+                    )
+                parts.append(ins)
             if not parts:
                 return self.version()
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p, allowMissingColumns=False)
             add, stats = (self._stage(out) if out.limit(1).count() else ([], {}))
-            if not add and not touched:
+            if not add and not touched and txn is None:
                 return self.version()
-            return self._commit("merge", add, touched, stats)
+            return self._commit("merge", add, touched, stats, txn=txn)
         finally:
             src.unpersist()
 

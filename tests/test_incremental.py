@@ -120,3 +120,82 @@ def test_concurrent_refresh_race_is_safe(spark, view):
     assert agg.refresh(spark) is None
     assert agg.state.version() == v
     assert _state(spark, agg) == _full(spark, base)
+
+
+def test_merge_strategy_matches_full_recompute(spark, view):
+    base, agg = view
+    base.append(_rows(spark, [("a", 1.0), ("a", 2.0), ("b", 5.0)]))
+    agg.refresh(spark, strategy="merge")
+    base.append(_rows(spark, [("a", 0.5), ("c", 3.0)]))
+    base.delete_where(spark, F.col("grp") == "b")  # empties group b
+    agg.refresh(spark, strategy="merge")
+    got = _state(spark, agg)
+    assert got == _full(spark, base)
+    assert not any(g == "b" for g, _, _ in got)
+    # the state history shows merge commits (copy-on-write), not rewrites
+    actions = [c["action"] for c in agg.state.history()]
+    assert actions[-1] == "merge"
+
+
+def test_merge_strategy_untouched_files_survive(spark, view):
+    """Copy-on-write: a refresh touching only group 'z' must not rewrite
+    the file(s) holding other groups."""
+    base, agg = view
+    base.append(_rows(spark, [("a", 1.0), ("b", 2.0)]))
+    agg.refresh(spark)  # seed state (overwrite)
+    before = set(agg.state.live_files())
+    base.append(_rows(spark, [("z", 9.0)]))  # new group only
+    agg.refresh(spark, strategy="merge")
+    after = set(agg.state.live_files())
+    assert before <= after, "files holding untouched groups were rewritten"
+
+
+def test_merge_strategy_watermark_advances_on_rowless_window(spark, view):
+    """A compact-only commit window changes no rows; the merge refresh
+    must still advance the watermark or it would re-scan forever."""
+    base, agg = view
+    base.append(_rows(spark, [("a", 1.0)]))
+    agg.refresh(spark, strategy="merge")
+    base.compact(spark)
+    assert agg.refresh(spark, strategy="merge") is not None
+    assert agg.last_refreshed_version() == base.version()
+    assert _state(spark, agg) == _full(spark, base)
+
+
+def test_property_random_commit_sequences(spark, view):
+    """Randomized (seeded) sequences of append/delete/merge commits: the
+    incremental state must equal a full recompute after every refresh,
+    alternating strategies."""
+    import random
+
+    base, agg = view
+    rng = random.Random(7)
+    groups = ["a", "b", "c", "d"]
+    for step in range(6):
+        op = rng.choice(["append", "append", "delete", "merge"])
+        # empty-table reads raise by design: keep the base non-empty by
+        # downgrading destructive ops to appends when they would wipe it
+        alive = bool(base.live_files())
+        surviving = (
+            {r.grp for r in base.read(spark).select("grp").distinct().collect()}
+            if alive
+            else set()
+        )
+        if op == "delete" and len(surviving) <= 1:
+            op = "append"
+        if op == "merge" and not alive:
+            op = "append"
+        if op == "append":
+            rows = [
+                (rng.choice(groups), round(rng.uniform(0, 50), 2))
+                for _ in range(rng.randint(1, 5))
+            ]
+            base.append(_rows(spark, rows))
+        elif op == "delete":
+            g = rng.choice(sorted(surviving))
+            base.delete_where(spark, F.col("grp") == g)
+        else:
+            src = _rows(spark, [(rng.choice(groups), round(rng.uniform(0, 9), 2))])
+            base.merge(spark, src, on=["grp"], when_matched="update")
+        agg.refresh(spark, strategy="merge" if step % 2 else "overwrite")
+        assert _state(spark, agg) == _full(spark, base), f"diverged at step {step} ({op})"
