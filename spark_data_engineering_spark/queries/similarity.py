@@ -154,3 +154,47 @@ def knn_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_knn_multiprobe(emb, queries, k=10, num_planes=3, n_probes=8)
+
+
+@query(
+    "knn_int8_quantized",
+    oracle="""
+    WITH qz AS (
+        SELECT vec_id,
+               CASE WHEN ma > 0
+                    THEN LIST_TRANSFORM(emb, x -> FLOOR(x * 127.0 / ma + 0.5))
+                    ELSE LIST_TRANSFORM(emb, x -> CAST(0 AS DOUBLE)) END AS qv
+        FROM (SELECT vec_id,
+                     CAST(embedding AS DOUBLE[]) AS emb,
+                     CAST(LIST_AGGREGATE(
+                         LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> ABS(x)),
+                         'max') AS DOUBLE) AS ma
+              FROM embeddings)
+    )
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           FLOOR((LIST_INNER_PRODUCT(q.qv, c.qv)
+                  / (SQRT(LIST_INNER_PRODUCT(q.qv, q.qv))
+                     * SQRT(LIST_INNER_PRODUCT(c.qv, c.qv))))
+                 * 10000 + 0.5) / 10000 AS cos_sim_q,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY FLOOR((LIST_INNER_PRODUCT(q.qv, c.qv)
+                      / (SQRT(LIST_INNER_PRODUCT(q.qv, q.qv))
+                         * SQRT(LIST_INNER_PRODUCT(c.qv, c.qv))))
+                     * 10000 + 0.5) / 10000 DESC,
+                        c.vec_id ASC) AS BIGINT) AS rank
+    FROM qz q, qz c
+    WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+    QUALIFY rank <= 10
+    """,
+)
+def knn_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine over int8-quantized embeddings (4x memory, SIMD
+    int dot products at scale). Quantized values are exact integers in
+    doubles, so every sum is exact and the whole ranking is
+    bit-deterministic — hash-matched against a full SQL replay of the
+    quantize + rank pipeline."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.int8_knn(emb, queries, k=10)

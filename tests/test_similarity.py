@@ -120,3 +120,28 @@ def test_cosine_pairs_blocked_plan_is_distributed(spark, sf_dir):
     )
     assert "FlatMapGroupsInPandas" in plan
     assert "Scan parquet" in plan
+
+
+def test_int8_knn_recall_vs_exact(spark, sf_dir):
+    """Quantization noise must barely perturb the top-10: recall@10 vs
+    the exact float kNN stays high (int8 keeps ~2 decimal digits of
+    cosine resolution)."""
+    from spark_data_engineering_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_knn(emb, queries, k=10)
+    quant = S.int8_knn(emb, queries, k=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    q = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    recall = len(e & q) / len(e)
+    assert recall >= 0.8, f"int8 recall@10 = {recall}"
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    rows = [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.qvec for r in S.quantize_int8(df).collect()}
+    assert out[1] == [64.0, -127.0, 32.0]  # floor(x*127/max_abs + 0.5)
+    assert out[2] == [0.0, 0.0, 0.0]
+    assert all(-127 <= v <= 127 for v in out[1])
