@@ -199,3 +199,42 @@ def test_property_random_commit_sequences(spark, view):
             base.merge(spark, src, on=["grp"], when_matched="update")
         agg.refresh(spark, strategy="merge" if step % 2 else "overwrite")
         assert _state(spark, agg) == _full(spark, base), f"diverged at step {step} ({op})"
+
+
+def test_streaming_materialized_view(spark, tmp_path):
+    """End-to-end streaming materialized view: micro-batches land in the
+    base table exactly-once (append_idempotent) and the aggregate state
+    refreshes per epoch from the change feed — final state equals a
+    batch recompute over everything that streamed."""
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    staged = str(tmp_path / "in")
+    rows = [(g, float(v)) for v in range(1, 21) for g in ("a", "b")]
+    src = spark.createDataFrame(rows, "grp string, amount double")
+    src.repartition(5).write.mode("overwrite").parquet(staged)
+
+    base = TxnTable(str(tmp_path), "base")
+    agg = IncrementalAggregate(
+        base,
+        TxnTable(str(tmp_path), "state"),
+        group_by={"grp": "grp"},
+        sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+    )
+
+    def sink(batch_df, epoch_id):
+        if base.append_idempotent(batch_df, "mv:ingest", epoch_id) is not None:
+            agg.refresh(batch_df.sparkSession, strategy="merge")
+
+    stream = (
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 2).parquet(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _state(spark, agg) == _full(spark, base)
+    assert {r.grp for r in agg.read(spark).collect()} == {"a", "b"}
+    assert agg.last_refreshed_version() == base.version()
