@@ -22,9 +22,7 @@ from spark_data_engineering_spark.sources import load_table
 from spark_data_engineering_spark.sources.txn import TxnTable
 
 
-@query(
-    "incremental_daily_revenue",
-    oracle="""
+_DAILY_REVENUE_ORACLE = """
     SELECT DATE_TRUNC('day', o_orderdate) AS "Date",
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -33,8 +31,10 @@ from spark_data_engineering_spark.sources.txn import TxnTable
     FROM orders
     WHERE NOT (o_orderkey % 17 = 3)
     GROUP BY DATE_TRUNC('day', o_orderdate)
-    """,
-)
+    """
+
+
+@query("incremental_daily_revenue", oracle=_DAILY_REVENUE_ORACLE)
 def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load orders into a txn table in three commits — an 80% append, the
     remaining 20%, then a point delete — refreshing the incremental view
@@ -45,11 +45,25 @@ def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-identical to the oracle's; the mean uses the cross-engine
     floor-rounding rule on identically-derived inputs.
     """
+    return _run_incremental(spark, sf_dir, strategy="overwrite")
+
+
+@query("incremental_daily_revenue_merged", oracle=_DAILY_REVENUE_ORACLE)
+def incremental_daily_revenue_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same three-commit maintenance as ``incremental_daily_revenue`` but
+    refreshed with ``strategy="merge"`` — the copy-on-write path for
+    giant states (only touched groups' files rewritten, emptied groups
+    as conditional-delete markers) must produce the same hash as both
+    the overwrite path and the from-scratch SQL oracle."""
+    return _run_incremental(spark, sf_dir, strategy="merge")
+
+
+def _run_incremental(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     stat = os.stat(f"{sf_dir}/orders.parquet")
     digest = hashlib.md5(
         f"{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
     ).hexdigest()[:16]
-    root = f"/tmp/spark_de_incremental/{digest}"
+    root = f"/tmp/spark_de_incremental/{strategy}-{digest}"
     shutil.rmtree(root, ignore_errors=True)  # fresh lineage per run
 
     base = TxnTable(root, "orders_base")
@@ -62,11 +76,11 @@ def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, "orders", sf_dir)
     base.append(orders.filter(F.col("o_orderkey") % 5 != 0))
-    view.refresh(spark)
+    view.refresh(spark, strategy=strategy)
     base.append(orders.filter(F.col("o_orderkey") % 5 == 0))
-    view.refresh(spark)
+    view.refresh(spark, strategy=strategy)
     base.delete_where(spark, F.col("o_orderkey") % 17 == 3)
-    view.refresh(spark)
+    view.refresh(spark, strategy=strategy)
 
     rev = F.col("revenue_dec").cast("double")
     return view.read(spark).select(
