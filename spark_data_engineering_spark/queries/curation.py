@@ -225,3 +225,75 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     return D.containment_scores(corpus, bench)
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               UNNEST(RANGE(0, CAST(CEIL(
+                   GREATEST(CAST(n_tokens - {CHUNK_TOKENS} AS DOUBLE), 0)
+                   / {CHUNK_STRIDE}) AS BIGINT) + 1)) AS chunk_idx
+        FROM t
+    )
+    SELECT c.doc_id,
+           CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(LEAST(CAST({CHUNK_TOKENS} AS BIGINT),
+                      c.n_tokens - c.chunk_idx * {CHUNK_STRIDE}) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(ARRAY_TO_STRING(
+               LIST_SLICE(t.toks, c.chunk_idx * {CHUNK_STRIDE} + 1,
+                          c.chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+               ' ')) AS chunk_fp
+    FROM c JOIN t ON c.doc_id = t.doc_id
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into {CHUNK_TOKENS}
+    -token chunks with {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap (the
+    stride-chunking every pretraining tokenizer pipeline runs). Emits one
+    row per chunk with its md5 fingerprint so downstream chunk-level
+    dedup can key on it. Pure arithmetic + explode — one Generate, no
+    shuffle at all until a consumer aggregates; chunk count per doc is
+    ceil(max(n-{CHUNK_TOKENS},0)/{CHUNK_STRIDE})+1, so every token lands
+    in ≥1 chunk and short docs yield exactly one."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("bigint")
+    n_chunks = (
+        F.ceil(F.greatest(n - F.lit(CHUNK_TOKENS), F.lit(0)).cast("double") / CHUNK_STRIDE)
+        .cast("bigint")
+        + 1
+    )
+    d = docs.select(
+        "doc_id", toks.alias("toks"), n.alias("n_tokens"), n_chunks.alias("n_chunks")
+    )
+    c = d.select(
+        "doc_id",
+        "toks",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(CHUNK_TOKENS).cast("bigint"), F.col("n_tokens") - start)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), (start + 1).cast("int"), CHUNK_TOKENS))
+        ).alias("chunk_fp"),
+    )
