@@ -297,3 +297,54 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(F.col("toks"), (start + 1).cast("int"), CHUNK_TOKENS))
         ).alias("chunk_fp"),
     )
+
+
+@query(
+    "boilerplate_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               UNNEST(RANGE(0, CAST(CEIL(
+                   GREATEST(CAST(n_tokens - {CHUNK_TOKENS} AS DOUBLE), 0)
+                   / {CHUNK_STRIDE}) AS BIGINT) + 1)) AS chunk_idx
+        FROM t
+    ),
+    fp AS (
+        SELECT c.doc_id,
+               md5(ARRAY_TO_STRING(
+                   LIST_SLICE(t.toks, c.chunk_idx * {CHUNK_STRIDE} + 1,
+                              c.chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                   ' ')) AS chunk_fp
+        FROM c JOIN t ON c.doc_id = t.doc_id
+    )
+    SELECT chunk_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM fp
+    GROUP BY chunk_fp
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate detection: chunks whose fingerprint
+    recurs in ≥2 DISTINCT documents (headers, licence blocks, templated
+    spans — removable without dropping whole docs; the chunk-granular
+    pass doc-level dedup can't do). One fingerprint shuffle with
+    map-side partial agg over the zero-shuffle chunker."""
+    chunks = chunk_documents(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("chunk_fp", "n_occurrences", "n_docs", "first_doc")
+    )

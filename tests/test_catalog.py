@@ -76,3 +76,17 @@ def test_pipeline_same_results_on_catalog_backend(spark, sf_dir, tmp_path, store
     assert (
         spark.table(f"{store.database}.daily_order_report").count() == len(a)
     )
+
+
+def test_read_latest_prunes_partitions(spark, store):
+    """The latest-batch read must plan as a partition-pruned scan (the
+    metastore filter reaches PartitionFilters), never a full-table scan
+    filtered afterwards."""
+    import datetime as dt
+
+    store.write("t", _df(spark, [(1, "a")]), dt.datetime(2024, 1, 1, 12))
+    store.write("t", _df(spark, [(2, "b")]), dt.datetime(2024, 1, 2, 12))
+    df = store.read_latest(spark, "t")
+    scan = df._jdf.queryExecution().toString()
+    assert "PartitionFilters" in scan and "etl_inserted" in scan
+    assert df.count() == 1
