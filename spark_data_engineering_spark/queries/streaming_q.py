@@ -121,3 +121,73 @@ def streaming_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("fp")
+
+
+@query(
+    "streaming_sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR((SUM(value)) * 100 + 0.5) / 100 AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via the built-in session_window state
+    (sessions merge across micro-batches), gate-checked against the
+    batch lag-gap oracle: session_window's [first_ts, last_ts + gap)
+    windows must coincide exactly with gap-based sessionization —
+    including sessions the stream saw split across many batches.
+    Complete mode (not append) so end-of-stream state includes every
+    session, same reasoning as streaming_hourly_event_stats."""
+    import hashlib
+
+    src = f"{sf_dir}/events.parquet"
+    stat = os.stat(src)
+    digest = hashlib.md5(
+        f"sess:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    staged = f"/tmp/spark_de_stream_input/{digest}"
+    if not os.path.isdir(staged):
+        load_table(spark, "events", sf_dir).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 2).parquet(staged)
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("_raw"))
+    name = "streaming_sessionize_gate"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        NR.round2(F.col("_raw")).alias("session_value"),
+    )
