@@ -63,6 +63,9 @@ HEADLINE = (
     "doc_repetition_metrics",
     "doc_pii_scrub",
     "benchmark_contamination",
+    "chunk_documents",
+    "boilerplate_chunks",
+    "knn_int8_quantized",
     "media_feature_knn",
 )
 

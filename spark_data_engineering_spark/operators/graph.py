@@ -48,10 +48,16 @@ def pagerank_fixed_point(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # driver scalar: graph metadata, O(1) result
+    # size partitions to the graph (tiny-task overhead dominates small
+    # graphs — the dedup_clusters lesson); at cluster scale pass a
+    # pre-partitioned edge set and this coalesce is a no-op
+    p = max(2, min(32, n // 50_000 + 2))
+    edges = edges.repartition(p, "src").localCheckpoint(eager=True)
+    nodes = nodes.repartition(p, "node")
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
     base = int((0.15 * SCALE) / n)  # == FLOOR, same IEEE ops as the SQL oracle
     ranks = nodes.select("node", F.lit(SCALE // n).cast("bigint").alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             edges.join(deg, "src")
             .join(ranks, edges["src"] == ranks["node"])
@@ -74,6 +80,9 @@ def pagerank_fixed_point(
                     ).cast("bigint")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)  # cut lineage per iteration
         )
+        # cut lineage every other iteration (and on the last): enough to
+        # bound plan growth, half the materialization barriers
+        if it % 2 == 1 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").alias("rank_fp"))
