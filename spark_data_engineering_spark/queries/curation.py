@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from spark_data_engineering_spark.functions import numeric as NR
 from spark_data_engineering_spark.functions import text as TX
 from spark_data_engineering_spark.queries.sampling import lcg_bucket
 from spark_data_engineering_spark.registry import query
@@ -347,4 +348,83 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
         .select("chunk_fp", "n_occurrences", "n_docs", "first_doc")
+    )
+
+
+@query(
+    "curation_decisions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             md5(text) AS fp,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tok,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS n_stop,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS is_dup,
+             FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000
+                 AS dup_token_frac,
+             FLOOR(GREATEST(0.0, LEAST(1.0,
+                 0.5 * LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+               + 0.5 * (1.0 - CAST(n_punct AS DOUBLE)
+                              / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))
+               - 0.2 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             )) * 10000 + 0.5) / 10000 AS quality
+      FROM t
+    )
+    SELECT doc_id,
+           n_tokens,
+           dup_token_frac,
+           quality,
+           CASE WHEN is_dup = 1 THEN 'drop:duplicate'
+                WHEN n_tokens < 20 THEN 'drop:too_short'
+                WHEN dup_token_frac > 0.65 THEN 'drop:repetitive'
+                WHEN quality < 0.5 THEN 'drop:low_quality'
+                ELSE 'keep' END AS decision
+    FROM s
+    """,
+)
+def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end curation verdict: one row per document with a
+    keep/drop decision and the reason, composing the oracle-proven
+    signals — exact-dup canonicalization (min doc_id per md5), length
+    floor, token-repetition ratio, and the composite quality score —
+    under a fixed precedence (duplicate > too_short > repetitive >
+    low_quality). This is the table a training-data pipeline actually
+    materializes; every signal is deterministic column arithmetic, so
+    the full verdict hash-matches the SQL replay.
+
+    Scale: one window shuffle on the 16-byte fingerprint (uniform)
+    for canonicalization; every other signal is map-side."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("bigint")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.md5("text").alias("fp"),
+        n.alias("n_tokens"),
+        NR.round4(
+            1.0 - F.size(F.array_distinct(toks)).cast("double") / n
+        ).alias("dup_token_frac"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    is_dup = (
+        F.col("doc_id") > F.min("doc_id").over(W.partitionBy("fp"))
+    )
+    decision = (
+        F.when(is_dup, "drop:duplicate")
+        .when(F.col("n_tokens") < 20, "drop:too_short")
+        .when(F.col("dup_token_frac") > 0.65, "drop:repetitive")
+        .when(F.col("quality") < 0.5, "drop:low_quality")
+        .otherwise("keep")
+    )
+    return base.select(
+        "doc_id", "n_tokens", "dup_token_frac", "quality", decision.alias("decision")
     )
