@@ -168,3 +168,40 @@ def test_concurrent_appends_all_serialize(spark, table):
     assert table.version() == 18  # every commit serialized to its own version
     rows = {(r.writer, r.seq) for r in table.read(spark).collect()}
     assert rows == {(t, i) for t in range(6) for i in range(3)}  # no lost updates
+
+
+def test_append_during_compact_not_lost(spark, table):
+    """An append that lands between compact's file-list resolution and
+    its commit must survive: compact removes only the files it read, and
+    the interleaved append's file is not in that set."""
+    table.append(spark.range(3))
+    table.append(spark.range(3, 6))
+    files_before = table.live_files()
+    # stage the compacted output against the current snapshot...
+    paths = [f"{table.data_dir}/{f}" for f in files_before]
+    packed = spark.read.option("mergeSchema", "true").parquet(*paths).coalesce(1)
+    add, stats = table._stage(packed)
+    # ...but an append wins the race before the compact commits
+    table.append(spark.range(100, 102))
+    v = table._commit("compact", add, files_before, stats)
+    assert v == table.version()
+    got = {r.id for r in table.read(spark).collect()}
+    assert got == set(range(6)) | {100, 101}, "interleaved append lost"
+
+
+def test_compact_loses_race_to_conflicting_rewrite(spark, table):
+    """Two compactions racing over the same input files: the loser must
+    raise ConcurrentWriteError, not double-remove."""
+    import pytest as _pytest
+
+    from spark_data_engineering_spark.sources.txn import ConcurrentWriteError
+
+    table.append(spark.range(4))
+    files = table.live_files()
+    paths = [f"{table.data_dir}/{f}" for f in files]
+    packed = spark.read.parquet(*paths).coalesce(1)
+    add1, st1 = table._stage(packed)
+    add2, st2 = table._stage(packed)
+    table._commit("compact", add1, files, st1)  # winner
+    with _pytest.raises(ConcurrentWriteError):
+        table._commit("compact", add2, files, st2)  # loser re-validates
