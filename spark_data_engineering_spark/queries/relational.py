@@ -909,3 +909,29 @@ def customer_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "o_orderdate").alias("order_day"),
         NR.round2(F.sum("o_totalprice").over(w)).alias("trailing_7d_revenue"),
     )
+
+
+# --- Extension: skew-safe aggregation under the gate ---
+@query(
+    "salted_distinct_customers_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def salted_distinct_customers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted COUNT(DISTINCT) per (hot) group key — the skew
+    pattern for non-partial-aggregable distincts (operators/skew.py):
+    stage 1 counts distincts per (key, salt-of-value), stage 2 sums the
+    per-salt partials, so no single reducer ever owns a whole hot key.
+    The oracle is the plain COUNT(DISTINCT): salting must be invisible
+    in the result, only in the shuffle layout. o_orderstatus has ~3
+    values over all orders — a genuinely hot key set."""
+    from spark_data_engineering_spark.operators.skew import salted_count_distinct
+
+    o = load_table(spark, "orders", sf_dir)
+    return salted_count_distinct(o, "o_orderstatus", "o_custkey").select(
+        F.col("o_orderstatus"), F.col("n_distinct").cast("bigint").alias("n_distinct")
+    )
