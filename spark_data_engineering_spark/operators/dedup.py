@@ -266,14 +266,22 @@ def verify_candidate_pairs(
     shingles/doc) — never the full pairwise index join, which is
     quadratic and defeats the point of LSH. ``cands`` is (id_a, id_b);
     returns the verified subset as (id_a, id_b, jaccard >= threshold).
+
+    The doc restriction happens BEFORE shingling: candidate docs are a
+    tiny fraction of the corpus, so verification costs O(candidate
+    docs), not a second full-corpus tokenization — at 100 TB the
+    difference between re-scanning the corpus and fetching a few
+    thousand rows by key.
     """
-    idx = shingle_index(df, text_col, id_col, n).select(
-        "_id", F.xxhash64("_shingle").alias("_h")
-    )
-    cand_docs = cands.select(F.col("id_a").alias("_id")).union(
-        cands.select(F.col("id_b").alias("_id"))
+    cand_docs = cands.select(F.col("id_a").alias(id_col)).union(
+        cands.select(F.col("id_b").alias(id_col))
     ).distinct()
-    idx_c = idx.join(F.broadcast(cand_docs), "_id", "left_semi").localCheckpoint(eager=True)
+    df_c = df.join(F.broadcast(cand_docs), id_col, "left_semi")
+    idx_c = (
+        shingle_index(df_c, text_col, id_col, n)
+        .select("_id", F.xxhash64("_shingle").alias("_h"))
+        .localCheckpoint(eager=True)
+    )
     sizes = idx_c.groupBy("_id").agg(F.count("*").alias("_sz"))
     a, b = idx_c.alias("a"), idx_c.alias("b")
     inter = (
