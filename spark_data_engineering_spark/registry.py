@@ -119,6 +119,7 @@ def load_all() -> None:
         curation,
         dedup,
         events_analytics,
+        formats,
         graph_q,
         incremental_q,
         multimodal,
