@@ -67,7 +67,18 @@ class IncrementalAggregate:
         group_by: dict[str, str],
         sums: dict[str, str],
         app_id: str | None = None,
+        transform=None,
     ) -> None:
+        """``transform`` (optional ``DataFrame -> DataFrame``) runs on the
+        change feed BEFORE delta folding — for row-local enrichment:
+        filters, derives, joins against STATIC dimensions (the medallion
+        silver/gold derivations). It must be delta-preserving: one input
+        row maps to ≤1 output row independent of other rows, and the
+        ``_change_type`` / ``_commit_version`` columns must survive. A
+        changing dimension would invalidate folded history — that case
+        needs the dim itself to be a txn table with its own change feed
+        (out of scope; the reference's dims are full-reload snapshots).
+        """
         overlap = set(group_by) & set(sums) | {_COUNT_COL} & (set(group_by) | set(sums))
         if overlap:
             raise ValueError(f"alias collision: {sorted(overlap)}")
@@ -76,6 +87,7 @@ class IncrementalAggregate:
         self.group_by = dict(group_by)
         self.sums = dict(sums)
         self.app_id = app_id or f"incr:{state.table_dir}"
+        self.transform = transform
 
     def last_refreshed_version(self) -> int:
         """Base version the state currently reflects (-1 = never)."""
@@ -114,6 +126,8 @@ class IncrementalAggregate:
         if head <= last or head == 0:
             return None
         changes = self.base.read_changes(spark, from_version=max(last, 0), to_version=head)
+        if self.transform is not None:
+            changes = self.transform(changes)
         delta = self._delta(changes)
         cols = [*self.group_by, *self.sums, _COUNT_COL]
         keys = list(self.group_by)

@@ -42,12 +42,15 @@ def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     staged = f"/tmp/spark_de_fmt/{fmt}/{digest}"
     if not os.path.isdir(staged):
         ev = load_table(spark, "events", sf_dir)
-        if fmt == "json":
-            # JSON carries no timestamp type: ship ISO strings explicitly
+        if fmt in ("json", "csv"):
+            # neither format carries a timestamp type: ship ISO strings
             ev = ev.withColumn(
                 "ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
             )
-        ev.repartition(4).write.mode("overwrite").format(fmt).save(staged)
+        w = ev.repartition(4).write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("quote", '"').option("escape", '"')
+        w.format(fmt).save(staged)
     return staged
 
 
@@ -87,4 +90,26 @@ def orc_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORC like parquet)."""
     staged = _staged(spark, sf_dir, "orc")
     ev = spark.read.orc(staged)
+    return _hourly(ev)
+
+
+@query("csv_events_hourly_stats", oracle=_HOURLY_ORACLE)
+def csv_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregation over a CSV restage — quoted fields protect the
+    embedded-JSON props column, timestamps travel as ISO strings. CSV is
+    the rawest feed format a pipeline meets; explicit schema + explicit
+    timestamp format keep the read single-pass and type-stable."""
+    staged = _staged(spark, sf_dir, "csv")
+    schema = (
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    ev = (
+        spark.read.schema(schema)
+        .option("header", "false")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(staged)
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    )
     return _hourly(ev)

@@ -238,3 +238,55 @@ def test_streaming_materialized_view(spark, tmp_path):
     assert _state(spark, agg) == _full(spark, base)
     assert {r.grp for r in agg.read(spark).collect()} == {"a", "b"}
     assert agg.last_refreshed_version() == base.version()
+
+
+def test_transform_enrichment_through_dim_join(spark, tmp_path):
+    """The flagship-report shape, maintained incrementally: orders fold
+    through a join against a static customer dim (is_active filter +
+    group by the dim's segment) — the delta-preserving enrichment the
+    medallion silver layer performs. State must equal the full
+    recompute after appends AND deletes."""
+    from pyspark.sql import Row
+
+    base = TxnTable(str(tmp_path), "orders")
+    dim = spark.createDataFrame(
+        [Row(cust=1, seg="gold", active=True), Row(cust=2, seg="iron", active=True),
+         Row(cust=3, seg="gold", active=False)],
+        "cust int, seg string, active boolean",
+    )
+    agg = IncrementalAggregate(
+        base,
+        TxnTable(str(tmp_path), "state"),
+        group_by={"seg": "seg"},
+        sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+        transform=lambda cdf: cdf.join(F.broadcast(dim), cdf["cust"] == dim["cust"]).filter(
+            F.col("active")
+        ),
+    )
+
+    def orders(rows):
+        return spark.createDataFrame(rows, "cust int, amount double")
+
+    base.append(orders([(1, 10.0), (2, 5.0), (3, 99.0)]))  # cust 3 inactive
+    agg.refresh(spark)
+    base.append(orders([(1, 2.5), (2, 1.0)]))
+    base.delete_where(spark, F.col("cust") == 2)
+    agg.refresh(spark, strategy="merge")
+
+    full = {
+        (r.seg, str(r.amount_sum), r.n_rows)
+        for r in base.read(spark)
+        .join(F.broadcast(dim), "cust")
+        .filter("active")
+        .groupBy("seg")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(18,2)")).alias("amount_sum"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    }
+    got = {
+        (r.seg, str(r.amount_sum), r.n_rows) for r in agg.read(spark).collect()
+    }
+    assert got == full
+    assert not any(s == "iron" for s, _, _ in got)  # cust 2 deleted
