@@ -89,3 +89,63 @@ def _run_incremental(spark: SparkSession, sf_dir: str, strategy: str) -> DataFra
         F.col("n_rows").alias("n_orders"),
         (F.floor(rev / F.col("n_rows") * 100 + F.lit(0.5)) / 100).alias("mean_revenue"),
     )
+
+
+@query(
+    "incremental_daily_order_report",
+    oracle="""
+    SELECT DATE_TRUNC('day', o.o_orderdate) AS "Date",
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS "Revenue",
+           FLOOR((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*)) * 100 + 0.5) / 100 AS "Mean Revenue"
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 0
+      AND NOT (o.o_orderkey % 23 = 7)
+    GROUP BY DATE_TRUNC('day', o.o_orderdate)
+    """,
+)
+def incremental_daily_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship report (daily revenue of active customers — the
+    reference's daily_order_report), maintained INCREMENTALLY: orders
+    land in a txn table over two appends and a point delete; every
+    refresh folds only the change feed, enriched through the
+    is_active customer-dim join (the delta-preserving transform), and
+    the final state must hash-match the one-shot SQL over the
+    survivors. This is the reference's full-reload ETL deliverable
+    re-expressed as view maintenance — the 100 TB cost model changes
+    from O(orders) per run to O(new orders)."""
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"report:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_incremental/{digest}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    customers = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_acctbal") > 0
+    ).select(F.col("c_custkey").alias("o_custkey"))
+
+    base = TxnTable(root, "orders_base")
+    view = IncrementalAggregate(
+        base,
+        TxnTable(root, "daily_report"),
+        group_by={"Date": "date_trunc('day', o_orderdate)"},
+        sums={"revenue_dec": "CAST(o_totalprice AS DECIMAL(18,2))"},
+        transform=lambda cdf: cdf.join(F.broadcast(customers), "o_custkey"),
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    base.append(orders.filter(F.col("o_orderkey") % 4 != 0))
+    view.refresh(spark)
+    base.append(orders.filter(F.col("o_orderkey") % 4 == 0))
+    view.refresh(spark, strategy="merge")
+    base.delete_where(spark, F.col("o_orderkey") % 23 == 7)
+    view.refresh(spark, strategy="merge")
+
+    rev = F.col("revenue_dec").cast("double")
+    return view.read(spark).select(
+        F.col("Date"),
+        rev.alias("Revenue"),
+        (F.floor(rev / F.col("n_rows") * 100 + F.lit(0.5)) / 100).alias("Mean Revenue"),
+    )
