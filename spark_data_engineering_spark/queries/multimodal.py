@@ -140,3 +140,34 @@ def media_resize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.greatest("width", "height")).alias("max_dim"),
         )
     )
+
+
+@query(
+    "media_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS payload_fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS bytes_reclaimable
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup on the BINARY payload: md5 over the blob bytes
+    groups identical media, keeping the lowest id as canonical — the
+    same one-shuffle fingerprint plan as text dedup_exact, proving the
+    dedup path is type-agnostic (the hash runs on the binary column
+    itself; the oracle hashes the identical utf-8 bytes as text since
+    the synthetic payload IS the encoded text). bytes_reclaimable is
+    what a dedup pass saves in object storage."""
+    media = M.attach_payloads(load_table(spark, "documents", sf_dir))
+    return (
+        media.select(F.md5(F.col("payload")).alias("payload_fp"), "media_id", "n_bytes")
+        .groupBy("payload_fp")
+        .agg(
+            F.min("media_id").cast("bigint").alias("keep_media_id"),
+            F.count("*").alias("n_copies"),
+            F.sum("n_bytes").cast("bigint").alias("bytes_reclaimable"),
+        )
+    )
