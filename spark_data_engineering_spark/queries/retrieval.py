@@ -1,0 +1,141 @@
+"""Keyword retrieval under the correctness gate: BM25-style ranked
+search over the documents table.
+
+Scoring is BM25 with the log replaced by its rational argument — the
+idf odds ratio ``(N - df + 0.5) / (df + 0.5)`` used directly. The
+variant is monotone in the same statistics (rank order per term is
+identical to Robertson idf) and, unlike ``ln``, every operation in it is
+an exactly-rounded IEEE op: transcendentals differ in the last ulp
+between libm implementations, which would make a hash-compared oracle
+flaky. Per-term scores are added in a FIXED explicit order on both
+engines; document length normalization uses the corpus average length,
+whose integer token-count sum is exact in doubles (< 2^53).
+
+Scale: term stats are one tiny aggregate each (df per term via
+conditional counts, one row broadcast); the scoring pass is a single
+map-side projection over the corpus followed by a top-k — the same
+shape as a production first-stage retriever (no inverted index needed
+for a full-scan engine; at interactive latencies you'd build one, which
+is exactly the ``vocab_top_tokens``-style posting shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.functions import numeric as NR
+from spark_data_engineering_spark.registry import query
+from spark_data_engineering_spark.sources import load_table
+
+_TERMS = ("data", "model", "training")
+_K1 = 1.2
+_B = 0.75
+_TOP = 20
+
+
+def _sql_tf(term: str) -> str:
+    return f"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = '{term}'))"
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST({_sql_tf(t)} AS DOUBLE) AS tf{i}" for i, t in enumerate(_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(_TERMS))
+    )
+    per_term = [
+        f"((n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * ({_K1} + 1.0)"
+        f" / (tf{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl)))"
+        for i in range(len(_TERMS))
+    ]
+    # FIXED left-to-right addition order, mirrored in the Spark code
+    score = " + ".join(per_term)
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+               {tf_cols}
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(dl) AS avgdl,
+               {df_cols}
+        FROM t
+    ),
+    scored AS (
+        SELECT doc_id,
+               FLOOR(({score}) * 10000 + 0.5) / 10000 AS bm25
+        FROM t, stats
+        WHERE tf0 + tf1 + tf2 > 0
+    )
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {_TOP}
+    """
+
+
+@query("bm25_keyword_search", oracle=_bm25_oracle())
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} documents for the query terms {terms} under the
+    log-free BM25 variant (module docstring) — deterministic ranking
+    with doc_id tie-break, hash-matched against the full SQL replay of
+    tf/df/avgdl and the fixed-order score sum.""".format(
+        top=_TOP, terms=_TERMS
+    )
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+
+    def _tf(term):
+        # factory, not a default arg: a two-parameter lambda would make
+        # F.filter pass the element INDEX as the second argument
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+
+    t = d.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(_TERMS)],
+    )
+    stats = t.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(_TERMS))
+        ],
+    )
+    j = t.crossJoin(F.broadcast(stats)).filter(
+        sum(F.col(f"tf{i}") for i in range(len(_TERMS))) > 0
+    )
+    per_term = [
+        (
+            (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        * (
+            F.col(f"tf{i}")
+            * (_K1 + 1.0)
+            / (
+                F.col(f"tf{i}")
+                + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        for i in range(len(_TERMS))
+    ]
+    score = per_term[0]
+    for p in per_term[1:]:
+        score = score + p  # same left-to-right order as the oracle
+    scored = j.select("doc_id", NR.round4(score).alias("bm25"))
+    w = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP)
+        .select("doc_id", "bm25", F.col("rank").cast("bigint").alias("rank"))
+    )

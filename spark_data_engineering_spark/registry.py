@@ -127,6 +127,7 @@ def load_all() -> None:
         quality,
         relational,
         reports,
+        retrieval,
         sampling,
         similarity,
         streaming_q,
