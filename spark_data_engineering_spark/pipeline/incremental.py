@@ -178,3 +178,39 @@ class IncrementalAggregate:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return self.state.read(spark)
+
+    def recompute(self, spark: SparkSession) -> DataFrame:
+        """The state a from-scratch backfill would produce at the base
+        version last folded: the full base snapshot (time-traveled to the
+        watermark, so concurrent base commits don't skew the audit) run
+        through the same transform/group/sum definitions."""
+        last = self.last_refreshed_version()
+        if last < 0:
+            raise ValueError("view has never been refreshed")
+        full = self.base.read(spark, at_version=last)
+        if self.transform is not None:
+            # transforms see CDF-shaped frames; a backfill is all-inserts
+            full = self.transform(
+                full.withColumn("_change_type", F.lit("insert")).withColumn(
+                    "_commit_version", F.lit(last)
+                )
+            )
+        keys = [F.expr(e).alias(a) for a, e in self.group_by.items()]
+        return full.groupBy(*keys).agg(
+            *[F.sum(F.expr(e)).alias(a) for a, e in self.sums.items()],
+            F.count("*").alias(_COUNT_COL),
+        )
+
+    def audit(self, spark: SparkSession) -> bool:
+        """Production backfill check: does the folded state equal a full
+        recompute? Decimal sums make the comparison exact, so any drift
+        (a non-delta-preserving transform, a manual state edit) surfaces
+        as a hard mismatch, not a tolerance judgement. Cost is one full
+        base scan — run it on the cadence you'd run a backfill."""
+        cols = sorted([*self.group_by, *self.sums, _COUNT_COL])
+        state = self.read(spark).select(*cols)
+        full = self.recompute(spark).select(*cols)
+        return (
+            state.exceptAll(full).limit(1).count() == 0
+            and full.exceptAll(state).limit(1).count() == 0
+        )

@@ -290,3 +290,29 @@ def test_transform_enrichment_through_dim_join(spark, tmp_path):
     }
     assert got == full
     assert not any(s == "iron" for s, _, _ in got)  # cust 2 deleted
+
+
+def test_audit_confirms_consistency_and_catches_drift(spark, view):
+    base, agg = view
+    base.append(_rows(spark, [("a", 1.0), ("b", 2.0)]))
+    agg.refresh(spark)
+    base.append(_rows(spark, [("a", 3.5)]))
+    base.delete_where(spark, F.col("grp") == "b")
+    agg.refresh(spark, strategy="merge")
+    assert agg.audit(spark) is True
+    # corrupt the state out-of-band -> the audit must catch it
+    bad = agg.read(spark).withColumn(
+        "amount_sum", F.col("amount_sum") + F.lit(1).cast("decimal(18,2)")
+    )
+    agg.state.overwrite(bad)
+    assert agg.audit(spark) is False
+
+
+def test_audit_pins_to_watermark_version(spark, view):
+    """Base commits AFTER the last refresh must not fail the audit: the
+    recompute time-travels to the folded version."""
+    base, agg = view
+    base.append(_rows(spark, [("a", 1.0)]))
+    agg.refresh(spark)
+    base.append(_rows(spark, [("a", 99.0)]))  # not yet folded
+    assert agg.audit(spark) is True
