@@ -187,3 +187,28 @@ def foreign_key(df_col: str, dim, dim_col: str) -> Check:
     return Check(
         name=f"foreign_key({df_col})", build=None, interpret=None, standalone=standalone
     )
+
+
+def observed(df: DataFrame, name: str, *cols: str):
+    """Zero-extra-scan quality metrics: attach an ``Observation`` so row
+    count and per-column null counts are collected DURING whatever action
+    the caller runs next (the write itself), instead of the separate
+    aggregate job ``run_checks`` costs. At 100 TB that second scan is the
+    single most expensive part of validation — observe() rides the
+    existing pass for free (it taps rows as they flow through the plan).
+
+    Returns (observed_df, observation). After ANY action on observed_df,
+    ``observation.get`` yields ``{'n_rows': ..., 'nulls_<col>': ...}``.
+    Observation metrics must be aggregates over the observed plan and
+    cannot force extra jobs — exactly the right constraint for metrics
+    that must never slow the pipeline down.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+        )
+    return df.observe(obs, *metrics), obs
