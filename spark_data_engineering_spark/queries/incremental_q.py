@@ -149,3 +149,44 @@ def incremental_daily_order_report(spark: SparkSession, sf_dir: str) -> DataFram
         rev.alias("Revenue"),
         (F.floor(rev / F.col("n_rows") * 100 + F.lit(0.5)) / 100).alias("Mean Revenue"),
     )
+
+
+@query(
+    "txn_datasource_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_datasource_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a txn table through the ``format("txn")`` Python data source
+    (sources/txn_datasource.py) — orders land over two commits, the
+    connector plans partitions from the commit log (never a directory
+    listing), and the aggregate must hash-match SQL over the original
+    parquet. Proves the table format is consumable by ANY Spark job via
+    the standard reader API."""
+    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+
+    spark.dataSource.register(TxnDataSource)
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"ds:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_incremental/ds-{digest}"
+    table = TxnTable(root, "orders_ds")
+    if table.version() == 0:
+        orders = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        table.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+        table.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    df = spark.read.format("txn").load(table.table_dir)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

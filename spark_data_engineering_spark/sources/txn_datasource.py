@@ -1,0 +1,182 @@
+"""Spark 4 Python Data Source exposing TxnTable as ``format("txn")``.
+
+The txn table format (sources/txn.py) gets a first-class connector:
+
+    spark.dataSource.register(TxnDataSource)
+    spark.read.format("txn").load(table_dir)           # snapshot read
+    spark.readStream.format("txn").load(table_dir)     # commit-log tail
+
+Batch: one input partition per live data file (the log — not a
+directory listing — defines the file set, so half-staged writer garbage
+is invisible); each partition is read executor-side with pyarrow.
+
+Streaming: offsets are commit VERSIONS. Each micro-batch covers the
+commits in ``(start, end]`` and its partitions are exactly the files
+those commits added — the append-only tail of the table, the same
+contract as Delta's streaming source. Non-append commits (overwrite /
+delete / merge rewrites) abort the stream by default because silently
+treating rewritten files as new rows would duplicate data; pass
+``.option("ignoreChanges", "true")`` to accept re-emission of rewritten
+rows (again Delta's escape hatch, with Delta's caveat).
+
+Scale: offset resolution reads only commit JSON (metadata); partition
+planning never lists the data directory; file reads are parallel across
+executors. The connector makes the txn format consumable by ANY Spark
+job — including ones that know nothing about this library.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+def _arrow_to_ddl(path: str) -> str:
+    """Spark DDL schema from a parquet file's arrow schema (driver-side,
+    footer only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mapping = {
+        pa.int64(): "bigint",
+        pa.int32(): "int",
+        pa.int16(): "smallint",
+        pa.int8(): "tinyint",
+        pa.float64(): "double",
+        pa.float32(): "float",
+        pa.string(): "string",
+        pa.large_string(): "string",
+        pa.bool_(): "boolean",
+        pa.binary(): "binary",
+        pa.date32(): "date",
+    }
+    parts = []
+    for field in pq.read_schema(path):
+        t = field.type
+        if t in mapping:
+            ddl = mapping[t]
+        elif pa.types.is_timestamp(t):
+            ddl = "timestamp"
+        elif pa.types.is_decimal(t):
+            ddl = f"decimal({t.precision},{t.scale})"
+        else:
+            raise ValueError(f"txn datasource: unmapped arrow type {t} for {field.name}")
+        parts.append(f"`{field.name}` {ddl}")
+    return ", ".join(parts)
+
+
+def _read_file(path: str, schema: StructType):
+    """Executor-side: yield tuples in the query schema's column order."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path, columns=[f.name for f in schema.fields])
+    for batch in table.to_batches():
+        cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        yield from zip(*cols) if cols else iter(())
+
+
+class TxnBatchReader(DataSourceReader):
+    def __init__(self, table_dir: str, schema: StructType) -> None:
+        from spark_data_engineering_spark.sources.txn import TxnTable
+        import os
+
+        t = TxnTable(os.path.dirname(table_dir), os.path.basename(table_dir))
+        self._paths = [os.path.join(t.data_dir, f) for f in t.live_files()]
+        self._schema = schema
+
+    def partitions(self):
+        return [_FilePartition(p) for p in self._paths]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file(partition.path, self._schema)
+
+
+class TxnStreamReader(DataSourceStreamReader):
+    def __init__(self, table_dir: str, schema: StructType, ignore_changes: bool) -> None:
+        from spark_data_engineering_spark.sources.txn import TxnTable
+        import os
+
+        self._table = TxnTable(os.path.dirname(table_dir), os.path.basename(table_dir))
+        self._schema = schema
+        self._ignore_changes = ignore_changes
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._table.version()}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        parts = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            c = self._table._read_commit(v)
+            if c["action"] not in ("append", "streaming-append") and not self._ignore_changes:
+                raise RuntimeError(
+                    f"txn stream: commit {v} is '{c['action']}', not an append; "
+                    "rewritten files would re-emit their rows. Pass "
+                    "option('ignoreChanges', 'true') to accept that."
+                )
+            parts.extend(
+                _FilePartition(os.path.join(self._table.data_dir, f))
+                for f in c.get("add", ())
+            )
+        # a batch may legitimately cover only rowless commits (compact)
+        return parts or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        return _read_file(partition.path, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # the log is immutable; nothing to clean up
+
+    def stop(self) -> None:
+        pass
+
+
+class TxnDataSource(DataSource):
+    """``format("txn")`` — path is the table directory (<root>/<name>)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txn"
+
+    def _table_dir(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txn datasource requires .load(<table_dir>)")
+        return path
+
+    def schema(self) -> str:
+        from spark_data_engineering_spark.sources.txn import TxnTable
+        import os
+
+        d = self._table_dir()
+        t = TxnTable(os.path.dirname(d), os.path.basename(d))
+        live = t.live_files()
+        if not live:
+            raise ValueError(f"txn table {d} is empty; cannot infer schema")
+        return _arrow_to_ddl(os.path.join(t.data_dir, live[0]))
+
+    def reader(self, schema: StructType) -> TxnBatchReader:
+        return TxnBatchReader(self._table_dir(), schema)
+
+    def streamReader(self, schema: StructType) -> TxnStreamReader:
+        return TxnStreamReader(
+            self._table_dir(),
+            schema,
+            str(self.options.get("ignoreChanges", "false")).lower() == "true",
+        )
