@@ -486,3 +486,188 @@ def int8_knn(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    kmeans_iters: int = 5,
+    sample_rows: int = 4096,
+    vec_col: str = "embedding",
+):
+    """Train product-quantization codebooks: split the (normalized)
+    vector into ``m`` contiguous subvectors and run an independent small
+    k-means per subspace. Returns a numpy array of shape
+    ``(m, n_codes, dim // m)``.
+
+    Training is driver-side over a BOUNDED sample (first ``sample_rows``
+    rows in storage order — deterministic for a fixed file layout, same
+    contract as ``ivf_knn``): codebook quality depends on the sample,
+    correctness of the index does not. At 1B vectors the sample is still
+    4k rows; nothing here grows with the corpus.
+    """
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        block = mat[:, j * sub : (j + 1) * sub]
+        # deterministic init: evenly spaced rows of the sample block
+        idx = np.linspace(0, len(block) - 1, n_codes).astype(int)
+        cents = block[idx].copy()
+        for _ in range(kmeans_iters):
+            d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = block[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate k-NN: asymmetric distance
+    computation (ADC) for candidate generation, exact-cosine re-rank of
+    the short list — the memory-bound scale path for billion-vector
+    corpora: each corpus vector is scanned as ``m`` uint8 codes (8 bytes
+    at m=8 vs 256 bytes for float32 dim=64 — 32x), and ADC-scoring a
+    vector costs ``m`` table lookups instead of ``dim`` multiplies.
+
+    Flow: (1) train codebooks on a bounded driver-side sample;
+    (2) one mapInPandas pass encodes the corpus (codes + reconstructed
+    norm) — at scale this is the ingest-time index build, amortized over
+    every later query; (3) queries stay FLOAT (asymmetric): per query a
+    ``m x n_codes`` dot-product table is built once, then each encoded
+    corpus row is scored by gathering ``m`` entries. Scoring emits only
+    a per-batch short list per query, so shuffle volume is
+    ``O(batches * queries * k * rerank_factor)``, not ``O(N * queries)``;
+    (4) the global ADC top ``k * rerank_factor`` candidates join back to
+    the corpus for true vectors and an EXACT cosine re-rank picks the
+    final top-k — the standard two-stage layout (IVFPQ + re-rank): the
+    full-precision fetch touches only ``Q * k * rerank_factor`` rows, so
+    the 32x scan compression is preserved.
+
+    Approximate by design (the true neighbor must survive the ADC
+    short-list cut) — recall vs ``brute_force_knn`` is asserted in
+    tests, same contract as ``lsh_knn``/``ivf_knn``.
+    """
+    import numpy as np
+
+    books = pq_train_codebooks(corpus, m=m, n_codes=n_codes, vec_col=vec_col)
+    sub = books.shape[2]
+    sc = corpus.sparkSession.sparkContext
+    b_books = sc.broadcast(books)
+
+    # Queries are the small side (same broadcast contract as every kNN
+    # here): collect once, precompute per-query ADC tables driver-side,
+    # broadcast tables — not vectors — to the scan.
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # tables[q, j, c] = <query_q subvector j, codebook[j][c]>
+    tables = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), books)
+    b_tables = sc.broadcast(tables)
+    b_qids = sc.broadcast(q_ids)
+
+    def encode_and_score(batches):
+        import pandas as pd
+
+        bks = b_books.value
+        tbl = b_tables.value
+        qids = b_qids.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            block = block / np.maximum(
+                np.linalg.norm(block, axis=1, keepdims=True), 1e-12
+            )
+            n = len(block)
+            blocks = block.reshape(n, m, sub)
+            # encode: per subspace, nearest codeword (L2)
+            codes = np.empty((n, m), dtype=np.int64)
+            recon_sq = np.zeros(n)
+            for j in range(m):
+                d2 = ((blocks[:, j, None, :] - bks[None, j]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+                recon_sq += (bks[j][codes[:, j]] ** 2).sum(axis=1)
+            recon_norm = np.maximum(np.sqrt(recon_sq), 1e-12)
+            # ADC: gather m table entries per (query, row), normalize by
+            # the reconstructed corpus norm (queries are unit-norm)
+            j_idx = np.arange(m)
+            sims = (
+                tbl[:, j_idx[None, :], codes[:, :]].sum(axis=2) / recon_norm[None, :]
+            )  # (Q, n)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # per-batch short list per query: bounds emitted rows
+            kk = min(k * rerank_factor + 4, n)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                s = sims[qi]
+                top = np.argpartition(-s, kk - 1)[:kk]
+                for t in top:
+                    if ids[t] == qids[qi]:
+                        continue
+                    out_q.append(qids[qi])
+                    out_n.append(ids[t])
+                    out_s.append(round(float(s[t]), 4))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_sim": out_s}
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        encode_and_score, schema="query_id bigint, neighbor_id bigint, adc_sim double"
+    )
+    w_adc = W.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    short_list = (
+        cand.withColumn("_adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("_adc_rank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact re-rank: fetch true vectors for the tiny candidate set (the
+    # candidate side broadcasts into the corpus scan), score against the
+    # broadcast query vectors with full-precision cosine.
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    rescored = (
+        c_vecs.join(F.broadcast(short_list), "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("cos_sim", NR.round4(cosine(F.col("_qvec"), F.col("_cvec"))))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -198,3 +198,15 @@ def knn_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return S.int8_knn(emb, queries, k=10)
+
+
+@query("knn_pq")
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-10: corpus scanned as 16 uint8 codes
+    per vector (16x smaller than float32 at dim 64), ADC lookup-table
+    scoring builds a 4x short list, exact cosine re-ranks it — the
+    memory-bound billion-vector ANN layout (rows-only: approximate by
+    short-list cut; recall vs brute force asserted in tests)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.pq_knn(emb, queries, k=10, m=16, n_codes=32)

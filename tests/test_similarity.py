@@ -145,3 +145,32 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     assert out[1] == [64.0, -127.0, 32.0]  # floor(x*127/max_abs + 0.5)
     assert out[2] == [0.0, 0.0, 0.0]
     assert all(-127 <= v <= 127 for v in out[1])
+
+
+def test_pq_knn_recall_and_shape(spark, sf_dir):
+    """PQ recall@10 vs exact brute force: 16 subspaces x 32 codes on
+    64-dim embeddings (16x compression), ADC short-list at 4x over-fetch
+    then exact re-rank. The synthetic embeddings are near-isotropic —
+    the hardest case for PQ — so the bar is 0.7, not the ~0.95 a
+    clustered corpus would give; shape/determinism contract matches the
+    other kNN variants."""
+    recall = _recall_vs_bruteforce(
+        spark, sf_dir, lambda c, q: S.pq_knn(c, q, k=10, m=16, n_codes=32)
+    )
+    assert recall >= 0.7, f"pq recall@10 = {recall}"
+    out = S.pq_knn(
+        load_table(spark, "embeddings", sf_dir),
+        load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 2),
+        k=5,
+    )
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    assert all(1 <= r.rank <= 5 for r in rows)
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    # deterministic across runs (fixed sample + init)
+    again = S.pq_knn(
+        load_table(spark, "embeddings", sf_dir),
+        load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 2),
+        k=5,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
