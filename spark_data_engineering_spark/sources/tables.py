@@ -45,15 +45,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # the session having been built by this repo's session factory.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is INT64 TIMESTAMP(NANOS) in parquet; Spark reads it as a
-    # nanosecond long (spark.sql.legacy.parquet.nanosAsLong) — convert to
-    # a microsecond timestamp so downstream time functions work.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    # Normalize events.ts to TIMESTAMP (LTZ) whatever the parquet encoding:
+    # the generator has shipped both INT64 TIMESTAMP(NANOS) (read as a
+    # nanosecond long under nanosAsLong) and plain timestamp[us] with no
+    # timezone (read as TIMESTAMP_NTZ, which can't be cast to numeric).
+    # Downstream operators (sessionize gap arithmetic, as-of join) assume
+    # a castable TIMESTAMP column.
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer division: epoch-nanos (~1.7e18) exceeds double's 53-bit
-        # mantissa, so `/ 1000` + cast would round off microseconds
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
+            # integer division: epoch-nanos (~1.7e18) exceeds double's
+            # 53-bit mantissa, so `/ 1000` + cast would round microseconds
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            # NTZ wall clock reinterpreted in the session zone; field
+            # extraction and toPandas both render in the session zone, so
+            # results stay aligned with a naive-timestamp oracle.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
