@@ -65,6 +65,20 @@ def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def auto_num_planes(
+    corpus_rows: int, target_bucket: int = 256, lo: int = 3, hi: int = 20
+) -> int:
+    """Plane count sized so the expected bucket holds ~``target_bucket``
+    vectors: ``2**planes ~= N / target_bucket``. Fixed plane counts break
+    at both ends — 8 planes is 256 buckets whether the corpus holds 6e3
+    vectors (23/bucket: probes cover almost nothing, recall collapses) or
+    1e9 (4M/bucket: every probe rescans a shard). Capped at ``hi`` so the
+    signature stays one bigint."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(1.0, corpus_rows / target_bucket)))))
+
+
 def lsh_bucket_signature(vec, planes: list[list[float]]):
     """Bit signature column: sign of the dot product with each plane."""
     sig = F.lit(0).cast("bigint")
@@ -83,7 +97,7 @@ def lsh_knn(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -91,7 +105,11 @@ def lsh_knn(
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane bucket. Recall depends on bucket granularity; at scale,
     multi-probe (flip one bit) would raise recall — single-probe here.
+    ``num_planes=None`` sizes buckets from the corpus row count
+    (metadata-only count job; see ``auto_num_planes``).
     """
+    if num_planes is None:
+        num_planes = auto_num_planes(corpus.count())
     planes = _hyperplanes(num_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -265,7 +283,7 @@ def lsh_knn_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     dim: int = 64,
     n_probes: int = 9,
     id_col: str = "vec_id",
@@ -277,11 +295,15 @@ def lsh_knn_multiprobe(
     on. Recovers most of the recall single-probe loses when buckets are
     fine; with ``n_probes = 2**num_planes`` every bucket is probed and
     recall is exactly 1 (the oracle-able configuration).
+    ``num_planes=None`` sizes buckets from the corpus row count
+    (metadata-only count job; see ``auto_num_planes``).
 
     The corpus is still bucketed ONCE; only the (tiny) query side
     replicates per probe — the scan volume stays #corpus + #queries x
     n_probes, the property that matters at 1B vectors.
     """
+    if num_planes is None:
+        num_planes = auto_num_planes(corpus.count())
     planes = _hyperplanes(num_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -200,6 +200,62 @@ def knn_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.int8_knn(emb, queries, k=10)
 
 
+# Recall@10 of each production ANN configuration vs brute force is a
+# deterministic function of the corpus: hyperplanes, the IVF k-means
+# sample, and the PQ codebooks all derive from fixed seeds, so at a
+# given sf the report is a constant — which makes a precomputed
+# expectation a valid oracle (the driver's gate runs at sf0.01; the
+# expectation below was measured there and is additionally floor-checked
+# for every sf in tests/test_similarity.py).
+_ANN_RECALL_EXPECTED_SF001 = """
+    SELECT method, CAST(recall_at_10 AS DOUBLE) AS recall_at_10
+    FROM (VALUES ('ivf', {ivf}),
+                 ('lsh_multiprobe', {lsh}),
+                 ('pq', {pq})) t(method, recall_at_10)
+    """
+
+
+@query(
+    "ann_recall_report",
+    oracle=_ANN_RECALL_EXPECTED_SF001.format(ivf=0.62, lsh=1.0, pq=0.92),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the three production approximate-ANN paths
+    (multi-probe hyperplane LSH, IVF 4-of-16 probe, PQ ADC short list)
+    against the exact brute-force top-10, computed entirely in Spark:
+    per-method ``left_semi`` join onto the brute-force (query, neighbor)
+    set, then hits/total. No driver-side collection beyond the 3-row
+    result; the brute-force side is one corpus scan reused via cache."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    bf = (
+        S.brute_force_knn(emb, queries_df, k=10)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    methods = {
+        "lsh_multiprobe": S.lsh_knn_multiprobe(emb, queries_df, k=10, n_probes=9),
+        "ivf": S.ivf_knn(emb, queries_df, k=10, n_centroids=16, n_probe=4),
+        "pq": S.pq_knn(emb, queries_df, k=10, m=16, n_codes=32),
+    }
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+    reports = [
+        approx.select("query_id", "neighbor_id")
+        .join(bf, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .crossJoin(total)
+        .select(
+            F.lit(name).alias("method"),
+            F.round(F.col("hits") / F.col("total"), 4).alias("recall_at_10"),
+        )
+        for name, approx in methods.items()
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 @query("knn_pq")
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization top-10: corpus scanned as 16 uint8 codes

@@ -39,75 +39,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external correctness gate oracle-checks only the FIRST 50 registered
-# queries. This list pins the check window to the highest-stakes, oracled
-# queries (all 22 TPC-H shapes, the two flagship reports, the events suite,
-# streaming, similarity, sampling, text) — everything else (already
-# evidenced in a prior round, or rows-only by design) registers after.
+# queries. Rounds 1-2 together put a green driver row on 87 of the 119
+# registered queries; this round's window targets exactly the 32 queries
+# that have NEVER had a driver row, plus 5 stable canaries (regression
+# tripwires over shared code paths) and a refresh of the most load-bearing
+# round-1-only evidence (queries whose shared loader changed since their
+# green row). Goal: the union of green rows across rounds covers all
+# registered queries.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # TPC-H — the canonical relational surface
+    # --- Canaries: stable, previously-green, exercise the shared loader,
+    # the flagship report pipeline, events, and the dedup family.
     "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_exists",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_classes",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_part_promotion_suppliers",
-    "tpch_q21_sole_returned_supplier",
-    "tpch_q22_dormant_customers",
-    # Flagship reports (the reference's primary deliverable)
     "daily_order_report",
     "daily_category_report",
-    # Events / time-series suite
-    "asof_purchase_click",
-    "sessionize_events",
-    "signup_click_purchase_funnel",
-    "event_type_map_roundtrip",
-    "event_rollup_multires",
-    "events_json_extract",
     "hourly_event_stats",
-    "sql_revenue_by_nation",
-    "signup_cohort_retention",
-    # Sketches / quantiles
-    "approx_quantiles_lineitem",
-    "approx_distinct_parts",
-    # Multimodal (stub-decode arithmetic, oracled in SQL; resize_profile
-    # rotated out — same stub-oracle pattern as decode_metadata)
-    "media_decode_metadata",
-    # Streaming (end-of-stream state vs batch oracle)
-    "streaming_hourly_event_stats",
-    # Similarity search
-    "knn_bruteforce",
-    "embedding_near_dup",
-    # Sampling / train splits
-    "stratified_sample_documents",
-    "train_split_counts",
-    # Text analysis (flagships; the 6 micro-queries rotated out were
-    # driver-green in round 2's window and keep their pytest coverage)
-    "doc_stats",
-    "doc_quality_and_lang",
-    # Newly-oracled this round, never driver-checked: the simhash oracle
-    # (md5_48 replayable hash), the exact-recall ANN configurations, and
-    # the corpus-curation / quality-filter capabilities
     "simhash_near_pairs",
-    "knn_lsh_exhaustive",
-    "knn_ivf_exhaustive",
-    "doc_repetition_metrics",
-    "doc_pii_scrub",
-    "pack_sequences",
-    "corpus_curation_counts",
+    # --- Never driver-checked (32): sampling/curation/text micro-queries
+    "mixture_sample_counts",
+    "context_length_buckets",
+    "benchmark_contamination",
+    "chunk_documents",
+    "boilerplate_chunks",
+    "curation_decisions",
+    "doc_fingerprints",
+    "lang_source_profile",
+    "token_regex_stats",
+    "vocab_top_tokens",
+    "tfidf_top_terms",
+    "label_centroids",
+    "bm25_keyword_search",
+    # --- Never checked: multi-format ingest (CSV/JSONL/ORC)
+    "csv_events_hourly_stats",
+    "jsonl_events_hourly_stats",
+    "orc_events_hourly_stats",
+    # --- Never checked: graph / skew
+    "pagerank_click_graph",
+    "salted_distinct_customers_by_status",
+    # --- Never checked: incremental / txn table format
+    "incremental_daily_revenue",
+    "incremental_daily_revenue_merged",
+    "incremental_daily_order_report",
+    "txn_datasource_revenue",
+    # --- Never checked: multimodal + bucketed report
+    "media_exact_dedup",
+    "daily_category_report_bucketed",
+    # --- Never checked: production ANN paths (lsh/ivf/pq rows-only;
+    # int8 + dup-clusters oracled; ann_recall_report oracles recall@10
+    # of all three approximate methods against brute force)
+    "knn_lsh",
+    "knn_lsh_multiprobe",
+    "knn_ivf",
+    "knn_pq",
+    "knn_int8_quantized",
+    "embedding_dup_clusters",
+    "ann_recall_report",
+    # --- Never checked: streaming dedup / sessionize
+    "streaming_dedup_documents",
+    "streaming_sessionize_events",
+    # --- Round-1-only evidence refresh: the shared loader (sources/
+    # tables.py) changed after these went green; re-evidence the most
+    # load-bearing ones.
+    "minhash_lsh_pairs",
+    "dedup_exact",
+    "dedup_clusters",
+    "ngram_jaccard_pairs",
+    "media_feature_knn",
+    "media_resize_profile",
+    "brand_type_metrics",
+    "pipeline_daily_order_report",
+    "pipeline_daily_category_report",
+    "latest_order_per_customer",
+    "customer_rank_suite",
+    "daily_revenue_gapfilled",
 )
 
 

@@ -30,6 +30,15 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    # Borrow the host's bundled protobuf runtime (if any) BEFORE the JVM
+    # starts so Python workers inherit the PYTHONPATH shim — required by
+    # transformWithStateInPandas; no-op where protobuf is installed.
+    from spark_data_engineering_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    ensure_protobuf()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

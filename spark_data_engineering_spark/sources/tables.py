@@ -54,6 +54,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name == "events":
         from pyspark.sql import functions as F
 
+        # The NTZ->LTZ cast below and all downstream epoch arithmetic
+        # (sessionize gap math, unix_timestamp in the as-of join) depend on
+        # spark.sql.session.timeZone. The session factory pins UTC, but —
+        # like nanosAsLong above — defend against sessions this repo didn't
+        # build: a DST-observing zone would shift epochs vs the
+        # naive-timestamp oracle and skew gaps spanning a transition.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         dtype = dict(df.dtypes).get("ts")
         if dtype == "bigint":
             # integer division: epoch-nanos (~1.7e18) exceeds double's

@@ -1,0 +1,95 @@
+"""Make ``google.protobuf`` importable in this container.
+
+``transformWithStateInPandas`` (streaming/stateful2.py) speaks protobuf
+to the JVM state server via pyspark's generated ``StateMessage_pb2``,
+but this container has no installed ``protobuf`` distribution and no
+network to install one. A complete pure-Python protobuf runtime (6.32)
+does ship inside the host's google-cloud-sdk app-engine platform, so we
+borrow it:
+
+- driver side: append the platform dir to ``sys.path`` and no-op the
+  gencode/runtime minor-version gate (gencode 6.33 vs runtime 6.32 —
+  the generated code uses no 6.33-only feature; serialize/parse
+  round-trips verified at import time below);
+- worker side: Spark's Python workers are fresh interpreters, so the
+  same setup must happen there *before* pyspark imports the pb2. The
+  ``_pbshim`` directory contains a ``sitecustomize.py`` that repeats the
+  setup at interpreter start; putting it on ``PYTHONPATH`` before the
+  SparkSession is created makes every local-mode worker inherit it.
+
+If the platform runtime is absent (other hosts), everything degrades to
+the previous behavior: ``ensure_protobuf()`` returns False and the
+stateful2 test skips.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_APPENGINE = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+_SHIM_DIR = os.path.join(os.path.dirname(__file__), "_pbshim")
+
+
+def _patch_version_gate() -> None:
+    """Disable the protobuf gencode>runtime minor-version refusal."""
+    try:
+        from google.protobuf import runtime_version
+
+        runtime_version.ValidateProtobufRuntimeVersion = (  # type: ignore[assignment]
+            lambda *a, **k: None
+        )
+    except Exception:
+        pass
+
+
+def _roundtrip_ok() -> bool:
+    """Smoke-check the borrowed runtime against pyspark's gencode."""
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+        m = sm.StateRequest()
+        m.version = 2
+        m2 = sm.StateRequest()
+        m2.ParseFromString(m.SerializeToString())
+        return m2.version == 2
+    except Exception:
+        return False
+
+
+def ensure_protobuf() -> bool:
+    """Return True iff ``google.protobuf`` is usable for the stateful
+    streaming API, borrowing the app-engine runtime if needed. Must run
+    before the SparkSession is created for workers to inherit the
+    ``PYTHONPATH`` shim."""
+    have = False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        have = True
+    except ImportError:
+        if os.path.isdir(os.path.join(_APPENGINE, "google", "protobuf")):
+            # evict any namespace-only `google*` poisoned into sys.modules
+            # by the failed import (e.g. spark-core jar .proto resources)
+            for m in [
+                m for m in sys.modules if m == "google" or m.startswith("google.")
+            ]:
+                del sys.modules[m]
+            if _APPENGINE not in sys.path:
+                sys.path.append(_APPENGINE)
+            try:
+                from google.protobuf import descriptor  # noqa: F401
+
+                have = True
+            except ImportError:
+                return False
+    if not have:
+        return False
+    _patch_version_gate()
+    if not _roundtrip_ok():
+        return False
+    parts = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if _SHIM_DIR not in parts:
+        parts.append(_SHIM_DIR)
+        os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+    return True

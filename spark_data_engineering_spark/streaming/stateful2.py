@@ -6,11 +6,13 @@ shapes), explicit timers, and the RocksDB state store, which is the
 production backend for state larger than executor heap — state spills to
 local disk and checkpoints incrementally instead of full HDFS snapshots.
 
-ENVIRONMENT NOTE: this container's Spark worker lacks a usable
-``google.protobuf`` (the new API's wire format), so the equivalence test
-skips here and runs wherever pyspark's protobuf dependency is installed;
-``streaming/events.py``'s applyInPandasWithState spend tracker covers
-arbitrary-state correctness in-container.
+ENVIRONMENT NOTE: this container has no installed ``protobuf``
+distribution (the new API's wire format), but ``protobuf_compat.py``
+borrows the pure-Python runtime bundled with the host's google-cloud-sdk
+(driver ``sys.path`` + a worker ``sitecustomize`` shim), so the
+equivalence test runs here; on hosts with neither, it degrades to a
+skip and ``streaming/events.py``'s applyInPandasWithState spend tracker
+covers arbitrary-state correctness.
 
 Operator: per-user running totals over the event stream — the simplest
 correctness-checkable shape (end-of-stream state must equal the batch

@@ -8,18 +8,13 @@ from spark_data_engineering_spark.sources import load_table
 from spark_data_engineering_spark.streaming.stateful2 import running_user_totals
 
 
-def _protobuf_usable() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
+from spark_data_engineering_spark.streaming.protobuf_compat import ensure_protobuf
 
 
 @pytest.mark.skipif(
-    not _protobuf_usable(),
-    reason="transformWithStateInPandas needs google.protobuf, absent in "
-    "this container (env constraint - no installs); the operator itself "
+    not ensure_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf and no usable "
+    "runtime exists on this host (no installs allowed); the operator itself "
     "is real and runs wherever pyspark's protobuf dep is present",
 )
 def test_running_totals_match_batch(spark, sf_dir, tmp_path):
