@@ -79,10 +79,32 @@ class CatalogStore:
         if not self.spark.catalog.tableExists(table):
             writer.saveAsTable(table)
         else:
+            # Schema evolution, the metastore way (reference writes with
+            # mergeSchema=true, base_table.py:212): columns this batch
+            # adds are declared to the catalog first — readers of old
+            # batches see them as NULL — then the batch realigns to the
+            # table's column order, NULL-filling columns it lacks.
+            existing = self.spark.table(table).schema
+            new_cols = [
+                f for f in stamped.schema.fields if f.name not in existing.names
+            ]
+            if new_cols:
+                spec = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in new_cols
+                )
+                self.spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({spec})")
+                existing = self.spark.table(table).schema
             # dynamic mode: only the partitions present in `stamped` are
             # replaced; all other batches stay live. insertInto resolves
             # by POSITION — realign to the table's column order first.
-            aligned = stamped.select(*self.spark.table(table).columns)
+            aligned = stamped.select(
+                *[
+                    F.col(f.name)
+                    if f.name in stamped.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in existing.fields
+                ]
+            )
             aligned.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).insertInto(table)

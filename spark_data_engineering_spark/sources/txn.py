@@ -172,6 +172,7 @@ class TxnTable:
         remove: list[str],
         stats: dict[str, dict] | None = None,
         txn: tuple[str, int] | None = None,
+        schema: list[dict] | None = None,
     ) -> int:
         """Commit with optimistic retry. Appends retry blindly (their
         files conflict with nothing); rewrites re-validate that every
@@ -193,6 +194,8 @@ class TxnTable:
             record = {"version": head + 1, "action": action, "add": add, "remove": remove}
             if stats:
                 record["stats"] = stats
+            if schema is not None:
+                record["schema"] = schema
             if txn is not None:
                 record["txn"] = {"app": txn[0], "epoch": txn[1]}
             if self._try_commit(record):
@@ -297,17 +300,72 @@ class TxnTable:
         shutil.rmtree(staging)
         return names, stats
 
+    # ---- logical schema --------------------------------------------------
+
+    def table_schema(self, at_version: int | None = None) -> list[dict]:
+        """The table's logical schema at a version, replayed from the log
+        (latest commit that recorded one). Schema evolution is a LOG
+        property, not a file property: an overwrite that drops a column
+        does not un-declare it — readers keep seeing it as NULL, exactly
+        like the snapshot/catalog backends (and Delta)."""
+        head = self.version() if at_version is None else at_version
+        for v in reversed(self._commit_files()):
+            if v <= head:
+                c = self._read_commit(v)
+                if "schema" in c:
+                    return c["schema"]
+        return []
+
+    def _merged_schema(self, df: DataFrame) -> list[dict]:
+        """Previous logical schema + columns ``df`` adds (appended in
+        order). Same-name/different-type is schema ENFORCEMENT, not
+        evolution — refuse, like Delta without an explicit cast."""
+        merged = self.table_schema()
+        by_name = {f["name"]: f for f in merged}
+        for f in df.schema.fields:
+            entry = {"name": f.name, "type": json.loads(f.dataType.json())}
+            prev = by_name.get(f.name)
+            if prev is None:
+                merged.append(entry)
+                by_name[f.name] = entry
+            elif prev["type"] != entry["type"]:
+                raise ValueError(
+                    f"schema enforcement: column {f.name!r} is "
+                    f"{prev['type']} in the table but {entry['type']} in "
+                    "the incoming batch; cast explicitly to change types"
+                )
+        return merged
+
+    def _conform(self, df: DataFrame, at_version: int | None = None) -> DataFrame:
+        """Project a files-read onto the logical schema: missing columns
+        become typed NULLs, order follows the declaration order."""
+        logical = self.table_schema(at_version)
+        if not logical:
+            return df
+        from pyspark.sql.types import _parse_datatype_json_value
+
+        cols = []
+        for s in logical:
+            dt = _parse_datatype_json_value(s["type"])
+            if s["name"] in df.columns:
+                cols.append(F.col(s["name"]))
+            else:
+                cols.append(F.lit(None).cast(dt).alias(s["name"]))
+        return df.select(*cols)
+
     # ---- public operations ----------------------------------------------
 
     def append(self, df: DataFrame) -> int:
+        schema = self._merged_schema(df)
         add, stats = self._stage(df)
-        return self._commit("append", add, [], stats)
+        return self._commit("append", add, [], stats, schema=schema)
 
     def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         # resolve the files to replace BEFORE staging; _commit re-validates
+        schema = self._merged_schema(df)
         removed = self.live_files()
         add, stats = self._stage(df)
-        return self._commit("overwrite", add, removed, stats, txn=txn)
+        return self._commit("overwrite", add, removed, stats, txn=txn, schema=schema)
 
     def read(
         self,
@@ -324,7 +382,8 @@ class TxnTable:
                 raise FileNotFoundError(f"table {self.table_dir} is empty at this version")
             return self.read(spark, at_version).limit(0)
         paths = [os.path.join(self.data_dir, f) for f in files]
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._conform(df, at_version)
 
     def merge(
         self,
@@ -628,6 +687,7 @@ class TxnTable:
         sink can't."""
         if epoch_id <= self.last_epoch(app_id):
             return None  # replay of an already-committed batch
+        schema = self._merged_schema(df)
         add, stats = self._stage(df)
         while True:
             head = self.version()
@@ -644,6 +704,7 @@ class TxnTable:
                 "remove": [],
                 "stats": stats,
                 "txn": {"app": app_id, "epoch": epoch_id},
+                "schema": schema,
             }
             if self._try_commit(record):
                 v = head + 1

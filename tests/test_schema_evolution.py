@@ -1,0 +1,98 @@
+"""Schema evolution end-to-end across all three storage backends: a
+later batch carries an extra column (the reference's mergeSchema=true
+write path, base_table.py:211-217) and (a) read-latest returns the
+merged schema with the new column populated, (b) old batches stay
+readable with the new column as NULL, (c) a following batch that drops
+the column again still reads cleanly."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources.catalog import CatalogStore
+from spark_data_engineering_spark.sources.snapshot import SnapshotStore
+from spark_data_engineering_spark.sources.txn import TxnStore, TxnTable
+
+TS1 = dt.datetime(2024, 1, 1, 12)
+TS2 = dt.datetime(2024, 1, 2, 12)
+TS3 = dt.datetime(2024, 1, 3, 12)
+
+
+def _v1(spark):
+    return spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+
+
+def _v2(spark):
+    # same columns plus a new one
+    return spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 1.5)], "k int, v string, score double"
+    )
+
+
+def _check_store(spark, store, name="evolving"):
+    store.write(name, _v1(spark), TS1)
+    store.write(name, _v2(spark), TS2)
+
+    latest = store.read_latest(spark, name)
+    assert "score" in latest.columns
+    got = {(r.k, r.score) for r in latest.select("k", "score").collect()}
+    assert got == {(3, 0.5), (4, 1.5)}
+
+    # a batch WITHOUT the new column, written after it exists
+    store.write(name, _v1(spark), TS3)
+    latest3 = store.read_latest(spark, name)
+    assert "score" in latest3.columns
+    assert {r.score for r in latest3.select("score").collect()} == {None}
+
+
+def test_snapshot_store_merges_schema(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "snap"))
+    _check_store(spark, store)
+    # full-table read surfaces the union schema; pre-evolution rows NULL
+    batches = store.batches("evolving")
+    b1 = store.read_batch(spark, "evolving", batches[0])
+    assert "score" in b1.columns
+    assert {r.score for r in b1.select("score").collect()} == {None}
+
+
+def test_txn_store_merges_schema(spark, tmp_path):
+    _check_store(spark, TxnStore(str(tmp_path / "txn")))
+
+
+def test_txn_append_merges_schema(spark, tmp_path):
+    """Append-mode evolution: files of different schemas live in one
+    version; mergeSchema read unions them."""
+    t = TxnTable(str(tmp_path), "evolve_append")
+    t.append(_v1(spark))
+    t.append(_v2(spark))
+    df = t.read(spark)
+    assert "score" in df.columns
+    got = {(r.k, r.score) for r in df.select("k", "score").collect()}
+    assert got == {(1, None), (2, None), (3, 0.5), (4, 1.5)}
+    # time travel to the pre-evolution version keeps the old schema
+    v1 = t.read(spark, at_version=1)
+    assert "score" not in v1.columns
+
+
+def test_catalog_store_evolves_declared_schema(spark):
+    store = CatalogStore(spark, database=f"t{uuid.uuid4().hex[:10]}")
+    try:
+        _check_store(spark, store)
+        # old batch re-read through the metastore: new column NULL
+        first = store.batches("evolving")[0]
+        b1 = store.read_batch(spark, "evolving", first)
+        assert "score" in b1.columns
+        assert {r.score for r in b1.select("score").collect()} == {None}
+        # declared schema includes the evolved column for plain SQL users
+        cols = [
+            f.name for f in spark.table(f"{store.database}.evolving").schema.fields
+        ]
+        assert "score" in cols
+    finally:
+        for t in spark.catalog.listTables(store.database):
+            store.drop(t.name)
+        spark.sql(f"DROP DATABASE IF EXISTS {store.database}")
