@@ -207,13 +207,43 @@ def band_rows(signatures: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame
     ).select("_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
     """Banded LSH: docs sharing any band signature become candidates.
 
     Shuffle key is (band_idx, band_sig) — volume #docs × #bands, not
     quadratic. Returns distinct (id_a, id_b).
-    """
+
+    ``max_bucket`` is a guardrail, not a tuning knob: a bucket of size B
+    contributes B(B-1)/2 candidate pairs, so one low-entropy signature
+    shared by 1% of a 1e9-doc corpus is 5e13 pairs — the quadratic
+    blow-up banding exists to avoid, reintroduced through the back door.
+    The default (1000 -> <=500k pairs/bucket) never fires on a healthy
+    corpus (sf0.1 max bucket is single-digit) and bounds the verify
+    stage, which costs O(candidates x shingles/doc). Measured on a
+    degenerate word-sorted 50k-doc corpus (shingle entropy collapsed,
+    buckets to 897 members, 6.7M candidates, verify 98s): cap=100 cut
+    verify to 16s at 8% pair recall loss — pairs lost are those whose
+    EVERY band is hot. Corpora with giant TRUE duplicate clusters
+    (boilerplate at web scale) should run exact/fingerprint dedup first
+    and lower the cap only after; the count is one cheap partial-agg
+    pass over the banded rows."""
     banded = band_rows(signatures, bands, rows)
+    if max_bucket is not None:
+        # over-frequent signatures are few by definition (each holds >
+        # max_bucket members), so the hot set broadcast-anti-joins; the
+        # count is a partial-aggregated pass, never a per-row sort
+        hot = (
+            banded.groupBy("band", "sig")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .drop("_n")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "sig"], "left_anti")
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(

@@ -106,3 +106,24 @@ def test_containment_scores(spark):
     assert (out[100].n_shingles, out[100].n_overlap, out[100].contamination_pct) == (2, 2, 100.0)
     assert (out[101].n_shingles, out[101].n_overlap, out[101].contamination_pct) == (4, 1, 25.0)
     assert (out[102].n_shingles, out[102].n_overlap, out[102].contamination_pct) == (2, 0, 0.0)
+
+
+def test_lsh_bucket_cap_guardrail(spark):
+    """A degenerate corpus where every doc shares one signature must not
+    produce quadratic candidates when the cap fires; healthy corpora are
+    untouched (cap never fires there - asserted by the oracle-matching
+    minhash_lsh_pairs query)."""
+    from spark_data_engineering_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact boilerplate text repeated everywhere") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    uncapped = lsh_candidate_pairs(sigs, max_bucket=None)
+    assert uncapped.count() == 40 * 39 // 2  # full pairwise
+    capped = lsh_candidate_pairs(sigs, max_bucket=10)
+    assert capped.count() == 0  # every band bucket is hot -> dropped
