@@ -225,13 +225,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact brute-force top-10, computed entirely in Spark:
     per-method ``left_semi`` join onto the brute-force (query, neighbor)
     set, then hits/total. No driver-side collection beyond the 3-row
-    result; the brute-force side is one corpus scan reused via cache."""
+    result; the brute-force side is materialized once, eagerly — three
+    method branches reference it in one job, and a lazy cache can't be
+    shared by branches computed concurrently (same A/B finding as
+    minhash_lsh_dedup's candidate cut)."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
     bf = (
         S.brute_force_knn(emb, queries_df, k=10)
         .select("query_id", "neighbor_id")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     methods = {
         "lsh_multiprobe": S.lsh_knn_multiprobe(emb, queries_df, k=10, n_probes=9),
