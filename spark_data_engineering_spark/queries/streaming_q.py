@@ -191,3 +191,79 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         NR.round2(F.col("_raw")).alias("session_value"),
     )
+
+
+from spark_data_engineering_spark.streaming.protobuf_compat import ensure_protobuf
+
+if ensure_protobuf():
+    # transformWithStateInPandas speaks protobuf to the JVM state server;
+    # registration is gated on a usable runtime (present on this host via
+    # protobuf_compat's borrowed google-cloud-sdk runtime) so the registry
+    # never advertises a query that cannot execute.
+    @query(
+        "streaming_user_totals_tws",
+        oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               FLOOR((SUM(value)) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        GROUP BY user_id
+        """,
+    )
+    def streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user running totals on the Spark 4 StatefulProcessor API
+        (``transformWithStateInPandas`` + RocksDB state store, see
+        streaming/stateful2.py): the stream re-emits each user's refreshed
+        state every micro-batch (Update mode); the LAST emission per user
+        — selected via max(struct) on the strictly-increasing event count
+        — must equal the batch per-user aggregate."""
+        import hashlib
+
+        from spark_data_engineering_spark.streaming.stateful2 import (
+            running_user_totals,
+        )
+
+        src = f"{sf_dir}/events.parquet"
+        stat = os.stat(src)
+        digest = hashlib.md5(
+            f"tws:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+        ).hexdigest()[:16]
+        staged = f"/tmp/spark_de_stream_input/{digest}"
+        if not os.path.isdir(staged):
+            load_table(spark, "events", sf_dir).select(
+                "user_id", "value", "ts"
+            ).repartition(8).write.mode("overwrite").parquet(staged)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            stream = (
+                spark.readStream.schema("user_id bigint, value double, ts timestamp")
+                .option("maxFilesPerTrigger", 2)
+                .parquet(staged)
+            )
+            name = "streaming_tws_gate"
+            q = (
+                running_user_totals(stream)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        last = F.max(F.struct("n_events", "total_value")).alias("s")
+        return (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(last)
+            .select(
+                "user_id",
+                F.col("s.n_events").alias("n_events"),
+                NR.round2(F.col("s.total_value")).alias("total_value"),
+            )
+        )
