@@ -93,9 +93,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "knn_int8_quantized",
     "embedding_dup_clusters",
     "ann_recall_report",
-    # --- Never checked: streaming dedup / sessionize
+    # --- Never checked: streaming dedup / sessionize / stateful-v2
     "streaming_dedup_documents",
     "streaming_sessionize_events",
+    "streaming_user_totals_tws",
     # --- Round-1-only evidence refresh: the shared loader (sources/
     # tables.py) changed after these went green; re-evidence the most
     # load-bearing ones.
@@ -110,7 +111,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_daily_category_report",
     "latest_order_per_customer",
     "customer_rank_suite",
-    "daily_revenue_gapfilled",
 )
 
 
