@@ -334,11 +334,46 @@ def lsh_knn_multiprobe(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int | None = 16,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Driver-side k-means over a bounded deterministic sample: first
+    ~4k rows in storage order (deterministic for a fixed file layout,
+    which is all k-means init needs — quality, not correctness, depends
+    on it), evenly-spaced init, unit-normalized centroids. Returns the
+    (n_centroids, dim) numpy array shared by ``ivf_knn`` and the
+    persisted ``IVFIndex``; ``n_centroids=None`` sizes FAISS-style
+    (~sqrt(N), floor 16)."""
+    import math
+
+    import numpy as np
+
+    if n_centroids is None:
+        n_centroids = max(16, round(math.sqrt(corpus.count())))
+    rows = corpus.select(id_col, vec_col).limit(4096).collect()
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    idx = np.linspace(0, len(mat) - 1, n_centroids).astype(int)
+    cents = mat[idx].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for j in range(n_centroids):
+            members = mat[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cents
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 4,
     kmeans_iters: int = 5,
     id_col: str = "vec_id",
@@ -347,6 +382,9 @@ def ivf_knn(
     """IVF (inverted-file) approximate k-NN: partition the corpus into
     ``n_centroids`` Voronoi cells via a small k-means, then score each
     query only against its ``n_probe`` nearest cells.
+    ``n_centroids=None`` sizes the cell count FAISS-style from the
+    corpus (~sqrt(N), floor 16): cells stay ~sqrt(N) vectors each, so
+    probe cost grows as sqrt of the corpus rather than a fixed fraction.
 
     The centroid table is tiny (n_centroids x dim) and lives driver-side:
     k-means runs as numpy over a SAMPLE collected once (deterministic
@@ -357,22 +395,8 @@ def ivf_knn(
     """
     import numpy as np
 
-    # centroid training sample: first ~4k rows in storage order —
-    # deterministic for a fixed file layout, which is all k-means init
-    # needs (quality, not correctness, depends on it)
-    rows = corpus.select(id_col, vec_col).limit(4096).collect()
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    # deterministic init: evenly spaced rows of the (deterministic) sample
-    idx = np.linspace(0, len(mat) - 1, n_centroids).astype(int)
-    cents = mat[idx].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(mat @ cents.T, axis=1)
-        for j in range(n_centroids):
-            members = mat[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    cents = train_ivf_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    n_centroids = len(cents)
     sc = corpus.sparkSession.sparkContext
     b_cents = sc.broadcast(cents)
 

@@ -259,6 +259,33 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("ann_index_search_exhaustive", oracle=_BF_TOP10_ORACLE)
+def ann_index_search_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF-index lifecycle under an exact contract: build the
+    inverted file as a TxnTable (cell-clustered parquet + centroid
+    sidecar), reopen it by path with a FRESH handle (no training state),
+    search with every cell probed — recall is exactly 1, so the result
+    must hash-match the brute-force oracle. Exercises build, the atomic
+    sidecar, the pushed cell-IN scan filter, and rescoring end-to-end;
+    production searches are the same code with n_probe < n_cells."""
+    import hashlib
+    import os
+
+    from spark_data_engineering_spark.operators.ann_index import IVFIndex
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    stat = os.stat(f"{sf_dir}/embeddings.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_ann_index/{digest}"
+    if not os.path.exists(os.path.join(root, "ann_ivf", "ivf_meta.json")):
+        IVFIndex.build(spark, emb, root, n_centroids=16)
+    idx = IVFIndex(root)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return idx.search(spark, queries_df, k=10, n_probe=16)
+
+
 @query("knn_pq")
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization top-10: corpus scanned as 16 uint8 codes
