@@ -103,6 +103,56 @@ class IVFIndex:
         os.replace(tmp, idx.meta_path)
         return idx
 
+    # ---- incremental ingest ---------------------------------------------
+
+    def ingest(
+        self,
+        spark: SparkSession,
+        new_vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        app_id: str | None = None,
+        epoch_id: int | None = None,
+    ) -> int | None:
+        """Append vectors to the live index WITHOUT retraining: cells are
+        assigned against the frozen centroids (standard serving-index
+        behavior — retraining is a rebuild, not an ingest), clustered by
+        cell, and committed atomically. With ``(app_id, epoch_id)`` the
+        append is exactly-once (``TxnTable.append_idempotent``), so a
+        streaming ``foreachBatch`` can feed the index: a replayed
+        micro-batch commits nothing. Searches concurrent with ingest see
+        the pre- or post-commit snapshot, never a partial one."""
+        import numpy as np
+
+        cents = self.centroids()
+        b_cents = spark.sparkContext.broadcast(cents)
+
+        def assign_cells(batches):
+            import pandas as pd
+
+            cts = b_cents.value
+            for pdf in batches:
+                block = np.array(list(pdf[vec_col]), dtype=np.float64)
+                block = block / np.maximum(
+                    np.linalg.norm(block, axis=1, keepdims=True), 1e-12
+                )
+                cell = np.argmax(block @ cts.T, axis=1)
+                yield pd.DataFrame(
+                    {"cell": cell, "vec_id": pdf[id_col], "embedding": pdf[vec_col]}
+                )
+
+        assigned = (
+            new_vectors.select(id_col, vec_col)
+            .mapInPandas(
+                assign_cells, schema="cell int, vec_id bigint, embedding array<float>"
+            )
+            .repartitionByRange(max(2, len(cents) // 4), "cell")
+            .sortWithinPartitions("cell")
+        )
+        if app_id is not None and epoch_id is not None:
+            return self.table.append_idempotent(assigned, app_id, epoch_id)
+        return self.table.append(assigned)
+
     # ---- search ---------------------------------------------------------
 
     def centroids(self):

@@ -63,3 +63,30 @@ def test_rebuild_is_atomic_time_travelable(spark, sf_dir, tmp_path):
     assert idx.table.version() >= 2
     assert len(idx.table.live_files(at_version=1)) > 0  # v1 still readable
     assert before == before  # (shape sanity; v1 equality covered above)
+
+
+def test_ingest_without_retrain_probe_all_exact(spark, sf_dir, tmp_path):
+    """Build on half the corpus, ingest the rest with frozen centroids:
+    probe-all search is exact regardless of cell layout, so the result
+    must equal brute force over the FULL corpus."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 3)
+    idx = IVFIndex.build(spark, first, str(tmp_path), n_centroids=8)
+    idx.ingest(spark, rest)
+    got = idx.search(spark, queries, k=10, n_probe=8)
+    want = S.brute_force_knn(emb, queries, k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_ingest_exactly_once(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    idx = IVFIndex.build(spark, emb.filter(F.col("vec_id") < 100), str(tmp_path), n_centroids=8)
+    batch = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    v1 = idx.ingest(spark, batch, app_id="stream", epoch_id=1)
+    assert v1 is not None
+    # replay of the same epoch commits nothing
+    assert idx.ingest(spark, batch, app_id="stream", epoch_id=1) is None
+    n = idx.table.read(spark).count()
+    assert n == idx.table.read(spark).select("vec_id").distinct().count()
