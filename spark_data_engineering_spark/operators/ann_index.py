@@ -227,3 +227,273 @@ class IVFIndex:
                 F.col("rank").cast("bigint").alias("rank"),
             )
         )
+
+
+class IVFPQIndex:
+    """IVF + product quantization, persisted: the billion-vector serving
+    layout (Jegou et al., PAMI 2011). The inverted file stores ``m``
+    uint8 PQ codes per vector as a BINARY column (m bytes at rest vs
+    4*dim for float32 — 32x at m=16/dim=64) clustered by IVF cell;
+    search probes ``n_probe`` cells (pushed cell-IN scan filter — file
+    skipping), ADC-scores the probed codes via per-query lookup tables
+    (m table gathers per vector, no float math per dimension), and
+    optionally re-ranks the short list with exact cosine against a
+    full-precision vector store (``rerank_with``), touching only
+    ``Q * k * rerank_factor`` true vectors.
+
+    Vectors are PQ-encoded RAW (not residual-to-centroid): simpler, and
+    exactness of the re-rank stage never depends on it; the trade is
+    mildly coarser ADC ordering. Centroids + codebooks live in one
+    atomic JSON sidecar; ingest appends with frozen centroids AND
+    codebooks (retraining either is a rebuild)."""
+
+    def __init__(self, root: str, name: str = "ann_ivfpq") -> None:
+        self.table = TxnTable(root, name)
+        self.meta_path = os.path.join(self.table.table_dir, "ivfpq_meta.json")
+
+    # ---- internals ------------------------------------------------------
+
+    def _meta(self):
+        import numpy as np
+
+        with open(self.meta_path) as f:
+            d = json.load(f)
+        return (
+            np.array(d["centroids"], dtype=np.float64),
+            np.array(d["codebooks"], dtype=np.float64),
+        )
+
+    @staticmethod
+    def _encode(
+        spark: SparkSession,
+        vectors: DataFrame,
+        cents,
+        books,
+        id_col: str,
+        vec_col: str,
+    ) -> DataFrame:
+        import numpy as np
+
+        m, _, sub = books.shape
+        b_cents = spark.sparkContext.broadcast(cents)
+        b_books = spark.sparkContext.broadcast(books)
+
+        def encode(batches):
+            import pandas as pd
+
+            cts, bks = b_cents.value, b_books.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                block = np.array(list(pdf[vec_col]), dtype=np.float64)
+                block = block / np.maximum(
+                    np.linalg.norm(block, axis=1, keepdims=True), 1e-12
+                )
+                cell = np.argmax(block @ cts.T, axis=1)
+                n = len(block)
+                blocks = block.reshape(n, m, sub)
+                codes = np.empty((n, m), dtype=np.uint8)
+                recon_sq = np.zeros(n)
+                for j in range(m):
+                    d2 = ((blocks[:, j, None, :] - bks[None, j]) ** 2).sum(axis=2)
+                    codes[:, j] = np.argmin(d2, axis=1)
+                    recon_sq += (bks[j][codes[:, j]] ** 2).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "cell": cell,
+                        "vec_id": pdf[id_col],
+                        "codes": [c.tobytes() for c in codes],
+                        "recon_norm": np.maximum(np.sqrt(recon_sq), 1e-12),
+                    }
+                )
+
+        return (
+            vectors.select(id_col, vec_col)
+            .mapInPandas(
+                encode,
+                schema="cell int, vec_id bigint, codes binary, recon_norm double",
+            )
+            .repartitionByRange(max(2, len(cents) // 4), "cell")
+            .sortWithinPartitions("cell")
+        )
+
+    # ---- build / ingest -------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        corpus: DataFrame,
+        root: str,
+        name: str = "ann_ivfpq",
+        n_centroids: int | None = 16,
+        m: int = 16,
+        n_codes: int = 32,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFPQIndex":
+        from spark_data_engineering_spark.operators.similarity import (
+            pq_train_codebooks,
+        )
+
+        idx = cls(root, name)
+        cents = train_ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+        books = pq_train_codebooks(corpus, m=m, n_codes=n_codes, vec_col=vec_col)
+        encoded = cls._encode(spark, corpus, cents, books, id_col, vec_col)
+        idx.table.overwrite(encoded)
+        tmp = f"{idx.meta_path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"centroids": cents.tolist(), "codebooks": books.tolist()}, f
+            )
+        os.replace(tmp, idx.meta_path)
+        return idx
+
+    def ingest(
+        self,
+        spark: SparkSession,
+        new_vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        app_id: str | None = None,
+        epoch_id: int | None = None,
+    ) -> int | None:
+        cents, books = self._meta()
+        encoded = self._encode(spark, new_vectors, cents, books, id_col, vec_col)
+        if app_id is not None and epoch_id is not None:
+            return self.table.append_idempotent(encoded, app_id, epoch_id)
+        return self.table.append(encoded)
+
+    # ---- search ---------------------------------------------------------
+
+    def search(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        rerank_with: DataFrame | None = None,
+        rerank_factor: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """ADC top-``k*rerank_factor`` over the probed cells; exact
+        cosine re-rank against ``rerank_with`` (a full-precision vector
+        table — at serving scale a key-value fetch; modeled here as a
+        broadcast-candidate join) when given, else the ADC ranking with
+        ``adc_sim`` as the score column."""
+        import numpy as np
+
+        cents, books = self._meta()
+        m, _, sub = books.shape
+        n_probe = min(n_probe, len(cents))
+
+        q_rows = queries.select(id_col, vec_col).collect()
+        q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+        q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+        q_mat = q_mat / np.maximum(
+            np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+        )
+        probe = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]
+        probe_cells = sorted({int(c) for row in probe for c in row})
+        # tables[q, j, c] = <query_q subvector j, codebook[j][c]>
+        tables = np.einsum(
+            "qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), books
+        )
+        sc = spark.sparkContext
+        b_tables = sc.broadcast(tables)
+        b_qids = sc.broadcast(q_ids)
+        b_qcells = sc.broadcast(probe)
+
+        def adc_score(batches):
+            import pandas as pd
+
+            tbl, qids, qprobe = b_tables.value, b_qids.value, b_qcells.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(
+                    [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"]]
+                ).astype(np.int64)
+                cells = pdf["cell"].to_numpy()
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                recon = pdf["recon_norm"].to_numpy()
+                j_idx = np.arange(m)
+                out_q, out_n, out_s = [], [], []
+                for qi in range(len(qids)):
+                    mask = np.isin(cells, qprobe[qi])
+                    if not mask.any():
+                        continue
+                    sims = (
+                        tbl[qi, j_idx[None, :], codes[mask]].sum(axis=1)
+                        / recon[mask]
+                    )
+                    mids = ids[mask]
+                    kk = min(k * rerank_factor + 4, len(sims))
+                    top = np.argpartition(-sims, kk - 1)[:kk]
+                    for t in top:
+                        if mids[t] == qids[qi]:
+                            continue
+                        out_q.append(qids[qi])
+                        out_n.append(mids[t])
+                        out_s.append(round(float(sims[t]), 4))
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "adc_sim": out_s}
+                )
+
+        inv = self.table.read(spark).filter(F.col("cell").isin(probe_cells))
+        cand = inv.mapInPandas(
+            adc_score, schema="query_id bigint, neighbor_id bigint, adc_sim double"
+        )
+        w_adc = W.partitionBy("query_id").orderBy(
+            F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+        )
+        short_list = (
+            cand.withColumn("_r", F.row_number().over(w_adc))
+            .filter(F.col("_r") <= k * rerank_factor)
+            .select("query_id", "neighbor_id", "adc_sim")
+        )
+        if rerank_with is None:
+            return (
+                short_list.withColumn(
+                    "rank",
+                    F.row_number().over(
+                        W.partitionBy("query_id").orderBy(
+                            F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+                        )
+                    ),
+                )
+                .filter(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    "adc_sim",
+                    F.col("rank").cast("bigint").alias("rank"),
+                )
+            )
+        c_vecs = rerank_with.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        )
+        q_vecs = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+        rescored = (
+            c_vecs.join(F.broadcast(short_list.select("query_id", "neighbor_id")), "neighbor_id")
+            .join(F.broadcast(q_vecs), "query_id")
+            .withColumn(
+                "cos_sim", NR.round4(cosine(F.col("_qvec"), F.col("_cvec")))
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cos_sim",
+                F.col("rank").cast("bigint").alias("rank"),
+            )
+        )

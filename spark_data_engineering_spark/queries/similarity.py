@@ -286,6 +286,35 @@ def ann_index_search_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(spark, queries_df, k=10, n_probe=16)
 
 
+@query("ann_ivfpq_search_exhaustive", oracle=_BF_TOP10_ORACLE)
+def ann_ivfpq_search_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVFPQ index (codes-only inverted file: 16 uint8 PQ
+    codes per vector as BINARY, clustered by IVF cell) under an exact
+    contract: probe every cell with a short list wider than the corpus,
+    so the ADC stage keeps everything and the exact re-rank against the
+    full-precision table decides — must hash-match the brute-force
+    oracle. Production searches are the same code with n_probe < cells
+    and a k*4 short list."""
+    import hashlib
+    import os
+
+    from spark_data_engineering_spark.operators.ann_index import IVFPQIndex
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    stat = os.stat(f"{sf_dir}/embeddings.parquet")
+    digest = hashlib.md5(
+        f"pq:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_ann_index/{digest}"
+    if not os.path.exists(os.path.join(root, "ann_ivfpq", "ivfpq_meta.json")):
+        IVFPQIndex.build(spark, emb, root, n_centroids=16, m=16, n_codes=32)
+    idx = IVFPQIndex(root)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return idx.search(
+        spark, queries_df, k=10, n_probe=16, rerank_with=emb, rerank_factor=10**6
+    )
+
+
 @query("knn_pq")
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization top-10: corpus scanned as 16 uint8 codes

@@ -94,6 +94,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_dup_clusters",
     "ann_recall_report",
     "ann_index_search_exhaustive",
+    "ann_ivfpq_search_exhaustive",
     # --- Never checked: streaming dedup / sessionize / stateful-v2
     "streaming_dedup_documents",
     "streaming_sessionize_events",
@@ -110,7 +111,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "brand_type_metrics",
     "pipeline_daily_order_report",
     "pipeline_daily_category_report",
-    "latest_order_per_customer",
 )
 
 

@@ -90,3 +90,58 @@ def test_ingest_exactly_once(spark, sf_dir, tmp_path):
     assert idx.ingest(spark, batch, app_id="stream", epoch_id=1) is None
     n = idx.table.read(spark).count()
     assert n == idx.table.read(spark).select("vec_id").distinct().count()
+
+
+# ---- IVFPQIndex -----------------------------------------------------------
+
+from spark_data_engineering_spark.operators.ann_index import IVFPQIndex
+
+
+def test_ivfpq_probe_all_big_shortlist_is_exact(spark, sf_dir, tmp_path):
+    """Probe every cell with a short list wider than the corpus: the ADC
+    cut keeps everything, the exact re-rank decides — result must equal
+    brute force."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3)
+    idx = IVFPQIndex.build(spark, emb, str(tmp_path), n_centroids=8, m=16, n_codes=32)
+    got = idx.search(
+        spark, queries, k=10, n_probe=8, rerank_with=emb, rerank_factor=10**6
+    )
+    want = S.brute_force_knn(emb, queries, k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_ivfpq_default_recall_floor(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = IVFPQIndex.build(spark, emb, str(tmp_path), n_centroids=8, m=16, n_codes=32)
+    got = idx.search(spark, queries, k=10, n_probe=4, rerank_with=emb)
+    bf = S.brute_force_knn(emb, queries, k=10)
+    hits = (
+        got.select("query_id", "neighbor_id")
+        .join(bf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .count()
+    )
+    assert hits / bf.count() >= 0.5  # 4-of-8 probes + PQ cut
+
+
+def test_ivfpq_codes_are_m_bytes(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    idx = IVFPQIndex.build(spark, emb, str(tmp_path), n_centroids=8, m=16, n_codes=32)
+    lens = idx.table.read(spark).select(F.length("codes").alias("n")).distinct().collect()
+    assert [r.n for r in lens] == [16]  # 16 bytes/vector vs 256 for float32
+
+
+def test_ivfpq_ingest_frozen_codebooks(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 3)
+    idx = IVFPQIndex.build(spark, first, str(tmp_path), n_centroids=8, m=16, n_codes=32)
+    assert idx.ingest(spark, rest, app_id="s", epoch_id=1) is not None
+    assert idx.ingest(spark, rest, app_id="s", epoch_id=1) is None  # replay
+    got = idx.search(
+        spark, queries, k=10, n_probe=8, rerank_with=emb, rerank_factor=10**6
+    )
+    want = S.brute_force_knn(emb, queries, k=10)
+    assert _rows(got) == _rows(want)
