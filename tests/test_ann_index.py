@@ -145,3 +145,58 @@ def test_ivfpq_ingest_frozen_codebooks(spark, sf_dir, tmp_path):
     )
     want = S.brute_force_knn(emb, queries, k=10)
     assert _rows(got) == _rows(want)
+
+
+def test_auto_sizing_paths(spark, sf_dir):
+    """Corpus-adaptive geometry: auto_num_planes targets ~256/bucket
+    within [3, 20]; IVF n_centroids=None sizes ~sqrt(N) with floor 16."""
+    from spark_data_engineering_spark.operators.similarity import (
+        auto_num_planes,
+        train_ivf_centroids,
+    )
+
+    assert auto_num_planes(100) == 3  # floor
+    assert auto_num_planes(6_000) == 5
+    assert auto_num_planes(1_000_000) == 12
+    assert auto_num_planes(10**9) == 20  # cap: signature stays one bigint
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = train_ivf_centroids(emb, None)
+    import math
+
+    n = emb.count()
+    assert len(cents) == max(16, round(math.sqrt(n)))
+
+
+def test_streaming_foreachbatch_ingest(spark, sf_dir, tmp_path):
+    """The production wiring: a file stream feeds the persisted index
+    through foreachBatch with (app, epoch) exactly-once; end-of-stream
+    index contents equal build-corpus + streamed vectors, probe-all
+    search stays exact."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 200)
+    rest = emb.filter(F.col("vec_id") >= 200)
+    idx = IVFIndex.build(spark, base, str(tmp_path / "idx"), n_centroids=8)
+
+    staged = str(tmp_path / "stream_in")
+    rest.repartition(4).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, epoch: idx.ingest(
+                spark, bdf, app_id="vec-stream", epoch_id=epoch
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert idx.table.read(spark).count() == emb.count()
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = idx.search(spark, queries, k=10, n_probe=8)
+    want = S.brute_force_knn(emb, queries, k=10)
+    assert _rows(got) == _rows(want)
