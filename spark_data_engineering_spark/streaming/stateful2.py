@@ -71,6 +71,13 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     micro-batch. Requires the RocksDB state store provider (set by the
     caller's session conf); output mode Update emits the refreshed keys
     per batch — the LAST emission per key is the end-of-stream state."""
+    from spark_data_engineering_spark.streaming.protobuf_compat import (
+        ensure_executor_protobuf,
+    )
+
+    # runtime-ship the protobuf runtime to workers: covers sessions that
+    # were created before ensure_protobuf() exported the PYTHONPATH shim
+    ensure_executor_protobuf(events.sparkSession)
     return events.groupBy("user_id").transformWithStateInPandas(
         RunningTotalProcessor(),
         outputStructType=OUTPUT_SCHEMA,
