@@ -44,6 +44,50 @@ class IVFIndex:
         self.table = TxnTable(root, name)
         self.meta_path = os.path.join(self.table.table_dir, "ivf_meta.json")
 
+    # ---- internals ------------------------------------------------------
+
+    @staticmethod
+    def _assign(
+        spark: SparkSession,
+        vectors: DataFrame,
+        cents,
+        id_col: str,
+        vec_col: str,
+    ) -> DataFrame:
+        """Cell-assign vectors against given centroids, clustered by cell
+        (shared by build and ingest — same invariants, one code path)."""
+        import numpy as np
+
+        b_cents = spark.sparkContext.broadcast(cents)
+
+        def assign_cells(batches):
+            import pandas as pd
+
+            cts = b_cents.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                block = np.array(list(pdf[vec_col]), dtype=np.float64)
+                block = block / np.maximum(
+                    np.linalg.norm(block, axis=1, keepdims=True), 1e-12
+                )
+                cell = np.argmax(block @ cts.T, axis=1)
+                yield pd.DataFrame(
+                    {"cell": cell, "vec_id": pdf[id_col], "embedding": pdf[vec_col]}
+                )
+
+        return (
+            vectors.select(id_col, vec_col)
+            .mapInPandas(
+                assign_cells, schema="cell int, vec_id bigint, embedding array<float>"
+            )
+            # cluster the inverted file: each output file covers a narrow
+            # cell range, so a cell-IN filter skips whole files via
+            # footer stats at search time
+            .repartitionByRange(max(2, len(cents) // 4), "cell")
+            .sortWithinPartitions("cell")
+        )
+
     # ---- build ----------------------------------------------------------
 
     @classmethod
@@ -58,39 +102,11 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "IVFIndex":
-        import numpy as np
-
         idx = cls(root, name)
         cents = train_ivf_centroids(
             corpus, n_centroids, kmeans_iters, id_col, vec_col
         )
-        b_cents = spark.sparkContext.broadcast(cents)
-
-        def assign_cells(batches):
-            import pandas as pd
-
-            cts = b_cents.value
-            for pdf in batches:
-                block = np.array(list(pdf[vec_col]), dtype=np.float64)
-                block = block / np.maximum(
-                    np.linalg.norm(block, axis=1, keepdims=True), 1e-12
-                )
-                cell = np.argmax(block @ cts.T, axis=1)
-                yield pd.DataFrame(
-                    {"cell": cell, "vec_id": pdf[id_col], "embedding": pdf[vec_col]}
-                )
-
-        assigned = (
-            corpus.select(id_col, vec_col)
-            .mapInPandas(
-                assign_cells, schema="cell int, vec_id bigint, embedding array<float>"
-            )
-            # cluster the inverted file: each output file covers a narrow
-            # cell range, so a cell-IN filter skips whole files via
-            # footer stats at search time
-            .repartitionByRange(max(2, len(cents) // 4), "cell")
-            .sortWithinPartitions("cell")
-        )
+        assigned = cls._assign(spark, corpus, cents, id_col, vec_col)
         idx.table.overwrite(assigned)
         # atomic sidecar: the table commit is the source of truth for
         # data; centroids swap in afterwards via rename
@@ -122,33 +138,7 @@ class IVFIndex:
         streaming ``foreachBatch`` can feed the index: a replayed
         micro-batch commits nothing. Searches concurrent with ingest see
         the pre- or post-commit snapshot, never a partial one."""
-        import numpy as np
-
-        cents = self.centroids()
-        b_cents = spark.sparkContext.broadcast(cents)
-
-        def assign_cells(batches):
-            import pandas as pd
-
-            cts = b_cents.value
-            for pdf in batches:
-                block = np.array(list(pdf[vec_col]), dtype=np.float64)
-                block = block / np.maximum(
-                    np.linalg.norm(block, axis=1, keepdims=True), 1e-12
-                )
-                cell = np.argmax(block @ cts.T, axis=1)
-                yield pd.DataFrame(
-                    {"cell": cell, "vec_id": pdf[id_col], "embedding": pdf[vec_col]}
-                )
-
-        assigned = (
-            new_vectors.select(id_col, vec_col)
-            .mapInPandas(
-                assign_cells, schema="cell int, vec_id bigint, embedding array<float>"
-            )
-            .repartitionByRange(max(2, len(cents) // 4), "cell")
-            .sortWithinPartitions("cell")
-        )
+        assigned = self._assign(spark, new_vectors, self.centroids(), id_col, vec_col)
         if app_id is not None and epoch_id is not None:
             return self.table.append_idempotent(assigned, app_id, epoch_id)
         return self.table.append(assigned)
@@ -169,12 +159,15 @@ class IVFIndex:
         n_probe: int = 4,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        at_version: int | None = None,
     ) -> DataFrame:
         """Top-k cosine against the persisted inverted file, scanning
         only probed cells. No training, no full-corpus pass: the query
         set (small by contract, same as every kNN entry point) maps to
         ``n_probe`` cells each; the distinct probe set drives a pushed
-        ``cell IN (...)`` scan filter."""
+        ``cell IN (...)`` scan filter. ``at_version`` time-travels the
+        search to an older index snapshot (centroids are frozen across
+        ingests, so probes stay valid at every version)."""
         import numpy as np
 
         cents = self.centroids()
@@ -201,14 +194,23 @@ class IVFIndex:
                     {"query_id": out_q, "_qvec": out_v, "cell": out_c}
                 )
 
-        probes = queries.select(id_col, vec_col).mapInPandas(
-            assign_probes, schema="query_id bigint, _qvec array<float>, cell int"
+        probes = (
+            queries.select(id_col, vec_col)
+            .mapInPandas(
+                assign_probes, schema="query_id bigint, _qvec array<float>, cell int"
+            )
+            # materialize once: the distinct-cell collect below and the
+            # broadcast join both consume this tiny frame, and a lazy
+            # plan would recompute the assignment pass per consumer
+            .localCheckpoint(eager=True)
         )
         # driver-side probe-cell set: at most #queries x n_probe ints
         probe_cells = sorted(
             r.cell for r in probes.select("cell").distinct().collect()
         )
-        inv = self.table.read(spark).filter(F.col("cell").isin(probe_cells))
+        inv = self.table.read(spark, at_version=at_version).filter(
+            F.col("cell").isin(probe_cells) if probe_cells else F.lit(False)
+        )
         scored = (
             inv.join(F.broadcast(probes), "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
@@ -389,6 +391,11 @@ class IVFPQIndex:
         n_probe = min(n_probe, len(cents))
 
         q_rows = queries.select(id_col, vec_col).collect()
+        if not q_rows:
+            score = "cos_sim" if rerank_with is not None else "adc_sim"
+            return spark.createDataFrame(
+                [], f"query_id bigint, neighbor_id bigint, {score} double, rank bigint"
+            )
         q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
         q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
         q_mat = q_mat / np.maximum(

@@ -85,6 +85,18 @@ class CatalogStore:
             # batches see them as NULL — then the batch realigns to the
             # table's column order, NULL-filling columns it lacks.
             existing = self.spark.table(table).schema
+            # schema ENFORCEMENT first (same contract as TxnTable):
+            # insertInto resolves by position and would silently cast a
+            # type-changed column into the declared type
+            declared = {f.name: f.dataType for f in existing.fields}
+            for f in stamped.schema.fields:
+                if f.name in declared and f.dataType != declared[f.name]:
+                    raise ValueError(
+                        f"schema enforcement: column {f.name!r} is "
+                        f"{declared[f.name].simpleString()} in table "
+                        f"{table} but {f.dataType.simpleString()} in the "
+                        "incoming batch; cast explicitly to change types"
+                    )
             new_cols = [
                 f for f in stamped.schema.fields if f.name not in existing.names
             ]

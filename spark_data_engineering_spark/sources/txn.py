@@ -195,7 +195,12 @@ class TxnTable:
             if stats:
                 record["stats"] = stats
             if schema is not None:
-                record["schema"] = schema
+                # fold over the CURRENT head's schema inside the retry
+                # loop: a concurrent writer's column addition must not be
+                # dropped by whichever commit lands last
+                record["schema"] = self._merge_schema_lists(
+                    self.table_schema(), schema
+                )
             if txn is not None:
                 record["txn"] = {"app": txn[0], "epoch": txn[1]}
             if self._try_commit(record):
@@ -316,11 +321,41 @@ class TxnTable:
                     return c["schema"]
         return []
 
+    @staticmethod
+    def _merge_schema_lists(base: list[dict], incoming: list[dict]) -> list[dict]:
+        """Name-wise union, base order first — used at commit time to
+        fold a possibly-stale incoming schema over the current log head
+        (optimistic retries race on schema like they race on files)."""
+        if not base:
+            return [dict(f) for f in incoming]
+        merged = [dict(f) for f in base]
+        names = {f["name"] for f in merged}
+        for f in incoming:
+            if f["name"] not in names:
+                merged.append(dict(f))
+                names.add(f["name"])
+        return merged
+
     def _merged_schema(self, df: DataFrame) -> list[dict]:
         """Previous logical schema + columns ``df`` adds (appended in
         order). Same-name/different-type is schema ENFORCEMENT, not
         evolution — refuse, like Delta without an explicit cast."""
         merged = self.table_schema()
+        if not merged:
+            # legacy table (commits predate schema tracking): seed from
+            # the live files' physical schema so the first new-style
+            # commit cannot un-declare existing columns
+            live = self.live_files()
+            if live:
+                phys = (
+                    df.sparkSession.read.option("mergeSchema", "true")
+                    .parquet(*[os.path.join(self.data_dir, f) for f in live])
+                    .schema
+                )
+                merged = [
+                    {"name": f.name, "type": json.loads(f.dataType.json())}
+                    for f in phys.fields
+                ]
         by_name = {f["name"]: f for f in merged}
         for f in df.schema.fields:
             entry = {"name": f.name, "type": json.loads(f.dataType.json())}
@@ -439,10 +474,17 @@ class TxnTable:
                 )
             else:
                 touched = []
+            # MERGE evolves schema like append: new source columns are
+            # declared, and touched pre-evolution files conform to the
+            # logical schema before the union (else unionByName fails on
+            # evolved tables)
+            schema = self._merged_schema(source)
             parts = []
             if touched:
-                t_rows = spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.data_dir, f) for f in touched]
+                t_rows = self._conform(
+                    spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.data_dir, f) for f in touched]
+                    )
                 )
                 # unmatched target rows in rewritten files always survive
                 parts.append(t_rows.join(F.broadcast(src.select(*on).distinct()), on, "left_anti"))
@@ -469,11 +511,11 @@ class TxnTable:
                 return self.version()
             out = parts[0]
             for p in parts[1:]:
-                out = out.unionByName(p, allowMissingColumns=False)
+                out = out.unionByName(p, allowMissingColumns=True)
             add, stats = (self._stage(out) if out.limit(1).count() else ([], {}))
             if not add and not touched and txn is None:
                 return self.version()
-            return self._commit("merge", add, touched, stats, txn=txn)
+            return self._commit("merge", add, touched, stats, txn=txn, schema=schema)
         finally:
             src.unpersist()
 
@@ -623,17 +665,23 @@ class TxnTable:
         if not from_version <= to <= head:
             raise ValueError(f"bad version range ({from_version}, {to}] at head {head}")
 
-        def rd(names: list[str]) -> DataFrame | None:
+        def rd(names: list[str], at_v: int) -> DataFrame | None:
             if not names:
                 return None
-            return spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.data_dir, n) for n in names]
+            # conform to the logical schema at the commit: exceptAll
+            # requires equal column sets, and a rewrite commit may remove
+            # pre-evolution files while adding post-evolution ones
+            return self._conform(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.data_dir, n) for n in names]
+                ),
+                at_v,
             )
 
         frames = []
         for v in range(from_version + 1, to + 1):
             c = self._read_commit(v)
-            added, removed = rd(c.get("add", [])), rd(c.get("remove", []))
+            added, removed = rd(c.get("add", []), v), rd(c.get("remove", []), v)
             if c["action"] in ("append", "streaming-append"):
                 ins, rem = added, None
             elif c["action"] == "compact":

@@ -66,6 +66,11 @@ def ensure_protobuf() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
 
+        # a real installed protobuf: leave its version gate and the
+        # process environment alone unless the gencode actually refuses
+        # to load (then fall through to the patched path below)
+        if _roundtrip_ok():
+            return True
         have = True
     except ImportError:
         if os.path.isdir(os.path.join(_APPENGINE, "google", "protobuf")):

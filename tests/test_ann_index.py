@@ -61,8 +61,10 @@ def test_rebuild_is_atomic_time_travelable(spark, sf_dir, tmp_path):
     after = idx.search(spark, queries, k=5, n_probe=8)
     assert after.filter(F.col("neighbor_id") >= 100000).count() > 0
     assert idx.table.version() >= 2
-    assert len(idx.table.live_files(at_version=1)) > 0  # v1 still readable
-    assert before == before  # (shape sanity; v1 equality covered above)
+    # time travel: searching the v1 snapshot reproduces pre-rebuild
+    # results exactly (centroids are frozen across ingests; a REBUILD
+    # retrains, so pin the centroids question away by probing all cells)
+    assert _rows(idx.search(spark, queries, k=5, n_probe=8, at_version=1)) == before
 
 
 def test_ingest_without_retrain_probe_all_exact(spark, sf_dir, tmp_path):
@@ -200,3 +202,13 @@ def test_streaming_foreachbatch_ingest(spark, sf_dir, tmp_path):
     got = idx.search(spark, queries, k=10, n_probe=8)
     want = S.brute_force_knn(emb, queries, k=10)
     assert _rows(got) == _rows(want)
+
+
+def test_search_with_empty_query_set(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    none = emb.filter(F.col("vec_id") < 0)
+    idx = IVFIndex.build(spark, emb, str(tmp_path / "a"), n_centroids=8)
+    assert idx.search(spark, none, k=5).count() == 0
+    pq = IVFPQIndex.build(spark, emb, str(tmp_path / "b"), n_centroids=8, m=16, n_codes=32)
+    assert pq.search(spark, none, k=5).count() == 0
+    assert pq.search(spark, none, k=5, rerank_with=emb).count() == 0

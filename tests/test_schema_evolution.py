@@ -96,3 +96,74 @@ def test_catalog_store_evolves_declared_schema(spark):
         for t in spark.catalog.listTables(store.database):
             store.drop(t.name)
         spark.sql(f"DROP DATABASE IF EXISTS {store.database}")
+
+
+def test_txn_merge_on_evolved_table(spark, tmp_path):
+    """MERGE against a table whose matched keys live in pre-evolution
+    files must conform those files and declare source-added columns."""
+    t = TxnTable(str(tmp_path), "m_evolve")
+    t.append(_v1(spark))  # (k, v)
+    src = spark.createDataFrame(
+        [(1, "A", 9.5), (9, "new", 0.5)], "k int, v string, score double"
+    )
+    t.merge(spark, src, on=["k"])
+    out = {(r.k, r.v, r.score) for r in t.read(spark).collect()}
+    assert out == {(1, "A", 9.5), (2, "b", None), (9, "new", 0.5)}
+
+
+def test_txn_read_changes_across_evolution(spark, tmp_path):
+    """The change feed must survive a rewrite commit that removes
+    pre-evolution files while adding post-evolution ones."""
+    t = TxnTable(str(tmp_path), "cdf_evolve")
+    t.append(_v1(spark))  # v1: (k, v)
+    t.overwrite(_v2(spark))  # v2: (k, v, score) replacing v1 files
+    ch = t.read_changes(spark, from_version=1)
+    assert "score" in ch.columns
+    ins = {(r.k, r.score) for r in ch.filter("_change_type = 'insert'").collect()}
+    dels = {(r.k, r.score) for r in ch.filter("_change_type = 'delete'").collect()}
+    assert ins == {(3, 0.5), (4, 1.5)}
+    assert dels == {(1, None), (2, None)}
+
+
+def test_txn_legacy_table_keeps_undeclared_columns(spark, tmp_path):
+    """First schema-tracked commit on a table whose history predates
+    schema tracking must seed from the physical schema, not hide
+    legacy columns."""
+    t = TxnTable(str(tmp_path), "legacy")
+    # simulate a legacy commit: append, then strip the schema key
+    import json as _json
+    import os as _os
+
+    t.append(_v1(spark))
+    cpath = _os.path.join(t.log_dir, f"{1:020d}.json")
+    rec = _json.load(open(cpath))
+    del rec["schema"]
+    with open(cpath, "w") as f:
+        _json.dump(rec, f)
+    # new-style append with a DIFFERENT column set
+    t.append(spark.createDataFrame([(5, 1.5)], "k int, score double"))
+    df = t.read(spark)
+    assert set(df.columns) == {"k", "v", "score"}
+    got = {(r.k, r.v, r.score) for r in df.collect()}
+    assert got == {(1, "a", None), (2, "b", None), (5, None, 1.5)}
+
+
+def test_txn_type_change_refused(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "enforce")
+    t.append(_v1(spark))
+    with pytest.raises(ValueError, match="schema enforcement"):
+        t.append(spark.createDataFrame([(1, 2)], "k int, v int"))
+
+
+def test_catalog_type_change_refused(spark):
+    import uuid as _uuid
+
+    store = CatalogStore(spark, database=f"t{_uuid.uuid4().hex[:10]}")
+    try:
+        store.write("t", _v1(spark), TS1)
+        with pytest.raises(ValueError, match="schema enforcement"):
+            store.write("t", spark.createDataFrame([(1, 2)], "k int, v int"), TS2)
+    finally:
+        for t in spark.catalog.listTables(store.database):
+            store.drop(t.name)
+        spark.sql(f"DROP DATABASE IF EXISTS {store.database}")
