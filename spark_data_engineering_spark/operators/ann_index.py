@@ -166,10 +166,30 @@ class IVFIndex:
         set (small by contract, same as every kNN entry point) maps to
         ``n_probe`` cells each; the distinct probe set drives a pushed
         ``cell IN (...)`` scan filter. ``at_version`` time-travels the
-        search to an older index snapshot (centroids are frozen across
-        ingests, so probes stay valid at every version)."""
+        search to an older index snapshot. Centroids are frozen across
+        ingests (appends), so probes stay valid at every version SINCE
+        the last rebuild; a ``build()`` rewrites both table and centroid
+        sidecar, so time-traveling to a pre-rebuild version would probe
+        old-centroid cells with new centroids — silent recall collapse.
+        Such versions are refused explicitly."""
         import numpy as np
 
+        if at_version is not None:
+            rebuild_floor = max(
+                (
+                    c["version"]
+                    for c in self.table.history()
+                    if c.get("action") == "overwrite"
+                ),
+                default=0,
+            )
+            if at_version < rebuild_floor:
+                raise ValueError(
+                    f"at_version={at_version} predates the last index rebuild "
+                    f"(overwrite commit v{rebuild_floor}); the current centroid "
+                    "sidecar does not describe that snapshot's cell assignment. "
+                    "Rebuilds invalidate older versions for search."
+                )
         cents = self.centroids()
         b_cents = spark.sparkContext.broadcast(cents)
         n_probe = min(n_probe, len(cents))

@@ -22,10 +22,14 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_data_engineering_spark.functions import numeric as NR
+
+_LOG = logging.getLogger(__name__)
 
 # Mersenne prime 2^31-1; hash family h_j(x) = (a_j * x + b_j) mod P with
 # deterministic odd coefficients (public textbook construction,
@@ -236,14 +240,32 @@ def lsh_candidate_pairs(
     if max_bucket is not None:
         # over-frequent signatures are few by definition (each holds >
         # max_bucket members), so the hot set broadcast-anti-joins; the
-        # count is a partial-aggregated pass, never a per-row sort
+        # count is a partial-aggregated pass, never a per-row sort. The
+        # hot set is materialized (tiny by construction) so firing the
+        # guardrail is OBSERVABLE: silently dropping pairs from giant
+        # true-duplicate clusters is exactly the failure mode a caller
+        # on a boilerplate-heavy corpus needs to hear about.
         hot = (
             banded.groupBy("band", "sig")
             .agg(F.count("*").alias("_n"))
             .filter(F.col("_n") > max_bucket)
-            .drop("_n")
+            .localCheckpoint(eager=True)
         )
-        banded = banded.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+        n_hot = hot.count()
+        if n_hot:
+            biggest = hot.agg(F.max("_n")).first()[0]
+            _LOG.warning(
+                "lsh_candidate_pairs: max_bucket=%d guardrail dropped %d hot "
+                "bucket(s) (largest: %d members). Pairs whose every band is "
+                "hot are lost; on boilerplate-heavy corpora run exact/"
+                "fingerprint dedup first or raise max_bucket.",
+                max_bucket,
+                n_hot,
+                biggest,
+            )
+        banded = banded.join(
+            F.broadcast(hot.drop("_n")), ["band", "sig"], "left_anti"
+        )
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -266,12 +288,15 @@ def minhash_lsh_dedup(
     bands: int = 8,
     rows: int = 4,
     threshold: float = 0.8,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates
     → exact-Jaccard verification of candidates only.
 
     Returns (id_a, id_b, jaccard) — same shape as ``jaccard_pairs`` but
     with candidate generation that scales linearly in corpus size.
+    ``max_bucket`` passes through to ``lsh_candidate_pairs`` (hot-bucket
+    guardrail; ``None`` disables it — see its docstring for when).
     """
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     # The candidate set is tiny (near-dup pairs) but its plan is the
@@ -282,7 +307,7 @@ def minhash_lsh_dedup(
     # persist() 16.2s vs no materialization 23.3s — lazy caches can't be
     # shared by branches computed concurrently within one job, so the
     # eager cut is the right call at every scale.
-    cands = lsh_candidate_pairs(sigs, bands, rows).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(sigs, bands, rows, max_bucket).localCheckpoint(eager=True)
     return verify_candidate_pairs(df, cands, text_col, id_col, n, threshold)
 
 

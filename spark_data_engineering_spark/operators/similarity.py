@@ -354,9 +354,16 @@ def train_ivf_centroids(
 
     if n_centroids is None:
         n_centroids = max(16, round(math.sqrt(corpus.count())))
-    rows = corpus.select(id_col, vec_col).limit(4096).collect()
+    # sample must cover the requested centroid count: once sqrt(N)
+    # exceeds a fixed 4096-row cap, linspace init would yield duplicate
+    # indices (duplicate/empty centroids) — grow the sample with k
+    sample_rows = max(4096, 4 * n_centroids)
+    rows = corpus.select(id_col, vec_col).limit(sample_rows).collect()
+    if not rows:
+        raise ValueError("train_ivf_centroids: corpus is empty — cannot train centroids")
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    n_centroids = min(n_centroids, len(mat))
     idx = np.linspace(0, len(mat) - 1, n_centroids).astype(int)
     cents = mat[idx].copy()
     for _ in range(kmeans_iters):

@@ -39,13 +39,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external correctness gate oracle-checks only the FIRST 50 registered
-# queries. Rounds 1-2 together put a green driver row on 87 of the 119
-# registered queries; this round's window targets exactly the 32 queries
-# that have NEVER had a driver row, plus 5 stable canaries (regression
-# tripwires over shared code paths) and a refresh of the most load-bearing
-# round-1-only evidence (queries whose shared loader changed since their
-# green row). Goal: the union of green rows across rounds covers all
-# registered queries.
+# queries. After round 3 the union of green driver rows covers all 123
+# registered queries, but 28 queries' newest green row dates from round 1 —
+# two rounds of shared-loader (sources/tables.py) churn ago. This round's
+# window refreshes exactly those 28, keeps 5 stable canaries over the
+# shared code paths, and adds the round-4 additions (approx report,
+# streaming near-dup, refreshed recall report) so every registered query
+# ends the round with driver evidence at most one round old.
 CHECK_PRIORITY: tuple[str, ...] = (
     # --- Canaries: stable, previously-green, exercise the shared loader,
     # the flagship report pipeline, events, and the dedup family.
@@ -54,63 +54,42 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "daily_category_report",
     "hourly_event_stats",
     "simhash_near_pairs",
-    # --- Never driver-checked (32): sampling/curation/text micro-queries
-    "mixture_sample_counts",
-    "context_length_buckets",
-    "benchmark_contamination",
-    "chunk_documents",
-    "boilerplate_chunks",
-    "curation_decisions",
-    "doc_fingerprints",
-    "lang_source_profile",
-    "token_regex_stats",
-    "vocab_top_tokens",
-    "tfidf_top_terms",
-    "label_centroids",
-    "bm25_keyword_search",
-    # --- Never checked: multi-format ingest (CSV/JSONL/ORC)
-    "csv_events_hourly_stats",
-    "jsonl_events_hourly_stats",
-    "orc_events_hourly_stats",
-    # --- Never checked: graph / skew
-    "pagerank_click_graph",
-    "salted_distinct_customers_by_status",
-    # --- Never checked: incremental / txn table format
-    "incremental_daily_revenue",
-    "incremental_daily_revenue_merged",
-    "incremental_daily_order_report",
-    "txn_datasource_revenue",
-    # --- Never checked: multimodal + bucketed report
-    "media_exact_dedup",
-    "daily_category_report_bucketed",
-    # --- Never checked: production ANN paths (lsh/ivf/pq rows-only;
-    # int8 + dup-clusters oracled; ann_recall_report oracles recall@10
-    # of all three approximate methods against brute force)
-    "knn_lsh",
-    "knn_lsh_multiprobe",
-    "knn_ivf",
-    "knn_pq",
-    "knn_int8_quantized",
-    "embedding_dup_clusters",
-    "ann_recall_report",
-    "ann_index_search_exhaustive",
-    "ann_ivfpq_search_exhaustive",
-    # --- Never checked: streaming dedup / sessionize / stateful-v2
-    "streaming_dedup_documents",
-    "streaming_sessionize_events",
-    "streaming_user_totals_tws",
-    # --- Round-1-only evidence refresh: the shared loader (sources/
-    # tables.py) changed after these went green; re-evidence the most
-    # load-bearing ones.
-    "minhash_lsh_pairs",
-    "dedup_exact",
-    "dedup_clusters",
-    "ngram_jaccard_pairs",
+    # --- The 28 queries whose newest green driver row is round 1
+    # (VERDICT r3 "What's wrong" #1) — shared loader changed r2 + r3.
+    "collect_explode_roundtrip",
+    "cube_flag_status",
+    "customer_rank_suite",
+    "customer_running_revenue",
+    "customer_tiers",
+    "customer_trailing_7d_revenue",
+    "customer_value_quartiles",
+    "customers_with_high_value_orders",
+    "customers_without_orders",
+    "daily_revenue_anomalies",
+    "daily_revenue_gapfilled",
+    "dim_customer",
+    "distinct_counts",
+    "global_maxima",
+    "grouping_sets_flag_status",
+    "latest_order_per_customer",
+    "media_format_profile",
+    "orders_above_customer_avg",
+    "orders_by_year_quarter",
+    "part_name_analysis",
+    "pivot_status_by_flag",
+    "project_derive_filter",
+    "quantity_band_join",
+    "rollup_flag_status",
+    "segment_set_ops",
+    "top10_customers_by_revenue",
+    "unpivot_brand_metrics",
+    "wide_lineitem",
+    # --- Round-4 additions / newly-oracled surfaces.
     "media_feature_knn",
-    "media_resize_profile",
-    "brand_type_metrics",
-    "pipeline_daily_order_report",
-    "pipeline_daily_category_report",
+    "ann_recall_report",
+    "daily_category_report_approx",
+    "streaming_neardup_survivors",
+    "knn_ivf",
 )
 
 

@@ -39,6 +39,25 @@ from pyspark.sql import functions as F
 from spark_data_engineering_spark.sources.snapshot import PARTITION_COL, _fmt_ts
 
 
+def _denull(dt):
+    """Normalize a DataType modulo nullability flags (struct-field
+    nullable, array containsNull, map valueContainsNull) — an incoming
+    batch whose array happens to be containsNull=false is WRITE-
+    compatible with a declared containsNull=true column, not a type
+    change."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_denull(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_denull(dt.keyType), _denull(dt.valueType), True)
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _denull(f.dataType), True) for f in dt.fields]
+        )
+    return dt
+
+
 class CatalogStore:
     """SnapshotStore-compatible facade (``write / read_latest / path``)
     over catalog-managed partitioned tables, for ``plans.dag.Runner``."""
@@ -90,7 +109,9 @@ class CatalogStore:
             # type-changed column into the declared type
             declared = {f.name: f.dataType for f in existing.fields}
             for f in stamped.schema.fields:
-                if f.name in declared and f.dataType != declared[f.name]:
+                if f.name in declared and _denull(f.dataType) != _denull(
+                    declared[f.name]
+                ):
                     raise ValueError(
                         f"schema enforcement: column {f.name!r} is "
                         f"{declared[f.name].simpleString()} in table "

@@ -752,7 +752,11 @@ class TxnTable:
                 "remove": [],
                 "stats": stats,
                 "txn": {"app": app_id, "epoch": epoch_id},
-                "schema": schema,
+                # fold over the CURRENT head's schema inside the retry
+                # loop (mirrors _commit): a concurrent writer's column
+                # addition landing between our schema snapshot and our
+                # winning commit must not be dropped from the log head
+                "schema": self._merge_schema_lists(self.table_schema(), schema),
             }
             if self._try_commit(record):
                 v = head + 1
