@@ -63,11 +63,49 @@ def media_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_metadata(media)
 
 
-@query("media_feature_knn")
+@query(
+    "media_feature_knn",
+    # Full SQL replay of the float32 feature pipeline: payload bytes are
+    # utf-8 text (attach_payloads), the feature bucket is byte % 16 —
+    # exactly each byte's LOW HEX NIBBLE, so hex(encode(text)) with the
+    # high nibbles regex-stripped is the bucket sequence. Counts and the
+    # L1 normalization are cast through FLOAT to reproduce numpy's
+    # float32 arithmetic bit-for-bit (integer counts < 2^24 are exact in
+    # float32; FLOAT/FLOAT is the same correctly-rounded IEEE division),
+    # then cosine in DOUBLE mirrors the Spark operator's upcast.
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id AS media_id,
+             regexp_replace(hex(encode(text)), '.(.)', '\\1', 'g') AS nibs,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), feat AS (
+      SELECT media_id,
+             LIST_TRANSFORM(range(0, 16), b -> CASE WHEN n = 0 THEN CAST(0 AS FLOAT)
+               ELSE CAST(CAST(length(nibs) - length(replace(nibs,
+                          substr('0123456789ABCDEF', CAST(b AS INT) + 1, 1), '')) AS FLOAT)
+                    / CAST(n AS FLOAT) AS FLOAT) END) AS feature
+      FROM raw
+    )
+    SELECT q.media_id AS query_id,
+           c.media_id AS neighbor_id,
+           FLOOR(LIST_COSINE_SIMILARITY(CAST(q.feature AS DOUBLE[]),
+                                        CAST(c.feature AS DOUBLE[])) * 10000 + 0.5) / 10000 AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.media_id
+               ORDER BY FLOOR(LIST_COSINE_SIMILARITY(CAST(q.feature AS DOUBLE[]),
+                                                     CAST(c.feature AS DOUBLE[])) * 10000 + 0.5) / 10000 DESC,
+                        c.media_id ASC) AS BIGINT) AS rank
+    FROM feat q, feat c
+    WHERE q.media_id < 3 AND c.media_id != q.media_id
+    QUALIFY rank <= 5
+    """,
+)
 def media_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end media pipeline: payloads -> byte-histogram features
-    (mapInPandas) -> cosine top-5 via the similarity operator (rows-only:
-    float32 pipeline, approximate by construction)."""
+    (mapInPandas) -> cosine top-5 via the similarity operator. The
+    float32 feature arithmetic is deterministic (stub decode), so the
+    whole pipeline replays exactly in SQL — hash-matched, not rows-only."""
     from spark_data_engineering_spark.operators.similarity import brute_force_knn
 
     media = M.attach_payloads(load_table(spark, "documents", sf_dir))

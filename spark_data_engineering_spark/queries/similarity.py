@@ -86,12 +86,19 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("knn_ivf")
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: k-means cells + 4-of-16 probe — the
+    """IVF approximate top-10: k-means cells + 12-of-32 probe — the
     sharded-ANN layout for billion-vector corpora (rows-only:
-    approximate by design; recall vs brute force asserted in tests)."""
+    approximate by design; recall vs brute force is an oracled row of
+    ``ann_recall_report``). The operating point was swept at sf0.01:
+    the old 4-of-16 default measured recall@10 = 0.62, too low to ship;
+    12-of-32 measures 0.94 at ~3/8 of a full scan. The probe fraction
+    is high because these synthetic embeddings are near-uniform in R^64
+    (k-means cells barely separate them) — clustered real-world
+    embeddings sit at much lower probe fractions for the same recall,
+    which is why n_probe/n_centroids stay caller-tunable."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_knn(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return S.ivf_knn(emb, queries, k=10, n_centroids=32, n_probe=12)
 
 
 @query("knn_ivf_exhaustive", oracle=_BF_TOP10_ORACLE)
@@ -210,6 +217,8 @@ def knn_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_RECALL_EXPECTED_SF001 = """
     SELECT method, CAST(recall_at_10 AS DOUBLE) AS recall_at_10
     FROM (VALUES ('ivf', {ivf}),
+                 ('ivf_index', {ivf_index}),
+                 ('lsh', {lsh_single}),
                  ('lsh_multiprobe', {lsh}),
                  ('pq', {pq})) t(method, recall_at_10)
     """
@@ -217,18 +226,34 @@ _ANN_RECALL_EXPECTED_SF001 = """
 
 @query(
     "ann_recall_report",
-    oracle=_ANN_RECALL_EXPECTED_SF001.format(ivf=0.62, lsh=1.0, pq=0.92),
+    oracle=_ANN_RECALL_EXPECTED_SF001.format(
+        ivf=0.94, ivf_index=0.94, lsh_single=0.14, lsh=1.0, pq=0.92
+    ),
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the three production approximate-ANN paths
-    (multi-probe hyperplane LSH, IVF 4-of-16 probe, PQ ADC short list)
+    """Recall@10 of every production approximate-ANN path — single- and
+    multi-probe hyperplane LSH, IVF 12-of-32 probe (both the per-call
+    operator and the persisted ``IVFIndex``, which must agree: same
+    centroids, same probes, same scoring), and the PQ ADC short list —
     against the exact brute-force top-10, computed entirely in Spark:
     per-method ``left_semi`` join onto the brute-force (query, neighbor)
-    set, then hits/total. No driver-side collection beyond the 3-row
-    result; the brute-force side is materialized once, eagerly — three
+    set, then hits/total. No driver-side collection beyond the 5-row
+    result; the brute-force side is materialized once, eagerly — the
     method branches reference it in one job, and a lazy cache can't be
     shared by branches computed concurrently (same A/B finding as
-    minhash_lsh_dedup's candidate cut)."""
+    minhash_lsh_dedup's candidate cut).
+
+    Operating points (swept at sf0.01, constants in the oracle): IVF
+    moved from 4-of-16 (recall 0.62 — the round-3 verdict's 'too weak to
+    ship') to 12-of-32 (0.94). Single-probe LSH is the cheap tier and
+    its 0.14 is the honest number for near-uniform synthetic vectors —
+    recorded here so no production config ships without recall evidence.
+    """
+    import hashlib
+    import os
+
+    from spark_data_engineering_spark.operators.ann_index import IVFIndex
+
     emb = load_table(spark, "embeddings", sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
     bf = (
@@ -236,9 +261,19 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
+    stat = os.stat(f"{sf_dir}/embeddings.parquet")
+    digest = hashlib.md5(
+        f"ivf32:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_ann_index/{digest}"
+    if not os.path.exists(os.path.join(root, "ann_ivf", "ivf_meta.json")):
+        IVFIndex.build(spark, emb, root, n_centroids=32)
+    idx = IVFIndex(root)
     methods = {
+        "lsh": S.lsh_knn(emb, queries_df, k=10),
         "lsh_multiprobe": S.lsh_knn_multiprobe(emb, queries_df, k=10, n_probes=9),
-        "ivf": S.ivf_knn(emb, queries_df, k=10, n_centroids=16, n_probe=4),
+        "ivf": S.ivf_knn(emb, queries_df, k=10, n_centroids=32, n_probe=12),
+        "ivf_index": idx.search(spark, queries_df, k=10, n_probe=12),
         "pq": S.pq_knn(emb, queries_df, k=10, m=16, n_codes=32),
     }
     total = bf.agg(F.count(F.lit(1)).alias("total"))
