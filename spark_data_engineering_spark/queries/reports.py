@@ -123,7 +123,11 @@ def daily_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (even n, diffs 0 and 2) middle rows; the interpolation
     ``lo + (hi - lo) * 0.5`` is the identical IEEE sequence to Spark's
     percentile AND DuckDB's QUANTILE_CONT, so the oracle hash-matches
-    bit-for-bit (plain ``(lo + hi) / 2`` would not)."""
+    bit-for-bit (plain ``(lo + hi) / 2`` would not).
+
+    This exact variant exists for the oracle contract; the variant that
+    SHIPS at 100 TB is ``daily_category_report_approx`` (mergeable
+    percentile_approx sketch, no per-group sort)."""
     items = order_item_actual_price(spark, sf_dir)
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
@@ -157,6 +161,43 @@ def _category_report(items: DataFrame, orders: DataFrame, part: DataFrame) -> Da
     return ranked.groupBy(*keys).agg(
         NR.round2(F.avg("actual_price")).alias("Mean Revenue"),
         NR.round2(lo + (hi - lo) * F.lit(0.5)).alias("Median Revenue"),
+    )
+
+
+@query("daily_category_report_approx")
+def daily_category_report_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE variant of the category report: ``percentile_approx``
+    (the reference's actual letter — daily_category_metrics.py:125-131
+    uses percentile_approx — and the variant that ships at 100 TB).
+    Registered rows-only: the approximate median is engine-specific by
+    design (Spark's Greenwald-Khanna sketch has no DuckDB twin), so its
+    correctness evidence is (a) the exact variant's hash-matched oracle
+    over identical inputs and (b) the pytest structural bound vs exact
+    (tests/test_reports_approx.py: every approx median is a true group
+    member inside the two-middle-element interval, and means agree).
+
+    Why it's the scale path: the exact median sorts every (day, type)
+    group; percentile_approx is a mergeable sketch, so it rides partial
+    aggregation — map-side combine, one narrow shuffle of sketch state,
+    no per-group sort, bounded memory at any group size. accuracy=10000
+    keeps the rank error ~1e-4 of each group."""
+    items = order_item_actual_price(spark, sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    joined = (
+        items.join(orders, items.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), items.l_partkey == part.p_partkey)
+        .select(
+            F.date_trunc("day", F.col("o_orderdate")).alias("Date"),
+            F.col("p_type").alias("Product Category"),
+            "actual_price",
+        )
+    )
+    return joined.groupBy("Date", "Product Category").agg(
+        NR.round2(F.avg("actual_price")).alias("Mean Revenue"),
+        NR.round2(
+            F.percentile_approx("actual_price", 0.5, accuracy=10000)
+        ).alias("Median Revenue"),
     )
 
 

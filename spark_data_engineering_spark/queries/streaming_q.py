@@ -267,3 +267,139 @@ if ensure_protobuf():
                 NR.round2(F.col("s.total_value")).alias("total_value"),
             )
         )
+
+
+_NEARDUP_SURVIVOR_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(LEN(STRING_SPLIT(text, ' ')) - 2),
+                   i -> STRING_SPLIT(text, ' ')[i + 1] || ' ' ||
+                        STRING_SPLIT(text, ' ')[i + 2] || ' ' ||
+                        STRING_SPLIT(text, ' ')[i + 3]))) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE FLOOR((CAST(i AS DOUBLE) / (sa.sz + sb.sz - i)) * 10000 + 0.5) / 10000 >= 0.8
+    ),
+    bounds AS (
+        SELECT CAST(FLOOR(MAX(doc_id) / 3) AS BIGINT) AS t1,
+               CAST(FLOOR(2 * MAX(doc_id) / 3) AS BIGINT) AS t2
+        FROM documents
+    ),
+    bat AS (
+        SELECT doc_id,
+               CASE WHEN doc_id < t1 THEN 0
+                    WHEN doc_id < t2 THEN 1
+                    ELSE 2 END AS batch
+        FROM documents, bounds
+    ),
+    -- batch 0: drop b iff a smaller-id batch-0 doc pairs with it
+    s0 AS (
+        SELECT d.doc_id FROM bat d
+        WHERE d.batch = 0 AND NOT EXISTS (
+            SELECT 1 FROM pairs p JOIN bat a ON a.doc_id = p.id_a
+            WHERE p.id_b = d.doc_id AND a.batch = 0)
+    ),
+    -- batch 1: smaller-id batch-1 doc (surviving or not), or any batch-0
+    -- SURVIVOR (contiguous ranges: history ids are always smaller)
+    s1 AS (
+        SELECT d.doc_id FROM bat d
+        WHERE d.batch = 1
+          AND NOT EXISTS (
+            SELECT 1 FROM pairs p JOIN bat a ON a.doc_id = p.id_a
+            WHERE p.id_b = d.doc_id AND a.batch = 1)
+          AND NOT EXISTS (
+            SELECT 1 FROM pairs p JOIN s0 a ON a.doc_id = p.id_a
+            WHERE p.id_b = d.doc_id)
+    ),
+    s2 AS (
+        SELECT d.doc_id FROM bat d
+        WHERE d.batch = 2
+          AND NOT EXISTS (
+            SELECT 1 FROM pairs p JOIN bat a ON a.doc_id = p.id_a
+            WHERE p.id_b = d.doc_id AND a.batch = 2)
+          AND NOT EXISTS (
+            SELECT 1 FROM pairs p JOIN s0 a ON a.doc_id = p.id_a
+            WHERE p.id_b = d.doc_id)
+          AND NOT EXISTS (
+            SELECT 1 FROM pairs p JOIN s1 a ON a.doc_id = p.id_a
+            WHERE p.id_b = d.doc_id)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id FROM s0
+    UNION ALL SELECT CAST(doc_id AS BIGINT) FROM s1
+    UNION ALL SELECT CAST(doc_id AS BIGINT) FROM s2
+"""
+
+
+@query("streaming_neardup_survivors", oracle=_NEARDUP_SURVIVOR_ORACLE)
+def streaming_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents corpus through the streaming near-dup ingest
+    (streaming/neardup.py) in THREE fixed micro-batches (contiguous
+    doc_id thirds, file-source availableNow + maxFilesPerTrigger=1) and
+    return the surviving doc ids — the corpus-table contents after the
+    stream drains.
+
+    The oracle replays the greedy keep-first semantics in SQL from the
+    exact 3-gram Jaccard pair set (same shingle/threshold SQL that
+    ``minhash_lsh_pairs`` hash-matches, so banded-LSH recall=1 on this
+    corpus carries over): per batch, a doc drops iff a smaller-id doc of
+    the SAME batch pairs with it, or a SURVIVOR of an earlier batch
+    does. Exactly-once machinery is live in the replay: the TxnTable
+    root is digest-keyed and reused, so a rerun re-derives identical
+    decisions and `append_idempotent` commits nothing twice.
+    """
+    import hashlib
+    import uuid
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from spark_data_engineering_spark.streaming.neardup import NearDupIngest
+
+    src = f"{sf_dir}/documents.parquet"
+    stat = os.stat(src)
+    digest = hashlib.md5(
+        f"neardup:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    staged = f"/tmp/spark_de_stream_input/{digest}"
+    if not os.path.isdir(staged):
+        tbl = pq.read_table(src, columns=["doc_id", "text"])
+        max_id = pa.compute.max(tbl["doc_id"]).as_py()
+        t1, t2 = max_id // 3, 2 * max_id // 3
+        ids = tbl["doc_id"].to_pylist()
+        masks = [
+            [i < t1 for i in ids],
+            [t1 <= i < t2 for i in ids],
+            [i >= t2 for i in ids],
+        ]
+        tmp = f"{staged}.{uuid.uuid4().hex}.tmp"
+        os.makedirs(tmp)
+        base = 1735689600
+        for k, mask in enumerate(masks):
+            path = os.path.join(tmp, f"batch{k}.parquet")
+            pq.write_table(tbl.filter(pa.array(mask)), path)
+            # the file source orders micro-batches by mtime: pin it
+            os.utime(path, (base + 60 * k, base + 60 * k))
+        os.rename(tmp, staged)
+
+    root = f"/tmp/spark_de_neardup/{digest}"
+    ingest = NearDupIngest(root)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    ingest.run(stream, f"/tmp/spark_de_neardup_ckpt/{uuid.uuid4().hex}")
+    return ingest.docs.read(spark).select(F.col("doc_id").cast("bigint").alias("doc_id"))
