@@ -84,15 +84,22 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-N per query: this host shows bursty CPU throttling (30x
+    # N samples per query: this host shows bursty CPU throttling (30x
     # swings on identical work), so a single sample is noise, not signal.
+    # Headline `queries` report best-of-N (comparable to earlier rounds);
+    # `medians` + `noise_band_pct` quantify the residual spread so a
+    # round-over-round delta can be read against the measured noise.
     # Slow-looking results get adaptive retries: a throttle burst clears
     # and a retry comes back fast; a genuinely slow query plateaus and
     # stops after one extra run (retries continue only while improving).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    import statistics
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     retry_above = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_ABOVE", "2.0"))
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: list[float] = []
     for name in HEADLINE:
         fn = registry.QUERIES[name]
 
@@ -101,17 +108,23 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.time() - t0
 
-        best = min(one_run() for _ in range(runs))
+        samples = [one_run() for _ in range(runs)]
+        best = min(samples)
         for _ in range(max_retries):
             if best <= retry_above:
                 break
             t = one_run()
+            samples.append(t)
             if t < best * 0.75:
                 best = t  # still improving — likely throttle noise, keep going
             else:
                 best = min(best, t)
                 break  # plateaued: genuinely this slow
+        med = statistics.median(samples)
         timings[name] = round(best, 3)
+        medians[name] = round(med, 3)
+        if med > 0:
+            spreads.append(100.0 * (max(samples) - min(samples)) / med)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -121,6 +134,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "medians": medians,
+                "median_total": round(sum(medians.values()), 3),
+                "noise_band_pct": round(statistics.median(spreads), 1),
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -171,9 +171,16 @@ class IVFIndex:
         the last rebuild; a ``build()`` rewrites both table and centroid
         sidecar, so time-traveling to a pre-rebuild version would probe
         old-centroid cells with new centroids — silent recall collapse.
-        Such versions are refused explicitly."""
+        Approximate (n_probe < n_cells) searches against such versions
+        are refused explicitly; a probe-ALL search is exact regardless
+        of cell layout, so it proceeds by scanning the snapshot with no
+        cell filter (brute force over the old snapshot — correct, just
+        not index-accelerated)."""
         import numpy as np
 
+        cents = self.centroids()
+        probe_all = n_probe >= len(cents)
+        pre_rebuild = False
         if at_version is not None:
             rebuild_floor = max(
                 (
@@ -183,14 +190,15 @@ class IVFIndex:
                 ),
                 default=0,
             )
-            if at_version < rebuild_floor:
+            pre_rebuild = at_version < rebuild_floor
+            if pre_rebuild and not probe_all:
                 raise ValueError(
                     f"at_version={at_version} predates the last index rebuild "
                     f"(overwrite commit v{rebuild_floor}); the current centroid "
                     "sidecar does not describe that snapshot's cell assignment. "
-                    "Rebuilds invalidate older versions for search."
+                    "Use n_probe >= n_cells (exact, unaccelerated) or search "
+                    "a version since the rebuild."
                 )
-        cents = self.centroids()
         b_cents = spark.sparkContext.broadcast(cents)
         n_probe = min(n_probe, len(cents))
 
@@ -224,6 +232,31 @@ class IVFIndex:
             # plan would recompute the assignment pass per consumer
             .localCheckpoint(eager=True)
         )
+        if pre_rebuild:
+            # exact fallback: the old snapshot's cell ids belong to dead
+            # centroids — ignore them and score every row per query.
+            inv = self.table.read(spark, at_version=at_version)
+            qframe = probes.select("query_id", "_qvec").distinct()
+            scored = (
+                inv.crossJoin(F.broadcast(qframe))
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .withColumn(
+                    "cos_sim", NR.round4(cosine(F.col("_qvec"), F.col("embedding")))
+                )
+            )
+            w = W.partitionBy("query_id").orderBy(
+                F.col("cos_sim").desc(), F.col("vec_id").asc()
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    "cos_sim",
+                    F.col("rank").cast("bigint").alias("rank"),
+                )
+            )
         # driver-side probe-cell set: at most #queries x n_probe ints
         probe_cells = sorted(
             r.cell for r in probes.select("cell").distinct().collect()

@@ -113,6 +113,21 @@ def test_ivf_index_refuses_pre_rebuild_version(spark, tmp_path):
     idx2 = IVFIndex(str(tmp_path))
     with pytest.raises(ValueError, match="rebuild"):
         idx2.search(spark, queries, k=3, at_version=v_before)
+    # probe-ALL time travel is exact regardless of cell layout, so it is
+    # allowed (unaccelerated snapshot scan) and matches the pre-rebuild
+    # probe-all answer.
+    want = sorted(
+        map(tuple, idx.search(spark, queries, k=3, n_probe=4).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            idx2.search(
+                spark, queries, k=3, n_probe=8, at_version=v_before
+            ).collect(),
+        )
+    )
+    assert got == want
     # current version still fine
     assert idx2.search(spark, queries, k=3).count() > 0
 
