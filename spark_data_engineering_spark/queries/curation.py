@@ -90,6 +90,55 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_documents_greedy",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             doc_id % {N_SHARDS} AS shard,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % {N_SHARDS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ), packed AS (
+      SELECT shard, rn, doc_id, n_tokens, n_tokens AS fill, 0 AS pack_no
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.fill + t.n_tokens <= {SEQ_BUDGET}
+                  THEN p.fill + t.n_tokens ELSE t.n_tokens END,
+             CASE WHEN p.fill + t.n_tokens <= {SEQ_BUDGET}
+                  THEN p.pack_no ELSE p.pack_no + 1 END
+      FROM t JOIN packed p ON t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(pack_no AS BIGINT) AS pack_no
+    FROM packed
+    """,
+)
+def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy NO-SPLIT packing (SFT layout: a document never straddles a
+    window): per shard in doc_id order, a doc joins the current
+    {SEQ_BUDGET}-token pack if it fits, else opens the next one. The
+    decision chain is inherently sequential per shard — not a window
+    cumsum — so the operator is an ``applyInPandas`` over the shard key
+    (operators/packing.py::greedy_pack) shuffling only (doc_id, shard,
+    n_tokens); the DuckDB oracle replays the identical recurrence with a
+    recursive CTE. Shards are the parallelism unit, as in
+    ``pack_sequences``."""
+    from spark_data_engineering_spark.operators.packing import greedy_pack
+
+    d = load_table(spark, "documents", sf_dir)
+    slim = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).cast("bigint").alias("shard"),
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return greedy_pack(slim, budget=SEQ_BUDGET)
+
+
+@query(
     "context_length_buckets",
     oracle="""
     WITH t AS (

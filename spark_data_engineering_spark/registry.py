@@ -90,6 +90,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "daily_category_report_approx",
     "streaming_neardup_survivors",
     "knn_ivf",
+    "pack_documents_greedy",
 )
 
 
