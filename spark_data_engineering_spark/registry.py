@@ -91,6 +91,22 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_neardup_survivors",
     "knn_ivf",
     "pack_documents_greedy",
+    # --- Fill the window to exactly 50 with r2-evidence queries picked
+    # one-per-family (instead of letting registration order waste slots
+    # on queries already green in r3): asof join, sessionization, event
+    # rollups, media decode, quality metrics, ANN baselines, SQL views,
+    # approx quantiles, streaming.
+    "asof_purchase_click",
+    "sessionize_events",
+    "event_rollup_multires",
+    "media_decode_metadata",
+    "doc_repetition_metrics",
+    "doc_pii_scrub",
+    "knn_bruteforce",
+    "embedding_near_dup",
+    "sql_revenue_by_nation",
+    "approx_quantiles_lineitem",
+    "streaming_hourly_event_stats",
 )
 
 
