@@ -174,3 +174,32 @@ def test_pq_knn_recall_and_shape(spark, sf_dir):
         k=5,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_low_probe_high_recall_on_clustered_corpus(spark):
+    """The testdata embeddings are near-uniform in R^64 (mean pairwise
+    cosine ~0.001) — the degenerate regime for IVF, which is why the
+    production default needs 12-of-32 probes there (SCALE.md sweep).
+    This test pins the operator's behavior in the REALISTIC regime:
+    clustered vectors (what trained text/image encoders produce). With
+    20 well-separated clusters, probing 4 of 32 cells (12.5% scan
+    fraction) must reach recall@10 >= 0.9 vs brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(1000):
+        c = i % 20
+        v = centers[c] + 0.15 * rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = corpus.filter("vec_id < 5")
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_knn(corpus, queries, k=10).collect()
+    }
+    approx = S.ivf_knn(corpus, queries, k=10, n_centroids=32, n_probe=4)
+    hits = sum(1 for r in approx.collect() if (r.query_id, r.neighbor_id) in bf)
+    assert hits / len(bf) >= 0.9
