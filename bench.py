@@ -67,6 +67,9 @@ HEADLINE = (
     "boilerplate_chunks",
     "knn_int8_quantized",
     "media_feature_knn",
+    # round-4 additions (round-over-round totals compare on the shared set)
+    "daily_category_report_approx",
+    "pack_documents_greedy",
 )
 
 
