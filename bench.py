@@ -123,11 +123,15 @@ def main() -> None:
             else:
                 best = min(best, t)
                 break  # plateaued: genuinely this slow
-        med = statistics.median(samples)
+        # steady-state stats exclude each query's FIRST sample: it pays
+        # one-time plan compilation/codegen for that query, which is
+        # startup cost, not run-to-run noise (best-of keeps all samples)
+        steady = samples[1:] if len(samples) > 1 else samples
+        med = statistics.median(steady)
         timings[name] = round(best, 3)
         medians[name] = round(med, 3)
-        if med > 0:
-            spreads.append(100.0 * (max(samples) - min(samples)) / med)
+        if med > 0 and len(steady) > 1:
+            spreads.append(100.0 * (max(steady) - min(steady)) / med)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -139,7 +143,9 @@ def main() -> None:
                 "queries": timings,
                 "medians": medians,
                 "median_total": round(sum(medians.values()), 3),
-                "noise_band_pct": round(statistics.median(spreads), 1),
+                "noise_band_pct": round(statistics.median(spreads), 1)
+                if spreads
+                else None,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

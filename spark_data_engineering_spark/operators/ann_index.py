@@ -199,6 +199,36 @@ class IVFIndex:
                     "Use n_probe >= n_cells (exact, unaccelerated) or search "
                     "a version since the rebuild."
                 )
+        if pre_rebuild:
+            # exact fallback BEFORE any probe assignment (the cell pass
+            # would be discarded work): the old snapshot's cell ids
+            # belong to dead centroids — ignore them and score every
+            # row per query.
+            inv = self.table.read(spark, at_version=at_version)
+            qframe = queries.select(
+                F.col(id_col).cast("bigint").alias("query_id"),
+                F.col(vec_col).alias("_qvec"),
+            )
+            scored = (
+                inv.crossJoin(F.broadcast(qframe))
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .withColumn(
+                    "cos_sim", NR.round4(cosine(F.col("_qvec"), F.col("embedding")))
+                )
+            )
+            w = W.partitionBy("query_id").orderBy(
+                F.col("cos_sim").desc(), F.col("vec_id").asc()
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    "cos_sim",
+                    F.col("rank").cast("bigint").alias("rank"),
+                )
+            )
         b_cents = spark.sparkContext.broadcast(cents)
         n_probe = min(n_probe, len(cents))
 
@@ -232,31 +262,6 @@ class IVFIndex:
             # plan would recompute the assignment pass per consumer
             .localCheckpoint(eager=True)
         )
-        if pre_rebuild:
-            # exact fallback: the old snapshot's cell ids belong to dead
-            # centroids — ignore them and score every row per query.
-            inv = self.table.read(spark, at_version=at_version)
-            qframe = probes.select("query_id", "_qvec").distinct()
-            scored = (
-                inv.crossJoin(F.broadcast(qframe))
-                .filter(F.col("vec_id") != F.col("query_id"))
-                .withColumn(
-                    "cos_sim", NR.round4(cosine(F.col("_qvec"), F.col("embedding")))
-                )
-            )
-            w = W.partitionBy("query_id").orderBy(
-                F.col("cos_sim").desc(), F.col("vec_id").asc()
-            )
-            return (
-                scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select(
-                    "query_id",
-                    F.col("vec_id").alias("neighbor_id"),
-                    "cos_sim",
-                    F.col("rank").cast("bigint").alias("rank"),
-                )
-            )
         # driver-side probe-cell set: at most #queries x n_probe ints
         probe_cells = sorted(
             r.cell for r in probes.select("cell").distinct().collect()

@@ -251,9 +251,11 @@ def lsh_candidate_pairs(
             .filter(F.col("_n") > max_bucket)
             .localCheckpoint(eager=True)
         )
-        n_hot = hot.count()
+        # one combined job for both observability stats (not two)
+        n_hot, biggest = hot.agg(
+            F.count(F.lit(1)), F.max("_n")
+        ).first()
         if n_hot:
-            biggest = hot.agg(F.max("_n")).first()[0]
             _LOG.warning(
                 "lsh_candidate_pairs: max_bucket=%d guardrail dropped %d hot "
                 "bucket(s) (largest: %d members). Pairs whose every band is "

@@ -134,12 +134,13 @@ def daily_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _category_report(items, orders, part)
 
 
-def _category_report(items: DataFrame, orders: DataFrame, part: DataFrame) -> DataFrame:
-    """The report body over prepared inputs (shared by the parquet and
-    bucketed-table variants — identical semantics, different scan)."""
-    from pyspark.sql import Window as W
-
-    joined = (
+def _category_joined(items: DataFrame, orders: DataFrame, part: DataFrame) -> DataFrame:
+    """The shared join/projection feeding every category-report variant
+    (exact, bucketed, approx): one definition so a fix to the joins can
+    never diverge the approx variant from the hash-matched exact one —
+    the approx variant's correctness evidence depends on them reading
+    identical inputs."""
+    return (
         items.join(orders, items.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), items.l_partkey == part.p_partkey)
         .select(
@@ -148,6 +149,14 @@ def _category_report(items: DataFrame, orders: DataFrame, part: DataFrame) -> Da
             "actual_price",
         )
     )
+
+
+def _category_report(items: DataFrame, orders: DataFrame, part: DataFrame) -> DataFrame:
+    """The report body over prepared inputs (shared by the parquet and
+    bucketed-table variants — identical semantics, different scan)."""
+    from pyspark.sql import Window as W
+
+    joined = _category_joined(items, orders, part)
     keys = ["Date", "Product Category"]
     ranked = joined.select(
         *keys,
@@ -184,15 +193,7 @@ def daily_category_report_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = order_item_actual_price(spark, sf_dir)
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
-    joined = (
-        items.join(orders, items.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), items.l_partkey == part.p_partkey)
-        .select(
-            F.date_trunc("day", F.col("o_orderdate")).alias("Date"),
-            F.col("p_type").alias("Product Category"),
-            "actual_price",
-        )
-    )
+    joined = _category_joined(items, orders, part)
     return joined.groupBy("Date", "Product Category").agg(
         NR.round2(F.avg("actual_price")).alias("Mean Revenue"),
         NR.round2(

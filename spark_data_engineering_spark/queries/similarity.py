@@ -262,8 +262,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     stat = os.stat(f"{sf_dir}/embeddings.parquet")
+    # derived-state cache: key on the training/index code as well as the
+    # data, so an edit to centroid training or cell assignment rebuilds
+    # the index instead of silently reusing one trained by old code
+    from spark_data_engineering_spark.cacheutil import code_digest
+    from spark_data_engineering_spark.operators import ann_index as _ai_mod
+    from spark_data_engineering_spark.operators import similarity as _sim_mod
+
     digest = hashlib.md5(
-        f"ivf32:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+        f"ivf32:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_ai_mod, _sim_mod)}".encode()
     ).hexdigest()[:16]
     root = f"/tmp/spark_de_ann_index/{digest}"
     if not os.path.exists(os.path.join(root, "ann_ivf", "ivf_meta.json")):

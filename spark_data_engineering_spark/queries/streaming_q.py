@@ -393,7 +393,14 @@ def streaming_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(path, (base + 60 * k, base + 60 * k))
         os.rename(tmp, staged)
 
-    root = f"/tmp/spark_de_neardup/{digest}"
+    # the TxnTable holds DERIVED state: key it on the deriving code too,
+    # else a code change replays against old epochs (all skipped) and the
+    # gate records evidence for a path that never ran
+    from spark_data_engineering_spark.cacheutil import code_digest
+    from spark_data_engineering_spark.operators import dedup as _dedup_mod
+    from spark_data_engineering_spark.streaming import neardup as _nd_mod
+
+    root = f"/tmp/spark_de_neardup/{digest}-{code_digest(_nd_mod, _dedup_mod)}"
     ingest = NearDupIngest(root)
     schema = spark.read.parquet(staged).schema
     stream = (

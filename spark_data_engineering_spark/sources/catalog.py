@@ -39,23 +39,36 @@ from pyspark.sql import functions as F
 from spark_data_engineering_spark.sources.snapshot import PARTITION_COL, _fmt_ts
 
 
-def _denull(dt):
-    """Normalize a DataType modulo nullability flags (struct-field
-    nullable, array containsNull, map valueContainsNull) — an incoming
-    batch whose array happens to be containsNull=false is WRITE-
-    compatible with a declared containsNull=true column, not a type
-    change."""
+def _write_compatible(incoming, declared) -> bool:
+    """ONE-directional nullability-aware type compatibility: an incoming
+    batch whose array happens to be containsNull=false IS write-
+    compatible with a declared containsNull=true column (stricter data
+    into a laxer declaration), but the reverse is NOT — accepting a
+    containsNull=true batch into a declared containsNull=false column
+    would put nulls where the declared schema promises none (round-4
+    review finding: the earlier symmetric normalization allowed it)."""
     from pyspark.sql import types as T
 
-    if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_denull(dt.elementType), True)
-    if isinstance(dt, T.MapType):
-        return T.MapType(_denull(dt.keyType), _denull(dt.valueType), True)
-    if isinstance(dt, T.StructType):
-        return T.StructType(
-            [T.StructField(f.name, _denull(f.dataType), True) for f in dt.fields]
+    if isinstance(incoming, T.ArrayType) and isinstance(declared, T.ArrayType):
+        return (
+            (not incoming.containsNull or declared.containsNull)
+            and _write_compatible(incoming.elementType, declared.elementType)
         )
-    return dt
+    if isinstance(incoming, T.MapType) and isinstance(declared, T.MapType):
+        return (
+            (not incoming.valueContainsNull or declared.valueContainsNull)
+            and _write_compatible(incoming.keyType, declared.keyType)
+            and _write_compatible(incoming.valueType, declared.valueType)
+        )
+    if isinstance(incoming, T.StructType) and isinstance(declared, T.StructType):
+        if [f.name for f in incoming.fields] != [f.name for f in declared.fields]:
+            return False
+        return all(
+            (not fi.nullable or fd.nullable)
+            and _write_compatible(fi.dataType, fd.dataType)
+            for fi, fd in zip(incoming.fields, declared.fields)
+        )
+    return incoming == declared
 
 
 class CatalogStore:
@@ -109,8 +122,8 @@ class CatalogStore:
             # type-changed column into the declared type
             declared = {f.name: f.dataType for f in existing.fields}
             for f in stamped.schema.fields:
-                if f.name in declared and _denull(f.dataType) != _denull(
-                    declared[f.name]
+                if f.name in declared and not _write_compatible(
+                    f.dataType, declared[f.name]
                 ):
                     raise ValueError(
                         f"schema enforcement: column {f.name!r} is "

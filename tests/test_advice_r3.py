@@ -109,6 +109,14 @@ def test_ivf_index_refuses_pre_rebuild_version(spark, tmp_path):
     # pre-rebuild: any version >= the build commit is searchable
     assert idx.search(spark, queries, k=3, at_version=v_before).count() > 0
 
+    # pin the pre-rebuild probe-all answer BEFORE the rebuild replaces
+    # the centroid sidecar (idx re-reads the sidecar at call time, so a
+    # post-rebuild call through this handle would be an approximate
+    # 4-of-8 search of the NEW index, not this snapshot's answer)
+    want = sorted(
+        map(tuple, idx.search(spark, queries, k=3, n_probe=4).collect())
+    )
+
     IVFIndex.build(spark, corpus, str(tmp_path), n_centroids=8)  # rebuild
     idx2 = IVFIndex(str(tmp_path))
     with pytest.raises(ValueError, match="rebuild"):
@@ -116,9 +124,6 @@ def test_ivf_index_refuses_pre_rebuild_version(spark, tmp_path):
     # probe-ALL time travel is exact regardless of cell layout, so it is
     # allowed (unaccelerated snapshot scan) and matches the pre-rebuild
     # probe-all answer.
-    want = sorted(
-        map(tuple, idx.search(spark, queries, k=3, n_probe=4).collect())
-    )
     got = sorted(
         map(
             tuple,
@@ -198,3 +203,24 @@ def test_catalog_accepts_containsnull_narrowing(spark, tmp_path):
         store.write("t", bad, dt.datetime(2024, 1, 3))
     store.drop("t")
     spark.sql(f"DROP DATABASE IF EXISTS {store.database}")
+
+    # the REVERSE direction is NOT write-compatible: a containsNull=true
+    # batch must not pass for a declared containsNull=false column (it
+    # could put nulls where the schema promises none). saveAsTable
+    # normalizes containsNull to true in the metastore, so the
+    # end-to-end path can't exercise this; pin the predicate directly.
+    from spark_data_engineering_spark.sources.catalog import _write_compatible
+
+    tight_t = T.ArrayType(T.IntegerType(), False)
+    loose_t = T.ArrayType(T.IntegerType(), True)
+    assert _write_compatible(tight_t, loose_t)  # stricter into laxer: ok
+    assert not _write_compatible(loose_t, tight_t)  # laxer into stricter: no
+    assert not _write_compatible(T.ArrayType(T.StringType(), False), tight_t)
+    s_tight = T.StructType([T.StructField("a", T.LongType(), False)])
+    s_loose = T.StructType([T.StructField("a", T.LongType(), True)])
+    assert _write_compatible(s_tight, s_loose)
+    assert not _write_compatible(s_loose, s_tight)
+    m_tight = T.MapType(T.StringType(), T.LongType(), False)
+    m_loose = T.MapType(T.StringType(), T.LongType(), True)
+    assert _write_compatible(m_tight, m_loose)
+    assert not _write_compatible(m_loose, m_tight)

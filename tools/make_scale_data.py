@@ -95,9 +95,12 @@ def main() -> None:
         f"""
         SELECT * REPLACE (doc_id + r * dstride AS doc_id,
                CASE WHEN r = 0 THEN text ELSE
+                 -- fixed 8-hex-char tokens: 4e9 token space makes the
+                 -- word mapping collision-free in practice, so the
+                 -- bijection claim holds (length-preserving truncation
+                 -- collided on 1-2 char words: 256-token space)
                  array_to_string(list_transform(string_split(text, ' '),
-                   w -> substr(md5(w || '|' || CAST(r AS VARCHAR)), 1,
-                               greatest(2, length(w)))), ' ')
+                   w -> substr(md5(w || '|' || CAST(r AS VARCHAR)), 1, 8)), ' ')
                END AS text)
         FROM '{src}/documents.parquet',
              (SELECT max(doc_id) + 1 AS dstride FROM '{src}/documents.parquet'),
