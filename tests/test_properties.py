@@ -111,3 +111,36 @@ def test_minhash_estimates_jaccard(spark, seed):
     sigs = {r._id: r.signature for r in minhash_signatures(df, n=1, num_hashes=32).collect()}
     agree = sum(1 for x, y in zip(sigs[0], sigs[1]) if x == y) / 32
     assert abs(agree - true_j) < 0.30  # ~3.5 sigma for k=32
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(1, 4000)),  # (shard, n_tokens)
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(100, 3000),
+)
+def test_greedy_pack_matches_reference(spark, rows, budget):
+    """greedy_pack must equal the sequential reference recurrence for
+    arbitrary shard layouts, sizes (incl. oversized docs), and budgets."""
+    from spark_data_engineering_spark.operators.packing import greedy_pack
+
+    data = [(i, shard, size) for i, (shard, size) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id bigint, shard bigint, n_tokens bigint")
+    got = {
+        r.doc_id: r.pack_no
+        for r in greedy_pack(df, budget=budget).collect()
+    }
+    want = {}
+    state: dict[int, tuple[int, int, bool]] = {}  # shard -> (fill, pack, started)
+    for i, shard, size in sorted(data):
+        fill, pack, started = state.get(shard, (0, 0, False))
+        if started and fill + size > budget:
+            pack += 1
+            fill = 0
+        fill += size
+        state[shard] = (fill, pack, True)
+        want[i] = pack
+    assert got == want

@@ -80,3 +80,48 @@ def test_replay_commits_nothing(spark, ingested, tmp_path):
     ing.run(stream, str(tmp_path / "ckpt2"))
     assert ing.docs.version() == v_docs
     assert ing.bands_table.version() == v_bands
+
+
+def test_crash_between_docs_and_bands_commit_recovers(spark, sf_dir, tmp_path):
+    """The double-append is exactly-once PER TABLE: simulate a crash
+    after the docs commit but before the bands commit, then replay the
+    epoch. The replay must re-derive identical decisions, skip the docs
+    append (already committed), land the bands append, and leave the
+    index consistent — the claim in streaming/neardup.py's docstring."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    b1 = docs.filter(F.col("doc_id") < 60)
+    b2 = docs.filter(F.col("doc_id") >= 60)
+    ing = NearDupIngest(str(tmp_path / "tables"))
+    ing.process_batch(b1, 1)
+
+    # crash: bands append raises AFTER the docs append succeeded
+    real_append = ing.bands_table.append_idempotent
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before bands commit")
+
+    ing.bands_table.append_idempotent = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ing.process_batch(b2, 2)
+    ing.bands_table.append_idempotent = real_append
+    assert ing.docs.last_epoch("neardup:docs") == 2  # half-committed
+    assert ing.bands_table.last_epoch("neardup:bands") == 1
+    v_docs = ing.docs.version()
+
+    # replay of epoch 2: docs skipped, bands landed, index consistent
+    ing.process_batch(b2, 2)
+    assert ing.docs.version() == v_docs  # no double doc append
+    assert ing.bands_table.last_epoch("neardup:bands") == 2
+    doc_ids = {r.doc_id for r in ing.docs.read(spark).select("doc_id").collect()}
+    band_ids = {
+        r._id for r in ing.bands_table.read(spark).select("_id").distinct().collect()
+    }
+    assert band_ids == doc_ids  # every surviving doc banded exactly once
+    # idempotent: a second replay of the same epoch commits nothing
+    v_docs2, v_bands2 = ing.docs.version(), ing.bands_table.version()
+    ing.process_batch(b2, 2)
+    assert (ing.docs.version(), ing.bands_table.version()) == (v_docs2, v_bands2)
