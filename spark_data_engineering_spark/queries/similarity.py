@@ -218,6 +218,7 @@ _ANN_RECALL_EXPECTED_SF001 = """
     SELECT method, CAST(recall_at_10 AS DOUBLE) AS recall_at_10
     FROM (VALUES ('ivf', {ivf}),
                  ('ivf_index', {ivf_index}),
+                 ('ivfpq_index', {ivfpq_index}),
                  ('lsh', {lsh_single}),
                  ('lsh_multiprobe', {lsh}),
                  ('pq', {pq})) t(method, recall_at_10)
@@ -227,7 +228,7 @@ _ANN_RECALL_EXPECTED_SF001 = """
 @query(
     "ann_recall_report",
     oracle=_ANN_RECALL_EXPECTED_SF001.format(
-        ivf=0.94, ivf_index=0.94, lsh_single=0.14, lsh=1.0, pq=0.92
+        ivf=0.94, ivf_index=0.94, ivfpq_index=0.88, lsh_single=0.14, lsh=1.0, pq=0.92
     ),
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,8 +238,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, same probes, same scoring), and the PQ ADC short list —
     against the exact brute-force top-10, computed entirely in Spark:
     per-method ``left_semi`` join onto the brute-force (query, neighbor)
-    set, then hits/total. No driver-side collection beyond the 5-row
-    result; the brute-force side is materialized once, eagerly — the
+    set, then hits/total. Also covers the persisted IVFPQ index at its
+    production point (12-of-32 probes, m=16 codes, 4x exact re-rank:
+    0.88). No driver-side collection beyond the 6-row result; the brute-force side is materialized once, eagerly — the
     method branches reference it in one job, and a lazy cache can't be
     shared by branches computed concurrently (same A/B finding as
     minhash_lsh_dedup's candidate cut).
@@ -277,12 +279,23 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(root, "ann_ivf", "ivf_meta.json")):
         IVFIndex.build(spark, emb, root, n_centroids=32)
     idx = IVFIndex(root)
+    from spark_data_engineering_spark.operators.ann_index import IVFPQIndex
+
+    if not os.path.exists(os.path.join(root, "ann_ivfpq", "ivfpq_meta.json")):
+        IVFPQIndex.build(spark, emb, root, n_centroids=32, m=16, n_codes=32)
+    pq_idx = IVFPQIndex(root)
     methods = {
         "lsh": S.lsh_knn(emb, queries_df, k=10),
         "lsh_multiprobe": S.lsh_knn_multiprobe(emb, queries_df, k=10, n_probes=9),
         "ivf": S.ivf_knn(emb, queries_df, k=10, n_centroids=32, n_probe=12),
         "ivf_index": idx.search(spark, queries_df, k=10, n_probe=12),
         "pq": S.pq_knn(emb, queries_df, k=10, m=16, n_codes=32),
+        # the billion-vector serving layout at its production operating
+        # point: PQ codes clustered by IVF cell, 12-of-32 probes, exact
+        # re-rank of a 4x short list against full-precision vectors
+        "ivfpq_index": pq_idx.search(
+            spark, queries_df, k=10, n_probe=12, rerank_with=emb
+        ),
     }
     total = bf.agg(F.count(F.lit(1)).alias("total"))
     reports = [
