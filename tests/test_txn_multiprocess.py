@@ -120,3 +120,85 @@ def test_two_process_schema_evolving_appends(tmp_path, spark):
     }
     assert per["a"] == (n_appends * 10, n_appends * 10, 0)
     assert per["b"] == (n_appends * 10, 0, n_appends * 10)
+
+
+_CHILD_IDEM = r"""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from spark_data_engineering_spark.session import get_spark
+from spark_data_engineering_spark.sources.txn import TxnTable
+
+root, writer_id, barrier = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = get_spark(f"txn-idem-{writer_id}", master="local[2]", shuffle_partitions=2)
+table = TxnTable(root, "shared")
+
+open(os.path.join(barrier, f"ready-{writer_id}"), "w").close()
+deadline = time.time() + 120
+while not os.path.exists(os.path.join(barrier, "go")):
+    if time.time() > deadline:
+        raise SystemExit("barrier timeout")
+    time.sleep(0.05)
+
+# both processes race the SAME (app, epoch) for each of 3 epochs — the
+# zombie-executor / speculative-retry shape. At most one commit may land
+# per epoch across BOTH processes.
+landed = []
+for epoch in range(3):
+    df = spark.range(epoch * 10, epoch * 10 + 10).select(
+        F.col("id"), F.lit(writer_id).alias("writer")
+    )
+    v = table.append_idempotent(df, "stream-app", epoch)
+    landed.append(v is not None)
+print("CHILD_LANDED", sum(landed))
+"""
+
+
+def test_two_process_idempotent_epoch_race(tmp_path, spark):
+    """Two real processes replay the SAME (app, epoch) sequence — the
+    zombie-executor shape Delta's txnAppId/txnVersion exists for. For
+    each epoch exactly ONE commit may land across both processes, and
+    the table must contain each epoch's rows exactly once."""
+    root = str(tmp_path / "tables")
+    barrier = str(tmp_path / "barrier")
+    os.makedirs(root)
+    os.makedirs(barrier)
+    child_py = str(tmp_path / "child.py")
+    with open(child_py, "w") as f:
+        f.write(_CHILD_IDEM)
+
+    env = dict(os.environ, SPARK_DRIVER_MEMORY="2g")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child_py, root, wid, barrier],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+        )
+        for wid in ("a", "b")
+    ]
+    deadline = time.time() + 180
+    while not all(
+        os.path.exists(os.path.join(barrier, f"ready-{w}")) for w in ("a", "b")
+    ):
+        if time.time() > deadline:
+            for p in procs:
+                p.kill()
+            raise AssertionError("children never reached the barrier")
+        time.sleep(0.1)
+    open(os.path.join(barrier, "go"), "w").close()
+
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+        assert p.returncode == 0, out.decode()[-2000:]
+
+    table = TxnTable(root, "shared")
+    # exactly 3 commits total (one per epoch), regardless of who won each
+    assert table.version() == 3
+    assert table.last_epoch("stream-app") == 2
+    df = table.read(spark)
+    assert df.count() == 30  # each epoch's 10 rows exactly once
+    ids = sorted(r.id for r in df.select("id").collect())
+    assert ids == list(range(30))
