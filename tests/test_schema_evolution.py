@@ -167,3 +167,25 @@ def test_catalog_type_change_refused(spark):
         for t in spark.catalog.listTables(store.database):
             store.drop(t.name)
         spark.sql(f"DROP DATABASE IF EXISTS {store.database}")
+
+
+def test_streaming_idempotent_append_evolves_schema(spark, tmp_path):
+    """Schema evolution through the exactly-once streaming path: a
+    mid-stream epoch adds a column via append_idempotent; the log-head
+    schema evolves, earlier epochs read back NULL-filled, and a replay
+    of the evolving epoch commits nothing (no schema double-merge)."""
+    t = TxnTable(str(tmp_path), "stream_evolve")
+    t.append_idempotent(spark.createDataFrame([(1,)], "id bigint"), "app", 0)
+    t.append_idempotent(
+        spark.createDataFrame([(2, "x")], "id bigint, tag string"), "app", 1
+    )
+    assert {f["name"] for f in t.table_schema()} == {"id", "tag"}
+    got = {(r.id, r.tag) for r in t.read(spark).collect()}
+    assert got == {(1, None), (2, "x")}
+    v = t.version()
+    # replay of the evolving epoch: skipped, schema unchanged
+    t.append_idempotent(
+        spark.createDataFrame([(2, "x")], "id bigint, tag string"), "app", 1
+    )
+    assert t.version() == v
+    assert {f["name"] for f in t.table_schema()} == {"id", "tag"}
