@@ -98,8 +98,8 @@ def main() -> None:
     import statistics
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    retry_above = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_ABOVE", "2.0"))
-    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3"))
+    retry_above = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_ABOVE", "1.2"))
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: list[float] = []
