@@ -189,7 +189,14 @@ def daily_category_report_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     group; percentile_approx is a mergeable sketch, so it rides partial
     aggregation — map-side combine, one narrow shuffle of sketch state,
     no per-group sort, bounded memory at any group size. accuracy=10000
-    keeps the rank error ~1e-4 of each group."""
+    keeps the rank error ~1e-4 of each group.
+
+    Measured honestly at 100x (SCALE.md): while every group still fits
+    in memory, the exact sort is FASTER than the accuracy=10000 sketch
+    (10.6 s vs 15.0 s at 60M rows) — the sketch's advantage is bounded
+    per-group memory and mergeability (giant groups, streaming,
+    combine-push), not raw speed at every scale; accuracy is the cost
+    knob."""
     items = order_item_actual_price(spark, sf_dir)
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
