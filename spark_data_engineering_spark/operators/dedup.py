@@ -211,6 +211,40 @@ def band_rows(signatures: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame
     ).select("_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
 
 
+def drop_hot_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop every (band, sig) bucket holding more than ``max_bucket``
+    rows — the guardrail against the quadratic B(B-1)/2 pair blow-up a
+    single low-entropy signature reintroduces (shared by the batch
+    candidate join and the streaming near-dup probe side).
+
+    Over-frequent signatures are few by definition (each holds >
+    max_bucket members), so the hot set broadcast-anti-joins; the count
+    is a partial-aggregated pass, never a per-row sort. The hot set is
+    materialized (tiny by construction) so firing the guardrail is
+    OBSERVABLE: silently dropping pairs from giant true-duplicate
+    clusters is exactly the failure mode a caller on a
+    boilerplate-heavy corpus needs to hear about."""
+    hot = (
+        banded.groupBy("band", "sig")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .localCheckpoint(eager=True)
+    )
+    # one combined job for both observability stats (not two)
+    n_hot, biggest = hot.agg(F.count(F.lit(1)), F.max("_n")).first()
+    if n_hot:
+        _LOG.warning(
+            "drop_hot_buckets: max_bucket=%d guardrail dropped %d hot "
+            "bucket(s) (largest: %d members). Pairs whose every band is "
+            "hot are lost; on boilerplate-heavy corpora run exact/"
+            "fingerprint dedup first or raise max_bucket.",
+            max_bucket,
+            n_hot,
+            biggest,
+        )
+    return banded.join(F.broadcast(hot.drop("_n")), ["band", "sig"], "left_anti")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
@@ -238,36 +272,7 @@ def lsh_candidate_pairs(
     pass over the banded rows."""
     banded = band_rows(signatures, bands, rows)
     if max_bucket is not None:
-        # over-frequent signatures are few by definition (each holds >
-        # max_bucket members), so the hot set broadcast-anti-joins; the
-        # count is a partial-aggregated pass, never a per-row sort. The
-        # hot set is materialized (tiny by construction) so firing the
-        # guardrail is OBSERVABLE: silently dropping pairs from giant
-        # true-duplicate clusters is exactly the failure mode a caller
-        # on a boilerplate-heavy corpus needs to hear about.
-        hot = (
-            banded.groupBy("band", "sig")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .localCheckpoint(eager=True)
-        )
-        # one combined job for both observability stats (not two)
-        n_hot, biggest = hot.agg(
-            F.count(F.lit(1)), F.max("_n")
-        ).first()
-        if n_hot:
-            _LOG.warning(
-                "lsh_candidate_pairs: max_bucket=%d guardrail dropped %d hot "
-                "bucket(s) (largest: %d members). Pairs whose every band is "
-                "hot are lost; on boilerplate-heavy corpora run exact/"
-                "fingerprint dedup first or raise max_bucket.",
-                max_bucket,
-                n_hot,
-                biggest,
-            )
-        banded = banded.join(
-            F.broadcast(hot.drop("_n")), ["band", "sig"], "left_anti"
-        )
+        banded = drop_hot_buckets(banded, max_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(

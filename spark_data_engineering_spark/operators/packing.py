@@ -38,8 +38,12 @@ def greedy_pack(
     """Per shard, in ``order_col`` order: keep a running fill; a document
     joins the current pack if ``fill + size <= budget``, else opens pack
     ``pack_no + 1``. A document larger than the budget gets a pack of its
-    own (and the next document always opens a new pack). Returns the
-    input columns plus ``pack_no`` (0-based within shard)."""
+    own (and the next document always opens a new pack).
+
+    Returns ONLY ``(order_col, shard_col, size_col, pack_no)`` — payload
+    columns are deliberately projected away before the shuffle (the
+    whole point of the 16-bytes/doc scale story); join ``pack_no`` back
+    to the source on ``(shard_col, order_col)`` when packing payloads."""
     slim = df.select(order_col, shard_col, size_col)
 
     def assign(pdf):

@@ -214,9 +214,19 @@ class TxnTable:
         per-app streaming epochs) at version ``v``. The state is resolved
         BEFORE the file is created — a half-written checkpoint must never
         be readable — and swapped in with an atomic rename."""
-        txns: dict[str, int] = {}
+        # seed the epoch map from the previous checkpoint and fold only
+        # the commits after it — rebuilding from version 1 made every
+        # checkpoint O(full log), the exact unbounded-replay cost
+        # checkpoints exist to avoid (live/stats were already bounded;
+        # txns was the outlier)
+        start, _, _ = self._latest_checkpoint(v)
+        if start:
+            with open(self._checkpoint_path(start)) as f:
+                txns = dict(json.load(f).get("txns", {}))
+        else:
+            txns = {}
         for cv in self._commit_files():
-            if cv <= v:
+            if start < cv <= v:
                 t = self._read_commit(cv).get("txn")
                 if t:
                     txns[t["app"]] = max(txns.get(t["app"], -1), t["epoch"])
@@ -304,6 +314,24 @@ class TxnTable:
                 i += 1
         shutil.rmtree(staging)
         return names, stats
+
+    def _stage_nonempty(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
+        """Stage df ONCE and drop the staging if it holds zero rows —
+        replaces the limit(1).count() emptiness probe, which executed
+        the whole rewrite plan a second time before _stage re-ran it
+        (the dominant cost of a large merge/delete, paid twice)."""
+        import pyarrow.parquet as _pq
+
+        add, stats = self._stage(df)
+        rows = sum(
+            _pq.ParquetFile(os.path.join(self.data_dir, f)).metadata.num_rows
+            for f in add
+        )
+        if rows == 0:
+            for f in add:
+                os.unlink(os.path.join(self.data_dir, f))
+            return [], {}
+        return add, stats
 
     # ---- logical schema --------------------------------------------------
 
@@ -461,9 +489,17 @@ class TxnTable:
             raise ValueError(f"when_not_matched={when_not_matched!r}")
         src = source.cache()
         try:
-            live = self.live_files()
+            # pin ONE snapshot for every target read in this merge: the
+            # touched-file discovery and the insert anti-join must see
+            # the same version, or a concurrent append landing between
+            # them makes the anti-join drop source rows that matched
+            # neither (lost rows, matching no serial order)
+            v0 = self.version()
+            live = self.live_files(v0) if v0 else []
             if live and when_matched is not None:
-                tgt = self.read(spark).withColumn("_file", F.col("_metadata.file_path"))
+                tgt = self.read(spark, at_version=v0).withColumn(
+                    "_file", F.col("_metadata.file_path")
+                )
                 src_keys = src.select(*on).distinct()
                 touched = sorted(
                     os.path.basename(r["_file"])
@@ -499,7 +535,7 @@ class TxnTable:
             if when_not_matched == "insert":
                 ins = src
                 if live:
-                    all_keys = self.read(spark).select(*on).distinct()
+                    all_keys = self.read(spark, at_version=v0).select(*on).distinct()
                     ins = src.join(all_keys, on, "left_anti")
                 if matched_delete_condition is not None:
                     # delete markers never insert
@@ -512,7 +548,7 @@ class TxnTable:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p, allowMissingColumns=True)
-            add, stats = (self._stage(out) if out.limit(1).count() else ([], {}))
+            add, stats = self._stage_nonempty(out)
             if not add and not touched and txn is None:
                 return self.version()
             return self._commit("merge", add, touched, stats, txn=txn, schema=schema)
@@ -539,7 +575,7 @@ class TxnTable:
             .parquet(*[os.path.join(self.data_dir, n) for n in hit_names])
             .filter(~F.coalesce(predicate, F.lit(False)))
         )
-        add, stats = (self._stage(survivors) if survivors.limit(1).count() else ([], {}))
+        add, stats = self._stage_nonempty(survivors)
         return self._commit("delete", add, hit_names, stats)
 
     @staticmethod
@@ -634,6 +670,20 @@ class TxnTable:
             ):
                 os.unlink(path)
                 removed.append(f)
+        # orphaned staging dirs from writers that crashed inside _stage
+        # (before the rename loop) accumulate forever otherwise — the
+        # docstring's 'cleaned by vacuum' promise; min_age_s guards
+        # in-flight stages exactly as it guards staged-but-uncommitted
+        # data files
+        for d in os.listdir(self.table_dir):
+            path = os.path.join(self.table_dir, d)
+            if (
+                d.startswith(".staging-")
+                and os.path.isdir(path)
+                and now - os.path.getmtime(path) >= min_age_s
+            ):
+                shutil.rmtree(path)
+                removed.append(d)
         return sorted(removed)
 
     def history(self) -> list[dict]:

@@ -18,11 +18,17 @@ Built from the batch primitives, run per micro-batch via foreachBatch:
     history row only moves if its (band, sig) bucket is probed);
   - LSH candidates are verified by exact Jaccard
     (``verify_candidate_pairs``) over only the involved docs' texts —
-    matched historical texts are fetched by key from the docs table;
-  - within-batch duplicates resolve by id order (a new doc also drops
-    if it verifies against a smaller-id doc of the same batch — for
-    the clique-shaped duplicate clusters crawls produce this equals
-    the greedy keep-first rule);
+    matched historical texts are fetched from the docs table with a
+    footer-stats pruned scan bounded to the candidate id range;
+  - drop rule, precisely: a new doc is dropped iff a verified near-match
+    exists with (a) a smaller-id doc of the SAME batch — surviving or
+    not — or (b) a SURVIVOR of an earlier batch. On the clique-shaped
+    duplicate clusters crawls produce this equals greedy keep-first; on
+    CHAIN-shaped clusters (A~B, B~C, A!~C) it is deliberately more
+    aggressive than greedy (C drops because B — itself dropped —
+    near-matched it): one distributed anti-join per batch instead of an
+    iterative per-batch resolution, and never a false KEEP. The SQL
+    oracle (queries/streaming_q.py) replays exactly this rule;
   - both appends (kept docs, kept bands) are exactly-once
     (``append_idempotent`` with per-table app ids and the micro-batch
     epoch): a replayed epoch re-derives byte-identical decisions and
@@ -30,8 +36,9 @@ Built from the batch primitives, run per micro-batch via foreachBatch:
 
 Deterministic end state: the surviving set depends only on arrival
 order, which availableNow file streaming fixes; the tests assert the
-order-independent invariant instead — NO verified near-dup pair exists
-among survivors, and every dropped doc has a surviving near-match.
+order-independent invariants instead — NO verified near-dup pair exists
+among survivors, and every dropped doc near-matched an earlier-seen doc
+(a surviving one, on clique-shaped corpora like the testdata).
 """
 
 from __future__ import annotations
@@ -41,6 +48,7 @@ from pyspark.sql import functions as F
 
 from spark_data_engineering_spark.operators.dedup import (
     band_rows,
+    drop_hot_buckets,
     minhash_signatures,
     verify_candidate_pairs,
 )
@@ -58,12 +66,14 @@ class NearDupIngest:
         bands: int = 8,
         rows: int = 4,
         threshold: float = 0.8,
+        max_bucket: int | None = 1000,
     ) -> None:
         self.docs = TxnTable(root, "docs")
         self.bands_table = TxnTable(root, "sig_bands")
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.num_hashes, self.bands, self.rows = num_hashes, bands, rows
         self.threshold = threshold
+        self.max_bucket = max_bucket
 
     # -- helpers -----------------------------------------------------------
 
@@ -90,9 +100,19 @@ class NearDupIngest:
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)  # pin: referenced many times
         new_bands = self._bands_of(batch).localCheckpoint(eager=True)
+        # the PROBE side gets the hot-bucket guardrail (same cap as the
+        # batch operator — a low-entropy signature in one crawl batch is
+        # otherwise a quadratic intra-join); the full new_bands frame is
+        # kept for the index append below, so persisted docs never lose
+        # bands to the cap
+        probe_bands = (
+            drop_hot_buckets(new_bands, self.max_bucket)
+            if self.max_bucket is not None
+            else new_bands
+        )
 
         # within-batch candidates (id_a < id_b)
-        l, r = new_bands.alias("l"), new_bands.alias("r")
+        l, r = probe_bands.alias("l"), probe_bands.alias("r")
         intra = (
             l.join(
                 r,
@@ -107,9 +127,14 @@ class NearDupIngest:
 
         if not self._history_empty():
             hist = self.bands_table.read(spark).alias("h")
-            # history joins NEW (small) side: only probed buckets move
+            # BROADCAST the new (small) side explicitly: only probed
+            # history buckets move. Without the hint, a batch past the
+            # auto-broadcast threshold falls back to sort-merge and
+            # shuffles the ENTIRE bands history every micro-batch —
+            # per-batch cost growing with corpus size, the exact property
+            # this module exists to avoid.
             inter = (
-                new_bands.alias("nb")
+                F.broadcast(probe_bands.alias("nb"))
                 .join(
                     hist,
                     (F.col("nb.band") == F.col("h.band"))
@@ -118,9 +143,24 @@ class NearDupIngest:
                 # orient as (historical id_a, new id_b): history always wins
                 .select(F.col("h._id").alias("id_a"), F.col("nb._id").alias("id_b"))
                 .distinct()
+                .localCheckpoint(eager=True)  # feeds cands + ids + bounds
             )
+            bounds = inter.agg(
+                F.min("id_a").alias("lo"), F.max("id_a").alias("hi")
+            ).first()
             hist_ids = inter.select(F.col("id_a").alias(self.id_col)).distinct()
-            hist_texts = self.docs.read(spark).join(
+            # footer-stats pruned fetch: only files whose id range can
+            # contain a matched candidate are scanned — a key-bounded
+            # read, not a full corpus scan per micro-batch
+            docs_scan = self.docs.read(
+                spark,
+                prune=(
+                    {self.id_col: (bounds["lo"], bounds["hi"])}
+                    if bounds["lo"] is not None
+                    else None
+                ),
+            )
+            hist_texts = docs_scan.join(
                 F.broadcast(hist_ids), self.id_col, "left_semi"
             ).select(self.id_col, self.text_col)
             texts = texts.unionByName(hist_texts)
@@ -144,7 +184,14 @@ class NearDupIngest:
         kept = kept.localCheckpoint(eager=True)
 
         self.docs.append_idempotent(kept, "neardup:docs", epoch_id)
-        kept_bands = self._bands_of(kept)
+        # banding is deterministic, so the kept docs' bands are exactly
+        # the already-computed (and checkpointed) new_bands minus the
+        # dropped ids — no second tokenize/shingle/min-agg pass
+        kept_bands = new_bands.join(
+            F.broadcast(drop_ids.withColumnRenamed(self.id_col, "_id")),
+            "_id",
+            "left_anti",
+        )
         self.bands_table.append_idempotent(kept_bands, "neardup:bands", epoch_id)
 
     def run(self, stream: DataFrame, checkpoint_dir: str) -> None:

@@ -125,3 +125,31 @@ def test_crash_between_docs_and_bands_commit_recovers(spark, sf_dir, tmp_path):
     v_docs2, v_bands2 = ing.docs.version(), ing.bands_table.version()
     ing.process_batch(b2, 2)
     assert (ing.docs.version(), ing.bands_table.version()) == (v_docs2, v_bands2)
+
+
+def test_chain_cluster_drop_semantics(spark, tmp_path):
+    """Pin the documented drop rule on a CHAIN-shaped cluster (A~B, B~C,
+    A!~C at the 0.8 threshold): B drops (A matches it) and C ALSO drops
+    (B — itself dropped — near-matched it). Deliberately more aggressive
+    than greedy keep-first on chains; never a false keep. Matches the
+    oracle's SQL replay of the same rule."""
+    words = [f"w{i}" for i in range(100)]
+    b_text = " ".join(words)
+    a_text = " ".join([f"x{i}" for i in range(6)] + words[6:])
+    c_text = " ".join(words[:-6] + [f"y{i}" for i in range(6)])
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, c_text)], "doc_id bigint, text string"
+    )
+    # sanity on the construction: exact Jaccard A~B, B~C >= 0.8 > A~C
+    from spark_data_engineering_spark.operators.dedup import jaccard_pairs
+
+    j = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert j[(1, 2)] >= 0.8 and j[(2, 3)] >= 0.8 and j[(1, 3)] < 0.8
+
+    ing = NearDupIngest(str(tmp_path / "tables"))
+    ing.process_batch(docs, 1)
+    survivors = {r.doc_id for r in ing.docs.read(spark).collect()}
+    assert survivors == {1}

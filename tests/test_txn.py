@@ -205,3 +205,50 @@ def test_compact_loses_race_to_conflicting_rewrite(spark, table):
     table._commit("compact", add1, files, st1)  # winner
     with _pytest.raises(ConcurrentWriteError):
         table._commit("compact", add2, files, st2)  # loser re-validates
+
+
+def test_checkpoint_txns_seed_from_previous_checkpoint(spark, tmp_path):
+    """An app whose last epoch predates SEVERAL checkpoints must still be
+    visible in last_epoch — the txns map is seeded from the previous
+    checkpoint and folded forward, not rebuilt from version 1 (which was
+    O(full log) per checkpoint)."""
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path), "cpseed", checkpoint_every=3)
+    t.append_idempotent(spark.range(2), "old-app", 5)
+    for _ in range(8):  # crosses checkpoints at v3, v6, v9
+        t.append(spark.range(1))
+    assert t.version() == 9
+    assert t.last_epoch("old-app") == 5
+    # and the newest checkpoint itself carries the seeded map
+    import json as _json
+
+    with open(t._checkpoint_path(9)) as f:
+        assert _json.load(f)["txns"]["old-app"] == 5
+
+
+def test_vacuum_cleans_orphaned_staging_dirs(spark, tmp_path):
+    """A writer crashing inside _stage leaves a .staging-* dir; vacuum
+    must remove it (docstring: half-staged files are cleaned by vacuum),
+    honoring min_age_s for in-flight stages."""
+    import os
+    import time
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path), "vacstage")
+    t.append(spark.range(3))
+    orphan = os.path.join(t.table_dir, ".staging-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("x")
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))
+    # a FRESH staging dir survives a min_age_s-guarded vacuum
+    fresh = os.path.join(t.table_dir, ".staging-cafebabe")
+    os.makedirs(fresh)
+    removed = t.vacuum(min_age_s=60)
+    assert ".staging-deadbeef" in removed
+    assert not os.path.exists(orphan)
+    assert os.path.exists(fresh)
+    os.rmdir(fresh)

@@ -149,3 +149,43 @@ def test_stats_survive_checkpoint_replay(spark, tmp_path):
     stats = table.file_stats()
     assert len(stats) == 4 and all("id" in s for s in stats.values())
     assert len(table.prune_files({"id": (305, 306)})) == 1
+
+
+def test_merge_pins_one_snapshot_for_discovery_and_insert(spark, tmp_path):
+    """A commit landing between merge's touched-file discovery and its
+    insert anti-join must not affect the merge's outcome (both reads are
+    pinned to the entry version). Before the fix, the anti-join resolved
+    at the NEW head and silently dropped source rows whose key the
+    concurrent commit had just added — a result matching no serial
+    order."""
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    root = str(tmp_path)
+    table = TxnTable(root, "t")
+    table.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+
+    orig_read = TxnTable.read
+    state = {"n": 0}
+
+    def racing_read(self, spark_, *a, **kw):
+        state["n"] += 1
+        if state["n"] == 2:
+            # between the two merge-internal reads: a racer commits key 99
+            TxnTable(root, "t").append(
+                spark_.createDataFrame([(99, "racer")], "k bigint, v string")
+            )
+        return orig_read(self, spark_, *a, **kw)
+
+    TxnTable.read = racing_read
+    try:
+        src = spark.createDataFrame([(1, "a2"), (99, "mine")], "k bigint, v string")
+        table.merge(spark, src, on=["k"])
+    finally:
+        TxnTable.read = orig_read
+    assert state["n"] >= 2, "merge did not exercise both reads"
+    rows = {(r.k, r.v) for r in table.read(spark).collect()}
+    # serial order merge-then-racer: update lands, source 99 inserted,
+    # racer's 99 row also present. The bug dropped ("mine") entirely.
+    assert (1, "a2") in rows
+    assert (99, "mine") in rows
+    assert (99, "racer") in rows
