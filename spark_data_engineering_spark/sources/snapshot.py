@@ -212,6 +212,24 @@ class SnapshotStore:
         for b in self.batches(name)[:-keep_last]:
             shutil.rmtree(os.path.join(self.path(name), f"{PARTITION_COL}={b}"))
             removed.append(b)
+        # repair/clean compact leftovers from a crashed compact():
+        # .compact_old.<batch> with the batch dir MISSING means the crash
+        # hit between the two renames — restore it (data-preserving);
+        # otherwise (or for .compact_tmp.*) the dir is garbage
+        table_dir = self.path(name)
+        if os.path.isdir(table_dir):
+            for d in os.listdir(table_dir):
+                full = os.path.join(table_dir, d)
+                if d.startswith(".compact_old."):
+                    batch_dir = os.path.join(
+                        table_dir, f"{PARTITION_COL}={d[len('.compact_old.'):]}"
+                    )
+                    if not os.path.isdir(batch_dir):
+                        os.rename(full, batch_dir)
+                    else:
+                        shutil.rmtree(full)
+                elif d.startswith(".compact_tmp."):
+                    shutil.rmtree(full)
         return removed
 
     def changes_between(

@@ -225,3 +225,32 @@ def test_snapshot_compact_clustered(spark, tmp_path):
     # clustering held: rows inside the file are sorted by k
     ks = [r.k for r in got.select("k").collect()]
     assert ks == sorted(ks)
+
+
+def test_snapshot_vacuum_repairs_crashed_compact(spark, tmp_path):
+    """A compact() crash between its two renames leaves the batch as
+    .compact_old.<batch> with the batch dir missing; vacuum must restore
+    it (data-preserving) and clean .compact_tmp.* garbage."""
+    import os
+
+    from spark_data_engineering_spark.sources.snapshot import (
+        PARTITION_COL,
+        SnapshotStore,
+    )
+    import datetime as dt
+
+    store = SnapshotStore(str(tmp_path))
+    store.write("t", spark.range(5), dt.datetime(2024, 1, 1))
+    store.write("t", spark.range(5, 9), dt.datetime(2024, 1, 2))
+    batches = store.batches("t")
+    crash_batch = batches[-1]
+    batch_dir = os.path.join(store.path("t"), f"{PARTITION_COL}={crash_batch}")
+    # simulate the crash window: batch renamed to trash, new dir not yet in
+    os.rename(batch_dir, os.path.join(store.path("t"), f".compact_old.{crash_batch}"))
+    os.makedirs(os.path.join(store.path("t"), ".compact_tmp.garbage"))
+    store.vacuum("t", keep_last=2)
+    assert os.path.isdir(batch_dir), "crashed compact batch not restored"
+    assert store.read_latest(spark, "t").count() == 4
+    assert not any(
+        d.startswith(".compact_") for d in os.listdir(store.path("t"))
+    )
