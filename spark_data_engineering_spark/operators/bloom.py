@@ -1,0 +1,144 @@
+"""Bloom-filter join pruning — build a compact membership sketch on the
+small (dim) side of a join and prune the big (fact) side BEFORE the
+shuffle, then run the exact join to eliminate false positives.
+
+This is the runtime-filter technique every warehouse engine applies to
+selective star joins (Spark itself ships it as
+``spark.sql.optimizer.runtime.bloomFilter.enabled`` for sort-merge
+joins); the explicit operator form here covers the cases the built-in
+runtime filter does not reach — pruning ahead of a Python/Arrow stage, a
+persisted filter reused across queries, or a semi-join whose dim side is
+above the injection threshold.
+
+Scale shape (100 TB): the filter is built from the SMALL side — one
+partial bitmap per partition (``mapInPandas``), OR-merged on the driver.
+The merged bitmap is fixed-size (m/8 bytes: 1.2 MiB for 1M keys at 1%
+fpp, ~120 MiB for 100M keys) and ships to executors once via the task
+closure, exactly like a broadcast variable. The fact side is then
+filtered with a vectorized Arrow batch test before any shuffle — at a 1%
+hit rate that is a 99% reduction in shuffled bytes. Results stay EXACT:
+the subsequent real join removes bloom false positives, so the operator
+is safely substitutable for a plain semi/inner join (and is
+SQL-oracle-able as one).
+
+Hash consistency: both build and probe positions use the SAME
+``xxhash64(lit(seed), key)`` JVM expression, so the bits set and the
+bits tested agree bit-for-bit with no Python/JVM hash mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for the target false-positive rate:
+    m = -n ln(p) / (ln 2)^2, k = (m/n) ln 2. m is rounded up to a whole
+    number of 64-bit words."""
+    n = max(1, expected_items)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _positions(key: Column, m: int, k: int) -> Column:
+    """k bit positions as an array<bigint>, computed JVM-side so build
+    and probe can never disagree. Seeded by folding a per-hash literal
+    into xxhash64's input."""
+    return F.array(
+        *[F.pmod(F.xxhash64(F.lit(i), key), F.lit(m)) for i in range(k)]
+    )
+
+
+def build_bloom(
+    dim: DataFrame,
+    key: str | Column,
+    expected_items: int,
+    fpp: float = 0.01,
+) -> tuple[bytes, int, int]:
+    """Aggregate the dim side's keys into one Bloom bitmap.
+
+    One pass over the dim side: each partition packs its keys' bit
+    positions into a local m-bit numpy bitmap (``mapInPandas``), the
+    driver ORs the per-partition bitmaps. Driver traffic is
+    #partitions x m/8 bytes — bounded by the dim side being the small
+    side of the join (the reason a bloom filter helps at all).
+    Returns (bitmap_bytes, m, k)."""
+    m, k = bloom_params(expected_items, fpp)
+    key_col = F.col(key) if isinstance(key, str) else key
+    pos_df = dim.select(_positions(key_col, m, k).alias("pos"))
+    n_words = m // 64
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmap = np.zeros(n_words, dtype=np.uint64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pdf["pos"]])
+            words, bits = flat // 64, flat % 64
+            np.bitwise_or.at(bitmap, words, np.uint64(1) << bits.astype(np.uint64))
+        if seen:
+            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    partials = pos_df.mapInPandas(pack, schema=T.StructType([
+        T.StructField("bitmap", T.BinaryType())
+    ])).collect()
+    merged = np.zeros(n_words, dtype=np.uint64)
+    for row in partials:
+        merged |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    return merged.tobytes(), m, k
+
+
+def bloom_might_contain(bitmap: bytes, m: int, k: int, key: Column) -> Column:
+    """Boolean membership-test column. Positions are the same JVM
+    xxhash64 expressions as the build; the bit test is a vectorized
+    Arrow batch over the closure-captured bitmap (shipped to each
+    executor once per task, like a broadcast)."""
+    words_arr = np.frombuffer(bitmap, dtype=np.uint64)
+
+    @F.pandas_udf(T.BooleanType())
+    def test(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.stack([np.asarray(p, dtype=np.int64) for p in pos])
+        hit = (words_arr[mat // 64] >> (mat % 64).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(hit.all(axis=1))
+
+    return test(_positions(key, m, k))
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Exact ``fact ⋈ dim`` with a Bloom pre-filter on the fact side.
+
+    ``how`` may be any join type whose result is a subset of the inner
+    match on the fact side ("inner", "semi"/"leftsemi") — the final join
+    eliminates bloom false positives, so results are identical to the
+    unpruned join. ``expected_items`` defaults to a dim-side count (one
+    extra small-side pass)."""
+    if how not in ("inner", "semi", "leftsemi", "left_semi"):
+        raise ValueError(f"bloom pruning only narrows the fact side; how={how!r}")
+    if expected_items is None:
+        expected_items = max(1, dim.select(dim_key).distinct().count())
+    bitmap, m, k = build_bloom(dim, dim_key, expected_items, fpp)
+    pruned = fact.filter(bloom_might_contain(bitmap, m, k, F.col(fact_key)))
+    if how == "inner":
+        return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "left_semi")
