@@ -477,3 +477,113 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", "n_tokens", "dup_token_frac", "quality", decision.alias("decision")
     )
+
+
+SEG_TOKENS = 16  # disjoint segments -> unambiguous reassembly
+
+
+@query(
+    "scrub_boilerplate_segments",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               UNNEST(RANGE(0, CAST(CEIL(CAST(n_tokens AS DOUBLE)
+                   / {SEG_TOKENS}) AS BIGINT))) AS seg_idx
+        FROM t
+    ),
+    seg AS (
+        SELECT s.doc_id, s.seg_idx,
+               ARRAY_TO_STRING(LIST_SLICE(t.toks, s.seg_idx * {SEG_TOKENS} + 1,
+                               s.seg_idx * {SEG_TOKENS} + {SEG_TOKENS}), ' ') AS seg_text
+        FROM s JOIN t ON s.doc_id = t.doc_id
+    ),
+    dup AS (
+        SELECT md5(seg_text) AS fp
+        FROM seg GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+        SELECT seg.doc_id, seg.seg_idx, seg.seg_text,
+               (dup.fp IS NOT NULL) AS is_dup
+        FROM seg LEFT JOIN dup ON md5(seg.seg_text) = dup.fp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(LENGTH(COALESCE(
+               STRING_AGG(seg_text, ' ' ORDER BY seg_idx)
+                   FILTER (WHERE NOT is_dup), '')) AS BIGINT) AS clean_chars,
+           md5(COALESCE(STRING_AGG(seg_text, ' ' ORDER BY seg_idx)
+                   FILTER (WHERE NOT is_dup), '')) AS clean_fp
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def scrub_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup REWRITE (the step after detection): split
+    every document into disjoint {SEG_TOKENS}-token segments, drop the
+    segments whose fingerprint recurs in >=2 distinct documents
+    (licence blocks, templated spans), and reassemble each document
+    from its surviving segments in order — the corpus-scrubbing pass of
+    Lee et al.'s "Deduplicating Training Data" applied with disjoint
+    windows so reassembly is unambiguous. Emits per-doc segment counts
+    plus the md5 of the cleaned text so the rewrite itself is
+    hash-verified. Plan: zero-shuffle segmenting (explode over
+    sequence), ONE fingerprint shuffle for the global dup set, one
+    fp-keyed left join (no broadcast assumption — the dup set can be
+    huge on a boilerplate-heavy corpus), one doc-keyed reassembly agg.
+    All JVM built-ins; scales as three exchanges regardless of corpus
+    size."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("bigint")
+    d = docs.select("doc_id", toks.alias("toks"), n.alias("n_tokens"))
+    segs = (
+        d.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.ceil(F.col("n_tokens").cast("double") / SEG_TOKENS).cast("bigint")
+                    - 1,
+                )
+            ).alias("seg_idx"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), (F.col("seg_idx") * SEG_TOKENS + 1).cast("int"), SEG_TOKENS)
+            ).alias("seg_text"),
+        )
+        .withColumn("fp", F.md5(F.col("seg_text")))
+    )
+    dup = (
+        segs.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+        .withColumn("is_dup", F.lit(True))
+    )
+    flagged = segs.join(dup, "fp", "left").withColumn(
+        "is_dup", F.coalesce(F.col("is_dup"), F.lit(False))
+    )
+    kept_sorted = F.transform(
+        F.filter(
+            F.sort_array(F.collect_list(F.struct("seg_idx", "is_dup", "seg_text"))),
+            lambda x: ~x["is_dup"],
+        ),
+        lambda x: x["seg_text"],
+    )
+    clean_text = F.array_join(kept_sorted, " ")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.length(clean_text).cast("bigint").alias("clean_chars"),
+        F.md5(clean_text).alias("clean_fp"),
+    )

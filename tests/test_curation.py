@@ -56,3 +56,70 @@ def test_curation_counts_docs_bounded_by_corpus(spark, sf_dir):
     assert 0 < total <= corpus
     splits = {r.split for r in out.collect()}
     assert splits <= {"train", "val", "test"}
+
+
+def test_scrub_segments_invariants(spark, sf_dir):
+    import hashlib
+
+    from spark_data_engineering_spark.queries.curation import (
+        SEG_TOKENS,
+        scrub_boilerplate_segments,
+    )
+    from spark_data_engineering_spark.sources import load_table
+
+    out = scrub_boilerplate_segments(spark, sf_dir).cache()
+    docs = load_table(spark, "documents", sf_dir)
+    assert out.count() == docs.count()  # every doc emits exactly one row
+    assert out.filter(F.col("n_dropped") > F.col("n_segments")).count() == 0
+    # untouched docs reassemble to EXACTLY their original text
+    joined = out.join(docs, "doc_id")
+    untouched = joined.filter(F.col("n_dropped") == 0)
+    assert untouched.count() > 0
+    mismatched = untouched.filter(F.md5(F.col("text")) != F.col("clean_fp")).count()
+    assert mismatched == 0
+    # fully-scrubbed docs hash the empty string
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    fully = out.filter(F.col("n_dropped") == F.col("n_segments"))
+    assert fully.filter(F.col("clean_fp") != empty_md5).count() == 0
+    assert fully.filter(F.col("clean_chars") != 0).count() == 0
+    # segment count matches ceil(n_tokens / SEG_TOKENS)
+    expect = joined.filter(
+        F.col("n_segments")
+        != F.ceil(F.size(F.split(F.col("text"), " ")).cast("double") / SEG_TOKENS).cast(
+            "bigint"
+        )
+    )
+    assert expect.count() == 0
+    out.unpersist()
+
+
+def test_scrub_segments_drops_shared_boilerplate(spark):
+    """Two docs sharing an identical leading segment lose exactly that
+    segment; unique tails survive verbatim."""
+    from spark_data_engineering_spark.queries.curation import SEG_TOKENS
+    import hashlib
+
+    boiler = " ".join(["lic"] * SEG_TOKENS)
+    a_tail = " ".join([f"a{i}" for i in range(SEG_TOKENS)])
+    b_tail = " ".join([f"b{i}" for i in range(SEG_TOKENS)])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            [
+                (1, f"{boiler} {a_tail}", "en", "s", 0),
+                (2, f"{boiler} {b_tail}", "en", "s", 0),
+                (3, " ".join([f"c{i}" for i in range(5)]), "en", "s", 0),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        df.write.parquet(f"{td}/documents.parquet")
+        from spark_data_engineering_spark.queries.curation import (
+            scrub_boilerplate_segments,
+        )
+
+        rows = {r.doc_id: r for r in scrub_boilerplate_segments(spark, td).collect()}
+    assert rows[1].n_dropped == 1 and rows[2].n_dropped == 1
+    assert rows[1].clean_fp == hashlib.md5(a_tail.encode()).hexdigest()
+    assert rows[2].clean_fp == hashlib.md5(b_tail.encode()).hexdigest()
+    assert rows[3].n_dropped == 0
