@@ -398,7 +398,7 @@ class IVFPQIndex:
 
         idx = cls(root, name)
         cents = train_ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
-        books = pq_train_codebooks(corpus, m=m, n_codes=n_codes, vec_col=vec_col)
+        books = pq_train_codebooks(corpus, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col)
         encoded = cls._encode(spark, corpus, cents, books, id_col, vec_col)
         idx.table.overwrite(encoded)
         tmp = f"{idx.meta_path}.{uuid.uuid4().hex}.tmp"

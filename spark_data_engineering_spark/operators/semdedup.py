@@ -1,0 +1,123 @@
+"""SemDeDup — semantic deduplication via cluster-bounded cosine pruning
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication" — public method).
+
+Exact embedding near-dup (operators/similarity.cosine_pairs_blocked) is
+O(N^2) by contract; SemDeDup bounds the comparisons by first k-means
+clustering the embeddings and only comparing WITHIN a cluster. With
+~sqrt(N) clusters the total pairwise work is ~N^1.5 instead of N^2 —
+the shape that makes embedding-level dedup feasible on a billion-doc
+corpus. The price is recall: near-dup pairs that straddle a cluster
+boundary are never compared. That tradeoff is measured, not assumed —
+``semantic_dedup_report`` (queries/similarity.py) pins drop-validity
+(= 1.0: every drop is a true near-dup) and drop-recall vs the exact
+all-pairs connected-components result.
+
+Scale shape: centroid training is the same bounded driver-side sample
+as IVF (operators/similarity.train_ivf_centroids); assignment is one
+Arrow pass; the within-cluster pass is ``applyInPandas`` — one shuffle
+on the cell id, per-cell work quadratic in cell size (~sqrt N), no
+driver materialization of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.operators.similarity import train_ivf_centroids
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_clusters: int | None = None,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-id semantic-dedup verdicts: ``(id, cell, rep_id, keep,
+    max_sim)``.
+
+    Within each k-means cell, items whose (round-4) cosine reaches
+    ``threshold`` are linked; each connected component keeps its
+    minimum id (``rep_id``), every other member is a drop
+    (``keep = false``). ``max_sim`` is the item's highest within-cell
+    similarity to another member of its component (0.0 for
+    singletons). Similarities are rounded to 4 decimals BEFORE the
+    threshold compare so verdicts are bit-stable across partitionings.
+    """
+    cents = train_ivf_centroids(corpus, n_clusters, kmeans_iters, id_col, vec_col)
+    b_cents = corpus.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        cts = b_cents.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            block = block / np.maximum(
+                np.linalg.norm(block, axis=1, keepdims=True), 1e-12
+            )
+            cell = np.argmax(block @ cts.T, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "vec": pdf[vec_col], "cell": cell.astype("int32")}
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema="id bigint, vec array<float>, cell int"
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = np.floor(mat @ mat.T * 10000 + 0.5) / 10000
+        np.fill_diagonal(sims, -1.0)
+        # union-find over thresholded pairs
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
+        rep = ids[roots]  # ids sorted ascending -> root index = min id
+        max_sim = np.zeros(n)
+        for comp in np.unique(roots):
+            members = np.nonzero(roots == comp)[0]
+            if len(members) > 1:
+                sub = sims[np.ix_(members, members)]
+                max_sim[members] = sub.max(axis=1)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": pdf["cell"].to_numpy(),
+                "rep_id": rep,
+                "keep": ids == rep,
+                "max_sim": max_sim,
+            }
+        )
+
+    out = assigned.groupBy("cell").applyInPandas(
+        dedup_cell,
+        schema="id bigint, cell int, rep_id bigint, keep boolean, max_sim double",
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "cell",
+        "rep_id",
+        "keep",
+        F.col("max_sim"),
+    )

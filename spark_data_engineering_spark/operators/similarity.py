@@ -341,13 +341,15 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """Driver-side k-means over a bounded deterministic sample: first
-    ~4k rows in storage order (deterministic for a fixed file layout,
-    which is all k-means init needs — quality, not correctness, depends
-    on it), evenly-spaced init, unit-normalized centroids. Returns the
-    (n_centroids, dim) numpy array shared by ``ivf_knn`` and the
-    persisted ``IVFIndex``; ``n_centroids=None`` sizes FAISS-style
-    (~sqrt(N), floor 16)."""
+    """Driver-side k-means over a bounded deterministic sample: ~4k
+    rows, sorted by id on the driver before init so the trained
+    centroids are invariant to partition/scan order (an unsorted
+    ``limit().collect()`` made every IVF-derived verdict depend on the
+    physical layout — caught by the semantic-dedup partitioning test).
+    Evenly-spaced init over the sorted sample, unit-normalized
+    centroids. Returns the (n_centroids, dim) numpy array shared by
+    ``ivf_knn`` and the persisted ``IVFIndex``; ``n_centroids=None``
+    sizes FAISS-style (~sqrt(N), floor 16)."""
     import math
 
     import numpy as np
@@ -361,6 +363,7 @@ def train_ivf_centroids(
     rows = corpus.select(id_col, vec_col).limit(sample_rows).collect()
     if not rows:
         raise ValueError("train_ivf_centroids: corpus is empty — cannot train centroids")
+    rows.sort(key=lambda r: r[id_col])
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     n_centroids = min(n_centroids, len(mat))
@@ -548,21 +551,24 @@ def pq_train_codebooks(
     kmeans_iters: int = 5,
     sample_rows: int = 4096,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ):
     """Train product-quantization codebooks: split the (normalized)
     vector into ``m`` contiguous subvectors and run an independent small
     k-means per subspace. Returns a numpy array of shape
     ``(m, n_codes, dim // m)``.
 
-    Training is driver-side over a BOUNDED sample (first ``sample_rows``
-    rows in storage order — deterministic for a fixed file layout, same
-    contract as ``ivf_knn``): codebook quality depends on the sample,
-    correctness of the index does not. At 1B vectors the sample is still
-    4k rows; nothing here grows with the corpus.
+    Training is driver-side over a BOUNDED sample (``sample_rows``
+    rows, sorted by id on the driver so codebooks are invariant to
+    partition/scan order — same contract as ``train_ivf_centroids``):
+    codebook quality depends on the sample, correctness of the index
+    does not. At 1B vectors the sample is still 4k rows; nothing here
+    grows with the corpus.
     """
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    rows = corpus.select(id_col, vec_col).limit(sample_rows).collect()
+    rows.sort(key=lambda r: r[id_col])
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     dim = mat.shape[1]
@@ -623,7 +629,7 @@ def pq_knn(
     """
     import numpy as np
 
-    books = pq_train_codebooks(corpus, m=m, n_codes=n_codes, vec_col=vec_col)
+    books = pq_train_codebooks(corpus, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col)
     sub = books.shape[2]
     sc = corpus.sparkSession.sparkContext
     b_books = sc.broadcast(books)

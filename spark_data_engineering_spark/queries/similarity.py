@@ -381,3 +381,105 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return S.pq_knn(emb, queries, k=10, m=16, n_codes=32)
+
+
+@query(
+    "semantic_dedup_report",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND FLOOR((LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 >= 0.45
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    exact AS (
+        SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT metric, value FROM (
+        SELECT 'n_vectors' AS metric,
+               CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) AS value
+        UNION ALL
+        SELECT 'n_exact_drops',
+               CAST((SELECT COUNT(*) FROM exact WHERE node != cluster_id) AS DOUBLE)
+        UNION ALL SELECT 'n_sem_drops', 11.0
+        UNION ALL SELECT 'drop_validity', 1.0
+        UNION ALL SELECT 'drop_recall', 0.7857
+    ) t
+    """,
+)
+def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-bounded semantic dedup, operators/semdedup.py)
+    measured against the EXACT all-pairs connected-components result —
+    the honest accounting of what bounding comparisons to k-means cells
+    costs. Every value on the Spark side is computed live:
+    ``drop_validity`` (fraction of SemDeDup drops that participate in a
+    true >=0.45 cosine pair — must be exactly 1.0: the operator never
+    invents a duplicate) and ``drop_recall`` (fraction of exact drops
+    SemDeDup finds — 0.7857 at 4 cells on this corpus). The oracle pins
+    the SemDeDup-side numbers as measured constants (the
+    ``ann_recall_report`` pattern: centroids derive deterministically
+    from the corpus) and computes the exact side with a recursive CTE.
+    The 0.79 recall is the near-uniform-synthetic regime, same as IVF's
+    probe fraction: on genuinely clustered embeddings the cross-cell
+    miss rate collapses — pinned in tests/test_semdedup.py's
+    clustered-corpus case (recall 1.0 there)."""
+    from spark_data_engineering_spark.operators.dedup import dedup_clusters
+    from spark_data_engineering_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sem = semantic_dedup(emb, threshold=0.45, n_clusters=4).localCheckpoint(eager=True)
+    pairs = S.cosine_pairs_blocked(emb, threshold=0.45).localCheckpoint(eager=True)
+    exact = dedup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
+    exact_drops = exact.filter(F.col("vec_id") != F.col("cluster_id")).select("vec_id")
+    sem_drops = sem.filter(~F.col("keep")).select("vec_id")
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .union(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    n_vec = emb.agg(F.count(F.lit(1)).alias("v")).select(
+        F.lit("n_vectors").alias("metric"), F.col("v").cast("double").alias("value")
+    )
+    n_exact = exact_drops.agg(F.count(F.lit(1)).alias("v")).select(
+        F.lit("n_exact_drops").alias("metric"), F.col("v").cast("double").alias("value")
+    )
+    n_sem = sem_drops.agg(F.count(F.lit(1)).alias("v")).select(
+        F.lit("n_sem_drops").alias("metric"), F.col("v").cast("double").alias("value")
+    )
+    validity = (
+        sem_drops.join(pair_ids, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("valid"))
+        .crossJoin(sem_drops.agg(F.count(F.lit(1)).alias("total")))
+        .select(
+            F.lit("drop_validity").alias("metric"),
+            F.round(F.col("valid") / F.greatest(F.col("total"), F.lit(1)), 4).alias(
+                "value"
+            ),
+        )
+    )
+    recall = (
+        sem_drops.join(exact_drops, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .crossJoin(exact_drops.agg(F.count(F.lit(1)).alias("total")))
+        .select(
+            F.lit("drop_recall").alias("metric"),
+            F.round(F.col("hit") / F.greatest(F.col("total"), F.lit(1)), 4).alias(
+                "value"
+            ),
+        )
+    )
+    out = n_vec
+    for r in (n_exact, n_sem, validity, recall):
+        out = out.unionByName(r)
+    return out

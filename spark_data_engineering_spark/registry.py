@@ -102,11 +102,17 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "media_decode_metadata",
     "doc_repetition_metrics",
     "doc_pii_scrub",
-    "knn_bruteforce",
     "embedding_near_dup",
-    "sql_revenue_by_nation",
-    "approx_quantiles_lineitem",
     "streaming_hourly_event_stats",
+    # --- This session's new surfaces (no prior driver evidence — they
+    # displace fills whose code paths are already covered inside the
+    # window: knn_bruteforce by the _BF_TOP10_ORACLE twins +
+    # ann_recall_report, sql_revenue_by_nation's view path by the
+    # pipeline reports, approx_quantiles_lineitem's percentile_approx by
+    # daily_category_report_approx).
+    "bloom_pruned_supplier_revenue",
+    "scrub_boilerplate_segments",
+    "semantic_dedup_report",
 )
 
 
