@@ -70,6 +70,9 @@ HEADLINE = (
     # round-4 additions (round-over-round totals compare on the shared set)
     "daily_category_report_approx",
     "pack_documents_greedy",
+    "bloom_pruned_supplier_revenue",
+    "scrub_boilerplate_segments",
+    "semantic_dedup_report",
 )
 
 
