@@ -114,3 +114,47 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "pos").agg(
         NR.round4(F.avg("val")).alias("mean_val"), F.count("*").alias("n_vectors")
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+    WITH tokens AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tokens)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           (COUNT(*) > (SELECT total FROM n) / 200.0) AS guaranteed
+    FROM tokens
+    GROUP BY token
+    ORDER BY tf DESC, token ASC
+    LIMIT 20
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a distributed Misra-Gries(200) sketch
+    (operators/sketches.py) + exact recount of only the candidate keys
+    — the bounded-memory pattern for top-k over an unbounded token
+    domain. The sketch guarantees every token with tf > n/201 is a
+    candidate, so the candidate-bounded top-20 must EQUAL the exact
+    top-20 (the oracle is the plain exact SQL — any candidate the
+    sketch wrongly dropped would hash-mismatch the gate).
+    ``guaranteed`` marks tokens above the n/k presence threshold on
+    BOTH sides from exact counts. At 100 TB: two scans — one Arrow
+    sketch pass with k counters per task, one recount aggregating ~k
+    keys instead of the whole vocabulary."""
+    from spark_data_engineering_spark.operators.sketches import misra_gries_summary
+
+    d = load_table(spark, "documents", sf_dir)
+    tokens = d.select(F.explode(F.split("text", " ")).alias("token"))
+    candidates = list(misra_gries_summary(tokens, "token", k=200))
+    n_total = tokens.count()
+    return (
+        tokens.filter(F.col("token").isin(candidates))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("guaranteed", F.col("tf") > F.lit(n_total) / 200.0)
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(20)
+    )

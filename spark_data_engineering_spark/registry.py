@@ -102,7 +102,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "media_decode_metadata",
     "doc_repetition_metrics",
     "doc_pii_scrub",
-    "embedding_near_dup",
     "streaming_hourly_event_stats",
     # --- This session's new surfaces (no prior driver evidence — they
     # displace fills whose code paths are already covered inside the
@@ -113,6 +112,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "bloom_pruned_supplier_revenue",
     "scrub_boilerplate_segments",
     "semantic_dedup_report",
+    # embedding_near_dup's cosine_pairs_blocked path is exercised
+    # in-window by semantic_dedup_report's exact side; its slot goes to
+    # the new Misra-Gries surface.
+    "heavy_hitter_tokens",
 )
 
 
