@@ -99,12 +99,33 @@ def build_bloom(
     return merged.tobytes(), m, k
 
 
+# Bitmaps at or below this many 64-bit words (32 KiB) are inlined into
+# the plan as an array literal so the membership test runs entirely in
+# whole-stage codegen; larger bitmaps fall back to an Arrow batch test.
+_JVM_INLINE_WORDS = 4096
+
+
 def bloom_might_contain(bitmap: bytes, m: int, k: int, key: Column) -> Column:
     """Boolean membership-test column. Positions are the same JVM
-    xxhash64 expressions as the build; the bit test is a vectorized
-    Arrow batch over the closure-captured bitmap (shipped to each
-    executor once per task, like a broadcast)."""
+    xxhash64 expressions as the build. Small bitmaps (<= 32 KiB) are
+    inlined as an array<bigint> literal and tested with element_at +
+    shiftright — pure JVM, stays inside whole-stage codegen, zero
+    Python in the scan. Large bitmaps use a vectorized Arrow batch over
+    the closure-captured numpy words (shipped per executor once, like a
+    broadcast)."""
     words_arr = np.frombuffer(bitmap, dtype=np.uint64)
+    if len(words_arr) <= _JVM_INLINE_WORDS:
+        words_lit = F.lit([int(w) for w in words_arr.astype(np.int64)])
+        cond = F.lit(True)
+        for i in range(k):
+            pos = F.pmod(F.xxhash64(F.lit(i), key), F.lit(m))
+            word = F.element_at(words_lit, (pos / 64).cast("int") + 1)
+            shift = F.pmod(pos, F.lit(64)).cast("int")
+            # arithmetic >> keeps bit b of the two's-complement word, so
+            # (word >> b) & 1 is correct even for "negative" int64 words
+            bit = F.call_function("shiftright", word, shift).bitwiseAND(F.lit(1))
+            cond = cond & (bit == 1)
+        return cond
 
     @F.pandas_udf(T.BooleanType())
     def test(pos: pd.Series) -> pd.Series:

@@ -967,7 +967,14 @@ def bloom_pruned_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     sup = load_table(spark, "supplier", sf_dir)
     nat = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_7")
     dim = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select("s_suppkey")
-    pruned = bloom_pruned_join(li, dim, "l_suppkey", "s_suppkey", how="semi", fpp=0.01)
+    # expected_items: the UNFILTERED supplier row count — a parquet
+    # metadata-only job (no scan) that upper-bounds the filtered dim, so
+    # no extra distinct-count pass; the bitmap is merely sized for the
+    # bound (still KBs) and observed fpp only improves
+    pruned = bloom_pruned_join(
+        li, dim, "l_suppkey", "s_suppkey", how="semi", fpp=0.01,
+        expected_items=sup.count(),
+    )
     return pruned.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.count("*").alias("n_items"),
         NR.round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
