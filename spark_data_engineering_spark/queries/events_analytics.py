@@ -312,3 +312,78 @@ def event_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "hour", "event_type", "n_events", "sum_value")
     )
+
+
+@query(
+    "concurrent_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    s AS (
+        SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT a.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_partners
+    FROM s a JOIN s b
+      ON a.user_id != b.user_id
+     AND a.session_start <= b.session_end
+     AND b.session_start <= a.session_end
+    GROUP BY a.user_id
+    """,
+)
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join over user sessions: for each user,
+    how many of their sessions ran concurrently with another user's
+    session (pair count + distinct partner count). Plan: the
+    bucket-replication range join (operators/rangejoin.py) — sessions
+    replicate to the 1-hour chunks they touch, a plain hash join on the
+    chunk id, exact overlap re-check, first-shared-chunk dedup. The
+    oracle is the naive quadratic interval join (DuckDB runs it as an
+    IEJoin); Spark would run that same predicate as a
+    BroadcastNestedLoopJoin, which is exactly what this operator
+    replaces at fact x fact scale."""
+    from spark_data_engineering_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    s = sessionize_events(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    a = s.select(
+        F.col("user_id").alias("a_user"),
+        F.col("session_start").alias("a_start"),
+        F.col("session_end").alias("a_end"),
+    )
+    b = s.select(
+        F.col("user_id").alias("b_user"),
+        F.col("session_start").alias("b_start"),
+        F.col("session_end").alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        a,
+        b,
+        "a_start",
+        "a_end",
+        "b_start",
+        "b_end",
+        chunk_seconds=3600,
+        extra_cond=F.col("a_user") != F.col("b_user"),
+    )
+    return pairs.groupBy(F.col("a_user").alias("user_id")).agg(
+        F.count("*").alias("n_overlap_pairs"),
+        F.countDistinct("b_user").alias("n_partners"),
+    )

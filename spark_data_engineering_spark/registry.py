@@ -97,7 +97,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # rollups, media decode, quality metrics, ANN baselines, SQL views,
     # approx quantiles, streaming.
     "asof_purchase_click",
-    "sessionize_events",
+    # sessionize_events' full computation runs inside concurrent_sessions
+    # (its session table is the join input), so the range-join surface
+    # covers both in one slot.
+    "concurrent_sessions",
     "event_rollup_multires",
     "media_decode_metadata",
     "doc_repetition_metrics",

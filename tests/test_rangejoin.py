@@ -1,0 +1,102 @@
+"""Bucket-replicated interval join: equivalence with the naive
+nested-loop predicate, exactly-once pairs, chunk-size invariance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.operators.rangejoin import interval_overlap_join
+
+
+def _intervals(spark, rows, prefix):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=e))
+        for i, (s, e) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, [f"{prefix}_id", f"{prefix}_start", f"{prefix}_end"]
+    )
+
+
+def _naive(left, right):
+    return left.join(
+        right,
+        (F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end")),
+    )
+
+
+def test_matches_naive_join(spark):
+    # mixed lengths: some intervals span many chunks, some are sub-chunk
+    a = _intervals(spark, [(0, 30), (45, 400), (500, 505), (1000, 3000)], "a")
+    b = _intervals(spark, [(10, 20), (60, 70), (390, 600), (2500, 2600), (4000, 4100)], "b")
+    for chunk in (60, 3600, 86400):
+        got = {
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                a, b, "a_start", "a_end", "b_start", "b_end", chunk_seconds=chunk
+            ).collect()
+        }
+        want = {(r.a_id, r.b_id) for r in _naive(a, b).collect()}
+        assert got == want, f"chunk={chunk}"
+
+
+def test_each_pair_exactly_once(spark):
+    # both intervals span ~7 chunks at 60 s — without first-shared-chunk
+    # dedup the pair would appear 7 times
+    a = _intervals(spark, [(0, 7)], "a")
+    b = _intervals(spark, [(0, 7)], "b")
+    out = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", chunk_seconds=60
+    )
+    assert out.count() == 1
+
+
+def test_touching_endpoints_match(spark):
+    # closed-interval semantics: end == start overlaps
+    a = _intervals(spark, [(0, 10)], "a")
+    b = _intervals(spark, [(10, 20)], "b")
+    out = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", chunk_seconds=3600
+    )
+    assert out.count() == 1
+
+
+def test_disjoint_never_match(spark):
+    a = _intervals(spark, [(0, 10)], "a")
+    b = _intervals(spark, [(11, 20)], "b")
+    out = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", chunk_seconds=60
+    )
+    assert out.count() == 0
+
+
+def test_zero_length_intervals(spark):
+    # single-event sessions: start == end
+    a = _intervals(spark, [(5, 5)], "a")
+    b = _intervals(spark, [(0, 10), (5, 5), (6, 9)], "b")
+    got = {
+        r.b_id
+        for r in interval_overlap_join(
+            a, b, "a_start", "a_end", "b_start", "b_end", chunk_seconds=60
+        ).collect()
+    }
+    assert got == {0, 1}
+
+
+def test_extra_condition(spark):
+    a = _intervals(spark, [(0, 100)], "a")
+    b = _intervals(spark, [(0, 100), (50, 150)], "b")
+    out = interval_overlap_join(
+        a,
+        b,
+        "a_start",
+        "a_end",
+        "b_start",
+        "b_end",
+        chunk_seconds=60,
+        extra_cond=F.col("b_id") > 0,
+    )
+    assert [r.b_id for r in out.collect()] == [1]
