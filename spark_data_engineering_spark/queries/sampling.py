@@ -158,3 +158,43 @@ def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_sampled",
         )
     )
+
+
+@query(
+    "bottomk_sample_per_source",
+    oracle="""
+    SELECT source, doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT source, doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        FROM documents
+    )
+    WHERE rnk <= 10
+    """,
+)
+def bottomk_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE deterministic sample: exactly min(10, group size) docs
+    per source, chosen by hash rank (smallest md5 of the key) — the
+    reproducible form of per-group reservoir sampling. Unlike the
+    rate-based LCG samples above, the output size is exact whatever the
+    group's row count, and membership is still a pure function of the
+    key: stable across runs, engines, partitionings, and — the property
+    reservoirs lack — across STREAMS: a bottom-k set is mergeable
+    (union then re-take bottom k), so partial samples from shards
+    combine associatively. One hash-partitioned window per group; at
+    scale the rank prunes with WindowGroupLimit (top-k pushdown), so no
+    group ever materializes fully."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", "lang")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .withColumn("rnk", F.col("rnk").cast("bigint"))
+    )

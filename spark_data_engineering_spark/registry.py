@@ -96,16 +96,18 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # on queries already green in r3): asof join, sessionization, event
     # rollups, media decode, quality metrics, ANN baselines, SQL views,
     # approx quantiles, streaming.
-    "asof_purchase_click",
     # sessionize_events' full computation runs inside concurrent_sessions
     # (its session table is the join input), so the range-join surface
-    # covers both in one slot.
+    # covers both in one slot; likewise scd2_pit_revenue's point-in-time
+    # lookup IS the asof_join operator, covering asof_purchase_click's
+    # path.
     "concurrent_sessions",
     "event_rollup_multires",
-    "media_decode_metadata",
-    "doc_repetition_metrics",
     "doc_pii_scrub",
     "streaming_hourly_event_stats",
+    "scd2_customer_tiers",
+    "scd2_pit_revenue",
+    "bottomk_sample_per_source",
     # --- This session's new surfaces (no prior driver evidence — they
     # displace fills whose code paths are already covered inside the
     # window: knn_bruteforce by the _BF_TOP10_ORACLE twins +
@@ -140,6 +142,7 @@ def load_all() -> None:
         reports,
         retrieval,
         sampling,
+        scd2,
         similarity,
         streaming_q,
         text,
