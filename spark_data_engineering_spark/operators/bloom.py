@@ -116,9 +116,12 @@ def bloom_might_contain(bitmap: bytes, m: int, k: int, key: Column) -> Column:
     words_arr = np.frombuffer(bitmap, dtype=np.uint64)
     if len(words_arr) <= _JVM_INLINE_WORDS:
         words_lit = F.lit([int(w) for w in words_arr.astype(np.int64)])
+        # positions come from the SAME _positions() expression as the
+        # build — single-sourced so build and probe can never diverge
+        pos_arr = _positions(key, m, k)
         cond = F.lit(True)
         for i in range(k):
-            pos = F.pmod(F.xxhash64(F.lit(i), key), F.lit(m))
+            pos = F.element_at(pos_arr, i + 1)
             word = F.element_at(words_lit, (pos / 64).cast("int") + 1)
             shift = F.pmod(pos, F.lit(64)).cast("int")
             # arithmetic >> keeps bit b of the two's-complement word, so

@@ -341,11 +341,16 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """Driver-side k-means over a bounded deterministic sample: ~4k
-    rows, sorted by id on the driver before init so the trained
-    centroids are invariant to partition/scan order (an unsorted
-    ``limit().collect()`` made every IVF-derived verdict depend on the
-    physical layout — caught by the semantic-dedup partitioning test).
+    """Driver-side k-means over a bounded DETERMINISTIC sample: the ~4k
+    smallest-id rows, selected with ``orderBy(id).limit(n)`` (Spark
+    compiles this to TakeOrderedAndProject — per-partition top-k + a
+    driver merge, never a full sort). Because the sampled SET is a pure
+    function of the ids, the trained centroids are invariant to
+    partition/scan order and file layout at ANY corpus size — a bare
+    ``limit()`` picked whatever rows the scan met first, which made
+    every IVF-derived verdict layout-dependent (caught by the
+    semantic-dedup partitioning test; for corpora beyond the sample cap
+    the sampled subset itself used to change under compaction).
     Evenly-spaced init over the sorted sample, unit-normalized
     centroids. Returns the (n_centroids, dim) numpy array shared by
     ``ivf_knn`` and the persisted ``IVFIndex``; ``n_centroids=None``
@@ -360,10 +365,9 @@ def train_ivf_centroids(
     # exceeds a fixed 4096-row cap, linspace init would yield duplicate
     # indices (duplicate/empty centroids) — grow the sample with k
     sample_rows = max(4096, 4 * n_centroids)
-    rows = corpus.select(id_col, vec_col).limit(sample_rows).collect()
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
     if not rows:
         raise ValueError("train_ivf_centroids: corpus is empty — cannot train centroids")
-    rows.sort(key=lambda r: r[id_col])
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     n_centroids = min(n_centroids, len(mat))
@@ -558,17 +562,18 @@ def pq_train_codebooks(
     k-means per subspace. Returns a numpy array of shape
     ``(m, n_codes, dim // m)``.
 
-    Training is driver-side over a BOUNDED sample (``sample_rows``
-    rows, sorted by id on the driver so codebooks are invariant to
-    partition/scan order — same contract as ``train_ivf_centroids``):
-    codebook quality depends on the sample, correctness of the index
-    does not. At 1B vectors the sample is still 4k rows; nothing here
-    grows with the corpus.
+    Training is driver-side over a BOUNDED sample: the ``sample_rows``
+    smallest-id rows via ``orderBy(id).limit`` (TakeOrderedAndProject —
+    the sampled set is a pure function of the ids, so codebooks are
+    invariant to partition/scan order and file layout at any corpus
+    size; same contract as ``train_ivf_centroids``). Codebook quality
+    depends on the sample, correctness of the index does not. At 1B
+    vectors the sample is still 4k rows; nothing here grows with the
+    corpus.
     """
     import numpy as np
 
-    rows = corpus.select(id_col, vec_col).limit(sample_rows).collect()
-    rows.sort(key=lambda r: r[id_col])
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     dim = mat.shape[1]

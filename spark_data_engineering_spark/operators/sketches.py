@@ -16,18 +16,36 @@ the driver — the same bounded-driver contract as IVF centroid training.
 
 The sketch yields CANDIDATES, not answers: the production pattern is
 sketch -> exact recount of only the candidate keys (a second scan that
-aggregates k keys instead of the full domain) — which is how the
-``heavy_hitter_tokens`` query stays hash-exact against a plain SQL
-top-k oracle while never holding more than k counters per task.
+aggregates k keys instead of the full domain). ``heavy_hitter_tokens``
+additionally PROVES the recounted top-k equals the exact top-k (or
+falls back) using the n/(k+1) presence bound — see the query docstring.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class MGSummary:
+    """Misra-Gries result: {item: lower-bound count} plus the total row
+    count n observed by the same pass (no extra scan)."""
+
+    counters: dict
+    n: int
+
+    @property
+    def threshold(self) -> float:
+        """Any item with true frequency above this is guaranteed present
+        (n / (k+1) uses the k actually requested — stored at build)."""
+        return self.n / (self._k + 1)
+
+    _k: int = 0
 
 
 def _mg_fold(counters: dict, items, counts, k: int) -> None:
@@ -47,23 +65,29 @@ def _mg_fold(counters: dict, items, counts, k: int) -> None:
                 del counters[item]
 
 
-def misra_gries_summary(
-    df: DataFrame, col: str, k: int = 200
-) -> dict[str, int]:
+def misra_gries_summary(df: DataFrame, col: str, k: int = 200) -> MGSummary:
     """Distributed Misra-Gries(k): per-partition Arrow summaries folded
-    on the driver. Returns {item: lower-bound count} with at most k
-    entries; every item with true frequency > n/(k+1) is guaranteed
-    present. Driver traffic is #partitions x k counters — independent
-    of n and of the key domain."""
+    on the driver. Every item with true frequency > n/(k+1) is
+    guaranteed present (including NULL — counted explicitly, since
+    pandas ``value_counts`` drops it by default). Driver traffic is
+    #partitions x (k+1) rows — independent of n and of the key domain;
+    the total row count rides along, so no separate count job."""
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
-            vc = pdf["item"].value_counts()
-            _mg_fold(counters, vc.index.tolist(), vc.to_numpy(), k)
-        if counters:
+            n_rows += len(pdf)
+            vc = pdf["item"].value_counts(dropna=False)
+            items = [None if pd.isna(i) else i for i in vc.index.tolist()]
+            _mg_fold(counters, items, vc.to_numpy(), k)
+        if n_rows:
             yield pd.DataFrame(
-                {"item": list(counters), "cnt": list(counters.values())}
+                {
+                    "item": list(counters) + [None],
+                    "cnt": list(counters.values()) + [0],
+                    "meta_n": [0] * len(counters) + [n_rows],
+                }
             )
 
     partials = df.select(col).toDF("item").mapInPandas(
@@ -72,11 +96,12 @@ def misra_gries_summary(
             [
                 T.StructField("item", df.schema[col].dataType),
                 T.StructField("cnt", T.LongType()),
+                T.StructField("meta_n", T.LongType()),
             ]
         ),
     ).collect()
     merged: dict = {}
-    _mg_fold(
-        merged, [r["item"] for r in partials], [r["cnt"] for r in partials], k
-    )
-    return merged
+    data = [r for r in partials if r["meta_n"] == 0]
+    n_total = sum(r["meta_n"] for r in partials)
+    _mg_fold(merged, [r["item"] for r in data], [r["cnt"] for r in data], k)
+    return MGSummary(counters=merged, n=n_total, _k=k)

@@ -533,11 +533,11 @@ def scrub_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows so reassembly is unambiguous. Emits per-doc segment counts
     plus the md5 of the cleaned text so the rewrite itself is
     hash-verified. Plan: zero-shuffle segmenting (explode over
-    sequence), ONE fingerprint shuffle for the global dup set, one
-    fp-keyed left join (no broadcast assumption — the dup set can be
-    huge on a boilerplate-heavy corpus), one doc-keyed reassembly agg.
-    All JVM built-ins; scales as three exchanges regardless of corpus
-    size."""
+    sequence), then is_dup via a WINDOW over the fingerprint — the
+    segmentation runs ONCE and shuffles once on fp (the agg+self-join
+    alternative re-tokenized the whole corpus a second time), then one
+    doc-keyed reassembly agg. Two exchanges total, all JVM built-ins,
+    no broadcast assumption on the dup set."""
     docs = load_table(spark, "documents", sf_dir)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks).cast("bigint")
@@ -563,15 +563,14 @@ def scrub_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("fp", F.md5(F.col("seg_text")))
     )
-    dup = (
-        segs.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("fp")
-        .withColumn("is_dup", F.lit(True))
-    )
-    flagged = segs.join(dup, "fp", "left").withColumn(
-        "is_dup", F.coalesce(F.col("is_dup"), F.lit(False))
+    # boilerplate = fp seen in >=2 distinct docs; a window keeps the
+    # segmentation single-pass (collect_set per fp stays small: it holds
+    # distinct DOC ids of one fingerprint, and extreme fps are exactly
+    # the boilerplate being dropped — cap-able via the same hot-bucket
+    # guardrail pattern as lsh_candidate_pairs if ever needed)
+    wfp = W.partitionBy("fp")
+    flagged = segs.withColumn(
+        "is_dup", F.size(F.collect_set("doc_id").over(wfp)) >= 2
     )
     kept_sorted = F.transform(
         F.filter(

@@ -136,25 +136,40 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a distributed Misra-Gries(200) sketch
     (operators/sketches.py) + exact recount of only the candidate keys
     — the bounded-memory pattern for top-k over an unbounded token
-    domain. The sketch guarantees every token with tf > n/201 is a
-    candidate, so the candidate-bounded top-20 must EQUAL the exact
-    top-20 (the oracle is the plain exact SQL — any candidate the
-    sketch wrongly dropped would hash-mismatch the gate).
-    ``guaranteed`` marks tokens above the n/k presence threshold on
-    BOTH sides from exact counts. At 100 TB: two scans — one Arrow
-    sketch pass with k counters per task, one recount aggregating ~k
-    keys instead of the whole vocabulary."""
+    domain. Exactness is PROVEN at runtime, not assumed: MG guarantees
+    every token with tf > n/201 is a candidate, so if the recounted
+    20th-largest candidate count exceeds n/201, no non-candidate can
+    belong in the top-20 and the candidate-bounded result equals the
+    exact top-20; when that margin check fails (flat distributions
+    where rank-20 sits under the presence bound), the query falls back
+    to the full exact aggregation — either way the exact SQL oracle
+    must hash-match. ``guaranteed`` marks tokens above the n/200
+    threshold on BOTH sides from exact counts. At 100 TB: two scans —
+    one Arrow sketch pass carrying k counters AND the row count n (no
+    separate count job), one recount aggregating ~k keys instead of
+    the whole vocabulary."""
     from spark_data_engineering_spark.operators.sketches import misra_gries_summary
 
     d = load_table(spark, "documents", sf_dir)
     tokens = d.select(F.explode(F.split("text", " ")).alias("token"))
-    candidates = list(misra_gries_summary(tokens, "token", k=200))
-    n_total = tokens.count()
-    return (
-        tokens.filter(F.col("token").isin(candidates))
+    mg = misra_gries_summary(tokens, "token", k=200)
+    n_total = mg.n
+    recount = (
+        tokens.filter(F.col("token").isin(list(mg.counters)))
         .groupBy("token")
         .agg(F.count("*").alias("tf"))
-        .withColumn("guaranteed", F.col("tf") > F.lit(n_total) / 200.0)
+    )
+    # proof check: collect the <=k candidate counts (tiny), verify the
+    # 20th-largest strictly clears the MG presence bound n/(k+1)
+    cand = sorted(
+        ((r["tf"], r["token"]) for r in recount.collect()), reverse=True
+    )
+    proven = len(cand) >= 20 and cand[19][0] > mg.threshold
+    base = recount if proven else tokens.groupBy("token").agg(
+        F.count("*").alias("tf")
+    )
+    return (
+        base.withColumn("guaranteed", F.col("tf") > F.lit(n_total) / 200.0)
         .orderBy(F.col("tf").desc(), F.col("token").asc())
         .limit(20)
     )
