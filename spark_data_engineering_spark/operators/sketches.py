@@ -105,3 +105,26 @@ def misra_gries_summary(df: DataFrame, col: str, k: int = 200) -> MGSummary:
     n_total = sum(r["meta_n"] for r in partials)
     _mg_fold(merged, [r["item"] for r in data], [r["cnt"] for r in data], k)
     return MGSummary(counters=merged, n=n_total, _k=k)
+
+
+def exact_topk_via_sketch(
+    df: DataFrame, col: str, mg: MGSummary, topk: int = 20
+) -> DataFrame:
+    """Exact-count DataFrame backing a top-``topk`` over ``col``, using
+    the MG candidates when provably sufficient: if the recounted
+    ``topk``-th candidate strictly clears the n/(k+1) presence bound,
+    no non-candidate can rank above it, so the candidate-bounded
+    recount IS the exact top-k input; otherwise fall back to the full
+    aggregation. Returns (col, tf) unordered — callers order/limit."""
+    from pyspark.sql import functions as F
+
+    recount = (
+        df.filter(F.col(col).isin(list(mg.counters)))
+        .groupBy(col)
+        .agg(F.count("*").alias("tf"))
+    )
+    cand = sorted((r["tf"] for r in recount.collect()), reverse=True)
+    proven = len(cand) >= topk and cand[topk - 1] > mg.threshold
+    if proven:
+        return recount
+    return df.groupBy(col).agg(F.count("*").alias("tf"))

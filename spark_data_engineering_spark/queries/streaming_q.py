@@ -342,30 +342,16 @@ _NEARDUP_SURVIVOR_ORACLE = """
 """
 
 
-@query("streaming_neardup_survivors", oracle=_NEARDUP_SURVIVOR_ORACLE)
-def streaming_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the documents corpus through the streaming near-dup ingest
-    (streaming/neardup.py) in THREE fixed micro-batches (contiguous
-    doc_id thirds, file-source availableNow + maxFilesPerTrigger=1) and
-    return the surviving doc ids — the corpus-table contents after the
-    stream drains.
-
-    The oracle replays the greedy keep-first semantics in SQL from the
-    exact 3-gram Jaccard pair set (same shingle/threshold SQL that
-    ``minhash_lsh_pairs`` hash-matches, so banded-LSH recall=1 on this
-    corpus carries over): per batch, a doc drops iff a smaller-id doc of
-    the SAME batch pairs with it, or a SURVIVOR of an earlier batch
-    does. Exactly-once machinery is live in the replay: the TxnTable
-    root is digest-keyed and reused, so a rerun re-derives identical
-    decisions and `append_idempotent` commits nothing twice.
-    """
+def _stage_doc_batches(sf_dir: str) -> str:
+    """Split the documents table into THREE fixed micro-batch files
+    (contiguous doc_id thirds) under a digest-keyed staging dir, with
+    pinned mtimes so the file source replays them in order. Shared by
+    every streaming-replay query over documents."""
     import hashlib
     import uuid
 
-    import pyarrow.parquet as pq
     import pyarrow as pa
-
-    from spark_data_engineering_spark.streaming.neardup import NearDupIngest
+    import pyarrow.parquet as pq
 
     src = f"{sf_dir}/documents.parquet"
     stat = os.stat(src)
@@ -392,6 +378,31 @@ def streaming_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the file source orders micro-batches by mtime: pin it
             os.utime(path, (base + 60 * k, base + 60 * k))
         os.rename(tmp, staged)
+    return staged
+
+
+@query("streaming_neardup_survivors", oracle=_NEARDUP_SURVIVOR_ORACLE)
+def streaming_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents corpus through the streaming near-dup ingest
+    (streaming/neardup.py) in THREE fixed micro-batches (contiguous
+    doc_id thirds, file-source availableNow + maxFilesPerTrigger=1) and
+    return the surviving doc ids — the corpus-table contents after the
+    stream drains.
+
+    The oracle replays the greedy keep-first semantics in SQL from the
+    exact 3-gram Jaccard pair set (same shingle/threshold SQL that
+    ``minhash_lsh_pairs`` hash-matches, so banded-LSH recall=1 on this
+    corpus carries over): per batch, a doc drops iff a smaller-id doc of
+    the SAME batch pairs with it, or a SURVIVOR of an earlier batch
+    does. Exactly-once machinery is live in the replay: the TxnTable
+    root is digest-keyed and reused, so a rerun re-derives identical
+    decisions and `append_idempotent` commits nothing twice.
+    """
+    import uuid
+
+    from spark_data_engineering_spark.streaming.neardup import NearDupIngest
+
+    staged = _stage_doc_batches(sf_dir)
 
     # the TxnTable holds DERIVED state: key it on the deriving code too,
     # else a code change replays against old epochs (all skipped) and the
@@ -400,7 +411,7 @@ def streaming_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_data_engineering_spark.operators import dedup as _dedup_mod
     from spark_data_engineering_spark.streaming import neardup as _nd_mod
 
-    root = f"/tmp/spark_de_neardup/{digest}-{code_digest(_nd_mod, _dedup_mod)}"
+    root = f"/tmp/spark_de_neardup/{os.path.basename(staged)}-{code_digest(_nd_mod, _dedup_mod)}"
     ingest = NearDupIngest(root)
     schema = spark.read.parquet(staged).schema
     stream = (
@@ -410,3 +421,75 @@ def streaming_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ingest.run(stream, f"/tmp/spark_de_neardup_ckpt/{uuid.uuid4().hex}")
     return ingest.docs.read(spark).select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+@query(
+    "streaming_heavy_hitters",
+    oracle="""
+    WITH tokens AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tokens)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           (COUNT(*) > (SELECT total FROM n) / 200.0) AS guaranteed
+    FROM tokens
+    GROUP BY token
+    ORDER BY tf DESC, token ASC
+    LIMIT 20
+    """,
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters maintained ACROSS micro-batches: replay the
+    documents corpus in three fixed batches through a foreachBatch
+    Misra-Gries accumulator (streaming/heavyhitters.py — per-batch
+    distributed sketch folded into a kilobyte JSON state, exactly-once
+    via an (app, epoch) watermark with atomic snapshot writes), then
+    recount the final state's candidates exactly with the same
+    proof-or-fallback as the batch twin. The mergeable-summaries bound
+    makes the accumulated state exactly as strong as one batch pass
+    over everything, so the result must hash-match the SAME exact
+    top-20 oracle as ``heavy_hitter_tokens`` — end-of-stream state
+    equals the batch answer, the contract every streaming query here
+    obeys. A rerun replays epochs the state has already applied and
+    folds nothing twice."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest
+    from spark_data_engineering_spark.operators import sketches as _sk_mod
+    from spark_data_engineering_spark.operators.sketches import exact_topk_via_sketch
+    from spark_data_engineering_spark.streaming import heavyhitters as _hh_mod
+    from spark_data_engineering_spark.streaming.heavyhitters import (
+        StreamingHeavyHitters,
+    )
+
+    staged = _stage_doc_batches(sf_dir)
+    # derived state: key on data AND deriving code so edits re-run
+    state_dir = (
+        f"/tmp/spark_de_mgstream/{os.path.basename(staged)}-"
+        f"{code_digest(_sk_mod, _hh_mod)}"
+    )
+    hh = StreamingHeavyHitters(state_dir, "token", k=200)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(hh.process_batch)
+        .option("checkpointLocation", f"/tmp/spark_de_mgstream_ckpt/{uuid.uuid4().hex}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mg = hh.summary()
+    docs = load_table(spark, "documents", sf_dir)
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    base = exact_topk_via_sketch(tokens, "token", mg, topk=20)
+    return (
+        base.withColumn("guaranteed", F.col("tf") > F.lit(mg.n) / 200.0)
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(20)
+    )

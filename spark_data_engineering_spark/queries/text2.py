@@ -148,28 +148,17 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Arrow sketch pass carrying k counters AND the row count n (no
     separate count job), one recount aggregating ~k keys instead of
     the whole vocabulary."""
-    from spark_data_engineering_spark.operators.sketches import misra_gries_summary
+    from spark_data_engineering_spark.operators.sketches import (
+        exact_topk_via_sketch,
+        misra_gries_summary,
+    )
 
     d = load_table(spark, "documents", sf_dir)
     tokens = d.select(F.explode(F.split("text", " ")).alias("token"))
     mg = misra_gries_summary(tokens, "token", k=200)
-    n_total = mg.n
-    recount = (
-        tokens.filter(F.col("token").isin(list(mg.counters)))
-        .groupBy("token")
-        .agg(F.count("*").alias("tf"))
-    )
-    # proof check: collect the <=k candidate counts (tiny), verify the
-    # 20th-largest strictly clears the MG presence bound n/(k+1)
-    cand = sorted(
-        ((r["tf"], r["token"]) for r in recount.collect()), reverse=True
-    )
-    proven = len(cand) >= 20 and cand[19][0] > mg.threshold
-    base = recount if proven else tokens.groupBy("token").agg(
-        F.count("*").alias("tf")
-    )
+    base = exact_topk_via_sketch(tokens, "token", mg, topk=20)
     return (
-        base.withColumn("guaranteed", F.col("tf") > F.lit(n_total) / 200.0)
+        base.withColumn("guaranteed", F.col("tf") > F.lit(mg.n) / 200.0)
         .orderBy(F.col("tf").desc(), F.col("token").asc())
         .limit(20)
     )

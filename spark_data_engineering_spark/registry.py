@@ -102,7 +102,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # lookup IS the asof_join operator, covering asof_purchase_click's
     # path.
     "concurrent_sessions",
-    "event_rollup_multires",
+    # event_rollup_multires' grouping-sets machinery is in-window via
+    # rollup/cube/grouping_sets_flag_status; the slot goes to the
+    # cross-batch sketch accumulator.
+    "streaming_heavy_hitters",
     "doc_pii_scrub",
     "streaming_hourly_event_stats",
     "scd2_customer_tiers",
