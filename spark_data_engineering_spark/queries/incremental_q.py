@@ -190,3 +190,88 @@ def txn_datasource_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+_SCD2_INCR_ORACLE = """
+    WITH
+    daily AS (
+        SELECT o_custkey,
+               o_orderdate AS eff_ts,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_spend
+        FROM orders
+        WHERE NOT (o_orderkey % 17 = 3)
+        GROUP BY 1, 2
+    ),
+    cumed AS (
+        SELECT o_custkey, eff_ts,
+               SUM(day_spend) OVER (PARTITION BY o_custkey ORDER BY eff_ts
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+        FROM daily
+    ),
+    tiered AS (
+        SELECT o_custkey, eff_ts,
+               CASE WHEN cum < 1000000 THEN 'bronze'
+                    WHEN cum < 2000000 THEN 'silver'
+                    ELSE 'gold' END AS tier
+        FROM cumed
+    ),
+    changes AS (
+        SELECT o_custkey, eff_ts, tier
+        FROM (
+            SELECT o_custkey, eff_ts, tier,
+                   LAG(tier) OVER (PARTITION BY o_custkey ORDER BY eff_ts) AS prev
+            FROM tiered
+        )
+        WHERE prev IS NULL OR tier != prev
+    )
+    SELECT o_custkey AS custkey, tier,
+           eff_ts AS valid_from,
+           LEAD(eff_ts) OVER (PARTITION BY o_custkey ORDER BY eff_ts) AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY eff_ts)
+                AS BIGINT) AS version
+    FROM changes
+    """
+
+
+@query("incremental_scd2_tiers", oracle=_SCD2_INCR_ORACLE)
+def incremental_scd2_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintained incrementally (pipeline/
+    scd2_incremental.py): orders land in a txn table across an 80%
+    append, the remaining 20%, and a point DELETE — the delete is the
+    hard case, rewriting the touched customers' entire era history
+    (cumulative sums after the removed order all move), which is why
+    SCD2 is not delta-foldable and uses per-key partial recompute
+    instead. After three refreshes the dimension saw every change only
+    through the change feed + per-key rebuilds; the oracle recomputes
+    the whole dimension from scratch over the surviving rows. Both must
+    hash-match exactly (decimal money, key-local builder)."""
+    from spark_data_engineering_spark.pipeline.scd2_incremental import IncrementalSCD2
+    from spark_data_engineering_spark.queries.scd2 import build_scd2_tiers
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"scd2:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_incremental/scd2-{digest}"
+    shutil.rmtree(root, ignore_errors=True)  # fresh lineage per run
+
+    base = TxnTable(root, "orders_base")
+    view = IncrementalSCD2(
+        base,
+        TxnTable(root, "scd2_tiers"),
+        build=build_scd2_tiers,
+        key="custkey",
+        base_key="o_custkey",
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    base.append(orders.filter(F.col("o_orderkey") % 5 != 0))
+    view.refresh(spark)
+    base.append(orders.filter(F.col("o_orderkey") % 5 == 0))
+    view.refresh(spark)
+    base.delete_where(spark, F.col("o_orderkey") % 17 == 3)
+    view.refresh(spark)
+    return view.read(spark).select(
+        "custkey", "tier", "valid_from", "valid_to", "version"
+    )

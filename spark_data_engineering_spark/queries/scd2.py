@@ -70,8 +70,13 @@ _SCD2_ORACLE_BODY = """
 """.format(tier=_TIER_SQL_CASE)
 
 
-def _scd2_customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, "orders", sf_dir)
+def build_scd2_tiers(o: DataFrame) -> DataFrame:
+    """SCD2 tier dimension from an orders DataFrame — per-customer
+    change-collapse into [valid_from, valid_to) eras (see module
+    docstring). Key-local: a customer's eras depend only on that
+    customer's rows, which is what makes per-key incremental
+    maintenance (pipeline/scd2_incremental.py) exactly equal to a full
+    rebuild."""
     daily = o.groupBy(
         "o_custkey", F.col("o_orderdate").alias("eff_ts")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_spend"))
@@ -112,7 +117,7 @@ def scd2_customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     via lag-filter, interval close via lead (open-ended current row).
     Two window passes + one partial-agg groupBy, all partitioned on the
     customer key: ONE shuffle end-to-end at any scale."""
-    return _scd2_customer_tiers(spark, sf_dir)
+    return build_scd2_tiers(load_table(spark, "orders", sf_dir))
 
 
 @query(
@@ -146,7 +151,7 @@ def scd2_pit_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("ts"),
         "o_totalprice",
     )
-    dim = _scd2_customer_tiers(spark, sf_dir).select(
+    dim = build_scd2_tiers(load_table(spark, "orders", sf_dir)).select(
         "custkey", F.col("valid_from").alias("ts"), "tier"
     )
     joined = asof_join(

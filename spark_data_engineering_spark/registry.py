@@ -107,7 +107,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # cross-batch sketch accumulator.
     "streaming_heavy_hitters",
     "doc_pii_scrub",
-    "streaming_hourly_event_stats",
+    # streaming evidence stays fresh via streaming_neardup_survivors +
+    # streaming_heavy_hitters; the hourly twin's slot goes to the
+    # incremental SCD2 surface.
+    "incremental_scd2_tiers",
     "scd2_customer_tiers",
     "scd2_pit_revenue",
     "bottomk_sample_per_source",
