@@ -162,3 +162,65 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+@query(
+    "token_run_lengths",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    u AS (
+        SELECT doc_id, UNNEST(toks) AS token,
+               GENERATE_SUBSCRIPTS(toks, 1) AS i
+        FROM t
+    ),
+    g AS (
+        SELECT doc_id, token, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id, token ORDER BY i) AS grp
+        FROM u
+    )
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS start_idx,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           token
+    FROM g
+    GROUP BY doc_id, token, grp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def token_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal runs of consecutively-repeated tokens (>=2) per document
+    — the stutter/repetition signal Gopher-style quality filters cut on
+    — computed with a Spark 4 Python UDTF (Arrow-optimized) applied via
+    SQL LATERAL: the run detection is a single forward pass per
+    document, the shape that's imperative-natural and awkward as SQL
+    (the oracle replays it relationally as gaps-and-islands:
+    index minus per-token row_number groups each run). One Generate
+    over the corpus, no shuffle at all until a consumer aggregates;
+    the UDTF is the LAST per-row Python tier the engine exposes
+    (scalar Pandas UDFs, grouped/cogrouped applyInPandas, mapInPandas,
+    stateful transformWithState being the others — all covered
+    elsewhere in this repo)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start_idx bigint, run_len bigint, token string", useArrow=True)
+    class TokenRuns:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            i = 0
+            while i < len(toks):
+                j = i
+                while j + 1 < len(toks) and toks[j + 1] == toks[i]:
+                    j += 1
+                if j > i:
+                    yield i + 1, j - i + 1, toks[i]  # 1-based start
+                i = j + 1
+
+    spark.udtf.register("token_runs", TokenRuns)
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_docs_for_runs")
+    return spark.sql(
+        """SELECT d.doc_id, r.start_idx, r.run_len, r.token
+           FROM _docs_for_runs d, LATERAL token_runs(d.text) r"""
+    )

@@ -39,13 +39,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external correctness gate oracle-checks only the FIRST 50 registered
-# queries. After round 3 the union of green driver rows covers all 123
-# registered queries, but 28 queries' newest green row dates from round 1 —
-# two rounds of shared-loader (sources/tables.py) churn ago. This round's
-# window refreshes exactly those 28, keeps 5 stable canaries over the
-# shared code paths, and adds the round-4 additions (approx report,
-# streaming near-dup, refreshed recall report) so every registered query
-# ends the round with driver evidence at most one round old.
+# queries. The round-4 window: 5 stable canaries over the shared code
+# paths + the 28 queries whose newest green driver row was round 1 (the
+# r3 verdict's explicit ask — shared loader churned r2+r3) + this round's
+# new surfaces, which have no prior driver evidence at all. Where a new
+# query wholly CONTAINS an older query's computation (concurrent_sessions
+# runs sessionize_events; scd2_pit_revenue runs asof_join;
+# semantic_dedup_report runs cosine_pairs_blocked) the older query's slot
+# was given to the new surface — per-slot rationales inline below.
 CHECK_PRIORITY: tuple[str, ...] = (
     # --- Canaries: stable, previously-green, exercise the shared loader,
     # the flagship report pipeline, events, and the dedup family.
@@ -89,7 +90,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ann_recall_report",
     "daily_category_report_approx",
     "streaming_neardup_survivors",
-    "knn_ivf",
+    # knn_ivf is a rows-only check whose recall is hash-verified
+    # in-window by ann_recall_report; its slot goes to the UDTF surface.
+    "token_run_lengths",
     "pack_documents_greedy",
     # --- Fill the window to exactly 50 with r2-evidence queries picked
     # one-per-family (instead of letting registration order waste slots

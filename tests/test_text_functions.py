@@ -50,3 +50,23 @@ def test_fingerprint_is_md5(spark):
 def test_quality_score_bounds(spark):
     out = _df(spark).select(TX.quality_score(F.col("text")).alias("q")).collect()
     assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_token_run_lengths_constructed(spark, tmp_path):
+    from spark_data_engineering_spark.queries.text2 import token_run_lengths
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b c c", "en", "s", 0),       # runs: a x3 @1, c x2 @5
+            (2, "x y z", "en", "s", 0),              # no runs
+            (3, "q q q q", "en", "s", 0),            # one run x4 @1
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    td = str(tmp_path / "runs")
+    df.write.parquet(f"{td}/documents.parquet")
+    got = {
+        (r.doc_id, r.start_idx, r.run_len, r.token)
+        for r in token_run_lengths(spark, td).collect()
+    }
+    assert got == {(1, 1, 3, "a"), (1, 5, 2, "c"), (3, 1, 4, "q")}
