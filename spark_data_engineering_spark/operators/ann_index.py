@@ -143,6 +143,18 @@ class IVFIndex:
             return self.table.append_idempotent(assigned, app_id, epoch_id)
         return self.table.append(assigned)
 
+    def delete_ids(self, spark: SparkSession, ids) -> int:
+        """Remove vectors from the live index by id — the upsert/forget
+        path a serving index needs (dedup'd corpus re-ingest, GDPR
+        erasure). Copy-on-write: only the files containing deleted ids
+        are rewritten (footer-stats pruning skips the rest), the commit
+        is atomic, and time travel still sees the pre-delete snapshot.
+        Centroids are untouched — deletion never changes cell geometry,
+        so every prior and future probe stays valid. Returns the new
+        index version."""
+        id_list = list(ids)
+        return self.table.delete_where(spark, F.col("vec_id").isin(id_list))
+
     # ---- search ---------------------------------------------------------
 
     def centroids(self):

@@ -212,3 +212,47 @@ def test_search_with_empty_query_set(spark, sf_dir, tmp_path):
     pq = IVFPQIndex.build(spark, emb, str(tmp_path / "b"), n_centroids=8, m=16, n_codes=32)
     assert pq.search(spark, none, k=5).count() == 0
     assert pq.search(spark, none, k=5, rerank_with=emb).count() == 0
+
+
+def test_delete_ids_removes_from_search_and_time_travel(spark, tmp_path):
+    """Deleted vectors vanish from new searches, survive in time travel,
+    and deletion equals rebuilding the index without them."""
+    import numpy as np
+
+    from spark_data_engineering_spark.operators.ann_index import IVFIndex
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    root = str(tmp_path / "annidx")
+    IVFIndex.build(spark, emb, root, n_centroids=8)
+    idx = IVFIndex(root)
+    queries = emb.filter(F.col("vec_id") < 3)
+    pre_version = idx.table.version()
+    before = {
+        (r.query_id, r.neighbor_id)
+        for r in idx.search(spark, queries, k=5, n_probe=8).collect()
+    }
+    victims = {r.neighbor_id for r in idx.search(spark, queries, k=2, n_probe=8).collect()}
+    idx.delete_ids(spark, victims)
+    after = idx.search(spark, queries, k=5, n_probe=8)
+    assert after.filter(F.col("neighbor_id").isin(list(victims))).count() == 0
+    # probe-all search over the shrunk index == brute force without victims
+    from spark_data_engineering_spark.operators.similarity import brute_force_knn
+
+    survivors = emb.filter(~F.col("vec_id").isin(list(victims)))
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in brute_force_knn(survivors, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in after.collect()
+    }
+    assert got == want
+    # time travel to the pre-delete snapshot still sees the victims
+    old = idx.search(spark, queries, k=5, n_probe=8, at_version=pre_version)
+    assert {(r.query_id, r.neighbor_id) for r in old.collect()} == before
