@@ -149,6 +149,7 @@ def bloom_pruned_join(
     how: str = "inner",
     expected_items: int | None = None,
     fpp: float = 0.01,
+    min_items_for_bloom: int = 0,
 ) -> DataFrame:
     """Exact ``fact ⋈ dim`` with a Bloom pre-filter on the fact side.
 
@@ -156,13 +157,22 @@ def bloom_pruned_join(
     match on the fact side ("inner", "semi"/"leftsemi") — the final join
     eliminates bloom false positives, so results are identical to the
     unpruned join. ``expected_items`` defaults to a dim-side count (one
-    extra small-side pass)."""
+    extra small-side pass).
+
+    ``min_items_for_bloom``: below this dim size the bitmap build is
+    pure overhead — Spark will broadcast the dim and the hash join IS
+    the filter (measured at sf0.1: plain broadcast semi 0.6 s vs bloom
+    1.7 s on a 43-key dim). Production callers should set it around the
+    broadcast threshold (~10M keys at default configs); the default 0
+    always blooms, which the registered query uses to exercise the
+    operator deterministically."""
     if how not in ("inner", "semi", "leftsemi", "left_semi"):
         raise ValueError(f"bloom pruning only narrows the fact side; how={how!r}")
     if expected_items is None:
         expected_items = max(1, dim.select(dim_key).distinct().count())
-    bitmap, m, k = build_bloom(dim, dim_key, expected_items, fpp)
-    pruned = fact.filter(bloom_might_contain(bitmap, m, k, F.col(fact_key)))
+    if expected_items >= min_items_for_bloom:
+        bitmap, m, k = build_bloom(dim, dim_key, expected_items, fpp)
+        fact = fact.filter(bloom_might_contain(bitmap, m, k, F.col(fact_key)))
     if how == "inner":
-        return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")
-    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "left_semi")
+        return fact.join(dim, fact[fact_key] == dim[dim_key], "inner")
+    return fact.join(dim, fact[fact_key] == dim[dim_key], "left_semi")

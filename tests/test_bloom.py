@@ -100,3 +100,18 @@ def test_build_merges_across_partitions(spark):
     words = np.frombuffer(bitmap, dtype=np.uint64)
     assert int(np.unpackbits(words.view(np.uint8)).sum()) > 0
     assert keys.filter(B.bloom_might_contain(bitmap, m, k, F.col("k"))).count() == 2000
+
+
+def test_min_items_skips_bloom_but_matches(spark, sf_dir):
+    """Below min_items_for_bloom the operator degrades to the plain join
+    — same results, no bitmap jobs."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == F.lit("BUILDING")
+    ).select("c_custkey")
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi").count()
+    adaptive = B.bloom_pruned_join(
+        orders, cust, "o_custkey", "c_custkey", how="semi",
+        min_items_for_bloom=10_000_000,
+    ).count()
+    assert adaptive == plain

@@ -100,3 +100,32 @@ def test_extra_condition(spark):
         extra_cond=F.col("b_id") > 0,
     )
     assert [r.b_id for r in out.collect()] == [1]
+
+
+def test_property_random_intervals_match_naive(spark):
+    """Randomized cross-check: bucket-replicated results must equal the
+    naive nested-loop predicate for arbitrary interval sets and chunk
+    sizes (fixed seed — reproducible)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        a_rows = [
+            (s := rng.randint(0, 5000), s + rng.randint(0, 800))
+            for _ in range(60)
+        ]
+        b_rows = [
+            (s := rng.randint(0, 5000), s + rng.randint(0, 800))
+            for _ in range(60)
+        ]
+        a = _intervals(spark, a_rows, "a")
+        b = _intervals(spark, b_rows, "b")
+        chunk = rng.choice([30, 300, 7200])
+        got = {
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                a, b, "a_start", "a_end", "b_start", "b_end", chunk_seconds=chunk
+            ).collect()
+        }
+        want = {(r.a_id, r.b_id) for r in _naive(a, b).collect()}
+        assert got == want, f"trial={trial} chunk={chunk}"
