@@ -436,6 +436,13 @@ class IVFPQIndex:
             return self.table.append_idempotent(encoded, app_id, epoch_id)
         return self.table.append(encoded)
 
+    def delete_ids(self, spark: SparkSession, ids) -> int:
+        """Id-level erasure, same contract as ``IVFIndex.delete_ids``:
+        copy-on-write over only the files holding victim codes;
+        centroids and codebooks untouched (deletion never changes cell
+        geometry or quantization)."""
+        return self.table.delete_where(spark, F.col("vec_id").isin(list(ids)))
+
     # ---- search ---------------------------------------------------------
 
     def search(

@@ -256,3 +256,41 @@ def test_delete_ids_removes_from_search_and_time_travel(spark, tmp_path):
     # time travel to the pre-delete snapshot still sees the victims
     old = idx.search(spark, queries, k=5, n_probe=8, at_version=pre_version)
     assert {(r.query_id, r.neighbor_id) for r in old.collect()} == before
+
+
+def test_ivfpq_delete_ids(spark, tmp_path):
+    import numpy as np
+
+    from spark_data_engineering_spark.operators.ann_index import IVFPQIndex
+    from spark_data_engineering_spark.operators.similarity import brute_force_knn
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    root = str(tmp_path / "pqidx")
+    IVFPQIndex.build(spark, emb, root, n_centroids=8, m=4, n_codes=16)
+    idx = IVFPQIndex(root)
+    queries = emb.filter(F.col("vec_id") < 3)
+    victims = {
+        r.neighbor_id
+        for r in idx.search(
+            spark, queries, k=2, n_probe=8, rerank_with=emb, rerank_factor=200
+        ).collect()
+    }
+    idx.delete_ids(spark, victims)
+    survivors = emb.filter(~F.col("vec_id").isin(list(victims)))
+    # probe-all + uncut short list + exact re-rank == brute force over survivors
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in idx.search(
+            spark, queries, k=5, n_probe=8, rerank_with=survivors, rerank_factor=200
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in brute_force_knn(survivors, queries, k=5).collect()
+    }
+    assert got == want
