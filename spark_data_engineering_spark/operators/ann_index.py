@@ -146,12 +146,13 @@ class IVFIndex:
     def delete_ids(self, spark: SparkSession, ids) -> int:
         """Remove vectors from the live index by id — the upsert/forget
         path a serving index needs (dedup'd corpus re-ingest, GDPR
-        erasure). Copy-on-write: only the files containing deleted ids
-        are rewritten (footer-stats pruning skips the rest), the commit
-        is atomic, and time travel still sees the pre-delete snapshot.
-        Centroids are untouched — deletion never changes cell geometry,
-        so every prior and future probe stays valid. Returns the new
-        index version."""
+        erasure). Copy-on-write: victim discovery is one filtered scan
+        of the index, and only the files that actually CONTAIN victims
+        are rewritten — the rewrite set, not the read, is what the
+        copy-on-write bounds. The commit is atomic and time travel
+        still sees the pre-delete snapshot. Centroids are untouched —
+        deletion never changes cell geometry, so every prior and future
+        probe stays valid. Returns the new index version."""
         id_list = list(ids)
         return self.table.delete_where(spark, F.col("vec_id").isin(id_list))
 

@@ -168,11 +168,22 @@ def bloom_pruned_join(
     operator deterministically."""
     if how not in ("inner", "semi", "leftsemi", "left_semi"):
         raise ValueError(f"bloom pruning only narrows the fact side; how={how!r}")
+    if min_items_for_bloom > 0:
+        # the skip decision needs the ACTUAL dim size — expected_items is
+        # documented as an upper-bound HINT (metadata-only count of an
+        # unfiltered parent), which would defeat the gate exactly when a
+        # selective filter shrank the dim below the threshold
+        dim_size = dim.count()
+        if dim_size < min_items_for_bloom:
+            if how == "inner":
+                return fact.join(dim, fact[fact_key] == dim[dim_key], "inner")
+            return fact.join(dim, fact[fact_key] == dim[dim_key], "left_semi")
+        if expected_items is None:
+            expected_items = max(1, dim_size)
     if expected_items is None:
         expected_items = max(1, dim.select(dim_key).distinct().count())
-    if expected_items >= min_items_for_bloom:
-        bitmap, m, k = build_bloom(dim, dim_key, expected_items, fpp)
-        fact = fact.filter(bloom_might_contain(bitmap, m, k, F.col(fact_key)))
+    bitmap, m, k = build_bloom(dim, dim_key, expected_items, fpp)
+    fact = fact.filter(bloom_might_contain(bitmap, m, k, F.col(fact_key)))
     if how == "inner":
         return fact.join(dim, fact[fact_key] == dim[dim_key], "inner")
     return fact.join(dim, fact[fact_key] == dim[dim_key], "left_semi")

@@ -118,13 +118,17 @@ def exact_topk_via_sketch(
     aggregation. Returns (col, tf) unordered — callers order/limit."""
     from pyspark.sql import functions as F
 
-    recount = (
-        df.filter(F.col(col).isin(list(mg.counters)))
-        .groupBy(col)
-        .agg(F.count("*").alias("tf"))
-    )
-    cand = sorted((r["tf"] for r in recount.collect()), reverse=True)
+    non_null = [i for i in mg.counters if i is not None]
+    member = F.col(col).isin(non_null)
+    if None in mg.counters:
+        # IN never matches NULL; a NULL heavy hitter is a candidate too
+        member = member | F.col(col).isNull()
+    recount = df.filter(member).groupBy(col).agg(F.count("*").alias("tf"))
+    rows = recount.collect()  # <= k rows — the proof needs the counts
+    cand = sorted((r["tf"] for r in rows), reverse=True)
     proven = len(cand) >= topk and cand[topk - 1] > mg.threshold
     if proven:
-        return recount
+        # reuse the already-computed counts instead of re-running the
+        # recount scan when the caller executes the returned frame
+        return df.sparkSession.createDataFrame(rows, recount.schema)
     return df.groupBy(col).agg(F.count("*").alias("tf"))

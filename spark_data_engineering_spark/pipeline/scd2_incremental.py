@@ -69,24 +69,29 @@ class IncrementalSCD2:
             return None
         # commit numbering starts at 1; the CDF range is (from, to]
         changes = self.base.read_changes(spark, max(last, 0), head)
-        touched = (
-            changes.select(F.col(self.base_key).alias(self.key)).distinct()
-        )
-        base_rows = self.base.read(spark)
-        touched_rows = base_rows.join(
-            touched.withColumnRenamed(self.key, self.base_key).select(
-                self.base_key
-            ),
-            self.base_key,
-            "left_semi",
-        )
-        rebuilt = self.build(touched_rows)
-        if last < 0:
+        touched_base = changes.select(self.base_key).distinct()
+        if touched_base.isEmpty():
+            # compact/vacuum-only range: a rewrite would be a logical
+            # no-op at O(|dim|) cost. Skip without advancing the
+            # watermark — the next refresh re-reads this (cheap, CDF
+            # metadata only) empty range plus whatever follows.
+            return None
+        touched_dim = touched_base.withColumnRenamed(self.base_key, self.key)
+        if self.base.live_files():
+            touched_rows = self.base.read(spark).join(
+                touched_base, self.base_key, "left_semi"
+            )
+            rebuilt = self.build(touched_rows)
+        else:
+            rebuilt = None  # full purge: every touched key's history is gone
+        if last < 0 or not self.dim.live_files():
+            # first refresh, or the dimension was itself emptied earlier
+            if rebuilt is None:
+                return None  # nothing ever reflected, nothing to write
             new_dim = rebuilt
         else:
-            current = self.dim.read(spark)
-            kept = current.join(touched, self.key, "left_anti")
-            new_dim = kept.unionByName(rebuilt)
+            kept = self.dim.read(spark).join(touched_dim, self.key, "left_anti")
+            new_dim = kept if rebuilt is None else kept.unionByName(rebuilt)
         self.dim.overwrite(new_dim, txn=(self.app_id, head))
         return head
 

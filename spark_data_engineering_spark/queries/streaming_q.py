@@ -465,11 +465,14 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = _stage_doc_batches(sf_dir)
     # derived state: key on data AND deriving code so edits re-run
+    mg_k = 200
+    # keyed on data, deriving code, AND k: a k edit must not reopen a
+    # state whose accumulated error bound was set by the old k
     state_dir = (
         f"/tmp/spark_de_mgstream/{os.path.basename(staged)}-"
-        f"{code_digest(_sk_mod, _hh_mod)}"
+        f"k{mg_k}-{code_digest(_sk_mod, _hh_mod)}"
     )
-    hh = StreamingHeavyHitters(state_dir, "token", k=200)
+    hh = StreamingHeavyHitters(state_dir, "token", k=mg_k)
     schema = spark.read.parquet(staged).schema
     stream = (
         spark.readStream.schema(schema)

@@ -56,9 +56,18 @@ class StreamingHeavyHitters:
     # string "null" on round-trip
     def _load(self) -> dict:
         if not os.path.exists(self.state_path):
-            return {"counters": {}, "n": 0, "applied": {}}
+            return {"counters": {}, "n": 0, "applied": {}, "k": self.k}
         with open(self.state_path) as f:
             raw = json.load(f)
+        if raw.get("k", self.k) != self.k:
+            # the accumulated error bound is n/(state_k+1); reopening
+            # with a different k would let threshold() understate it and
+            # make the downstream exactness proof unsound
+            raise ValueError(
+                f"MG state at {self.state_path} was built with k={raw['k']}; "
+                f"this accumulator was constructed with k={self.k}. Use the "
+                "original k or start a fresh state dir."
+            )
         raw["counters"] = {
             (None if item is None else item): cnt for item, cnt in raw["counters"]
         }
@@ -66,6 +75,7 @@ class StreamingHeavyHitters:
 
     def _store(self, state: dict) -> None:
         payload = dict(state)
+        payload["k"] = self.k
         payload["counters"] = [[i, c] for i, c in state["counters"].items()]
         tmp = f"{self.state_path}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:

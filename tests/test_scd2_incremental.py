@@ -94,3 +94,28 @@ def test_replayed_refresh_is_noop(spark, tmp_path):
 def test_refresh_on_empty_base_is_noop(spark, tmp_path):
     base, view = _mk(tmp_path)
     assert view.refresh(spark) is None
+
+
+def test_full_purge_empties_dimension(spark, tmp_path):
+    base, view = _mk(tmp_path)
+    base.append(_orders(spark, [(1, 1, 1, 500_000), (2, 2, 2, 700_000)]))
+    view.refresh(spark)
+    assert view.read(spark).count() == 2
+    base.delete_where(spark, F.lit(True))  # GDPR-style full purge
+    assert view.refresh(spark) is not None
+    assert view.read(spark).count() == 0
+    # and the loop keeps working afterwards
+    base.append(_orders(spark, [(3, 3, 3, 100_000)]))
+    view.refresh(spark)
+    assert {r.custkey for r in view.read(spark).collect()} == {3}
+
+
+def test_compact_only_range_skips_rewrite(spark, tmp_path):
+    base, view = _mk(tmp_path)
+    base.append(_orders(spark, [(1, 1, 1, 500_000)]))
+    base.append(_orders(spark, [(2, 2, 2, 700_000)]))
+    view.refresh(spark)
+    v = view.dim.version()
+    base.compact(spark)
+    assert view.refresh(spark) is None  # logical no-op: no dim commit
+    assert view.dim.version() == v

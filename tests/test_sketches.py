@@ -125,3 +125,19 @@ def test_flat_distribution_falls_back_to_exact(spark, tmp_path):
             GROUP BY token ORDER BY tf DESC, token ASC LIMIT 20"""
     ).fetchall()
     assert got == [(t, n) for t, n in want]
+
+
+def test_exact_topk_includes_null_heavy_hitter(spark):
+    """A NULL heavy hitter must survive the proven path (IN semantics
+    never match NULL — the membership test special-cases it)."""
+    from spark_data_engineering_spark.operators.sketches import (
+        exact_topk_via_sketch,
+        misra_gries_summary,
+    )
+
+    items = [None] * 500 + [f"t{i % 25}" for i in range(2500)]
+    df = spark.createDataFrame([(x,) for x in items], "v string").repartition(4)
+    mg = misra_gries_summary(df, "v", k=50)
+    base = exact_topk_via_sketch(df, "v", mg, topk=20)
+    rows = {(r.v, r.tf) for r in base.collect()}
+    assert (None, 500) in rows

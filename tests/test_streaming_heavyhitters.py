@@ -75,3 +75,16 @@ def test_presence_guarantee_across_batches(spark, tmp_path):
     assert 200 > n / 11  # hot is above the guarantee threshold
     assert "hot" in mg.counters
     assert mg.counters["hot"] <= 200  # never overcounts
+
+
+def test_k_mismatch_refuses_state(spark, tmp_path):
+    d = str(tmp_path / "s")
+    hh = StreamingHeavyHitters(d, "v", k=10)
+    hh.process_batch(_df(spark, ["a"] * 5), 0)
+    other = StreamingHeavyHitters(d, "v", k=20)
+    try:
+        other.summary()
+    except ValueError as e:
+        assert "k=10" in str(e)
+    else:
+        raise AssertionError("reopening with a different k must refuse")
