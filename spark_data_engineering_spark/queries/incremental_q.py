@@ -16,6 +16,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_data_engineering_spark.functions import numeric as NR
 from spark_data_engineering_spark.pipeline.incremental import IncrementalAggregate
 from spark_data_engineering_spark.registry import query
 from spark_data_engineering_spark.sources import load_table
@@ -274,4 +275,67 @@ def incremental_scd2_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     view.refresh(spark)
     return view.read(spark).select(
         "custkey", "tier", "valid_from", "valid_to", "version"
+    )
+
+
+@query(
+    "zorder_pruned_revenue",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem
+    WHERE l_suppkey BETWEEN 20 AND 60
+      AND l_quantity BETWEEN 10 AND 20
+    GROUP BY 1
+    """,
+)
+def zorder_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data skipping end-to-end: lineitem lands in a txn
+    table, OPTIMIZE ZORDER BY (l_suppkey, l_quantity) bin-packs it into
+    Morton-ordered files (small target size here so there ARE many
+    files), and a two-column range query reads ONLY the files whose
+    footer [min,max] boxes intersect the predicate
+    (``TxnTable.prune_files``) — then re-applies the exact predicate,
+    so results are identical to a full scan and the oracle is the plain
+    SQL WHERE. The skip RATIO is pinned in tests/test_txn_merge.py (z-order
+    makes both columns' boxes tight simultaneously — a single-column
+    sort cannot); this query is the correctness half: skipping must
+    never change an answer."""
+    stat = os.stat(f"{sf_dir}/lineitem.parquet")
+    from spark_data_engineering_spark.cacheutil import code_digest
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    digest = hashlib.md5(
+        f"zorder:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_incremental/zorder-{digest}"
+    table = TxnTable(root, "lineitem_z")
+    if table.version() == 0:
+        li = load_table(spark, "lineitem", sf_dir).select(
+            "l_returnflag", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        table.append(li)
+        table.compact(
+            spark, target_file_bytes=256 * 1024, zorder_by=["l_suppkey", "l_quantity"]
+        )
+    files = table.prune_files({"l_suppkey": (20, 60), "l_quantity": (10.0, 20.0)})
+    paths = [os.path.join(table.data_dir, f) for f in files]
+    df = (
+        spark.read.parquet(*paths)
+        if paths
+        else table.read(spark).limit(0)
+    )
+    return (
+        df.filter(
+            F.col("l_suppkey").between(20, 60) & F.col("l_quantity").between(10, 20)
+        )
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count("*").alias("n_items"),
+            NR.round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
     )

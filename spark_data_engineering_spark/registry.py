@@ -109,7 +109,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # rollup/cube/grouping_sets_flag_status; the slot goes to the
     # cross-batch sketch accumulator.
     "streaming_heavy_hitters",
-    "doc_pii_scrub",
+    # doc_pii_scrub keeps its r2 hash-green row + byte-exact pytest; the
+    # slot goes to the z-order data-skipping correctness surface.
+    "zorder_pruned_revenue",
     # streaming evidence stays fresh via streaming_neardup_survivors +
     # streaming_heavy_hitters; the hourly twin's slot goes to the
     # incremental SCD2 surface.
