@@ -139,3 +139,35 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP)
         .select("doc_id", "bm25", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+@query("text_index_search", oracle=_bm25_oracle())
+def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index form of ``bm25_keyword_search``: build the
+    inverted index once (term-clustered postings TxnTable + doc-lengths
+    table, operators/text_index.py), reopen it with a fresh handle, and
+    search the same terms — the result must hash-match the SAME
+    full-scan SQL oracle bit for bit (identical log-free BM25, fixed
+    addition order, exact 0.0 for absent terms). A search touches only
+    the query terms' postings plus one skinny lengths aggregate — the
+    interactive-latency path the full-scan docstring promises at
+    scale."""
+    import hashlib
+    import os as _os
+
+    from spark_data_engineering_spark.cacheutil import code_digest
+    from spark_data_engineering_spark.operators import text_index as _ti_mod
+    from spark_data_engineering_spark.operators.text_index import TextIndex
+
+    stat = _os.stat(f"{sf_dir}/documents.parquet")
+    digest = hashlib.md5(
+        f"textindex:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_ti_mod)}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_textindex/{digest}"
+    if not _os.path.exists(_os.path.join(root, "postings", "_txn_log")) or TextIndex(
+        root
+    ).postings.version() == 0:
+        TextIndex.build(spark, load_table(spark, "documents", sf_dir), root)
+    idx = TextIndex(root)  # fresh handle: no build state
+    return idx.search(spark, _TERMS, k=_TOP)

@@ -129,9 +129,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "scrub_boilerplate_segments",
     "semantic_dedup_report",
     # embedding_near_dup's cosine_pairs_blocked path is exercised
-    # in-window by semantic_dedup_report's exact side; its slot goes to
-    # the new Misra-Gries surface.
-    "heavy_hitter_tokens",
+    # in-window by semantic_dedup_report's exact side, and
+    # heavy_hitter_tokens' oracle + sketch/recount helpers run
+    # identically inside streaming_heavy_hitters; the slot goes to the
+    # persisted inverted-index surface.
+    "text_index_search",
 )
 
 
