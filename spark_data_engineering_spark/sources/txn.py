@@ -125,6 +125,30 @@ class TxnTable:
                 stats.update(c.get("stats", {}))
         return {f: stats.get(f, {}) for f in self.live_files(head)}
 
+    def count_rows(
+        self, spark: SparkSession | None = None, at_version: int | None = None
+    ) -> int:
+        """COUNT(*) answered from commit-log row-count stats — pure
+        metadata, zero file reads (Delta's stats-based count). Works at
+        any time-travel version. Commits written before row-count stats
+        existed lack the key; those fall back to one scan (requires
+        ``spark``)."""
+        stats = self.file_stats(at_version)
+        if not stats:
+            return 0
+        total = 0
+        for cols in stats.values():
+            nr = cols.get("__num_rows")
+            if nr is None:
+                if spark is None:
+                    raise ValueError(
+                        "count_rows: a live file predates row-count stats; "
+                        "pass spark for the scan fallback"
+                    )
+                return self.read(spark, at_version=at_version).count()
+            total += int(nr[0])
+        return total
+
     def prune_files(
         self, ranges: dict[str, tuple], at_version: int | None = None
     ) -> list[str]:
@@ -291,6 +315,9 @@ class TxnTable:
                     mins[name] = [min(mins[name][0], lo), max(mins[name][1], hi)]
                 else:
                     mins[name] = [lo, hi]
+        # file row count rides along under a non-column key (footer
+        # metadata, zero data read) — powers metadata-only COUNT(*)
+        mins["__num_rows"] = [md.num_rows, md.num_rows]
         return mins
 
     def _stage(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:

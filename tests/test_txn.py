@@ -252,3 +252,38 @@ def test_vacuum_cleans_orphaned_staging_dirs(spark, tmp_path):
     assert not os.path.exists(orphan)
     assert os.path.exists(fresh)
     os.rmdir(fresh)
+
+
+def test_count_rows_metadata_only(spark, tmp_path):
+    import json
+    import os
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "cnt"), "t")
+    df1 = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    df2 = spark.range(100, 130).selectExpr("id AS k", "id * 2 AS v")
+    t.append(df1)
+    v1 = t.version()
+    t.append(df2)
+    assert t.count_rows() == 130 == t.read(spark).count()
+    assert t.count_rows(at_version=v1) == 100  # time travel, still metadata
+    t.delete_where(spark, F.col("k") < 10)
+    assert t.count_rows() == 120 == t.read(spark).count()
+    t.compact(spark)
+    assert t.count_rows() == 120
+    # legacy commits without row-count stats fall back to a scan
+    log_dir = os.path.join(str(tmp_path / "cnt"), "t", "_txn_log")
+    newest = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))[-1]
+    path = os.path.join(log_dir, newest)
+    rec = json.load(open(path))
+    for cols in rec.get("stats", {}).values():
+        cols.pop("__num_rows", None)
+    json.dump(rec, open(path, "w"))
+    try:
+        t.count_rows()
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("must demand spark for the scan fallback")
+    assert t.count_rows(spark) == 120
