@@ -2,33 +2,39 @@
 
 ``bm25_keyword_search`` (queries/retrieval.py) is the full-scan form:
 correct, but every query pays a corpus scan. This is the indexed form —
-the text twin of the persisted ANN indexes (operators/ann_index.py):
+the text twin of the persisted ANN indexes (operators/ann_index.py).
 
-- ``build`` tokenizes once and writes a POSTINGS TxnTable
-  ``(term, doc_id, tf, dl)`` range-clustered and sorted by term, so
-  every parquet file covers a tight [min,max] term box, plus a skinny
-  DOC-LENGTHS TxnTable ``(doc_id, dl)`` for corpus stats.
-- ``search`` reads ONLY the query terms' postings (the term predicate
-  prunes on footer stats exactly like the IVF cell filter) and one
-  column-pruned aggregate over the lengths table for (n_docs, avgdl).
-  df per term falls out of the fetched postings themselves.
-- ``ingest`` appends new documents' postings + lengths without
-  rebuilding; stats are computed at query time FROM the tables, so
-  every search sees exactly the ingested corpus — no stale sidecar.
-  With (app_id, epoch_id) both appends are exactly-once.
+Layout: ONE TxnTable holding two row kinds —
+``('p', term, doc_id, tf, dl)`` postings and
+``('l', NULL, doc_id, NULL, dl)`` doc-length rows — range-clustered by
+(kind, term) so doc-length rows pack into their own files and every
+postings file covers a tight [min,max] term box. One table means every
+build/ingest is ONE atomic commit: there is no instant (and no crash
+state) at which a search can see postings without their corpus stats or
+vice versa — the torn-index hazard a postings+lengths table pair has by
+construction.
+
+- ``search`` plans from commit-log footer stats
+  (``TxnTable.read(prune=...)``): only the query terms' postings files
+  and the doc-length files are ever opened — the IVF cell-filter
+  pattern. Corpus stats (n_docs, avgdl) and per-term df are computed
+  from the fetched rows at query time, so ingest can never leave a
+  stale sidecar.
+- ``ingest`` appends new documents' rows without rebuilding; with
+  ``(app_id, epoch_id)`` it is exactly-once
+  (``TxnTable.append_idempotent`` — a redelivered micro-batch commits
+  nothing).
 
 Scoring is the same log-free BM25 variant as the full-scan query
 (rational idf — every op exactly-rounded IEEE; see retrieval.py module
 docstring), with per-term contributions added in the same fixed order
 and absent terms contributing an exact 0.0 — so an index search must
 hash-match the full-scan oracle bit for bit. At 100 TB: the build is
-one tokenize + one term-range shuffle; a search touches
-O(postings of the query terms), not the corpus.
+one tokenize + one range shuffle; a search touches O(postings of the
+query terms + doc-length rows), not the corpus.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -44,11 +50,13 @@ _B = 0.75
 class TextIndex:
     def __init__(self, root: str) -> None:
         self.root = root
-        self.postings = TxnTable(root, "postings")
-        self.lengths = TxnTable(root, "doc_lengths")
+        self.table = TxnTable(root, "text_index")
 
     @staticmethod
-    def _tokenize(docs: DataFrame, id_col: str, text_col: str):
+    def _rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """Postings + doc-length rows for a document batch, clustered by
+        (kind, term): 'l' rows sort before 'p' rows, so lengths pack
+        into their own files and postings files get tight term boxes."""
         toks = F.split(F.col(text_col), " ")
         base = docs.select(
             F.col(id_col).cast("bigint").alias("doc_id"),
@@ -59,15 +67,22 @@ class TextIndex:
             base.select("doc_id", "dl", F.explode("toks").alias("term"))
             .groupBy("term", "doc_id", "dl")
             .agg(F.count("*").cast("double").alias("tf"))
-            .select("term", "doc_id", "tf", "dl")
+            .select(
+                F.lit("p").alias("kind"), "term", "doc_id", "tf", "dl"
+            )
         )
-        lengths = base.select("doc_id", "dl")
-        return postings, lengths
+        lengths = base.select(
+            F.lit("l").alias("kind"),
+            F.lit(None).cast("string").alias("term"),
+            "doc_id",
+            F.lit(None).cast("double").alias("tf"),
+            "dl",
+        )
+        return postings.unionByName(lengths)
 
     @classmethod
     def build(
         cls,
-        spark: SparkSession,
         docs: DataFrame,
         root: str,
         id_col: str = "doc_id",
@@ -75,45 +90,54 @@ class TextIndex:
         n_files: int = 16,
     ) -> "TextIndex":
         idx = cls(root)
-        postings, lengths = cls._tokenize(docs, id_col, text_col)
-        clustered = postings.repartitionByRange(n_files, "term").sortWithinPartitions(
-            "term", "doc_id"
-        )
-        idx.postings.overwrite(clustered)
-        idx.lengths.overwrite(lengths)
+        rows = cls._rows(docs, id_col, text_col)
+        clustered = rows.repartitionByRange(
+            n_files, "kind", "term"
+        ).sortWithinPartitions("kind", "term", "doc_id")
+        idx.table.overwrite(clustered)  # one atomic commit
         return idx
 
     def ingest(
         self,
-        spark: SparkSession,
         new_docs: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
         app_id: str | None = None,
         epoch_id: int | None = None,
     ) -> None:
-        """Append new documents' postings + lengths. Exactly-once with
-        (app_id, epoch_id): both tables use the same watermark, so a
-        replayed micro-batch commits to neither."""
-        postings, lengths = self._tokenize(new_docs, id_col, text_col)
+        """Append new documents' postings + length rows in ONE atomic
+        commit — a search sees all of a batch or none of it, crash or
+        not. Exactly-once with (app_id, epoch_id)."""
+        rows = self._rows(new_docs, id_col, text_col)
         if app_id is not None and epoch_id is not None:
-            self.postings.append_idempotent(postings, f"{app_id}:postings", epoch_id)
-            self.lengths.append_idempotent(lengths, f"{app_id}:lengths", epoch_id)
+            self.table.append_idempotent(rows, app_id, epoch_id)
         else:
-            self.postings.append(postings)
-            self.lengths.append(lengths)
+            self.table.append(rows)
 
     def search(
         self, spark: SparkSession, terms: tuple[str, ...], k: int = 20
     ) -> DataFrame:
-        """Top-k BM25 over the indexed corpus for ``terms``. Reads only
-        those terms' postings (term-clustered files prune on footer
-        stats) + one skinny lengths aggregate."""
-        stats = self.lengths.read(spark).agg(
+        """Top-k BM25 over the indexed corpus for ``terms``. Plans from
+        commit-log footer stats: only the query terms' postings files
+        and the doc-length files are opened."""
+        if not terms:
+            raise ValueError("search: need at least one term")
+        if len(set(terms)) != len(terms):
+            raise ValueError(f"search: duplicate terms in {terms!r}")
+        lo, hi = min(terms), max(terms)
+        # 'l' rows have term=NULL -> no term stats recorded for pure
+        # length files; they are conservatively kept by prune_files, and
+        # the kind prune drops pure-postings files for the lengths side
+        hits = self.table.read(spark, prune={"term": (lo, hi)}).filter(
+            (F.col("kind") == "p") & F.col("term").isin(list(terms))
+        )
+        lengths = self.table.read(spark, prune={"kind": ("l", "l")}).filter(
+            F.col("kind") == "l"
+        )
+        stats = lengths.agg(
             F.count("*").cast("double").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
         )
-        hits = self.postings.read(spark).filter(F.col("term").isin(list(terms)))
         # per-doc tf columns in the SAME fixed term order as the
         # full-scan query; a doc missing a term gets an exact 0.0
         per_doc = hits.groupBy("doc_id").agg(

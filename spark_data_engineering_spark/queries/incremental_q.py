@@ -182,8 +182,11 @@ def txn_datasource_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = load_table(spark, "orders", sf_dir).select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
-        table.append(orders.filter(F.col("o_orderkey") % 2 == 0))
-        table.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+        # two commits on purpose (exercises multi-commit planning), but
+        # idempotent: a concurrent builder racing the version check
+        # cannot double the rows
+        table.append_idempotent(orders.filter(F.col("o_orderkey") % 2 == 0), "ds-build", 1)
+        table.append_idempotent(orders.filter(F.col("o_orderkey") % 2 == 1), "ds-build", 2)
     df = spark.read.format("txn").load(table.table_dir)
     return df.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
@@ -316,7 +319,10 @@ def zorder_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = load_table(spark, "lineitem", sf_dir).select(
             "l_returnflag", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
         )
-        table.append(li)
+        # overwrite, not append: two concurrent builders racing the
+        # version()==0 check then converge (last writer wins) instead of
+        # doubling the cached table
+        table.overwrite(li)
         table.compact(
             spark, target_file_bytes=256 * 1024, zorder_by=["l_suppkey", "l_quantity"]
         )

@@ -165,9 +165,10 @@ def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{code_digest(_ti_mod)}".encode()
     ).hexdigest()[:16]
     root = f"/tmp/spark_de_textindex/{digest}"
-    if not _os.path.exists(_os.path.join(root, "postings", "_txn_log")) or TextIndex(
-        root
-    ).postings.version() == 0:
-        TextIndex.build(spark, load_table(spark, "documents", sf_dir), root)
+    # build is ONE atomic overwrite commit, so version() > 0 implies a
+    # complete index (no torn postings-without-lengths state exists);
+    # concurrent builders converge because overwrite is last-writer-wins
+    if TextIndex(root).table.version() == 0:
+        TextIndex.build(load_table(spark, "documents", sf_dir), root)
     idx = TextIndex(root)  # fresh handle: no build state
     return idx.search(spark, _TERMS, k=_TOP)

@@ -129,24 +129,24 @@ class TxnTable:
         self, spark: SparkSession | None = None, at_version: int | None = None
     ) -> int:
         """COUNT(*) answered from commit-log row-count stats — pure
-        metadata, zero file reads (Delta's stats-based count). Works at
-        any time-travel version. Commits written before row-count stats
-        existed lack the key; those fall back to one scan (requires
-        ``spark``)."""
+        metadata, zero data pages read (Delta's stats-based count), at
+        any time-travel version. Live files from commits that predate
+        row-count stats fill their gap with ONE local parquet-footer
+        read each — still metadata-only, no Spark job (``spark`` is
+        accepted for backward compatibility and unused)."""
+        import pyarrow.parquet as pq
+
         stats = self.file_stats(at_version)
         if not stats:
             return 0
         total = 0
-        for cols in stats.values():
+        for fname, cols in stats.items():
             nr = cols.get("__num_rows")
-            if nr is None:
-                if spark is None:
-                    raise ValueError(
-                        "count_rows: a live file predates row-count stats; "
-                        "pass spark for the scan fallback"
-                    )
-                return self.read(spark, at_version=at_version).count()
-            total += int(nr[0])
+            if nr is not None:
+                total += int(nr[0])
+            else:
+                path = os.path.join(self.data_dir, fname)
+                total += pq.ParquetFile(path).metadata.num_rows
         return total
 
     def prune_files(
@@ -315,8 +315,13 @@ class TxnTable:
                     mins[name] = [min(mins[name][0], lo), max(mins[name][1], hi)]
                 else:
                     mins[name] = [lo, hi]
-        # file row count rides along under a non-column key (footer
+        # file row count rides along under a reserved key (footer
         # metadata, zero data read) — powers metadata-only COUNT(*)
+        if "__num_rows" in mins or "__num_rows" in bad:
+            raise ValueError(
+                "'__num_rows' is a reserved stats key; rename the column "
+                "(a real __num_rows column would corrupt pruning)"
+            )
         mins["__num_rows"] = [md.num_rows, md.num_rows]
         return mins
 

@@ -1,5 +1,5 @@
 """Persisted inverted index: index search == full scan, incremental
-ingest == rebuild, exactly-once replay."""
+ingest == rebuild, atomic single-commit ingest, exactly-once replay."""
 
 from __future__ import annotations
 
@@ -20,7 +20,7 @@ def _ranking(df):
 
 def test_index_search_equals_full_scan(spark, sf_dir, tmp_path):
     docs = load_table(spark, "documents", sf_dir)
-    idx = TextIndex.build(spark, docs, str(tmp_path / "ti"))
+    idx = TextIndex.build(docs, str(tmp_path / "ti"))
     got = _ranking(idx.search(spark, _TERMS, k=_TOP))
     want = _ranking(bm25_keyword_search(spark, sf_dir))
     assert got == want
@@ -30,55 +30,78 @@ def test_ingest_equals_rebuild(spark, sf_dir, tmp_path):
     docs = load_table(spark, "documents", sf_dir)
     part1 = docs.filter(F.col("doc_id") % 5 != 0)
     part2 = docs.filter(F.col("doc_id") % 5 == 0)
-    inc = TextIndex.build(spark, part1, str(tmp_path / "inc"))
-    inc.ingest(spark, part2)
-    full = TextIndex.build(spark, docs, str(tmp_path / "full"))
+    inc = TextIndex.build(part1, str(tmp_path / "inc"))
+    inc.ingest(part2)
+    full = TextIndex.build(docs, str(tmp_path / "full"))
     assert _ranking(inc.search(spark, _TERMS, k=_TOP)) == _ranking(
         full.search(spark, _TERMS, k=_TOP)
     )
+
+
+def test_ingest_is_one_atomic_commit(spark, sf_dir, tmp_path):
+    """Postings and length rows land in a SINGLE commit — there is no
+    version at which a search could see one without the other."""
+    docs = load_table(spark, "documents", sf_dir)
+    part1 = docs.filter(F.col("doc_id") % 5 != 0)
+    part2 = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = TextIndex.build(part1, str(tmp_path / "atomic"))
+    v0 = idx.table.version()
+    idx.ingest(part2)
+    assert idx.table.version() == v0 + 1
+    # every version has matched kinds: each doc contributes exactly one
+    # 'l' row, and its postings carry the same doc ids
+    for v in (v0, v0 + 1):
+        snap = idx.table.read(spark, at_version=v)
+        l_docs = {r.doc_id for r in snap.filter(F.col("kind") == "l").collect()}
+        p_docs = {
+            r.doc_id
+            for r in snap.filter(F.col("kind") == "p").select("doc_id").distinct().collect()
+        }
+        assert p_docs <= l_docs and l_docs
 
 
 def test_ingest_exactly_once(spark, sf_dir, tmp_path):
     docs = load_table(spark, "documents", sf_dir)
     part1 = docs.filter(F.col("doc_id") % 5 != 0)
     part2 = docs.filter(F.col("doc_id") % 5 == 0)
-    idx = TextIndex.build(spark, part1, str(tmp_path / "eo"))
-    idx.ingest(spark, part2, app_id="stream", epoch_id=1)
+    idx = TextIndex.build(part1, str(tmp_path / "eo"))
+    idx.ingest(part2, app_id="stream", epoch_id=1)
     before = _ranking(idx.search(spark, _TERMS, k=_TOP))
-    pv, lv = idx.postings.version(), idx.lengths.version()
-    idx.ingest(spark, part2, app_id="stream", epoch_id=1)  # replay
-    assert idx.postings.version() == pv and idx.lengths.version() == lv
+    v = idx.table.version()
+    idx.ingest(part2, app_id="stream", epoch_id=1)  # replay
+    assert idx.table.version() == v
     assert _ranking(idx.search(spark, _TERMS, k=_TOP)) == before
 
 
 def test_absent_term_scores_zero_contribution(spark, sf_dir, tmp_path):
     docs = load_table(spark, "documents", sf_dir)
-    idx = TextIndex.build(spark, docs, str(tmp_path / "abs"))
+    idx = TextIndex.build(docs, str(tmp_path / "abs"))
     with_missing = idx.search(spark, (_TERMS[0], "zz_never_occurs"), k=_TOP)
     only_real = idx.search(spark, (_TERMS[0],), k=_TOP)
     # an absent term contributes exactly 0.0 -> identical ranking/scores
     assert _ranking(with_missing) == _ranking(only_real)
 
 
-def test_crash_between_double_append_recovers(spark, sf_dir, tmp_path):
-    """ingest() commits postings then lengths; a crash between the two
-    leaves postings at epoch N with lengths behind. The replayed epoch
-    must skip postings (watermark) and land lengths — converging to the
-    same state as one clean ingest."""
+def test_degenerate_terms_rejected(spark, sf_dir, tmp_path):
+    docs = load_table(spark, "documents", sf_dir).limit(20)
+    idx = TextIndex.build(docs, str(tmp_path / "deg"))
+    for bad in ((), ("data", "data")):
+        try:
+            idx.search(spark, bad)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(f"{bad!r} must be rejected")
+
+
+def test_search_prunes_postings_files(spark, sf_dir, tmp_path):
+    """The term range prune must plan fewer files than the live set for
+    a narrow term range (the build clusters by term)."""
     docs = load_table(spark, "documents", sf_dir)
-    part1 = docs.filter(F.col("doc_id") % 5 != 0)
-    part2 = docs.filter(F.col("doc_id") % 5 == 0)
-    crashed = TextIndex.build(spark, part1, str(tmp_path / "crash"))
-    # simulate the crash: only the postings append of epoch 7 landed
-    postings, _lengths = TextIndex._tokenize(part2, "doc_id", "text")
-    crashed.postings.append_idempotent(postings, "s:postings", 7)
-    # recovery: the stream redelivers epoch 7 through the normal path
-    crashed.ingest(spark, part2, app_id="s", epoch_id=7)
-    clean = TextIndex.build(spark, part1, str(tmp_path / "clean"))
-    clean.ingest(spark, part2, app_id="s", epoch_id=7)
-    assert _ranking(crashed.search(spark, _TERMS, k=_TOP)) == _ranking(
-        clean.search(spark, _TERMS, k=_TOP)
-    )
+    idx = TextIndex.build(docs, str(tmp_path / "prune"), n_files=16)
+    live = len(idx.table.live_files())
+    pruned = len(idx.table.prune_files({"term": ("data", "data")}))
+    assert pruned < live
 
 
 def test_foreachbatch_stream_ingest(spark, sf_dir, tmp_path):
@@ -91,12 +114,10 @@ def test_foreachbatch_stream_ingest(spark, sf_dir, tmp_path):
     rest = docs.filter(F.col("doc_id") % 3 != 0)
     staged = str(tmp_path / "in")
     rest.repartition(2).write.parquet(staged)
-    idx = TextIndex.build(spark, seed, str(tmp_path / "sidx"))
+    idx = TextIndex.build(seed, str(tmp_path / "sidx"))
 
     def sink(batch_df, epoch_id):
-        idx.ingest(
-            batch_df.sparkSession, batch_df, app_id="stream", epoch_id=epoch_id
-        )
+        idx.ingest(batch_df, app_id="stream", epoch_id=epoch_id)
 
     q = (
         spark.readStream.schema(rest.schema)
@@ -108,7 +129,7 @@ def test_foreachbatch_stream_ingest(spark, sf_dir, tmp_path):
         .start()
     )
     q.awaitTermination()
-    full = TextIndex.build(spark, docs, str(tmp_path / "sfull"))
+    full = TextIndex.build(docs, str(tmp_path / "sfull"))
     assert _ranking(idx.search(spark, _TERMS, k=_TOP)) == _ranking(
         full.search(spark, _TERMS, k=_TOP)
     )

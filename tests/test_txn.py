@@ -272,7 +272,8 @@ def test_count_rows_metadata_only(spark, tmp_path):
     assert t.count_rows() == 120 == t.read(spark).count()
     t.compact(spark)
     assert t.count_rows() == 120
-    # legacy commits without row-count stats fall back to a scan
+    # legacy commits without row-count stats fall back to local
+    # parquet-footer reads — still metadata-only, no Spark job
     log_dir = os.path.join(str(tmp_path / "cnt"), "t", "_txn_log")
     newest = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))[-1]
     path = os.path.join(log_dir, newest)
@@ -280,10 +281,17 @@ def test_count_rows_metadata_only(spark, tmp_path):
     for cols in rec.get("stats", {}).values():
         cols.pop("__num_rows", None)
     json.dump(rec, open(path, "w"))
+    assert t.count_rows() == 120
+
+
+def test_reserved_stats_key_rejected(spark, tmp_path):
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "resv"), "t")
+    df = spark.range(5).selectExpr("id AS k", "id AS __num_rows")
     try:
-        t.count_rows()
-    except ValueError:
-        pass
+        t.append(df)
+    except ValueError as e:
+        assert "reserved" in str(e)
     else:
-        raise AssertionError("must demand spark for the scan fallback")
-    assert t.count_rows(spark) == 120
+        raise AssertionError("a real __num_rows column must be refused")
