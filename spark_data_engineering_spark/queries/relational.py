@@ -981,3 +981,34 @@ def bloom_pruned_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             "revenue"
         ),
     )
+
+
+@query(
+    "salted_join_brand_quantity",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p_brand
+    """,
+)
+def salted_join_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py::salted_join): the big
+    side gets a uniform per-row salt, the modest side replicates once
+    per salt bucket, and the join runs on (key, salt) — the layout for
+    hot keys when the small side exceeds the broadcast threshold and
+    AQE's skew split can't help (e.g. a downstream Arrow stage pins the
+    partitioning). Salting must be invisible in the result: the oracle
+    is the plain join aggregate."""
+    from spark_data_engineering_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_quantity")
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, key="l_partkey", buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        NR.round2(F.sum("l_quantity")).alias("total_qty"),
+    )
