@@ -77,6 +77,20 @@ def build_bloom(
     pos_df = dim.select(_positions(key_col, m, k).alias("pos"))
     n_words = m // 64
 
+    # small dims: collect the JVM-computed positions directly (k bigints
+    # per key) and set bits on the driver — one job, no Python-worker
+    # stage; the arrow path below exists for dims where k x n positions
+    # would be driver-heavy
+    if expected_items <= 1_000_000:
+        rows = pos_df.collect()
+        bitmap = np.zeros(n_words, dtype=np.uint64)
+        if rows:
+            flat = np.concatenate([np.asarray(r["pos"], dtype=np.int64) for r in rows])
+            np.bitwise_or.at(
+                bitmap, flat // 64, np.uint64(1) << (flat % 64).astype(np.uint64)
+            )
+        return bitmap.tobytes(), m, k
+
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bitmap = np.zeros(n_words, dtype=np.uint64)
         seen = False

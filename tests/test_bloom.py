@@ -115,3 +115,15 @@ def test_min_items_skips_bloom_but_matches(spark, sf_dir):
         min_items_for_bloom=10_000_000,
     ).count()
     assert adaptive == plain
+
+
+def test_large_path_arrow_build_and_probe(spark):
+    """Force the large-filter code paths (Arrow partial-bitmap build +
+    Arrow membership probe) by sizing for 2M expected keys — the small
+    paths (driver position collect, inlined JVM literal) cover the rest
+    of the suite."""
+    keys = spark.range(0, 5000).repartition(8).select(F.col("id").alias("k"))
+    bitmap, m, k = B.build_bloom(keys, "k", expected_items=2_000_000, fpp=0.01)
+    assert m // 64 > B._JVM_INLINE_WORDS  # probe must take the Arrow path
+    hits = keys.filter(B.bloom_might_contain(bitmap, m, k, F.col("k"))).count()
+    assert hits == 5000  # no false negatives on either large path
