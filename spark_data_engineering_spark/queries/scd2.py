@@ -77,9 +77,15 @@ def build_scd2_tiers(o: DataFrame) -> DataFrame:
     customer's rows, which is what makes per-key incremental
     maintenance (pipeline/scd2_incremental.py) exactly equal to a full
     rebuild."""
-    daily = o.groupBy(
-        "o_custkey", F.col("o_orderdate").alias("eff_ts")
-    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_spend"))
+    # ONE shuffle end-to-end: partition by customer up front — a
+    # custkey partitioning satisfies the (custkey, day) aggregation's
+    # clustering requirement AND the windows' custkey partitioning, so
+    # neither adds an exchange (pinned in test_plan_shapes)
+    daily = (
+        o.repartition("o_custkey")
+        .groupBy("o_custkey", F.col("o_orderdate").alias("eff_ts"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_spend"))
+    )
     w = W.partitionBy("o_custkey").orderBy("eff_ts")
     cumed = daily.withColumn(
         "cum", F.sum("day_spend").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))

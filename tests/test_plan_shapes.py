@@ -169,3 +169,32 @@ def test_contamination_bench_side_broadcasts(spark, sf_dir):
     # eval side must broadcast, never shuffle the vocabulary twice
     plan = _plan(spark, sf_dir, "benchmark_contamination")
     assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_never_nested_loop(spark, sf_dir):
+    """The whole point of the bucket-replicated range join: the overlap
+    predicate must ride a hash join, not BroadcastNestedLoopJoin."""
+    plan = _plan(spark, sf_dir, "concurrent_sessions")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scrub_segments_two_exchanges(spark, sf_dir):
+    """Single-pass window form: one fp shuffle + one doc reassembly —
+    a third exchange means the segmentation started running twice."""
+    plan = _plan(spark, sf_dir, "scrub_boilerplate_segments")
+    assert plan.count("Exchange") <= 2
+
+
+def test_scd2_single_customer_shuffle(spark, sf_dir):
+    """Dimension build: groupBy + two windows all share the customer
+    partitioning — exactly one exchange end-to-end."""
+    plan = _plan(spark, sf_dir, "scd2_customer_tiers")
+    assert plan.count("Exchange") == 1
+
+
+def test_bottomk_window_group_limit(spark, sf_dir):
+    """The per-group rank must prune to k rows BEFORE the exchange
+    (WindowGroupLimit pushdown), so no group ever materializes fully."""
+    plan = _plan(spark, sf_dir, "bottomk_sample_per_source")
+    assert "WindowGroupLimit" in plan
