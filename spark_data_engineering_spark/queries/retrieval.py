@@ -172,3 +172,80 @@ def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         TextIndex.build(load_table(spark, "documents", sf_dir), root)
     idx = TextIndex(root)  # fresh handle: no build state
     return idx.search(spark, _TERMS, k=_TOP)
+
+
+_STAGE1_K = 50  # sparse candidates fed to the dense re-ranker
+_RERANK_K = 10
+
+
+def _hybrid_oracle() -> str:
+    """Full SQL replay: BM25 top-{k1} candidates (same CTE as the
+    keyword oracle) re-ranked by cosine to the query embedding
+    (vec_id 0)."""
+    base = _bm25_oracle().replace(f"rank <= {_TOP}", f"rank <= {_STAGE1_K}")
+    return f"""
+    WITH cand AS ({base})
+    SELECT c.doc_id,
+           c.bm25,
+           FLOOR((LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                  CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])))
+                 * 10000 + 0.5) / 10000 AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY FLOOR((LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                        CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])))
+                        * 10000 + 0.5) / 10000 DESC,
+                        c.doc_id ASC) AS BIGINT) AS final_rank
+    FROM cand c JOIN embeddings e ON c.doc_id = e.vec_id
+    QUALIFY final_rank <= {_RERANK_K}
+    """
+
+
+@query("hybrid_search_rerank", oracle=_hybrid_oracle())
+def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval — the modern RAG-retriever shape:
+    a SPARSE first stage (BM25 over the persisted inverted index,
+    top-{k1} candidates at interactive cost) feeds a DENSE re-ranker
+    (exact embedding cosine against the query vector, here vec_id 0's
+    embedding standing in for an encoded query). The candidate cut
+    bounds the expensive dense scoring to {k1} vectors regardless of
+    corpus size — first-stage recall is the knob, exactly how
+    production retrieval stacks compose sparse and dense scores. Both
+    stages are deterministic, so the whole pipeline hash-matches a full
+    SQL replay (BM25 CTE + LIST_COSINE re-rank).""".format(k1=_STAGE1_K)
+    import hashlib
+    import os as _os
+
+    from spark_data_engineering_spark.cacheutil import code_digest
+    from spark_data_engineering_spark.functions.vectors import cosine
+    from spark_data_engineering_spark.operators import text_index as _ti_mod
+    from spark_data_engineering_spark.operators.text_index import TextIndex
+
+    stat = _os.stat(f"{sf_dir}/documents.parquet")
+    digest = hashlib.md5(
+        f"textindex:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_ti_mod)}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_textindex/{digest}"
+    if TextIndex(root).table.version() == 0:
+        TextIndex.build(load_table(spark, "documents", sf_dir), root)
+    cand = TextIndex(root).search(spark, _TERMS, k=_STAGE1_K).select("doc_id", "bm25")
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qvec")
+    )
+    scored = (
+        cand.join(emb, cand.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qvec))
+        .withColumn("cos_sim", NR.round4(cosine(F.col("_qvec"), F.col("embedding"))))
+    )
+    w = W.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("final_rank", F.row_number().over(w))
+        .filter(F.col("final_rank") <= _RERANK_K)
+        .select(
+            "doc_id",
+            "bm25",
+            "cos_sim",
+            F.col("final_rank").cast("bigint").alias("final_rank"),
+        )
+    )

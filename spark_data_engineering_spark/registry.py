@@ -132,8 +132,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # in-window by semantic_dedup_report's exact side, and
     # heavy_hitter_tokens' oracle + sketch/recount helpers run
     # identically inside streaming_heavy_hitters; the slot goes to the
-    # persisted inverted-index surface.
-    "text_index_search",
+    # persisted inverted-index surface — via the hybrid two-stage query,
+    # which CONTAINS text_index_search's computation (same index, wider
+    # stage-1 cut) plus the dense re-rank composition.
+    "hybrid_search_rerank",
 )
 
 
