@@ -209,3 +209,33 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("bigint").alias("bytes_reclaimable"),
         )
     )
+
+
+@query(
+    "media_frame_samples",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id AS media_id,
+               OCTET_LENGTH(ENCODE(text)) AS nb
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 64 AS BIGINT) AS byte_offset
+    FROM (
+        SELECT media_id,
+               UNNEST(RANGE(0, LEAST(8, GREATEST(1, nb // 64)))) AS frame_idx
+        FROM t
+    )
+    """,
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like payloads (operators/multimodal.py::
+    sample_frames): one row per sampled frame at a fixed byte stride —
+    the explode-shaped Arrow pass a real video pipeline runs with the
+    codec swapped for offsets (container has no codecs; the Spark-side
+    plumbing — batch shape, schema, per-payload fan-out — is real). The
+    oracle replays the stride arithmetic from the payload lengths, so
+    the whole mapInPandas fan-out is hash-checked."""
+    media = M.attach_payloads(load_table(spark, "documents", sf_dir))
+    return M.sample_frames(media, every_n_bytes=64, max_frames=8)
