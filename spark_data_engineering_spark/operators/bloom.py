@@ -77,11 +77,11 @@ def build_bloom(
     pos_df = dim.select(_positions(key_col, m, k).alias("pos"))
     n_words = m // 64
 
-    # small dims: collect the JVM-computed positions directly (k bigints
-    # per key) and set bits on the driver — one job, no Python-worker
-    # stage; the arrow path below exists for dims where k x n positions
-    # would be driver-heavy
-    if expected_items <= 1_000_000:
+    # small dims (<=64k keys ~ 450k boxed position ints): collect the
+    # JVM-computed positions directly and set bits on the driver — one
+    # job, no Python-worker stage. Larger dims take the Arrow path:
+    # fixed-size partial bitmaps, never n x k driver rows
+    if expected_items <= 65_536:
         rows = pos_df.collect()
         bitmap = np.zeros(n_words, dtype=np.uint64)
         if rows:

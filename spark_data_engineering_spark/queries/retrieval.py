@@ -38,7 +38,7 @@ def _sql_tf(term: str) -> str:
     return f"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = '{term}'))"
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(top: int = _TOP) -> str:
     tf_cols = ",\n               ".join(
         f"CAST({_sql_tf(t)} AS DOUBLE) AS tf{i}" for i, t in enumerate(_TERMS)
     )
@@ -76,18 +76,17 @@ def _bm25_oracle() -> str:
     SELECT doc_id, bm25,
            CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
     FROM scored
-    QUALIFY rank <= {_TOP}
+    QUALIFY rank <= {top}
     """
 
 
 @query("bm25_keyword_search", oracle=_bm25_oracle())
 def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{top} documents for the query terms {terms} under the
-    log-free BM25 variant (module docstring) — deterministic ranking
-    with doc_id tie-break, hash-matched against the full SQL replay of
-    tf/df/avgdl and the fixed-order score sum.""".format(
-        top=_TOP, terms=_TERMS
-    )
+    """Top-20 documents for the query terms ('data', 'model',
+    'training') under the log-free BM25 variant (module docstring) —
+    deterministic ranking with doc_id tie-break, hash-matched against
+    the full SQL replay of tf/df/avgdl and the fixed-order score
+    sum."""
     d = load_table(spark, "documents", sf_dir)
     toks = F.split(F.col("text"), " ")
 
@@ -141,17 +140,11 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_index_search", oracle=_bm25_oracle())
-def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PERSISTED-index form of ``bm25_keyword_search``: build the
-    inverted index once (term-clustered postings TxnTable + doc-lengths
-    table, operators/text_index.py), reopen it with a fresh handle, and
-    search the same terms — the result must hash-match the SAME
-    full-scan SQL oracle bit for bit (identical log-free BM25, fixed
-    addition order, exact 0.0 for absent terms). A search touches only
-    the query terms' postings plus one skinny lengths aggregate — the
-    interactive-latency path the full-scan docstring promises at
-    scale."""
+def _built_index(spark: SparkSession, sf_dir: str):
+    """The digest-keyed shared index build: ONE recipe for every
+    consumer (queries + tests), so the root can never diverge between
+    them. Build is a single atomic overwrite; concurrent builders
+    converge (last writer wins)."""
     import hashlib
     import os as _os
 
@@ -165,13 +158,23 @@ def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{code_digest(_ti_mod)}".encode()
     ).hexdigest()[:16]
     root = f"/tmp/spark_de_textindex/{digest}"
-    # build is ONE atomic overwrite commit, so version() > 0 implies a
-    # complete index (no torn postings-without-lengths state exists);
-    # concurrent builders converge because overwrite is last-writer-wins
     if TextIndex(root).table.version() == 0:
         TextIndex.build(load_table(spark, "documents", sf_dir), root)
-    idx = TextIndex(root)  # fresh handle: no build state
-    return idx.search(spark, _TERMS, k=_TOP)
+    return TextIndex(root)
+
+
+@query("text_index_search", oracle=_bm25_oracle())
+def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index form of ``bm25_keyword_search``: build the
+    inverted index once (term-clustered postings TxnTable + doc-lengths
+    table, operators/text_index.py), reopen it with a fresh handle, and
+    search the same terms — the result must hash-match the SAME
+    full-scan SQL oracle bit for bit (identical log-free BM25, fixed
+    addition order, exact 0.0 for absent terms). A search touches only
+    the query terms' postings plus one skinny lengths aggregate — the
+    interactive-latency path the full-scan docstring promises at
+    scale."""
+    return _built_index(spark, sf_dir).search(spark, _TERMS, k=_TOP)
 
 
 _STAGE1_K = 50  # sparse candidates fed to the dense re-ranker
@@ -182,7 +185,7 @@ def _hybrid_oracle() -> str:
     """Full SQL replay: BM25 top-{k1} candidates (same CTE as the
     keyword oracle) re-ranked by cosine to the query embedding
     (vec_id 0)."""
-    base = _bm25_oracle().replace(f"rank <= {_TOP}", f"rank <= {_STAGE1_K}")
+    base = _bm25_oracle(top=_STAGE1_K)
     return f"""
     WITH cand AS ({base})
     SELECT c.doc_id,
@@ -204,31 +207,19 @@ def _hybrid_oracle() -> str:
 def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage hybrid retrieval — the modern RAG-retriever shape:
     a SPARSE first stage (BM25 over the persisted inverted index,
-    top-{k1} candidates at interactive cost) feeds a DENSE re-ranker
+    top-50 candidates at interactive cost) feeds a DENSE re-ranker
     (exact embedding cosine against the query vector, here vec_id 0's
     embedding standing in for an encoded query). The candidate cut
-    bounds the expensive dense scoring to {k1} vectors regardless of
+    bounds the expensive dense scoring to the candidate-cut size regardless of
     corpus size — first-stage recall is the knob, exactly how
     production retrieval stacks compose sparse and dense scores. Both
     stages are deterministic, so the whole pipeline hash-matches a full
-    SQL replay (BM25 CTE + LIST_COSINE re-rank).""".format(k1=_STAGE1_K)
-    import hashlib
-    import os as _os
-
-    from spark_data_engineering_spark.cacheutil import code_digest
+    SQL replay (BM25 CTE + LIST_COSINE re-rank)."""
     from spark_data_engineering_spark.functions.vectors import cosine
-    from spark_data_engineering_spark.operators import text_index as _ti_mod
-    from spark_data_engineering_spark.operators.text_index import TextIndex
 
-    stat = _os.stat(f"{sf_dir}/documents.parquet")
-    digest = hashlib.md5(
-        f"textindex:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
-        f"{code_digest(_ti_mod)}".encode()
-    ).hexdigest()[:16]
-    root = f"/tmp/spark_de_textindex/{digest}"
-    if TextIndex(root).table.version() == 0:
-        TextIndex.build(load_table(spark, "documents", sf_dir), root)
-    cand = TextIndex(root).search(spark, _TERMS, k=_STAGE1_K).select("doc_id", "bm25")
+    cand = _built_index(spark, sf_dir).search(spark, _TERMS, k=_STAGE1_K).select(
+        "doc_id", "bm25"
+    )
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("_qvec")

@@ -139,27 +139,20 @@ def test_hybrid_rerank_composition(spark, sf_dir):
     """Stage-2 output is a subset of stage-1 candidates, ranked purely
     by the dense score; bm25 values survive the pipeline unchanged."""
     from spark_data_engineering_spark.queries.retrieval import (
+        _RERANK_K,
         _STAGE1_K,
         hybrid_search_rerank,
     )
 
     out = hybrid_search_rerank(spark, sf_dir).collect()
-    assert 0 < len(out) <= 10
+    assert 0 < len(out) <= _RERANK_K
     sims = [r.cos_sim for r in sorted(out, key=lambda r: r.final_rank)]
     assert sims == sorted(sims, reverse=True)
-    # every result came from the sparse candidate set with its score
-    from spark_data_engineering_spark.operators.text_index import TextIndex
-    import hashlib, os as _os
-    from spark_data_engineering_spark.cacheutil import code_digest
-    from spark_data_engineering_spark.operators import text_index as _ti_mod
-    from spark_data_engineering_spark.queries.retrieval import _TERMS
+    # every result came from the sparse candidate set with its score —
+    # via the SAME shared build helper the queries use
+    from spark_data_engineering_spark.queries.retrieval import _built_index
 
-    stat = _os.stat(f"{sf_dir}/documents.parquet")
-    digest = hashlib.md5(
-        f"textindex:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
-        f"{code_digest(_ti_mod)}".encode()
-    ).hexdigest()[:16]
-    idx = TextIndex(f"/tmp/spark_de_textindex/{digest}")
+    idx = _built_index(spark, sf_dir)
     cand = {
         (r.doc_id, r.bm25) for r in idx.search(spark, _TERMS, k=_STAGE1_K).collect()
     }
