@@ -890,3 +890,24 @@ class TxnStore:
 
     def history(self, name: str) -> list[dict]:
         return self._table(name).history()
+
+    def snapshot(self, names: list[str]) -> dict[str, int]:
+        """Pin a CONSISTENT multi-table snapshot: the current version of
+        every named table, captured together. Each table's commits are
+        individually atomic, but a reader joining tables while a
+        pipeline batch is mid-flight can otherwise see table A post-
+        batch and table B pre-batch; pinning versions up front and
+        reading with ``read_at`` gives repeatable cross-table reads —
+        the multi-table isolation Delta itself lacks. The pin also
+        freezes the view against LATER writes for as long as the files
+        survive vacuum. Capture order is a single pass; a batch landing
+        mid-capture can still split the pin, so pipelines that need a
+        hard boundary should pin between batches (Runner writes layers
+        bottom-up, so pinning after a run sees one coherent batch)."""
+        return {n: self._table(n).version() for n in names}
+
+    def read_at(
+        self, spark: SparkSession, snapshot: dict[str, int], name: str
+    ) -> DataFrame:
+        """Read ``name`` at its pinned version from ``snapshot``."""
+        return self._table(name).read(spark, at_version=snapshot[name])

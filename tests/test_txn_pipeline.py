@@ -48,3 +48,28 @@ def test_txn_backend_time_travel_across_batches(spark, sf_dir, tmp_path):
     old = store.read_version(spark, "daily_order_report", v1)
     assert old.count() == first
     assert old.select("etl_inserted").first()[0].startswith("20240101")
+
+
+def test_multi_table_snapshot_isolation(spark, tmp_path):
+    """A pinned snapshot keeps cross-table reads consistent while later
+    batches land: joins over the pin see one coherent batch."""
+    from spark_data_engineering_spark.sources.txn import TxnStore
+
+    store = TxnStore(str(tmp_path / "store"))
+    import datetime as dt
+
+    ts1, ts2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    orders = spark.createDataFrame([(1, 10.0), (2, 20.0)], "ok bigint, amt double")
+    cust = spark.createDataFrame([(1, "a"), (2, "b")], "ok bigint, seg string")
+    store.write("orders", orders, ts1)
+    store.write("cust", cust, ts1)
+    pin = store.snapshot(["orders", "cust"])
+    # a later batch rewrites both tables
+    store.write("orders", spark.createDataFrame([(9, 99.0)], "ok bigint, amt double"), ts2)
+    store.write("cust", spark.createDataFrame([(9, "z")], "ok bigint, seg string"), ts2)
+    o = store.read_at(spark, pin, "orders")
+    c = store.read_at(spark, pin, "cust")
+    joined = {(r.ok, r.amt, r.seg) for r in o.join(c, "ok").collect()}
+    assert joined == {(1, 10.0, "a"), (2, 20.0, "b")}  # batch-1 only, both sides
+    # unpinned reads see batch 2
+    assert {r.ok for r in store.read_latest(spark, "orders").collect()} == {9}
