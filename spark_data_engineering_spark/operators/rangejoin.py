@@ -42,11 +42,21 @@ def interval_overlap_join(
     right_end: str,
     chunk_seconds: int = 3600,
     extra_cond: Column | None = None,
+    max_chunk_rows: int | None = None,
 ) -> DataFrame:
     """All (left, right) pairs whose CLOSED intervals overlap:
     ``l.start <= r.end AND r.start <= l.end``. Column names must be
     disjoint across the two inputs (rename before calling). Each
-    qualifying pair appears exactly once."""
+    qualifying pair appears exactly once.
+
+    ``max_chunk_rows`` (opt-in): drop chunks whose RIGHT-side
+    population exceeds the cap before joining — the hot-bucket
+    guardrail (same contract as ``lsh_candidate_pairs``'s
+    ``max_bucket``): per-chunk work is quadratic in chunk population,
+    and one pathologically dense time window (a flash event) would
+    otherwise own the whole job. Dropping a chunk loses pairs whose
+    ONLY shared chunk is the hot one — a logged, bounded recall trade,
+    never silent (a warning reports how many chunks fired)."""
     overlap_chunk = F.greatest(
         _chunk(F.col(left_start), chunk_seconds),
         _chunk(F.col(right_start), chunk_seconds),
@@ -69,6 +79,25 @@ def interval_overlap_join(
             )
         ),
     )
+    if max_chunk_rows is not None:
+        import logging
+
+        hot = (
+            rb.groupBy("_chunk")
+            .count()
+            .filter(F.col("count") > max_chunk_rows)
+            .select("_chunk")
+        )
+        n_hot = hot.count()
+        if n_hot:
+            logging.getLogger(__name__).warning(
+                "interval_overlap_join: max_chunk_rows=%d guardrail dropped "
+                "%d hot chunk(s) — pairs confined to those chunks are lost",
+                max_chunk_rows,
+                n_hot,
+            )
+            lb = lb.join(F.broadcast(hot), "_chunk", "left_anti")
+            rb = rb.join(F.broadcast(hot), "_chunk", "left_anti")
     cond = (
         (F.col(left_start) <= F.col(right_end))
         & (F.col(right_start) <= F.col(left_end))

@@ -129,3 +129,25 @@ def test_property_random_intervals_match_naive(spark):
         }
         want = {(r.a_id, r.b_id) for r in _naive(a, b).collect()}
         assert got == want, f"trial={trial} chunk={chunk}"
+
+
+def test_hot_chunk_guardrail(spark):
+    """Opt-in cap drops only the hot chunk's pairs; pairs sharing a
+    cooler first-chunk survive; default (None) stays exact."""
+    # 30 right intervals piled into minute 0-1 (one hot 60s chunk),
+    # plus one isolated pair far away
+    hot_b = [(0, 1)] * 30
+    cool_b = [(10_000, 10_050)]
+    a = _intervals(spark, [(0, 1), (10_000, 10_020)], "a")
+    b = _intervals(spark, hot_b + cool_b, "b")
+    exact = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", chunk_seconds=60
+    ).count()
+    capped = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end",
+        chunk_seconds=60, max_chunk_rows=10,
+    )
+    rows = capped.collect()
+    assert exact == 31  # 30 hot pairs + 1 cool pair
+    assert {r.b_id for r in rows} == {30}  # only the cool pair survives
+    assert len(rows) == 1
