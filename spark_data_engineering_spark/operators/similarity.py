@@ -101,13 +101,28 @@ def lsh_knn(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 9,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's
-    hyperplane bucket. Recall depends on bucket granularity; at scale,
-    multi-probe (flip one bit) would raise recall — single-probe here.
+    """Approximate top-k via hyperplane LSH bucketing. **Multi-probe by
+    default** (``n_probes=9``: home bucket + 8 one-bit flips — measured
+    recall@10 = 1.0 on the synthetic corpus); single-probe measured
+    0.14 on the same corpus, near-useless as a default, and survives
+    only as the explicit opt-out ``n_probes=1`` — its recall stays on
+    the ``ann_recall_report`` frontier as the documented cheapest point.
     ``num_planes=None`` sizes buckets from the corpus row count
     (metadata-only count job; see ``auto_num_planes``).
     """
+    if n_probes > 1:
+        return lsh_knn_multiprobe(
+            corpus,
+            queries,
+            k=k,
+            num_planes=num_planes,
+            dim=dim,
+            n_probes=n_probes,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     if num_planes is None:
         num_planes = auto_num_planes(corpus.count())
     planes = _hyperplanes(num_planes, dim)

@@ -44,8 +44,12 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("knn_lsh")
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH bucketing (rows-only:
-    approximate by design — recall vs the brute-force oracle is measured
-    in tests, not hash-matched)."""
+    approximate by design — recall vs the brute-force oracle is an
+    oracled row of ``ann_recall_report``). Multi-probe by default as of
+    round 5 (``lsh_knn`` delegates to 9-probe: measured recall@10 = 1.0
+    here vs 0.14 for the old single-probe default, which survives only
+    as the explicit ``n_probes=1`` opt-out and as the documented
+    cheapest frontier point in the recall report)."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_knn(emb, queries, k=10)
@@ -285,7 +289,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVFPQIndex.build(spark, emb, root, n_centroids=32, m=16, n_codes=32)
     pq_idx = IVFPQIndex(root)
     methods = {
-        "lsh": S.lsh_knn(emb, queries_df, k=10),
+        # single-probe stays on the frontier as the explicit opt-out —
+        # its measured 0.14 is the documented cheapest operating point
+        "lsh": S.lsh_knn(emb, queries_df, k=10, n_probes=1),
         "lsh_multiprobe": S.lsh_knn_multiprobe(emb, queries_df, k=10, n_probes=9),
         "ivf": S.ivf_knn(emb, queries_df, k=10, n_centroids=32, n_probe=12),
         "ivf_index": idx.search(spark, queries_df, k=10, n_probe=12),

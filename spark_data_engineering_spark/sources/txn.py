@@ -591,7 +591,10 @@ class TxnTable:
         """DELETE: rewrite only the files that contain matching rows
         (discovered via the ``_metadata.file_path`` column — one filtered
         scan, no full-table rewrite). Files with no matches are untouched,
-        the property that makes point-deletes feasible on huge tables."""
+        the property that makes point-deletes feasible on huge tables.
+        A no-op on an emptied table (same guard as ``compact``)."""
+        if not self.live_files():
+            return self.version()
         df = self.read(spark).withColumn("_file", F.col("_metadata.file_path"))
         hit_paths = [
             r["_file"]

@@ -62,7 +62,9 @@ def _recall_vs_bruteforce(spark, sf_dir, approx_fn, k=10):
 
 
 def test_multiprobe_beats_single_probe(spark, sf_dir):
-    single = _recall_vs_bruteforce(spark, sf_dir, lambda c, q: S.lsh_knn(c, q, k=10))
+    single = _recall_vs_bruteforce(
+        spark, sf_dir, lambda c, q: S.lsh_knn(c, q, k=10, n_probes=1)
+    )
     multi = _recall_vs_bruteforce(
         spark, sf_dir, lambda c, q: S.lsh_knn_multiprobe(c, q, k=10, n_probes=9)
     )

@@ -15,27 +15,49 @@ nearly every sequence.
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from spark_data_engineering_spark.sources.txn import TxnTable
 
-# ops: ("append", [vals]) | ("overwrite", [vals]) | ("delete_le", v) | ("compact",)
+# ops: ("append", [vals]) | ("overwrite", [vals]) | ("delete_le", v)
+#    | ("compact",) | ("merge_upsert", [vals]) | ("merge_delete", [vals])
+#    | ("append_epoch", epoch, [vals]) | ("vacuum",)
 _op = st.one_of(
     st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=5)),
     st.tuples(st.just("overwrite"), st.lists(st.integers(0, 99), max_size=4)),
     st.tuples(st.just("delete_le"), st.integers(0, 99)),
     st.tuples(st.just("compact")),
+    st.tuples(
+        st.just("merge_upsert"), st.lists(st.integers(0, 99), min_size=1, max_size=4)
+    ),
+    st.tuples(
+        st.just("merge_delete"), st.lists(st.integers(0, 99), min_size=1, max_size=4)
+    ),
+    # epochs drawn from a tiny range so replays (epoch <= last committed)
+    # occur in most sequences — the exactly-once property under test
+    st.tuples(
+        st.just("append_epoch"),
+        st.integers(1, 3),
+        st.lists(st.integers(0, 99), min_size=1, max_size=3),
+    ),
+    st.tuples(st.just("vacuum")),
 )
 
+# one-off deeper searches: TXN_MODEL_EXAMPLES=25 python -m pytest tests/test_txn_model.py
+_EXAMPLES = int(os.environ.get("TXN_MODEL_EXAMPLES", "4"))
 
-@settings(max_examples=4, deadline=None)
+
+@settings(max_examples=_EXAMPLES, deadline=None)
 @given(st.lists(_op, min_size=2, max_size=7), st.integers(0, 10**6))
 def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops, seq_id):
     root = str(tmp_path_factory.mktemp(f"txnmodel{seq_id}"))
     table = TxnTable(root, "t", checkpoint_every=3)
     model: list[int] = []
     snapshots: dict[int, list[int]] = {}
+    last_epoch = 0  # exactly-once watermark model for app "m"
 
     def df_of(vals):
         return spark.createDataFrame([(v,) for v in vals], "val int").coalesce(1)
@@ -65,6 +87,38 @@ def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops, seq_id):
                 continue  # nothing committed yet
             table.delete_where(spark, F.col("val") <= op[1])
             model = [v for v in model if v > op[1]]
+        elif op[0] == "merge_upsert":
+            # single-column rows: key == value, so "update" keeps every
+            # matched target row byte-identical (multiplicity preserved)
+            # and "insert" adds one copy of each unmatched source key
+            keys = sorted(set(op[1]))
+            table.merge(spark, df_of(keys), on=["val"])
+            model = model + [k for k in keys if k not in model]
+        elif op[0] == "merge_delete":
+            keys = sorted(set(op[1]))
+            table.merge(
+                spark,
+                df_of(keys),
+                on=["val"],
+                when_matched="delete",
+                when_not_matched=None,
+            )
+            model = [v for v in model if v not in set(keys)]
+        elif op[0] == "append_epoch":
+            committed = table.append_idempotent(df_of(op[2]), "m", op[1])
+            if op[1] <= last_epoch:
+                assert committed is None, f"replayed epoch {op[1]} committed"
+            else:
+                assert committed is not None
+                model.extend(op[2])
+                last_epoch = op[1]
+        elif op[0] == "vacuum":
+            # keep_versions=1 retains only the head snapshot; every older
+            # version's files may be gone, so drop their snapshots from
+            # the time-travel expectations
+            table.vacuum(keep_versions=1, min_age_s=0.0)
+            head = table.version()
+            snapshots = {v: s for v, s in snapshots.items() if v >= head}
         else:
             table.compact(spark, target_file_bytes=1 << 20)
         if table.version() > 0:
@@ -74,3 +128,37 @@ def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops, seq_id):
     # every committed version time-travels to its exact snapshot
     for v, snap in snapshots.items():
         assert read_vals(at_version=v) == snap, f"time travel v{v}"
+
+
+def test_emptied_table_ops_are_noops_then_reusable(spark, tmp_path):
+    """Regression for the round-4 Hypothesis find (append -> delete-all ->
+    delete again raised FileNotFoundError from delete_where's unguarded
+    read): every mutating op on a fully-emptied table must be a no-op
+    commit-wise, read() must raise by contract, and the table must be
+    reusable by a later append."""
+    import pytest
+
+    table = TxnTable(str(tmp_path), "t")
+    table.append(spark.createDataFrame([(0,)], "val int").coalesce(1))
+    table.delete_where(spark, F.col("val") <= 0)  # table now empty
+    v_empty = table.version()
+
+    # the original falsifying example: delete on the emptied table
+    assert table.delete_where(spark, F.col("val") <= 0) == v_empty
+    assert table.compact(spark, target_file_bytes=1 << 20) == v_empty
+    assert (
+        table.merge(
+            spark,
+            spark.createDataFrame([(1,)], "val int").coalesce(1),
+            on=["val"],
+            when_matched="delete",
+            when_not_matched=None,
+        )
+        == v_empty
+    )
+    with pytest.raises(FileNotFoundError):
+        table.read(spark)
+
+    # the table is not dead: a later append resumes normal life
+    table.append(spark.createDataFrame([(7,)], "val int").coalesce(1))
+    assert [r.val for r in table.read(spark).collect()] == [7]
