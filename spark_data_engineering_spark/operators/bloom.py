@@ -80,8 +80,16 @@ def build_bloom(
     # small dims (<=64k keys ~ 450k boxed position ints): collect the
     # JVM-computed positions directly and set bits on the driver — one
     # job, no Python-worker stage. Larger dims take the Arrow path:
-    # fixed-size partial bitmaps, never n x k driver rows
-    if expected_items <= 65_536:
+    # fixed-size partial bitmaps, never n x k driver rows.
+    # Gated on an ACTUAL limit-probe count, not the expected_items hint
+    # (ADVICE r4): the hint sizes the bitmap but is never validated, so
+    # an under-estimate on a large dim would otherwise collect n x k
+    # boxed rows onto the driver. The probe short-circuits at 64k+1
+    # rows, so it's one cheap early-stopping job either way.
+    if (
+        expected_items <= 65_536
+        and dim.select(key_col).limit(65_537).count() <= 65_536
+    ):
         rows = pos_df.collect()
         bitmap = np.zeros(n_words, dtype=np.uint64)
         if rows:

@@ -54,9 +54,16 @@ def interval_overlap_join(
     guardrail (same contract as ``lsh_candidate_pairs``'s
     ``max_bucket``): per-chunk work is quadratic in chunk population,
     and one pathologically dense time window (a flash event) would
-    otherwise own the whole job. Dropping a chunk loses pairs whose
-    ONLY shared chunk is the hot one — a logged, bounded recall trade,
-    never silent (a warning reports how many chunks fired)."""
+    otherwise own the whole job. With the guardrail active, the
+    exactly-once emit point shifts from the first shared chunk to the
+    first SURVIVING shared chunk (computed against the collected hot
+    set — bounded by construction: the guardrail exists because hot
+    chunks are pathological few), so a pair is lost ONLY when every
+    chunk the two intervals share is hot — a logged, bounded recall
+    trade, never silent (a warning reports how many chunks fired).
+    Per-candidate cost of the shifted emit check is O(|hot|) array
+    scan; with thousands of hot chunks prefer a larger
+    ``chunk_seconds`` instead."""
     overlap_chunk = F.greatest(
         _chunk(F.col(left_start), chunk_seconds),
         _chunk(F.col(right_start), chunk_seconds),
@@ -79,6 +86,7 @@ def interval_overlap_join(
             )
         ),
     )
+    emit_once = F.col("_chunk") == overlap_chunk
     if max_chunk_rows is not None:
         import logging
 
@@ -88,20 +96,32 @@ def interval_overlap_join(
             .filter(F.col("count") > max_chunk_rows)
             .select("_chunk")
         )
-        n_hot = hot.count()
-        if n_hot:
+        hot_chunks = sorted(r["_chunk"] for r in hot.collect())
+        if hot_chunks:
             logging.getLogger(__name__).warning(
                 "interval_overlap_join: max_chunk_rows=%d guardrail dropped "
-                "%d hot chunk(s) — pairs confined to those chunks are lost",
+                "%d hot chunk(s) — pairs ALL of whose shared chunks are hot "
+                "are lost (pairs with any surviving shared chunk are kept)",
                 max_chunk_rows,
-                n_hot,
+                len(hot_chunks),
             )
             lb = lb.join(F.broadcast(hot), "_chunk", "left_anti")
             rb = rb.join(F.broadcast(hot), "_chunk", "left_anti")
+            # first SURVIVING shared chunk: _chunk is it iff every chunk
+            # in [first_shared, _chunk) is hot — i.e. the gap equals the
+            # hot count in that half-open range (an O(|hot|) scan of the
+            # inlined literal array, zero extra shuffles)
+            hot_arr = F.lit(hot_chunks)
+            emit_once = (F.col("_chunk") - overlap_chunk) == F.size(
+                F.filter(
+                    hot_arr,
+                    lambda h: (h >= overlap_chunk) & (h < F.col("_chunk")),
+                )
+            )
     cond = (
         (F.col(left_start) <= F.col(right_end))
         & (F.col(right_start) <= F.col(left_end))
-        & (F.col("_chunk") == overlap_chunk)
+        & emit_once
     )
     if extra_cond is not None:
         cond = cond & extra_cond

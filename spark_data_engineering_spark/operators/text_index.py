@@ -119,7 +119,19 @@ class TextIndex:
     ) -> DataFrame:
         """Top-k BM25 over the indexed corpus for ``terms``. Plans from
         commit-log footer stats: only the query terms' postings files
-        and the doc-length files are opened."""
+        and the doc-length files are opened.
+
+        Contract: only documents matching AT LEAST ONE query term are
+        ranked (standard IR semantics — a zero-score doc is not a
+        result), so when fewer than ``k`` docs match, fewer than ``k``
+        rows come back. The full-scan twins mirror this exactly with
+        ``WHERE tf0+..+tfN > 0`` (queries/retrieval.py:_bm25_oracle), so
+        the bit-for-bit hash-match holds at every match count, including
+        the sparse-term regime (tests/test_text_index.py covers a
+        fewer-matches-than-k corpus). Callers who want zero-padded
+        rankings must left-join the lengths table themselves — padding
+        here would cost an n_docs-wide join on every search for
+        semantics no retrieval consumer wants."""
         if not terms:
             raise ValueError("search: need at least one term")
         if len(set(terms)) != len(terms):

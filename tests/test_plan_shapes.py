@@ -198,3 +198,24 @@ def test_bottomk_window_group_limit(spark, sf_dir):
     (WindowGroupLimit pushdown), so no group ever materializes fully."""
     plan = _plan(spark, sf_dir, "bottomk_sample_per_source")
     assert "WindowGroupLimit" in plan
+
+
+def test_bm25_topk_never_global_sorts(spark, sf_dir):
+    """Both BM25 top-k paths (full scan and persisted index) rank with a
+    global row_number window; the rank<=k filter must become either a
+    per-partition WindowGroupLimit prune or (what Spark 4 actually does
+    here, strictly stronger) LimitPushDownThroughWindow rewriting the
+    window input to TakeOrderedAndProject(limit=k) — pinned so a Spark
+    upgrade or refactor can't silently turn it into a full sort of all
+    scored docs (VERDICT r4 'What's wrong' #4)."""
+    for name in ("bm25_keyword_search", "text_index_search"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, name
+        assert "Sort " not in plan, name  # no materialized global sort
+
+
+def test_hybrid_rerank_never_global_sorts(spark, sf_dir):
+    """The dense re-rank's final_rank window gets the same pre-prune."""
+    plan = _plan(spark, sf_dir, "hybrid_search_rerank")
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    assert "Sort " not in plan

@@ -151,3 +151,37 @@ def test_hot_chunk_guardrail(spark):
     assert exact == 31  # 30 hot pairs + 1 cool pair
     assert {r.b_id for r in rows} == {30}  # only the cool pair survives
     assert len(rows) == 1
+
+
+def test_hot_chunk_pairs_survive_via_cooler_shared_chunk(spark):
+    """ADVICE r4: a pair whose FIRST shared chunk is hot but that also
+    shares a surviving (cool) chunk must still be emitted exactly once
+    — the emit point shifts to the first surviving shared chunk. Only
+    pairs ALL of whose shared chunks are hot are lost."""
+    # chunk 0 (0-59s) is hot: 30 short right intervals live only there.
+    # One long pair spans chunks 0..2 on both sides: its first shared
+    # chunk (0) is hot, but chunks 1 and 2 survive.
+    hot_b = [(0, 1)] * 30
+    long_b = [(0, 170)]
+    a = _intervals(spark, [(0, 170)], "a")
+    b = _intervals(spark, hot_b + long_b, "b")
+    rows = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end",
+        chunk_seconds=60, max_chunk_rows=10,
+    ).collect()
+    # the long pair survives (via chunk 1), exactly once; the 30
+    # hot-only pairs are lost
+    assert [(r.a_id, r.b_id) for r in rows] == [(0, 30)]
+
+
+def test_all_shared_chunks_hot_pair_lost(spark):
+    """The honest residual bound: when every shared chunk is hot, the
+    pair is gone (and only then)."""
+    hot_b = [(0, 119)] * 30  # both chunks 0 and 1 hot on the right
+    a = _intervals(spark, [(30, 90)], "a")  # spans chunks 0-1 only
+    b = _intervals(spark, hot_b, "b")
+    rows = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end",
+        chunk_seconds=60, max_chunk_rows=10,
+    ).collect()
+    assert rows == []

@@ -157,3 +157,64 @@ def test_hybrid_rerank_composition(spark, sf_dir):
         (r.doc_id, r.bm25) for r in idx.search(spark, _TERMS, k=_STAGE1_K).collect()
     }
     assert {(r.doc_id, r.bm25) for r in out} <= cand
+
+
+def test_sparse_term_fewer_matches_than_k(spark, tmp_path):
+    """The matching-docs-only contract (ADVICE r4): when fewer than k
+    docs contain any query term, search returns exactly that many rows
+    — and an inline full-scan BM25 restricted the same way (the twins'
+    WHERE tf_sum > 0) produces the identical ranking, so the
+    hash-match contract holds in the sparse regime too."""
+    rows = [
+        (1, "zebra runs fast"),
+        (2, "the quick brown fox"),
+        (3, "zebra stripes are unique"),
+        (4, "lazy dogs sleep"),
+        (5, "cats and dogs"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = TextIndex.build(docs, str(tmp_path / "sparse"))
+
+    got = idx.search(spark, ("zebra",), k=10).orderBy("rank").collect()
+    assert len(got) == 2  # only 2 matching docs, not 10
+    assert [r.doc_id for r in got] == [1, 3] or [r.doc_id for r in got] == [3, 1]
+    # inline full-scan replica with the twins' matching-docs filter
+    from spark_data_engineering_spark.functions.numeric import round4
+
+    toks = F.split(F.col("text"), " ")
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        F.size(F.filter(toks, lambda x: x == F.lit("zebra")))
+        .cast("double")
+        .alias("tf0"),
+    )
+    stats = t.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum(F.when(F.col("tf0") > 0, 1).otherwise(0)).cast("double").alias("df0"),
+    )
+    from spark_data_engineering_spark.operators.text_index import _B, _K1
+
+    k1, b = _K1, _B
+    j = t.crossJoin(F.broadcast(stats)).filter(F.col("tf0") > 0)
+    score = (
+        (F.col("n_docs") - F.col("df0") + F.lit(0.5)) / (F.col("df0") + F.lit(0.5))
+    ) * (
+        F.col("tf0")
+        * (k1 + 1.0)
+        / (F.col("tf0") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    want = (
+        j.select("doc_id", round4(score).alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.doc_id, r.bm25, r.rank) for r in got] == [
+        (r.doc_id, r.bm25, r.rank) for r in want
+    ]
