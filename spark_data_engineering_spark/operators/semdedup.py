@@ -37,6 +37,7 @@ def semantic_dedup(
     kmeans_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_overlap: int = 1,
 ) -> DataFrame:
     """Per-id semantic-dedup verdicts: ``(id, cell, rep_id, keep,
     max_sim)``.
@@ -48,9 +49,25 @@ def semantic_dedup(
     similarity to another member of its component (0.0 for
     singletons). Similarities are rounded to 4 decimals BEFORE the
     threshold compare so verdicts are bit-stable across partitionings.
-    """
+
+    ``n_overlap`` (default 1) is the epsilon-overlap mitigation for
+    boundary-straddling pairs: each point is assigned to its
+    ``n_overlap`` nearest centroids and pairs are compared within the
+    UNION of cells, so a near-dup pair is missed only when the two
+    points share none of their top-``n_overlap`` cells. Work scales
+    ~linearly in ``n_overlap`` (each point appears in that many cells;
+    per-cell work stays quadratic in cell population). With overlap,
+    components are computed globally over the union of within-cell
+    thresholded pairs (min-label propagation), ``cell`` reports the
+    PRIMARY (nearest) centroid, and ``max_sim`` is the max over
+    thresholded pairs (0.0 for singletons)."""
     cents = train_ivf_centroids(corpus, n_clusters, kmeans_iters, id_col, vec_col)
     b_cents = corpus.sparkSession.sparkContext.broadcast(cents)
+    n_overlap = max(1, min(n_overlap, len(cents)))
+    if n_overlap > 1:
+        return _semantic_dedup_overlap(
+            corpus, b_cents, threshold, id_col, vec_col, n_overlap
+        )
 
     def assign(batches):
         cts = b_cents.value
@@ -120,4 +137,92 @@ def semantic_dedup(
         "rep_id",
         "keep",
         F.col("max_sim"),
+    )
+
+
+def _semantic_dedup_overlap(
+    corpus: DataFrame,
+    b_cents,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_overlap: int,
+) -> DataFrame:
+    """The epsilon-overlap path: top-``n_overlap`` centroid assignment,
+    within-cell thresholded PAIRS (not verdicts — a component may span
+    cells), then one global min-label connected-components pass
+    (operators/dedup.dedup_clusters) over the deduplicated pair union.
+    Same cosine rounding as the single-assignment path, so verdicts are
+    bit-stable. Shuffle shape: one exchange on the cell id for the pair
+    pass + the CC iterations over #pairs edges — no all-pairs anywhere.
+    """
+    from spark_data_engineering_spark.operators.dedup import dedup_clusters
+
+    def assign_multi(batches):
+        cts = b_cents.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            block = block / np.maximum(
+                np.linalg.norm(block, axis=1, keepdims=True), 1e-12
+            )
+            # stable argsort: deterministic top-n under dot-product ties
+            order = np.argsort(-(block @ cts.T), axis=1, kind="stable")
+            for j in range(n_overlap):
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col],
+                        "vec": pdf[vec_col],
+                        "cell": order[:, j].astype("int32"),
+                        "is_primary": j == 0,
+                    }
+                )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign_multi, schema="id bigint, vec array<float>, cell int, is_primary boolean"
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = np.floor(mat @ mat.T * 10000 + 0.5) / 10000
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "sim": sims[ii, jj]}
+        )
+
+    pairs = (
+        assigned.groupBy("cell")
+        .applyInPandas(cell_pairs, schema="id_a bigint, id_b bigint, sim double")
+        # a pair sharing several assigned cells appears once per shared
+        # cell with the identical rounded sim — one dedup aggregate
+        .groupBy("id_a", "id_b")
+        .agg(F.max("sim").alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    comp = dedup_clusters(
+        pairs, corpus.select(id_col), id_col=id_col
+    )  # (id_col, cluster_id)
+    max_sims = (
+        pairs.select(F.col("id_a").alias("_mid"), "sim")
+        .union(pairs.select(F.col("id_b").alias("_mid"), "sim"))
+        .groupBy("_mid")
+        .agg(F.max("sim").alias("_max_sim"))
+    )
+    primary = assigned.filter(F.col("is_primary")).select(
+        F.col("id").alias("_pid"), "cell"
+    )
+    return (
+        comp.join(primary, F.col(id_col) == F.col("_pid"))
+        .join(max_sims, F.col(id_col) == F.col("_mid"), "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.col("cluster_id").alias("rep_id"),
+            (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+            F.coalesce(F.col("_max_sim"), F.lit(0.0)).alias("max_sim"),
+        )
     )

@@ -345,3 +345,56 @@ def zorder_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "txn_snapshot_join",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def txn_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table consistent snapshot under the oracle gate
+    (``TxnStore.snapshot``/``read_at``, sources/txn.py): customer and
+    orders land in a TxnStore, a snapshot pins BOTH versions, then a
+    concurrent append advances the orders table with poison rows
+    (every order duplicated at 1000x the price — any leak into the
+    join is an immediate hash mismatch). The cross-table join runs
+    against ``read_at`` of the pinned snapshot, so it must reproduce
+    the pre-append data exactly — the repeatable-cross-table-read
+    guarantee a reader gets while a pipeline batch lands mid-flight.
+    The oracle is the plain SQL join over the ORIGINAL tables; fresh
+    store per call (cheap: one write of each table), no cache to
+    race."""
+    import tempfile
+
+    from spark_data_engineering_spark.sources.txn import TxnStore
+
+    os.makedirs("/tmp/spark_de_txnsnap", exist_ok=True)
+    root = tempfile.mkdtemp(prefix="snap-", dir="/tmp/spark_de_txnsnap")
+    store = TxnStore(root)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    store._table("cust").append(cust)
+    store._table("ord").append(orders)
+    snap = store.snapshot(["cust", "ord"])
+    # the concurrent writer: a later batch lands while our read is pinned
+    store._table("ord").append(
+        orders.withColumn("o_totalprice", F.col("o_totalprice") * 1000)
+    )
+    c = store.read_at(spark, snap, "cust")
+    o = store.read_at(spark, snap, "ord")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
