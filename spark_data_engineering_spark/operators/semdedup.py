@@ -38,6 +38,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_overlap: int = 1,
+    centroids=None,
 ) -> DataFrame:
     """Per-id semantic-dedup verdicts: ``(id, cell, rep_id, keep,
     max_sim)``.
@@ -61,7 +62,14 @@ def semantic_dedup(
     thresholded pairs (min-label propagation), ``cell`` reports the
     PRIMARY (nearest) centroid, and ``max_sim`` is the max over
     thresholded pairs (0.0 for singletons)."""
-    cents = train_ivf_centroids(corpus, n_clusters, kmeans_iters, id_col, vec_col)
+    # centroids may be passed in so several dedup configurations over the
+    # same corpus (e.g. the report's n_overlap=1 vs =2 rows) train k-means
+    # once; verdicts are identical because training is deterministic
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(corpus, n_clusters, kmeans_iters, id_col, vec_col)
+    )
     b_cents = corpus.sparkSession.sparkContext.broadcast(cents)
     n_overlap = max(1, min(n_overlap, len(cents)))
     if n_overlap > 1:

@@ -586,3 +586,59 @@ def scrub_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean_text).cast("bigint").alias("clean_chars"),
         F.md5(clean_text).alias("clean_fp"),
     )
+
+
+@query(
+    "export_training_shards",
+    oracle=f"""
+    SELECT CAST(doc_id % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(CAST(('0x' || SUBSTR(MD5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_crc,
+           MIN(MD5(text)) AS min_md5,
+           MAX(MD5(text)) AS max_md5
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data EXPORT sink under the oracle gate: documents
+    are written to shard-partitioned parquet (deterministic
+    ``doc_id % {N_SHARDS}`` assignment — the layout a dataloader
+    consumes shard-by-shard), then the manifest is computed by reading
+    the WRITTEN files back. The oracle aggregates the same manifest
+    from the source table, so a row lost, duplicated, or corrupted
+    anywhere in the write+read round-trip is a hash mismatch:
+    ``content_crc`` is an order-independent sum of each doc's md5
+    prefix (integer-exact), bracketed by min/max md5.
+
+    Scale shape: one shuffle on the shard key for the write (at real
+    scale use ``repartition(n, "shard")`` for multiple files per
+    shard), one read-back aggregate scan for the manifest — the
+    standard export-then-verify pattern for corpus delivery."""
+    import os as _os
+    import tempfile
+
+    _os.makedirs("/tmp/spark_de_export", exist_ok=True)
+    out = tempfile.mkdtemp(prefix="shards-", dir="/tmp/spark_de_export")
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % N_SHARDS).cast("bigint").alias("shard"),
+    )
+    d.repartition("shard").write.partitionBy("shard").mode("overwrite").parquet(
+        f"{out}/data"
+    )
+    back = spark.read.parquet(f"{out}/data")
+    crc = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.sum(crc).alias("content_crc"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+        F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
+    )

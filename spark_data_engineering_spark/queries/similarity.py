@@ -453,9 +453,12 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_data_engineering_spark.operators.semdedup import semantic_dedup
 
     emb = load_table(spark, "embeddings", sf_dir)
-    sem = semantic_dedup(emb, threshold=0.45, n_clusters=4).localCheckpoint(eager=True)
+    cents = S.train_ivf_centroids(emb, 4)  # one k-means for both rows
+    sem = semantic_dedup(
+        emb, threshold=0.45, n_clusters=4, centroids=cents
+    ).localCheckpoint(eager=True)
     sem2 = semantic_dedup(
-        emb, threshold=0.45, n_clusters=4, n_overlap=2
+        emb, threshold=0.45, n_clusters=4, n_overlap=2, centroids=cents
     ).localCheckpoint(eager=True)
     pairs = S.cosine_pairs_blocked(emb, threshold=0.45).localCheckpoint(eager=True)
     exact = dedup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
