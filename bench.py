@@ -73,6 +73,9 @@ HEADLINE = (
     "bloom_pruned_supplier_revenue",
     "scrub_boilerplate_segments",
     "semantic_dedup_report",
+    # round-5 additions
+    "txn_snapshot_join",
+    "export_training_shards",
 )
 
 

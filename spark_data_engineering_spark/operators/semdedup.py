@@ -234,3 +234,93 @@ def _semantic_dedup_overlap(
             F.coalesce(F.col("_max_sim"), F.lit(0.0)).alias("max_sim"),
         )
     )
+
+
+def overlap_pair_sets(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_overlap: int = 2,
+    centroids=None,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE assignment + pair pass serving BOTH accounting regimes:
+    returns ``(pairs_all, pairs_primary)`` where pairs_all are the
+    thresholded within-cell pairs under top-``n_overlap`` assignment and
+    pairs_primary is the subset whose two points share their PRIMARY
+    cell — exactly the edge set the single-assignment path compares
+    (both endpoints primary in the same cell ⇔ same primary cell), so
+    ``dedup_clusters(pairs_primary, ids)`` reproduces
+    ``semantic_dedup(n_overlap=1)``'s components and
+    ``dedup_clusters(pairs_all, ids)`` reproduces ``n_overlap=2``'s.
+    Built for ``semantic_dedup_report``: halves the Arrow passes vs
+    running the operator twice (equivalence pinned in
+    tests/test_semdedup.py)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(corpus, n_clusters, 5, id_col, vec_col)
+    )
+    b_cents = corpus.sparkSession.sparkContext.broadcast(cents)
+    n_overlap = max(2, min(n_overlap, len(cents)))
+
+    def assign_multi(batches):
+        cts = b_cents.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            block = block / np.maximum(
+                np.linalg.norm(block, axis=1, keepdims=True), 1e-12
+            )
+            order = np.argsort(-(block @ cts.T), axis=1, kind="stable")
+            for j in range(n_overlap):
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col],
+                        "vec": pdf[vec_col],
+                        "cell": order[:, j].astype("int32"),
+                        "primary_cell": order[:, 0].astype("int32"),
+                    }
+                )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign_multi,
+        schema="id bigint, vec array<float>, cell int, primary_cell int",
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        prim = pdf["primary_cell"].to_numpy()
+        cell = int(pdf["cell"].iloc[0]) if len(pdf) else -1
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = np.floor(mat @ mat.T * 10000 + 0.5) / 10000
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii],
+                "id_b": ids[jj],
+                "sim": sims[ii, jj],
+                "both_primary": (prim[ii] == cell) & (prim[jj] == cell),
+            }
+        )
+
+    pairs = (
+        assigned.groupBy("cell")
+        .applyInPandas(
+            cell_pairs,
+            schema="id_a bigint, id_b bigint, sim double, both_primary boolean",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("sim").alias("sim"),
+            F.max(F.col("both_primary").cast("int")).cast("boolean").alias(
+                "both_primary"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return pairs, pairs.filter(F.col("both_primary"))

@@ -154,3 +154,67 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = D.jaccard_pairs(docs, threshold=0.8)
     return D.dedup_clusters(pairs, docs)
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT id_a, id_b FROM (""" + _JACCARD_SQL + """)
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    clus AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ),
+    t AS (
+        SELECT doc_id,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+        FROM documents
+    )
+    SELECT c.doc_id,
+           CAST(c.cluster_id AS BIGINT) AS cluster_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                               ORDER BY t.n_tokens DESC, c.doc_id ASC) = 1) AS keep
+    FROM clus c JOIN t ON c.doc_id = t.doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-per-cluster dedup — the curation policy refinement of
+    keep-min-id: near-dup clusters (3-gram Jaccard >= 0.8 -> connected
+    components, same machinery as ``dedup_clusters``) each keep their
+    most complete member (highest whitespace token count, doc_id
+    tie-break) instead of the arbitrary smallest id. This is how
+    production corpus dedup actually picks survivors (quality-ranked
+    representatives); any deterministic quality score slots into the
+    same window. One extra shuffle over dedup_clusters (the per-cluster
+    rank); clusters are near-dup groups, so partitions are tiny."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from spark_data_engineering_spark.functions import text as TX
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    clusters = D.dedup_clusters(pairs, docs)
+    toks = docs.select(
+        "doc_id", TX.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(toks, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_tokens", "keep")
+    )

@@ -450,20 +450,23 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop-recall 0.7857 -> 1.0 on this corpus at ~2x the comparison
     volume, with validity still exactly 1.0."""
     from spark_data_engineering_spark.operators.dedup import dedup_clusters
-    from spark_data_engineering_spark.operators.semdedup import semantic_dedup
+    from spark_data_engineering_spark.operators.semdedup import overlap_pair_sets
 
     emb = load_table(spark, "embeddings", sf_dir)
     cents = S.train_ivf_centroids(emb, 4)  # one k-means for both rows
-    sem = semantic_dedup(
+    # one fused assignment + pair pass serves BOTH regimes: pairs whose
+    # endpoints share their primary cell reproduce n_overlap=1's
+    # components exactly (equivalence pinned in tests/test_semdedup.py)
+    pairs_all, pairs_primary = overlap_pair_sets(
         emb, threshold=0.45, n_clusters=4, centroids=cents
-    ).localCheckpoint(eager=True)
-    sem2 = semantic_dedup(
-        emb, threshold=0.45, n_clusters=4, n_overlap=2, centroids=cents
-    ).localCheckpoint(eager=True)
+    )
+    ids = emb.select("vec_id")
+    sem_cc = dedup_clusters(pairs_primary, ids, id_col="vec_id")
+    sem2_cc = dedup_clusters(pairs_all, ids, id_col="vec_id")
     pairs = S.cosine_pairs_blocked(emb, threshold=0.45).localCheckpoint(eager=True)
     exact = dedup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
     exact_drops = exact.filter(F.col("vec_id") != F.col("cluster_id")).select("vec_id")
-    sem_drops = sem.filter(~F.col("keep")).select("vec_id")
+    sem_drops = sem_cc.filter(F.col("vec_id") != F.col("cluster_id")).select("vec_id")
     pair_ids = (
         pairs.select(F.col("id_a").alias("vec_id"))
         .union(pairs.select(F.col("id_b").alias("vec_id")))
@@ -500,7 +503,9 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sem2_drops = sem2.filter(~F.col("keep")).select("vec_id")
+    sem2_drops = sem2_cc.filter(F.col("vec_id") != F.col("cluster_id")).select(
+        "vec_id"
+    )
     n_sem2 = sem2_drops.agg(F.count(F.lit(1)).alias("v")).select(
         F.lit("n_sem_drops_overlap2").alias("metric"),
         F.col("v").cast("double").alias("value"),

@@ -222,6 +222,7 @@ def load_all() -> None:
         incremental_q,
         multimodal,
         pipeline,
+        privacy,
         quality,
         relational,
         reports,

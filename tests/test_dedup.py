@@ -127,3 +127,23 @@ def test_lsh_bucket_cap_guardrail(spark):
     assert uncapped.count() == 40 * 39 // 2  # full pairwise
     capped = lsh_candidate_pairs(sigs, max_bucket=10)
     assert capped.count() == 0  # every band bucket is hot -> dropped
+
+
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The adaptive small-graph union-find must produce exactly the
+    distributed min-label propagation's output (patch the cap to 0 to
+    force the big path on the same input)."""
+    from spark_data_engineering_spark.operators import dedup as D2
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 20)],
+        "id_a bigint, id_b bigint",
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 99]],
+                                "doc_id bigint")
+    small = {(r.doc_id, r.cluster_id) for r in D2.dedup_clusters(pairs, ids).collect()}
+    monkeypatch.setattr(D2, "_DRIVER_CC_MAX_EDGES", 0)
+    big = {(r.doc_id, r.cluster_id) for r in D2.dedup_clusters(pairs, ids).collect()}
+    assert small == big
+    # min-label semantics: 1-2-3-20-21-22 all label 1; 10-11 label 10
+    assert (22, 1) in small and (11, 10) in small and (99, 99) in small

@@ -122,3 +122,27 @@ def test_overlap2_partitioning_invariance(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+def test_fused_pair_sets_reproduce_both_regimes(spark, sf_dir):
+    """overlap_pair_sets (the report's one-pass fusion) must reproduce
+    the operator's drop sets exactly for BOTH regimes: CC over the
+    both-primary subset == semantic_dedup(n_overlap=1) drops, CC over
+    all pairs == semantic_dedup(n_overlap=2) drops."""
+    from spark_data_engineering_spark.operators.dedup import dedup_clusters
+    from spark_data_engineering_spark.operators.semdedup import overlap_pair_sets
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs_all, pairs_primary = overlap_pair_sets(emb, threshold=0.45, n_clusters=4)
+    ids = emb.select("vec_id")
+
+    def drops_cc(pairs):
+        cc = dedup_clusters(pairs, ids, id_col="vec_id")
+        return {r.vec_id for r in cc.filter(F.col("vec_id") != F.col("cluster_id")).collect()}
+
+    def drops_op(n_overlap):
+        out = semantic_dedup(emb, threshold=0.45, n_clusters=4, n_overlap=n_overlap)
+        return {r.vec_id for r in out.filter(~F.col("keep")).collect()}
+
+    assert drops_cc(pairs_primary) == drops_op(1)
+    assert drops_cc(pairs_all) == drops_op(2)
