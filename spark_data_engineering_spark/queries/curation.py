@@ -642,3 +642,86 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
         F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
     )
+
+
+_BATCH_SIZE = 32
+_BUCKET_BOUNDS = (16, 32, 64, 96)  # token-count bucket upper edges (corpus spans 10-99)
+
+
+@query(
+    "padding_efficiency_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens <= 16 THEN 0
+                    WHEN n_tokens <= 32 THEN 1
+                    WHEN n_tokens <= 64 THEN 2
+                    WHEN n_tokens <= 96 THEN 3
+                    ELSE 4 END AS bucket
+        FROM t
+    ),
+    batched AS (
+        SELECT bucket, n_tokens,
+               CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                          / {_BATCH_SIZE}) AS BIGINT) AS batch
+        FROM b
+    ),
+    per_batch AS (
+        SELECT bucket, batch, COUNT(*) AS bn, MAX(n_tokens) AS bmax, SUM(n_tokens) AS btok
+        FROM batched GROUP BY bucket, batch
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(bn) AS BIGINT) AS n_docs,
+           CAST(SUM(btok) AS BIGINT) AS total_tokens,
+           CAST(SUM(bmax * bn) AS BIGINT) AS padded_tokens,
+           FLOOR((CAST(SUM(btok) AS DOUBLE) / SUM(bmax * bn)) * 10000 + 0.5) / 10000
+               AS efficiency
+    FROM per_batch
+    GROUP BY bucket
+    """,
+)
+def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the padding-waste accounting an
+    inference/training dataloader runs before choosing bucket edges:
+    docs are bucketed by token count ({_BUCKET_BOUNDS} edges), batched
+    {_BATCH_SIZE} at a time within each bucket (deterministic doc_id
+    order), and each batch pads every member to its max length. The
+    report gives per-bucket padded-vs-real token volume and efficiency
+    — integer-exact except the final round-4 ratio, so the SQL replay
+    hash-matches. Plan: one window per bucket partition + two partial-
+    agg-friendly aggregations; no joins."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = TX.token_count(F.col("text")).cast("bigint")
+    bucket = (
+        F.when(toks <= _BUCKET_BOUNDS[0], 0)
+        .when(toks <= _BUCKET_BOUNDS[1], 1)
+        .when(toks <= _BUCKET_BOUNDS[2], 2)
+        .when(toks <= _BUCKET_BOUNDS[3], 3)
+        .otherwise(4)
+    )
+    t = d.select("doc_id", toks.alias("n_tokens"), bucket.alias("bucket"))
+    w = W.partitionBy("bucket").orderBy("doc_id")
+    batched = t.withColumn(
+        "batch",
+        F.floor((F.row_number().over(w) - 1) / _BATCH_SIZE).cast("bigint"),
+    )
+    per_batch = batched.groupBy("bucket", "batch").agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.max("n_tokens").alias("bmax"),
+        F.sum("n_tokens").alias("btok"),
+    )
+    return per_batch.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("bn").alias("n_docs"),
+        F.sum("btok").alias("total_tokens"),
+        F.sum(F.col("bmax") * F.col("bn")).alias("padded_tokens"),
+        NR.round4(
+            F.sum("btok").cast("double") / F.sum(F.col("bmax") * F.col("bn"))
+        ).alias("efficiency"),
+    )

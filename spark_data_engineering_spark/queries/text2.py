@@ -224,3 +224,94 @@ def token_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT d.doc_id, r.start_idx, r.run_len, r.token
            FROM _docs_for_runs d, LATERAL token_runs(d.text) r"""
     )
+
+
+_CMS_D = 4
+_CMS_W = 2048
+
+
+@query(
+    "cms_token_frequencies",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+        SELECT token, r,
+               CAST(('0x' || SUBSTR(MD5('cms' || CAST(r AS VARCHAR) || ':' || token), 1, 8))
+                    AS BIGINT) % {_CMS_W} AS c
+        FROM tokens CROSS JOIN RANGE({_CMS_D}) g(r)
+    ),
+    cells AS (
+        SELECT r, c, COUNT(*) AS cnt FROM hashed GROUP BY r, c
+    ),
+    top10 AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tokens GROUP BY token
+        ORDER BY tf DESC, token ASC LIMIT 10
+    ),
+    probes AS (
+        SELECT t.token, t.tf, g.r,
+               CAST(('0x' || SUBSTR(MD5('cms' || CAST(g.r AS VARCHAR) || ':' || t.token), 1, 8))
+                    AS BIGINT) % {_CMS_W} AS c
+        FROM top10 t CROSS JOIN RANGE({_CMS_D}) g(r)
+    )
+    SELECT p.token, p.tf,
+           CAST(MIN(cells.cnt) AS BIGINT) AS cms_est,
+           (MIN(cells.cnt) >= p.tf) AS no_underestimate
+    FROM probes p JOIN cells ON cells.r = p.r AND cells.c = p.c
+    GROUP BY p.token, p.tf
+    """,
+)
+def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountMin sketch point-frequency estimation (Cormode &
+    Muthukrishnan 2005 — public method): a {_CMS_D}x{_CMS_W} counter
+    grid built in ONE shuffled aggregation over the exploded token
+    stream (each token increments one cell per hash row; cells are
+    plain per-(row,cell) counts, so partial map-side aggregation makes
+    the sketch mergeable across partitions — and across corpora, by
+    adding grids). Estimates for the exact top-10 tokens come from a
+    broadcast join against the 8k-cell grid; CountMin never
+    underestimates, checked per row on BOTH sides
+    (``no_underestimate``). Hash rows are seeded md5 prefixes, so the
+    DuckDB oracle rebuilds the identical sketch and the whole report
+    hash-matches — the sketch complement to Misra-Gries
+    (``heavy_hitter_tokens``): MG answers "which keys are heavy", CMS
+    answers "how often is THIS key", in {_CMS_D}x{_CMS_W} integers
+    regardless of vocabulary size."""
+    d = load_table(spark, "documents", sf_dir)
+    tokens = d.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def _cell(tok_col, r_col):
+        h = F.md5(
+            F.concat(
+                F.lit("cms"), r_col.cast("string"), F.lit(":"), tok_col
+            ).cast("binary")
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CMS_W
+
+    rs = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    hashed = tokens.select("token", rs).select(
+        "r", _cell(F.col("token"), F.col("r")).alias("c")
+    )
+    cells = hashed.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    top10 = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(10)
+    )
+    probes = top10.select(
+        "token", "tf", rs
+    ).select("token", "tf", "r", _cell(F.col("token"), F.col("r")).alias("c"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("token", "tf")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "token",
+            "tf",
+            "cms_est",
+            (F.col("cms_est") >= F.col("tf")).alias("no_underestimate"),
+        )
+    )

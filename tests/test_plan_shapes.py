@@ -219,3 +219,25 @@ def test_hybrid_rerank_never_global_sorts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hybrid_search_rerank")
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
     assert "Sort " not in plan
+
+
+def test_dp_release_single_shuffle(spark, sf_dir):
+    """The DP release is one count shuffle + a map-side noise ladder —
+    no join, no second exchange."""
+    plan = _plan(spark, sf_dir, "dp_source_counts")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_txn_snapshot_join_broadcasts_dim(spark, sf_dir):
+    """The pinned-snapshot cross-table join must broadcast the customer
+    side — no sort-merge on the fact table."""
+    plan = _plan(spark, sf_dir, "txn_snapshot_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_keep_best_no_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_keep_best")
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
