@@ -398,3 +398,47 @@ def txn_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "dv_delete_report",
+    oracle="""
+    SELECT CAST(o_orderdate AS VARCHAR)[1:4] AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def dv_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE under the oracle gate: orders land in a txn
+    table, ``delete_where_dv`` marks every urgent order in a position
+    sidecar (Delta deletion-vector protocol — kilobytes written, zero
+    data files rewritten: the point-delete shape GDPR erasure needs at
+    100 TB), and the post-delete aggregate must hash-match plain SQL
+    over the surviving rows. The read is the merge-on-read anti-join
+    (sources/txn.py:_read_files_meta); compaction materializing the
+    same DVs to identical results is pinned in tests/test_txn_dv.py.
+    Fresh table per call — the build is one orders write."""
+    import tempfile
+
+    os.makedirs("/tmp/spark_de_dv", exist_ok=True)
+    root = tempfile.mkdtemp(prefix="dv-", dir="/tmp/spark_de_dv")
+    t = TxnTable(root, "orders")
+    t.append(
+        load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+        )
+    )
+    t.delete_where_dv(spark, F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t.read(spark)
+        .groupBy(F.substring(F.col("o_orderdate").cast("string"), 1, 4).alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -61,12 +61,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # --- Changed/new this round, need a fresh hash row.
     "semantic_dedup_report",
     "txn_snapshot_join",
-    # (export_training_shards, also new this round, stays OUTSIDE the
-    # window: the 44-query r2 cohort + the 4 never-checked queries are
-    # the VERDICT-mandated priority and no in-window query contains its
-    # computation, so displacing one would trade mandated evidence for
-    # new evidence. It passes the local gate this round and is the
-    # FIRST rotation priority for round 6.)
+    # (The round's OTHER new queries — export_training_shards,
+    # dedup_keep_best, dp_source_counts, padding_efficiency_report,
+    # cms_token_frequencies — stay OUTSIDE the window: the 44-query r2
+    # cohort + the 4 never-checked queries are the VERDICT-mandated
+    # priority and no in-window query contains their computation, so
+    # displacing one would trade mandated evidence for new evidence.
+    # All five pass the local gate this round and are the FIRST
+    # rotation priorities for round 6.)
     # --- The 45-minus-1 queries whose newest driver row is round 2
     # (knn_bruteforce displaced per the containment rationale above).
     "approx_distinct_parts",

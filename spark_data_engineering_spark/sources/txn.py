@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
+_DV_DIR = "dv"
 _VERSION_DIGITS = 20
 
 
@@ -57,9 +58,11 @@ class TxnTable:
         self.table_dir = os.path.join(root, name)
         self.log_dir = os.path.join(self.table_dir, _LOG_DIR)
         self.data_dir = os.path.join(self.table_dir, _DATA_DIR)
+        self.dv_dir = os.path.join(self.table_dir, _DV_DIR)
         self.checkpoint_every = checkpoint_every
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.dv_dir, exist_ok=True)
 
     # ---- log plumbing ---------------------------------------------------
 
@@ -108,6 +111,33 @@ class TxnTable:
                 live.update(c.get("add", ()))
         return sorted(live)
 
+    def dv_state(self, at_version: int | None = None) -> tuple[list[str], dict[str, int]]:
+        """Deletion-vector state at a version: (sidecar names, per-data-
+        file deleted-row counts). Replayed from the nearest checkpoint
+        like ``live_files``; a data file's count is dropped when the
+        file itself is removed (compact/overwrite/MERGE materialize the
+        deletes), while its sidecar entries stay — they anti-join
+        against nothing once the file is gone."""
+        head = self.version() if at_version is None else at_version
+        start, _, _ = self._latest_checkpoint(head)
+        sidecars: list[str] = []
+        deleted: dict[str, int] = {}
+        if start:
+            with open(self._checkpoint_path(start)) as f:
+                state = json.load(f)
+            sidecars = list(state.get("dvs", []))
+            deleted = dict(state.get("dv_deleted", {}))
+        for v in self._commit_files():
+            if start < v <= head:
+                c = self._read_commit(v)
+                for f in c.get("remove", ()):
+                    deleted.pop(f, None)
+                if c.get("dv_add"):
+                    sidecars.append(c["dv_add"])
+                    for f, n in c.get("dv_counts", {}).items():
+                        deleted[f] = deleted.get(f, 0) + int(n)
+        return sidecars, deleted
+
     def file_stats(self, at_version: int | None = None) -> dict[str, dict]:
         """Per-live-file column min/max collected at commit time (from the
         parquet footers, no data read). The log — not the files — is the
@@ -147,6 +177,10 @@ class TxnTable:
             else:
                 path = os.path.join(self.data_dir, fname)
                 total += pq.ParquetFile(path).metadata.num_rows
+        # merge-on-read deletes: per-file deleted counts ride in the
+        # commit log, so the count stays metadata-only under DVs too
+        _, dv_deleted = self.dv_state(at_version)
+        total -= sum(n for f, n in dv_deleted.items() if f in stats)
         return total
 
     def prune_files(
@@ -197,6 +231,9 @@ class TxnTable:
         stats: dict[str, dict] | None = None,
         txn: tuple[str, int] | None = None,
         schema: list[dict] | None = None,
+        dv_add: str | None = None,
+        dv_counts: dict[str, int] | None = None,
+        dv_base_version: int | None = None,
     ) -> int:
         """Commit with optimistic retry. Appends retry blindly (their
         files conflict with nothing); rewrites re-validate that every
@@ -204,20 +241,42 @@ class TxnTable:
         stamps an (app, epoch) watermark into the commit record — the
         same exactly-once primitive ``append_idempotent`` uses, here for
         rewrite-style commits (e.g. an incremental view refresh records
-        which base version it consumed, atomically with its data)."""
+        which base version it consumed, atomically with its data).
+
+        Deletion-vector commits (``dv_add``/``dv_counts``) validate that
+        every data file they mark is STILL LIVE at the commit head (a
+        concurrent rewrite of the file would resurrect the rows) and
+        that no concurrent DV landed on the same files since
+        ``dv_base_version`` (overlapping position sets would corrupt
+        the metadata-only deleted-row counts)."""
         while True:
             head = self.version()
-            if remove:
+            check_live = list(remove) + (sorted(dv_counts) if dv_counts else [])
+            if check_live:
                 still_live = set(self.live_files(head))
-                gone = [f for f in remove if f not in still_live]
+                gone = [f for f in check_live if f not in still_live]
                 if gone:
                     raise ConcurrentWriteError(
                         f"{action} conflicts: files already removed by a "
                         f"concurrent commit: {gone[:3]}..."
                     )
+            if dv_counts and dv_base_version is not None:
+                mine = set(dv_counts)
+                for cv in self._commit_files():
+                    if dv_base_version < cv <= head:
+                        other = self._read_commit(cv).get("dv_counts") or {}
+                        hit = mine.intersection(other)
+                        if hit:
+                            raise ConcurrentWriteError(
+                                f"{action} conflicts: a concurrent deletion "
+                                f"vector landed on {sorted(hit)[:3]}..."
+                            )
             record = {"version": head + 1, "action": action, "add": add, "remove": remove}
             if stats:
                 record["stats"] = stats
+            if dv_add is not None:
+                record["dv_add"] = dv_add
+                record["dv_counts"] = dv_counts or {}
             if schema is not None:
                 # fold over the CURRENT head's schema inside the retry
                 # loop: a concurrent writer's column addition must not be
@@ -254,11 +313,14 @@ class TxnTable:
                 t = self._read_commit(cv).get("txn")
                 if t:
                     txns[t["app"]] = max(txns.get(t["app"], -1), t["epoch"])
+        dvs, dv_deleted = self.dv_state(v)
         state = {
             "version": v,
             "live": self.live_files(v),
             "stats": self.file_stats(v),
             "txns": txns,
+            "dvs": dvs,
+            "dv_deleted": dv_deleted,
         }
         tmp = os.path.join(self.log_dir, f".cp.{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -462,6 +524,31 @@ class TxnTable:
         add, stats = self._stage(df)
         return self._commit("overwrite", add, removed, stats, txn=txn, schema=schema)
 
+    def _read_files_meta(
+        self, spark: SparkSession, files: list[str], at_version: int | None = None
+    ) -> DataFrame:
+        """Read the given data files with ``__file``/``__ridx`` metadata
+        columns, with the version's deletion vectors ALREADY anti-joined
+        out — the one scan primitive every reader and every
+        copy-on-write rewrite goes through, so merge-on-read deletes can
+        never resurrect (a rewrite that bypassed this would re-emit
+        DV-deleted rows into new files)."""
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .withColumn("__file", F.col("_metadata.file_name"))
+            .withColumn("__ridx", F.col("_metadata.row_index"))
+        )
+        sidecars, deleted = self.dv_state(at_version)
+        # anti-join only the sidecars that can still hit a live file
+        if sidecars and deleted:
+            dv = spark.read.parquet(
+                *[os.path.join(self.dv_dir, s) for s in sidecars]
+            ).select(F.col("file").alias("__file"), F.col("row_index").alias("__ridx"))
+            df = df.join(dv, ["__file", "__ridx"], "left_anti")
+        return df
+
     def read(
         self,
         spark: SparkSession,
@@ -470,14 +557,14 @@ class TxnTable:
     ) -> DataFrame:
         """Snapshot read. ``prune`` maps column -> (lo, hi) and drops files
         whose footer stats cannot intersect the range — the caller still
-        applies the exact filter; pruning only shrinks the scan set."""
+        applies the exact filter; pruning only shrinks the scan set.
+        Deletion vectors at the version are applied (merge-on-read)."""
         files = self.prune_files(prune, at_version) if prune else self.live_files(at_version)
         if not files:
             if not self.live_files(at_version):
                 raise FileNotFoundError(f"table {self.table_dir} is empty at this version")
             return self.read(spark, at_version).limit(0)
-        paths = [os.path.join(self.data_dir, f) for f in files]
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self._read_files_meta(spark, files, at_version).drop("__file", "__ridx")
         return self._conform(df, at_version)
 
     def merge(
@@ -529,14 +616,12 @@ class TxnTable:
             v0 = self.version()
             live = self.live_files(v0) if v0 else []
             if live and when_matched is not None:
-                tgt = self.read(spark, at_version=v0).withColumn(
-                    "_file", F.col("_metadata.file_path")
-                )
+                tgt = self._read_files_meta(spark, live, at_version=v0)
                 src_keys = src.select(*on).distinct()
                 touched = sorted(
-                    os.path.basename(r["_file"])
+                    r["__file"]
                     for r in tgt.join(F.broadcast(src_keys), on, "left_semi")
-                    .select("_file")
+                    .select("__file")
                     .distinct()
                     .collect()
                 )
@@ -550,9 +635,10 @@ class TxnTable:
             parts = []
             if touched:
                 t_rows = self._conform(
-                    spark.read.option("mergeSchema", "true").parquet(
-                        *[os.path.join(self.data_dir, f) for f in touched]
-                    )
+                    self._read_files_meta(spark, touched, at_version=v0).drop(
+                        "__file", "__ridx"
+                    ),
+                    at_version=v0,
                 )
                 # unmatched target rows in rewritten files always survive
                 parts.append(t_rows.join(F.broadcast(src.select(*on).distinct()), on, "left_anti"))
@@ -595,23 +681,74 @@ class TxnTable:
         A no-op on an emptied table (same guard as ``compact``)."""
         if not self.live_files():
             return self.version()
-        df = self.read(spark).withColumn("_file", F.col("_metadata.file_path"))
-        hit_paths = [
-            r["_file"]
-            for r in df.filter(predicate).select("_file").distinct().collect()
-        ]
-        if not hit_paths:
+        df = self._read_files_meta(spark, self.live_files())
+        hit_names = sorted(
+            r["__file"]
+            for r in df.filter(predicate).select("__file").distinct().collect()
+        )
+        if not hit_names:
             return self.version()
-        hit_names = sorted(os.path.basename(p) for p in hit_paths)
         # DELETE WHERE p removes rows where p is TRUE; NULL-p rows survive
-        # (~NULL would silently drop them)
+        # (~NULL would silently drop them). DV-filtered read: the rewrite
+        # materializes any outstanding deletion vectors on these files.
         survivors = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.data_dir, n) for n in hit_names])
+            self._read_files_meta(spark, hit_names)
+            .drop("__file", "__ridx")
             .filter(~F.coalesce(predicate, F.lit(False)))
         )
         add, stats = self._stage_nonempty(survivors)
         return self._commit("delete", add, hit_names, stats)
+
+    def delete_where_dv(self, spark: SparkSession, predicate) -> int:
+        """DELETE via a deletion vector (merge-on-read, Delta DV
+        protocol): instead of rewriting every file containing a match
+        (copy-on-write — write cost proportional to the matched FILES),
+        write one sidecar of (file, row_index) positions and a
+        metadata commit — write cost proportional to the matched ROWS.
+        Readers anti-join the sidecars (``_read_files_meta``); compact /
+        copy-on-write rewrites materialize them; ``count_rows`` stays
+        metadata-only via per-file deleted counts carried in the commit.
+        The commit validates its files are still live AND that no
+        concurrent DV landed on them since this snapshot (position sets
+        must stay disjoint). A no-op on an emptied table.
+
+        The point at 100 TB: a point-delete (GDPR erasure, bad-record
+        scrub) touches kilobytes instead of rewriting multi-GB files —
+        the read-side anti-join is the rent, paid until the next
+        compaction."""
+        v0 = self.version()
+        if not self.live_files(v0):
+            return v0
+        meta = self._read_files_meta(spark, self.live_files(v0), at_version=v0)
+        hits = meta.filter(F.coalesce(predicate, F.lit(False))).select(
+            F.col("__file").alias("file"), F.col("__ridx").alias("row_index")
+        )
+        name = uuid.uuid4().hex
+        staging = os.path.join(self.dv_dir, f".staging-{name}")
+        hits.write.parquet(staging)
+        counts = {
+            r["file"]: r["n"]
+            for r in spark.read.parquet(staging)
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per touched data file
+        }
+        if not counts:
+            shutil.rmtree(staging)
+            return v0
+        os.rename(staging, os.path.join(self.dv_dir, name))
+        try:
+            return self._commit(
+                "delete_dv",
+                [],
+                [],
+                dv_add=name,
+                dv_counts=counts,
+                dv_base_version=v0,
+            )
+        except ConcurrentWriteError:
+            shutil.rmtree(os.path.join(self.dv_dir, name))
+            raise
 
     @staticmethod
     def _zvalue(df: DataFrame, cols: list[str], bits: int = 8):
@@ -668,7 +805,9 @@ class TxnTable:
         paths = [os.path.join(self.data_dir, f) for f in files]
         total = sum(os.path.getsize(p) for p in paths)
         n_out = max(1, -(-total // target_file_bytes))
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        # DV-filtered read: compaction MATERIALIZES outstanding deletion
+        # vectors (rows physically absent from the rewritten files)
+        df = self._read_files_meta(spark, files).drop("__file", "__ridx")
         if zorder_by:
             packed = (
                 df.withColumn("__z", self._zvalue(df, zorder_by, zorder_bits))
@@ -719,6 +858,18 @@ class TxnTable:
             ):
                 shutil.rmtree(path)
                 removed.append(d)
+        # same contract for crashed deletion-vector stagings; committed
+        # sidecars are kept (retained versions may still reference them
+        # and dead-file entries anti-join against nothing)
+        for d in os.listdir(self.dv_dir):
+            path = os.path.join(self.dv_dir, d)
+            if (
+                d.startswith(".staging-")
+                and os.path.isdir(path)
+                and now - os.path.getmtime(path) >= min_age_s
+            ):
+                shutil.rmtree(path)
+                removed.append(d)
         return sorted(removed)
 
     def history(self) -> list[dict]:
@@ -750,15 +901,18 @@ class TxnTable:
         if not from_version <= to <= head:
             raise ValueError(f"bad version range ({from_version}, {to}] at head {head}")
 
-        def rd(names: list[str], at_v: int) -> DataFrame | None:
+        def rd(names: list[str], at_v: int, dv_v: int) -> DataFrame | None:
             if not names:
                 return None
             # conform to the logical schema at the commit: exceptAll
             # requires equal column sets, and a rewrite commit may remove
-            # pre-evolution files while adding post-evolution ones
+            # pre-evolution files while adding post-evolution ones.
+            # DV state at dv_v: the REMOVED side of a rewrite filters at
+            # v-1 so rows a deletion vector already reported as deleted
+            # are not diffed out (and re-reported) a second time
             return self._conform(
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.data_dir, n) for n in names]
+                self._read_files_meta(spark, names, at_version=dv_v).drop(
+                    "__file", "__ridx"
                 ),
                 at_v,
             )
@@ -766,11 +920,38 @@ class TxnTable:
         frames = []
         for v in range(from_version + 1, to + 1):
             c = self._read_commit(v)
-            added, removed = rd(c.get("add", []), v), rd(c.get("remove", []), v)
+            added = rd(c.get("add", []), v, v)
+            removed = rd(c.get("remove", []), v, v - 1)
             if c["action"] in ("append", "streaming-append"):
                 ins, rem = added, None
             elif c["action"] == "compact":
                 continue  # net-zero row change by construction
+            elif c["action"] == "delete_dv":
+                # the sidecar IS the delete set: its positions, read from
+                # the still-live data files
+                raw = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(
+                        *[
+                            os.path.join(self.data_dir, n)
+                            for n in sorted(c.get("dv_counts", {}))
+                        ]
+                    )
+                    .withColumn("__file", F.col("_metadata.file_name"))
+                    .withColumn("__ridx", F.col("_metadata.row_index"))
+                )
+                sc = spark.read.parquet(
+                    os.path.join(self.dv_dir, c["dv_add"])
+                ).select(
+                    F.col("file").alias("__file"), F.col("row_index").alias("__ridx")
+                )
+                ins = None
+                rem = self._conform(
+                    raw.join(sc, ["__file", "__ridx"], "left_semi").drop(
+                        "__file", "__ridx"
+                    ),
+                    v,
+                )
             else:  # overwrite / delete / merge: row-level file diff
                 ins = added.exceptAll(removed) if added is not None and removed is not None else added
                 rem = removed.exceptAll(added) if removed is not None and added is not None else removed

@@ -164,24 +164,37 @@ def test_merge_pins_one_snapshot_for_discovery_and_insert(spark, tmp_path):
     table = TxnTable(root, "t")
     table.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
 
+    # merge's two pinned target reads: touched-file discovery
+    # (_read_files_meta) and the insert anti-join (read) — inject the
+    # racer between them
     orig_read = TxnTable.read
+    orig_meta = TxnTable._read_files_meta
     state = {"n": 0}
 
-    def racing_read(self, spark_, *a, **kw):
+    def _racer_between(spark_):
         state["n"] += 1
         if state["n"] == 2:
             # between the two merge-internal reads: a racer commits key 99
             TxnTable(root, "t").append(
                 spark_.createDataFrame([(99, "racer")], "k bigint, v string")
             )
+
+    def racing_read(self, spark_, *a, **kw):
+        _racer_between(spark_)
         return orig_read(self, spark_, *a, **kw)
 
+    def racing_meta(self, spark_, *a, **kw):
+        _racer_between(spark_)
+        return orig_meta(self, spark_, *a, **kw)
+
     TxnTable.read = racing_read
+    TxnTable._read_files_meta = racing_meta
     try:
         src = spark.createDataFrame([(1, "a2"), (99, "mine")], "k bigint, v string")
         table.merge(spark, src, on=["k"])
     finally:
         TxnTable.read = orig_read
+        TxnTable._read_files_meta = orig_meta
     assert state["n"] >= 2, "merge did not exercise both reads"
     rows = {(r.k, r.v) for r in table.read(spark).collect()}
     # serial order merge-then-racer: update lands, source 99 inserted,
