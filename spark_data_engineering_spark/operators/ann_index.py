@@ -143,7 +143,7 @@ class IVFIndex:
             return self.table.append_idempotent(assigned, app_id, epoch_id)
         return self.table.append(assigned)
 
-    def delete_ids(self, spark: SparkSession, ids) -> int:
+    def delete_ids(self, spark: SparkSession, ids, mode: str = "cow") -> int:
         """Remove vectors from the live index by id — the upsert/forget
         path a serving index needs (dedup'd corpus re-ingest, GDPR
         erasure). Copy-on-write: victim discovery is one filtered scan
@@ -152,8 +152,17 @@ class IVFIndex:
         copy-on-write bounds. The commit is atomic and time travel
         still sees the pre-delete snapshot. Centroids are untouched —
         deletion never changes cell geometry, so every prior and future
-        probe stays valid. Returns the new index version."""
+        probe stays valid. Returns the new index version.
+
+        ``mode="dv"`` deletes via a deletion vector instead
+        (sources/txn.py:delete_where_dv): kilobytes of position sidecar,
+        zero postings files rewritten — the erasure shape for a
+        billion-vector index where a victim's cell file is GBs. Every
+        search reads through ``table.read``, which applies DVs, so both
+        modes are invisible to probes; the next compact materializes."""
         id_list = list(ids)
+        if mode == "dv":
+            return self.table.delete_where_dv(spark, F.col("vec_id").isin(id_list))
         return self.table.delete_where(spark, F.col("vec_id").isin(id_list))
 
     # ---- search ---------------------------------------------------------
@@ -437,11 +446,13 @@ class IVFPQIndex:
             return self.table.append_idempotent(encoded, app_id, epoch_id)
         return self.table.append(encoded)
 
-    def delete_ids(self, spark: SparkSession, ids) -> int:
-        """Id-level erasure, same contract as ``IVFIndex.delete_ids``:
-        copy-on-write over only the files holding victim codes;
-        centroids and codebooks untouched (deletion never changes cell
-        geometry or quantization)."""
+    def delete_ids(self, spark: SparkSession, ids, mode: str = "cow") -> int:
+        """Id-level erasure, same contract as ``IVFIndex.delete_ids``
+        (including ``mode="dv"`` position-sidecar deletes): centroids
+        and codebooks untouched (deletion never changes cell geometry
+        or quantization)."""
+        if mode == "dv":
+            return self.table.delete_where_dv(spark, F.col("vec_id").isin(list(ids)))
         return self.table.delete_where(spark, F.col("vec_id").isin(list(ids)))
 
     # ---- search ---------------------------------------------------------

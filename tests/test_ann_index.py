@@ -294,3 +294,42 @@ def test_ivfpq_delete_ids(spark, tmp_path):
         for r in brute_force_knn(survivors, queries, k=5).collect()
     }
     assert got == want
+
+
+def test_delete_ids_dv_mode_equals_cow(spark, tmp_path):
+    """Deletion-vector erasure (mode='dv') must be search-identical to
+    copy-on-write erasure: probe-all over the DV-filtered index equals
+    brute force over the survivors, zero postings files rewritten, and
+    time travel still sees the victims."""
+    import numpy as np
+
+    from spark_data_engineering_spark.operators.ann_index import IVFIndex
+    from spark_data_engineering_spark.operators.similarity import brute_force_knn
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    root = str(tmp_path / "annidx_dv")
+    IVFIndex.build(spark, emb, root, n_centroids=8)
+    idx = IVFIndex(root)
+    queries = emb.filter(F.col("vec_id") < 3)
+    pre_version = idx.table.version()
+    pre_files = set(idx.table.live_files())
+    victims = {r.neighbor_id for r in idx.search(spark, queries, k=2, n_probe=8).collect()}
+    idx.delete_ids(spark, victims, mode="dv")
+    assert set(idx.table.live_files()) == pre_files  # no file rewritten
+    survivors = emb.filter(~F.col("vec_id").isin(list(victims)))
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in brute_force_knn(survivors, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in idx.search(spark, queries, k=5, n_probe=8).collect()
+    }
+    assert got == want
+    old = idx.search(spark, queries, k=5, n_probe=8, at_version=pre_version)
+    assert {r.neighbor_id for r in old.collect()} & victims
