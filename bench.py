@@ -76,6 +76,9 @@ HEADLINE = (
     # round-5 additions
     "txn_snapshot_join",
     "export_training_shards",
+    "dv_delete_report",
+    "dedup_keep_best",
+    "cms_token_frequencies",
 )
 
 

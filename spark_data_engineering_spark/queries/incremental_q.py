@@ -442,3 +442,59 @@ def dv_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "bloom_index_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)
+    """,
+)
+def bloom_index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file bloom INDEX under the oracle gate (sources/txn.py:
+    _file_bloom / prune_files(equals=...)): orders land in a txn table
+    with ``bloom_cols=("o_orderkey",)`` — every staged file records a
+    <=4 KiB bloom over its keys in the commit log — and five point
+    lookups each read ONLY the files whose bloom admits the key. This
+    is the skipping regime [min,max] boxes can't touch: on an unsorted
+    high-cardinality key every file's range covers every key, but the
+    bloom prunes to ~1 file per lookup (skip ratio pinned in
+    tests/test_txn_bloom_index.py; no false negatives by
+    construction, so results must hash-match the plain IN-list SQL).
+    Cache-keyed build, race-safe overwrite."""
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    from spark_data_engineering_spark.cacheutil import code_digest
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    digest = hashlib.md5(
+        f"bloomidx:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_incremental/bloomidx-{digest}"
+    table = TxnTable(root, "orders_b", bloom_cols=("o_orderkey",))
+    if table.version() == 0:
+        table.overwrite(
+            load_table(spark, "orders", sf_dir)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .repartition(8)
+        )
+    keys = [
+        int(r[0])
+        for r in load_table(spark, "orders", sf_dir)
+        .orderBy("o_orderkey")
+        .limit(5)
+        .select("o_orderkey")
+        .collect()
+    ]
+    parts = [
+        table.read(spark, prune_eq={"o_orderkey": k}).filter(
+            F.col("o_orderkey") == k
+        )
+        for k in keys
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

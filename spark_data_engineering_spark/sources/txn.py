@@ -48,18 +48,96 @@ _DATA_DIR = "data"
 _DV_DIR = "dv"
 _VERSION_DIGITS = 20
 
+# per-file bloom index (stage-time, stored in commit stats): sizing
+_BLOOM_MAX_BITS = 32_768  # 4 KiB per file per column, base64 in the log
+_BLOOM_K = 4
+
+
+def _bloom_hashes(value) -> tuple[int, int] | None:
+    """Two independent 64-bit hashes of an int/str value (double-hashing
+    base). None for types the index doesn't cover."""
+    import hashlib
+
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        raw = value.to_bytes(16, "little", signed=True)
+    elif isinstance(value, str):
+        raw = value.encode("utf-8")
+    else:
+        return None
+    d = hashlib.blake2b(raw, digest_size=16).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
+
+
+def _file_bloom(path: str, col: str) -> list | None:
+    """Stage-time bloom over one file's column values: [base64, bits].
+    Covers int/string columns; anything else (or an absent column)
+    yields None and the file simply stays unprunable on equality.
+    Cost is one local column read + a pass over DISTINCT values —
+    opt-in via ``TxnTable(bloom_cols=...)``."""
+    import base64
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    try:
+        tbl = pq.read_table(path, columns=[col])
+    except Exception:
+        return None
+    vals = set(v for v in tbl.column(0).to_pylist() if v is not None)
+    if not vals:
+        return None
+    bits = min(_BLOOM_MAX_BITS, max(1024, 16 * len(vals)))
+    bitmap = np.zeros(bits, dtype=bool)
+    for v in vals:
+        hs = _bloom_hashes(v)
+        if hs is None:
+            return None  # mixed/unsupported type: no bloom for this file
+        h1, h2 = hs
+        for i in range(_BLOOM_K):
+            bitmap[(h1 + i * h2) % bits] = True
+    packed = np.packbits(bitmap)
+    return [base64.b64encode(packed.tobytes()).decode("ascii"), bits]
+
+
+def _bloom_might_contain(entry: list, value) -> bool:
+    import base64
+
+    import numpy as np
+
+    hs = _bloom_hashes(value)
+    if hs is None:
+        return True  # untestable value: conservatively keep
+    b64, bits = entry
+    bitmap = np.unpackbits(
+        np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+    )[:bits]
+    h1, h2 = hs
+    return all(bitmap[(h1 + i * h2) % bits] for i in range(_BLOOM_K))
+
 
 class ConcurrentWriteError(RuntimeError):
     """A rewrite lost the race: a file it removes was already removed."""
 
 
 class TxnTable:
-    def __init__(self, root: str, name: str, checkpoint_every: int = 10) -> None:
+    def __init__(
+        self,
+        root: str,
+        name: str,
+        checkpoint_every: int = 10,
+        bloom_cols: tuple[str, ...] = (),
+    ) -> None:
         self.table_dir = os.path.join(root, name)
         self.log_dir = os.path.join(self.table_dir, _LOG_DIR)
         self.data_dir = os.path.join(self.table_dir, _DATA_DIR)
         self.dv_dir = os.path.join(self.table_dir, _DV_DIR)
         self.checkpoint_every = checkpoint_every
+        # writer-side opt-in: stage-time per-file bloom filters over these
+        # columns land in the commit stats (``__bloom_<col>``); pruning
+        # honors whatever blooms exist regardless of this setting
+        self.bloom_cols = tuple(bloom_cols)
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.dv_dir, exist_ok=True)
@@ -184,17 +262,27 @@ class TxnTable:
         return total
 
     def prune_files(
-        self, ranges: dict[str, tuple], at_version: int | None = None
+        self,
+        ranges: dict[str, tuple] | None,
+        at_version: int | None = None,
+        equals: dict[str, object] | None = None,
     ) -> list[str]:
         """Data skipping: the live files whose [min,max] column stats can
         intersect every queried range. ``ranges`` maps column -> (lo, hi),
         either bound None for unbounded. Files with no recorded stats for
-        a column are conservatively kept."""
+        a column are conservatively kept.
+
+        ``equals`` maps column -> value for POINT lookups: when the file
+        carries a stage-time bloom (``TxnTable(bloom_cols=...)``), a
+        negative membership test skips the file even when its [min,max]
+        box covers the value — the high-cardinality-key case (an id
+        lookup on an unsorted table) where range stats prune nothing.
+        No false negatives by construction; min/max still applies too."""
         stats = self.file_stats(at_version)
         kept = []
         for name, cols in stats.items():
             keep = True
-            for col, (lo, hi) in ranges.items():
+            for col, (lo, hi) in (ranges or {}).items():
                 mm = cols.get(col)
                 if mm is None:
                     continue
@@ -203,6 +291,18 @@ class TxnTable:
                     keep = False
                     break
                 if hi is not None and fmin > hi:
+                    keep = False
+                    break
+            for col, val in (equals or {}).items() if keep else ():
+                mm = cols.get(col)
+                try:
+                    if mm is not None and (val < mm[0] or val > mm[1]):
+                        keep = False
+                        break
+                except TypeError:
+                    pass  # incomparable stat type: range can't prune
+                bl = cols.get(f"__bloom_{col}")
+                if bl is not None and not _bloom_might_contain(bl, val):
                     keep = False
                     break
             if keep:
@@ -405,6 +505,10 @@ class TxnTable:
                 os.rename(os.path.join(staging, f), dest)
                 names.append(name)
                 stats[name] = self._footer_minmax(dest)
+                for col in self.bloom_cols:
+                    b = _file_bloom(dest, col)
+                    if b is not None:
+                        stats[name][f"__bloom_{col}"] = b
                 i += 1
         shutil.rmtree(staging)
         return names, stats
@@ -554,12 +658,19 @@ class TxnTable:
         spark: SparkSession,
         at_version: int | None = None,
         prune: dict[str, tuple] | None = None,
+        prune_eq: dict[str, object] | None = None,
     ) -> DataFrame:
         """Snapshot read. ``prune`` maps column -> (lo, hi) and drops files
         whose footer stats cannot intersect the range — the caller still
         applies the exact filter; pruning only shrinks the scan set.
+        ``prune_eq`` maps column -> value and additionally skips files
+        whose stage-time bloom rules the value out (point lookups).
         Deletion vectors at the version are applied (merge-on-read)."""
-        files = self.prune_files(prune, at_version) if prune else self.live_files(at_version)
+        files = (
+            self.prune_files(prune, at_version, equals=prune_eq)
+            if (prune or prune_eq)
+            else self.live_files(at_version)
+        )
         if not files:
             if not self.live_files(at_version):
                 raise FileNotFoundError(f"table {self.table_dir} is empty at this version")
