@@ -315,3 +315,48 @@ def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") >= F.col("tf")).alias("no_underestimate"),
         )
     )
+
+
+# Pinned at sf0.01 (the driver gate's scale): BPE learning is a pure
+# function of the word-frequency table (deterministic tie-breaks), so
+# the top-20 subword counts are corpus constants — the ann_recall_report
+# expectation pattern. tests/test_bpe.py re-derives them structurally.
+_BPE_EXPECTED_SF001 = """
+    SELECT subword, CAST(n AS BIGINT) AS n
+    FROM (VALUES
+        ('a', 7259), ('l', 5525), ('s', 5481), ('</w>', 5366),
+        ('c', 4653), ('m', 4602), ('e</w>', 4473), ('t', 3593),
+        ('er</w>', 2779), ('ow</w>', 2747), ('o', 2746), ('d', 2732),
+        ('b', 2721), ('r', 2709), ('u', 2709), ('g', 2697),
+        ('e', 2696), ('or', 2696), ('st', 2676), ('h</w>', 1884)
+    ) t(subword, n)
+    """
+
+
+@query("bpe_subword_stats", oracle=_BPE_EXPECTED_SF001)
+def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization end-to-end (operators/bpe.py): learn 20 BPE
+    merges from the distributed word-frequency table (vocabulary-sized
+    bounded collect — the split every production tokenizer trainer
+    uses), apply them in one Arrow pass with per-batch distinct-token
+    caching, and report the top-20 subwords by count. Deterministic
+    ties make the whole pipeline a corpus constant, pinned as the
+    oracle at the gate's sf0.01."""
+    from spark_data_engineering_spark.operators.bpe import bpe_subwords, learn_bpe
+
+    d = load_table(spark, "documents", sf_dir)
+    wf = sorted(
+        (r["token"], r["n"])
+        for r in d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per DISTINCT word (vocab-sized)
+    )
+    merges = learn_bpe(wf, 20)
+    return (
+        bpe_subwords(d, merges)
+        .groupBy("subword")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("subword").asc())
+        .limit(20)
+    )

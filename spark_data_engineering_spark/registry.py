@@ -63,12 +63,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "txn_snapshot_join",
     # (The round's OTHER new queries — export_training_shards,
     # dedup_keep_best, dp_source_counts, padding_efficiency_report,
-    # cms_token_frequencies, dv_delete_report, bloom_index_point_lookup —
+    # cms_token_frequencies, dv_delete_report, bloom_index_point_lookup,
+    # bpe_subword_stats —
     # stay OUTSIDE the window: the 44-query r2
     # cohort + the 4 never-checked queries are the VERDICT-mandated
     # priority and no in-window query contains their computation, so
     # displacing one would trade mandated evidence for new evidence.
-    # All five pass the local gate this round and are the FIRST
+    # All of them pass the local gate this round and are the FIRST
     # rotation priorities for round 6.)
     # --- The 45-minus-1 queries whose newest driver row is round 2
     # (knn_bruteforce displaced per the containment rationale above).
