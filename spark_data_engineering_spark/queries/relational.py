@@ -1012,3 +1012,85 @@ def salted_join_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         NR.round2(F.sum("l_quantity")).alias("total_qty"),
     )
+
+
+@query(
+    "join_skew_report",
+    oracle="""
+    WITH k AS (
+        SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_rows,
+               FLOOR((MAX(cnt) / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*))) * 100 + 0.5) / 100
+                   AS skew_factor
+        FROM k
+    ),
+    top AS (
+        SELECT key, CAST(cnt AS BIGINT) AS cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS rnk
+        FROM k QUALIFY rnk <= 5
+    )
+    SELECT 'summary' AS section, CAST(NULL AS BIGINT) AS key,
+           n_rows AS cnt, CAST(NULL AS BIGINT) AS rnk,
+           CAST(n_keys AS DOUBLE) AS metric
+    FROM s
+    UNION ALL
+    SELECT 'summary_skew', NULL, max_rows, NULL, skew_factor FROM s
+    UNION ALL
+    SELECT 'top_key', key, cnt, rnk, CAST(NULL AS DOUBLE) FROM top
+    """,
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that decides whether
+    a key needs salting (operators/skew.py) or AQE's skew-join handling
+    before a big shuffle: per-key cardinality over the fact side's join
+    key, summarized as key count / row count / hottest key / skew
+    factor (hottest ÷ mean), plus the top-5 keys. One partial-agg
+    shuffle on the key + a TakeOrdered for the top keys; the report is
+    tiny at any scale. Integer-exact except the round-2 skew ratio."""
+    li = load_table(spark, "lineitem", sf_dir)
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_rows"),
+        NR.round2(
+            F.max("cnt") / (F.sum("cnt").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_factor"),
+    )
+    top = (
+        k.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("cnt").desc(), F.col("key").asc())
+            ),
+        )
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.lit("top_key").alias("section"),
+            F.col("key").cast("bigint").alias("key"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.lit(None).cast("double").alias("metric"),
+        )
+    )
+    summary = s.select(
+        F.lit("summary").alias("section"),
+        F.lit(None).cast("bigint").alias("key"),
+        F.col("n_rows").cast("bigint").alias("cnt"),
+        F.lit(None).cast("bigint").alias("rnk"),
+        F.col("n_keys").cast("double").alias("metric"),
+    )
+    summary2 = s.select(
+        F.lit("summary_skew").alias("section"),
+        F.lit(None).cast("bigint").alias("key"),
+        F.col("max_rows").cast("bigint").alias("cnt"),
+        F.lit(None).cast("bigint").alias("rnk"),
+        F.col("skew_factor").alias("metric"),
+    )
+    return summary.unionByName(summary2).unionByName(top)
