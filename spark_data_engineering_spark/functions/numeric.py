@@ -21,6 +21,10 @@ def round4(col: Column) -> Column:
     return F.floor(col * 10000 + F.lit(0.5)) / 10000
 
 
+def round6(col: Column) -> Column:
+    return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
+
 def sql_round2(expr: str) -> str:
     return f"FLOOR(({expr}) * 100 + 0.5) / 100"
 

@@ -218,3 +218,65 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "cluster_id", "n_tokens", "keep")
     )
+
+
+@query(
+    "containment_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(LEN(STRING_SPLIT(text, ' ')) - 2),
+                   i -> STRING_SPLIT(text, ' ')[i + 1] || ' ' ||
+                        STRING_SPLIT(text, ' ')[i + 2] || ' ' ||
+                        STRING_SPLIT(text, ' ')[i + 3]))) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_small, b.doc_id AS id_big, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_small, id_big,
+           FLOOR((CAST(i AS DOUBLE) / sa.sz) * 10000 + 0.5) / 10000 AS containment
+    FROM inter
+    JOIN sizes sa ON id_small = sa.doc_id
+    WHERE FLOOR((CAST(i AS DOUBLE) / sa.sz) * 10000 + 0.5) / 10000 >= 0.9
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: |A∩B| / |A| >= 0.9 over 3-gram
+    shingles — the subsumption case symmetric Jaccard misses (a short
+    doc fully quoted inside a long one scores tiny Jaccard but
+    containment ~1; Broder 1997's containment measure, the same one
+    ``benchmark_contamination`` uses corpus-vs-eval, here doc-vs-doc).
+    Ordered pairs (id_small is the contained side). Same inverted
+    shingle-index join shape as ``ngram_jaccard_pairs`` — quadratic by
+    contract, the verification tier; at scale the candidate set comes
+    from MinHash/LSH first."""
+    from pyspark.sql import functions as F
+
+    from spark_data_engineering_spark.functions import numeric as NR
+    from spark_data_engineering_spark.operators.dedup import shingle_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    idx = shingle_index(docs, "text", "doc_id", 3).select(
+        "_id", F.xxhash64("_shingle").alias("_h")
+    )
+    sizes = idx.groupBy("_id").agg(F.count("*").alias("_sz"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") != F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_small"), F.col("b._id").alias("id_big"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes), F.col("id_small") == F.col("_id"))
+        .withColumn(
+            "containment",
+            NR.round4(F.col("_inter").cast("double") / F.col("_sz")),
+        )
+        .filter(F.col("containment") >= 0.9)
+        .select("id_small", "id_big", "containment")
+    )

@@ -360,3 +360,71 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("subword").asc())
         .limit(20)
     )
+
+
+@query(
+    "bigram_fluency_scores",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS i
+        FROM documents
+    ),
+    bg AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    v AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab FROM toks
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR((AVG((bi.c2 + 1.0) / (uni.c1 + (SELECT vocab FROM v))))
+                 * 1000000 + 0.5) / 1000000 AS mean_cond_prob
+    FROM bg
+    JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+    JOIN uni ON bg.w1 = uni.w1
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model fluency scoring WITHOUT logs — the corpus-LM
+    quality heuristic (a KenLM-perplexity stand-in) kept oracle-exact:
+    train add-1-smoothed bigram conditional probabilities on the corpus
+    itself, then score each document by the ARITHMETIC mean of
+    P(w_i | w_{i-1}) over its bigrams. Geometric means need ln()
+    (cross-engine poison — module float policy); the arithmetic mean
+    ranks fluency the same way for filtering purposes and every term is
+    a ratio of integers, so round-6 makes the hash exact. Two
+    partial-agg shuffles (bigram + unigram counts) + one broadcastable
+    vocab scalar; scoring joins are keyed on the bigram."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    bg = (
+        toks.withColumn("w2", F.lead("w").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2")
+    )
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = toks.agg(F.countDistinct("w").alias("vocab"))
+    return (
+        bg.join(bi, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            NR.round6(
+                F.avg(
+                    (F.col("c2") + F.lit(1.0))
+                    / (F.col("c1") + F.col("vocab"))
+                )
+            ).alias("mean_cond_prob"),
+        )
+    )

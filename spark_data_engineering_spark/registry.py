@@ -64,7 +64,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (The round's OTHER new queries — export_training_shards,
     # dedup_keep_best, dp_source_counts, padding_efficiency_report,
     # cms_token_frequencies, dv_delete_report, bloom_index_point_lookup,
-    # bpe_subword_stats, join_skew_report —
+    # bpe_subword_stats, join_skew_report, bigram_fluency_scores,
+    # containment_pairs —
     # stay OUTSIDE the window: the 44-query r2
     # cohort + the 4 never-checked queries are the VERDICT-mandated
     # priority and no in-window query contains their computation, so
