@@ -334,6 +334,7 @@ class TxnTable:
         dv_add: str | None = None,
         dv_counts: dict[str, int] | None = None,
         dv_base_version: int | None = None,
+        schema_transform=None,
     ) -> int:
         """Commit with optimistic retry. Appends retry blindly (their
         files conflict with nothing); rewrites re-validate that every
@@ -377,7 +378,12 @@ class TxnTable:
             if dv_add is not None:
                 record["dv_add"] = dv_add
                 record["dv_counts"] = dv_counts or {}
-            if schema is not None:
+            if schema_transform is not None:
+                # rename/drop: REPLAY the transform on the current head's
+                # schema inside the retry loop (a name-union would
+                # resurrect the old name after a racing add-column)
+                record["schema"] = schema_transform(self.table_schema())
+            elif schema is not None:
                 # fold over the CURRENT head's schema inside the retry
                 # loop: a concurrent writer's column addition must not be
                 # dropped by whichever commit lands last
@@ -583,9 +589,23 @@ class TxnTable:
                     for f in phys.fields
                 ]
         by_name = {f["name"]: f for f in merged}
+        # renamed columns keep their old names in prev_names: a writer
+        # still emitting the OLD name maps to the renamed entry instead
+        # of silently re-adding a column under the dead name
+        by_prev = {
+            p: f for f in merged for p in f.get("prev_names", ())
+        }
+        dropped = {f["name"] for f in merged if f.get("dropped")}
         for f in df.schema.fields:
             entry = {"name": f.name, "type": json.loads(f.dataType.json())}
-            prev = by_name.get(f.name)
+            if f.name in dropped:
+                raise ValueError(
+                    f"column {f.name!r} was dropped; physical data under "
+                    "that name survives in old files, so re-adding it "
+                    "would resurrect stale values — rewrite (compact) "
+                    "first or pick a new name"
+                )
+            prev = by_name.get(f.name) or by_prev.get(f.name)
             if prev is None:
                 merged.append(entry)
                 by_name[f.name] = entry
@@ -597,9 +617,15 @@ class TxnTable:
                 )
         return merged
 
-    def _conform(self, df: DataFrame, at_version: int | None = None) -> DataFrame:
+    def _conform(
+        self, df: DataFrame, at_version: int | None = None, keep: tuple[str, ...] = ()
+    ) -> DataFrame:
         """Project a files-read onto the logical schema: missing columns
-        become typed NULLs, order follows the declaration order."""
+        become typed NULLs, order follows the declaration order. Renamed
+        columns coalesce over their prior physical names (old files keep
+        writing nothing — the mapping lives in the log, Delta's
+        column-mapping idea by name instead of id); dropped columns are
+        simply not projected."""
         logical = self.table_schema(at_version)
         if not logical:
             return df
@@ -607,11 +633,21 @@ class TxnTable:
 
         cols = []
         for s in logical:
+            if s.get("dropped"):
+                continue
             dt = _parse_datatype_json_value(s["type"])
-            if s["name"] in df.columns:
-                cols.append(F.col(s["name"]))
+            present = [
+                c
+                for c in [s["name"], *s.get("prev_names", ())]
+                if c in df.columns
+            ]
+            if len(present) == 1:
+                cols.append(F.col(present[0]).alias(s["name"]))
+            elif present:
+                cols.append(F.coalesce(*[F.col(c) for c in present]).alias(s["name"]))
             else:
                 cols.append(F.lit(None).cast(dt).alias(s["name"]))
+        cols.extend(F.col(c) for c in keep if c in df.columns)
         return df.select(*cols)
 
     # ---- public operations ----------------------------------------------
@@ -792,7 +828,12 @@ class TxnTable:
         A no-op on an emptied table (same guard as ``compact``)."""
         if not self.live_files():
             return self.version()
-        df = self._read_files_meta(spark, self.live_files())
+        # conform to LOGICAL names (keeping the meta columns) so the
+        # caller's predicate resolves after renames
+        df = self._conform(
+            self._read_files_meta(spark, self.live_files()),
+            keep=("__file", "__ridx"),
+        )
         hit_names = sorted(
             r["__file"]
             for r in df.filter(predicate).select("__file").distinct().collect()
@@ -802,11 +843,9 @@ class TxnTable:
         # DELETE WHERE p removes rows where p is TRUE; NULL-p rows survive
         # (~NULL would silently drop them). DV-filtered read: the rewrite
         # materializes any outstanding deletion vectors on these files.
-        survivors = (
-            self._read_files_meta(spark, hit_names)
-            .drop("__file", "__ridx")
-            .filter(~F.coalesce(predicate, F.lit(False)))
-        )
+        survivors = self._conform(
+            self._read_files_meta(spark, hit_names).drop("__file", "__ridx")
+        ).filter(~F.coalesce(predicate, F.lit(False)))
         add, stats = self._stage_nonempty(survivors)
         return self._commit("delete", add, hit_names, stats)
 
@@ -830,7 +869,11 @@ class TxnTable:
         v0 = self.version()
         if not self.live_files(v0):
             return v0
-        meta = self._read_files_meta(spark, self.live_files(v0), at_version=v0)
+        meta = self._conform(
+            self._read_files_meta(spark, self.live_files(v0), at_version=v0),
+            v0,
+            keep=("__file", "__ridx"),
+        )
         hits = meta.filter(F.coalesce(predicate, F.lit(False))).select(
             F.col("__file").alias("file"), F.col("__ridx").alias("row_index")
         )
@@ -860,6 +903,73 @@ class TxnTable:
         except ConcurrentWriteError:
             shutil.rmtree(os.path.join(self.dv_dir, name))
             raise
+
+    def _seeded_schema(self, spark: SparkSession) -> list[dict]:
+        """Logical schema, seeding legacy (pre-schema-tracking) tables
+        from the live files' physical schema."""
+        sch = self.table_schema()
+        if sch:
+            return sch
+        live = self.live_files()
+        if not live:
+            raise ValueError(f"table {self.table_dir} has no schema yet")
+        phys = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.data_dir, f) for f in live])
+            .schema
+        )
+        return [
+            {"name": f.name, "type": json.loads(f.dataType.json())}
+            for f in phys.fields
+        ]
+
+    def rename_column(self, spark: SparkSession, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN as a metadata-only commit: no file
+        is touched — the log maps the new logical name onto the old
+        physical name(s) (``prev_names``), and reads coalesce across
+        them (Delta's column mapping, by name). Old snapshots keep the
+        old name (schema is replayed per version)."""
+
+        def xf(base: list[dict]) -> list[dict]:
+            base = base or self._seeded_schema(spark)
+            names = {f["name"] for f in base if not f.get("dropped")}
+            if old not in names:
+                raise ValueError(f"rename_column: no column {old!r}")
+            if new in names:
+                raise ValueError(f"rename_column: {new!r} already exists")
+            out = []
+            for f in base:
+                f = dict(f)
+                if f["name"] == old and not f.get("dropped"):
+                    f["prev_names"] = [*f.get("prev_names", ()), old]
+                    f["name"] = new
+                out.append(f)
+            return out
+
+        return self._commit("rename_column", [], [], schema_transform=xf)
+
+    def drop_column(self, spark: SparkSession, name: str) -> int:
+        """ALTER TABLE DROP COLUMN, metadata-only: the entry stays in
+        the log as a tombstone (``dropped: true``) so reads stop
+        projecting it AND a later re-add under the same name is refused
+        (old files still hold the bytes; re-adding would resurrect
+        stale values — rewrite first, as Delta requires without column
+        mapping ids). Old snapshots still see the column."""
+
+        def xf(base: list[dict]) -> list[dict]:
+            base = base or self._seeded_schema(spark)
+            out, found = [], False
+            for f in base:
+                f = dict(f)
+                if f["name"] == name and not f.get("dropped"):
+                    f["dropped"] = True
+                    found = True
+                out.append(f)
+            if not found:
+                raise ValueError(f"drop_column: no column {name!r}")
+            return out
+
+        return self._commit("drop_column", [], [], schema_transform=xf)
 
     @staticmethod
     def _zvalue(df: DataFrame, cols: list[str], bits: int = 8):
@@ -917,8 +1027,12 @@ class TxnTable:
         total = sum(os.path.getsize(p) for p in paths)
         n_out = max(1, -(-total // target_file_bytes))
         # DV-filtered read: compaction MATERIALIZES outstanding deletion
-        # vectors (rows physically absent from the rewritten files)
-        df = self._read_files_meta(spark, files).drop("__file", "__ridx")
+        # vectors (rows physically absent from the rewritten files) and
+        # writes the LOGICAL projection (renames materialize physically,
+        # dropped columns' bytes are reclaimed)
+        df = self._conform(
+            self._read_files_meta(spark, files).drop("__file", "__ridx")
+        )
         if zorder_by:
             packed = (
                 df.withColumn("__z", self._zvalue(df, zorder_by, zorder_bits))
