@@ -70,22 +70,55 @@ def _bloom_hashes(value) -> tuple[int, int] | None:
     return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
 
 
+def _sm64(x):
+    """splitmix64 finalizer, numpy-vectorizable (public constant mix —
+    Steele/Lea/Flood 2014). Input/output uint64 arrays or scalars."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(31)
+    return x
+
+
 def _file_bloom(path: str, col: str) -> list | None:
-    """Stage-time bloom over one file's column values: [base64, bits].
-    Covers int/string columns; anything else (or an absent column)
-    yields None and the file simply stays unprunable on equality.
-    Cost is one local column read + a pass over DISTINCT values —
-    opt-in via ``TxnTable(bloom_cols=...)``."""
+    """Stage-time bloom over one file's column values:
+    [base64, bits, scheme]. Integer columns use the VECTORIZED
+    splitmix64 scheme ("sm64" — numpy end-to-end, ~1e7 values/s, the
+    scale path); strings use per-value blake2b ("blake"). The scheme
+    tag travels with the bitmap so probes built by any code version
+    test with the hash that built them. Unsupported types (or an
+    absent column) yield None and the file stays unprunable on
+    equality. Opt-in via ``TxnTable(bloom_cols=...)``."""
     import base64
 
     import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     try:
         tbl = pq.read_table(path, columns=[col])
     except Exception:
         return None
-    vals = set(v for v in tbl.column(0).to_pylist() if v is not None)
+    arr = tbl.column(0)
+    if pa.types.is_integer(arr.type):
+        x = arr.combine_chunks().drop_null().to_numpy(zero_copy_only=False)
+        if len(x) == 0:
+            return None
+        x = np.unique(x).astype(np.int64).view(np.uint64)
+        bits = int(min(_BLOOM_MAX_BITS, max(1024, 16 * len(x))))
+        h1 = _sm64(x)
+        h2 = _sm64(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        bitmap = np.zeros(bits, dtype=bool)
+        for i in range(_BLOOM_K):
+            bitmap[((h1 + np.uint64(i) * h2) % np.uint64(bits)).astype(np.int64)] = True
+        packed = np.packbits(bitmap)
+        return [base64.b64encode(packed.tobytes()).decode("ascii"), bits, "sm64"]
+    vals = set(v for v in arr.to_pylist() if v is not None)
     if not vals:
         return None
     bits = min(_BLOOM_MAX_BITS, max(1024, 16 * len(vals)))
@@ -93,12 +126,12 @@ def _file_bloom(path: str, col: str) -> list | None:
     for v in vals:
         hs = _bloom_hashes(v)
         if hs is None:
-            return None  # mixed/unsupported type: no bloom for this file
+            return None  # unsupported type: no bloom for this file
         h1, h2 = hs
         for i in range(_BLOOM_K):
             bitmap[(h1 + i * h2) % bits] = True
     packed = np.packbits(bitmap)
-    return [base64.b64encode(packed.tobytes()).decode("ascii"), bits]
+    return [base64.b64encode(packed.tobytes()).decode("ascii"), bits, "blake"]
 
 
 def _bloom_might_contain(entry: list, value) -> bool:
@@ -106,13 +139,27 @@ def _bloom_might_contain(entry: list, value) -> bool:
 
     import numpy as np
 
-    hs = _bloom_hashes(value)
-    if hs is None:
-        return True  # untestable value: conservatively keep
-    b64, bits = entry
+    b64, bits, *rest = entry
+    scheme = rest[0] if rest else "blake"
     bitmap = np.unpackbits(
         np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
     )[:bits]
+    if scheme == "sm64":
+        if isinstance(value, bool) or not isinstance(value, int):
+            return True  # int-scheme bloom can't test this: keep
+        # SAME uint64 wraparound arithmetic as the build side — Python
+        # big-int modulo would land on different positions whenever
+        # h1 + i*h2 overflows 64 bits
+        x = np.array([value], dtype=np.int64).view(np.uint64)
+        h1 = _sm64(x)
+        h2 = _sm64(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        return all(
+            bitmap[int((h1 + np.uint64(i) * h2)[0] % np.uint64(bits))]
+            for i in range(_BLOOM_K)
+        )
+    hs = _bloom_hashes(value)
+    if hs is None:
+        return True  # untestable value: conservatively keep
     h1, h2 = hs
     return all(bitmap[(h1 + i * h2) % bits] for i in range(_BLOOM_K))
 
