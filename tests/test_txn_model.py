@@ -29,6 +29,7 @@ _op = st.one_of(
     st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=5)),
     st.tuples(st.just("overwrite"), st.lists(st.integers(0, 99), max_size=4)),
     st.tuples(st.just("delete_le"), st.integers(0, 99)),
+    st.tuples(st.just("delete_dv_le"), st.integers(0, 99)),
     st.tuples(st.just("compact")),
     st.tuples(
         st.just("merge_upsert"), st.lists(st.integers(0, 99), min_size=1, max_size=4)
@@ -86,6 +87,15 @@ def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops, seq_id):
             if table.version() == 0:
                 continue  # nothing committed yet
             table.delete_where(spark, F.col("val") <= op[1])
+            model = [v for v in model if v > op[1]]
+        elif op[0] == "delete_dv_le":
+            # merge-on-read twin of delete_le: same visible semantics,
+            # wildly different mechanics (position sidecar, no rewrite) —
+            # random interleavings with compact/merge/vacuum are exactly
+            # where a DV-materialization bug would hide
+            if table.version() == 0:
+                continue
+            table.delete_where_dv(spark, F.col("val") <= op[1])
             model = [v for v in model if v > op[1]]
         elif op[0] == "merge_upsert":
             # single-column rows: key == value, so "update" keeps every
