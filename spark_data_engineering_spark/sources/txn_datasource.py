@@ -37,8 +37,12 @@ from pyspark.sql.types import StructType
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, dv_paths: tuple[str, ...] = ()) -> None:
         self.path = path
+        # deletion-vector sidecar dirs whose positions must be dropped
+        # from this file (merge-on-read; resolved driver-side from the
+        # snapshot's dv state, applied executor-side)
+        self.dv_paths = dv_paths
 
 
 def _arrow_to_ddl(path: str) -> str:
@@ -75,11 +79,33 @@ def _arrow_to_ddl(path: str) -> str:
     return ", ".join(parts)
 
 
-def _read_file(path: str, schema: StructType):
-    """Executor-side: yield tuples in the query schema's column order."""
+def _read_file(path: str, schema: StructType, dv_paths: tuple[str, ...] = ()):
+    """Executor-side: yield tuples in the query schema's column order,
+    with any deletion-vector positions for THIS file dropped (the
+    sidecars are read with a file== filter — small by contract)."""
+    import os
+
     import pyarrow.parquet as pq
 
     table = pq.read_table(path, columns=[f.name for f in schema.fields])
+    if dv_paths:
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        fname = os.path.basename(path)
+        pos = []
+        for dvp in dv_paths:
+            t = ds.dataset(dvp, format="parquet").to_table(
+                columns=["row_index"], filter=ds.field("file") == fname
+            )
+            if t.num_rows:
+                pos.append(t.column(0).to_numpy(zero_copy_only=False))
+        if pos:
+            dead = np.concatenate(pos)
+            keep = np.setdiff1d(
+                np.arange(table.num_rows, dtype=np.int64), dead.astype(np.int64)
+            )
+            table = table.take(keep)
     for batch in table.to_batches():
         cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
         yield from zip(*cols) if cols else iter(())
@@ -92,13 +118,21 @@ class TxnBatchReader(DataSourceReader):
 
         t = TxnTable(os.path.dirname(table_dir), os.path.basename(table_dir))
         self._paths = [os.path.join(t.data_dir, f) for f in t.live_files()]
+        # snapshot the dv sidecar set with the file set (merge-on-read
+        # deletes must not resurrect through this connector either)
+        sidecars, deleted = t.dv_state()
+        self._dv_paths = (
+            tuple(os.path.join(t.dv_dir, s) for s in sidecars) if deleted else ()
+        )
         self._schema = schema
 
     def partitions(self):
-        return [_FilePartition(p) for p in self._paths]
+        return [_FilePartition(p, self._dv_paths) for p in self._paths]
 
     def read(self, partition: _FilePartition):
-        yield from _read_file(partition.path, self._schema)
+        yield from _read_file(
+            partition.path, self._schema, getattr(partition, "dv_paths", ())
+        )
 
 
 class TxnStreamReader(DataSourceStreamReader):

@@ -62,3 +62,24 @@ def test_stream_aborts_on_rewrite_without_escape_hatch(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_batch_read_applies_deletion_vectors(spark, tmp_path):
+    """format('txn') must not resurrect DV-deleted rows: the connector
+    snapshots the dv sidecar set with the file set and drops positions
+    executor-side."""
+    from pyspark.sql import functions as F
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path), "dvds")
+    t.append(
+        spark.createDataFrame([(i, i * 10.0) for i in range(40)], "k bigint, x double")
+        .repartition(3)
+    )
+    t.delete_where_dv(spark, F.col("k") % 4 == 0)
+    got = sorted(
+        r.k for r in spark.read.format("txn").load(str(tmp_path / "dvds")).collect()
+    )
+    want = sorted(r.k for r in t.read(spark).collect())
+    assert got == want == [k for k in range(40) if k % 4 != 0]
