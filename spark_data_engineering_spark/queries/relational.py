@@ -1094,3 +1094,104 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("skew_factor").alias("metric"),
     )
     return summary.unionByName(summary2).unionByName(top)
+
+
+@query(
+    "winsorized_revenue_by_priority",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority AS priority, o_totalprice AS price,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    h AS (
+        SELECT priority, n,
+               (n - 1) * CAST(0.05 AS DOUBLE) AS h05,
+               (n - 1) * CAST(0.95 AS DOUBLE) AS h95
+        FROM r GROUP BY priority, n
+    ),
+    b AS (
+        SELECT h.priority,
+               MIN(CASE WHEN r.rn - 1 = FLOOR(h.h05) THEN r.price END)
+                 + (MIN(CASE WHEN r.rn - 1 = CEIL(h.h05) THEN r.price END)
+                    - MIN(CASE WHEN r.rn - 1 = FLOOR(h.h05) THEN r.price END))
+                   * (h.h05 - FLOOR(h.h05)) AS p05,
+               MIN(CASE WHEN r.rn - 1 = FLOOR(h.h95) THEN r.price END)
+                 + (MIN(CASE WHEN r.rn - 1 = CEIL(h.h95) THEN r.price END)
+                    - MIN(CASE WHEN r.rn - 1 = FLOOR(h.h95) THEN r.price END))
+                   * (h.h95 - FLOOR(h.h95)) AS p95
+        FROM r JOIN h ON r.priority = h.priority
+        GROUP BY h.priority, h.h05, h.h95
+    )
+    SELECT r.priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR((CAST(SUM(CAST(LEAST(GREATEST(r.price, b.p05), b.p95)
+                                AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+                 * 100 + 0.5) / 100 AS winsorized_mean,
+           FLOOR(b.p05 * 100 + 0.5) / 100 AS p05,
+           FLOOR(b.p95 * 100 + 0.5) / 100 AS p95
+    FROM r JOIN b ON r.priority = b.priority
+    GROUP BY r.priority, b.p05, b.p95
+    """,
+)
+def winsorized_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation: per-priority mean order value with the top
+    and bottom 5% WINSORIZED (clipped to the exact p05/p95) — the
+    outlier-resistant mean a metrics pipeline reports when a few whale
+    orders would otherwise move the average. Percentiles use the same
+    manual type-7 interpolation on BOTH sides (``lo + (hi-lo)*frac`` —
+    the identical IEEE sequence, like the category report's exact
+    median), clipped values quantize to DECIMAL(18,6) before summing
+    so the mean is order-independent, and the result rounds to 2
+    decimals. One shuffle: the rank window and both follow-up
+    aggregations share the priority partitioning."""
+    from pyspark.sql import Window as W2
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderkey",
+    )
+    w = W2.partitionBy("priority").orderBy("price", "o_orderkey")
+    r = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W2.partitionBy("priority"))
+    )
+    r = (
+        r.withColumn("h05", (F.col("n") - 1) * F.lit(0.05))
+        .withColumn("h95", (F.col("n") - 1) * F.lit(0.95))
+    )
+    idx = F.col("rn") - 1
+
+    agg = r.groupBy("priority").agg(
+        F.min(F.when(idx == F.floor(F.col("h05")), F.col("price"))).alias("vlo05"),
+        F.min(F.when(idx == F.ceil(F.col("h05")), F.col("price"))).alias("vhi05"),
+        F.min(F.when(idx == F.floor(F.col("h95")), F.col("price"))).alias("vlo95"),
+        F.min(F.when(idx == F.ceil(F.col("h95")), F.col("price"))).alias("vhi95"),
+        F.first(F.col("h05") - F.floor(F.col("h05"))).alias("f05"),
+        F.first(F.col("h95") - F.floor(F.col("h95"))).alias("f95"),
+    )
+    b = agg.select(
+        "priority",
+        (F.col("vlo05") + (F.col("vhi05") - F.col("vlo05")) * F.col("f05")).alias("p05"),
+        (F.col("vlo95") + (F.col("vhi95") - F.col("vlo95")) * F.col("f95")).alias("p95"),
+    )
+    clipped = r.join(F.broadcast(b), "priority").withColumn(
+        "cl",
+        F.least(F.greatest(F.col("price"), F.col("p05")), F.col("p95")).cast(
+            "decimal(18,6)"
+        ),
+    )
+    return clipped.groupBy("priority", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        NR.round2(F.sum("cl").cast("double") / F.count(F.lit(1))).alias(
+            "winsorized_mean"
+        ),
+    ).select(
+        "priority",
+        "n_orders",
+        "winsorized_mean",
+        NR.round2(F.col("p05")).alias("p05"),
+        NR.round2(F.col("p95")).alias("p95"),
+    )

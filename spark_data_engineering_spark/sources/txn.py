@@ -324,7 +324,10 @@ class TxnTable:
         negative membership test skips the file even when its [min,max]
         box covers the value — the high-cardinality-key case (an id
         lookup on an unsorted table) where range stats prune nothing.
-        No false negatives by construction; min/max still applies too."""
+        No false negatives by construction; min/max still applies too.
+        NOTE: callers that read the returned files directly (instead of
+        via ``read(prune=...)``) bypass deletion vectors — on a table
+        with outstanding DVs, always read through ``read``."""
         stats = self.file_stats(at_version)
         kept = []
         for name, cols in stats.items():
