@@ -1183,15 +1183,14 @@ def winsorized_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
             "decimal(18,6)"
         ),
     )
-    return clipped.groupBy("priority", "p05", "p95").agg(
+    # group on priority ALONE (p05/p95 are functionally dependent,
+    # carried via first()) so the aggregation reuses the rank window's
+    # hash partitioning instead of re-shuffling on a wider key
+    return clipped.groupBy("priority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         NR.round2(F.sum("cl").cast("double") / F.count(F.lit(1))).alias(
             "winsorized_mean"
         ),
-    ).select(
-        "priority",
-        "n_orders",
-        "winsorized_mean",
-        NR.round2(F.col("p05")).alias("p05"),
-        NR.round2(F.col("p95")).alias("p95"),
-    )
+        NR.round2(F.first("p05")).alias("p05"),
+        NR.round2(F.first("p95")).alias("p95"),
+    ).select("priority", "n_orders", "winsorized_mean", "p05", "p95")

@@ -241,3 +241,26 @@ def test_dedup_keep_best_no_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_keep_best")
     assert "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_winsorized_reuses_priority_partitioning(spark, sf_dir):
+    """The rank window, the bounds aggregation, and the final mean all
+    key on priority — at most 2 hash exchanges end-to-end (window +
+    the post-broadcast-join re-group), never a sort-merge join."""
+    plan = _plan(spark, sf_dir, "winsorized_revenue_by_priority")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_sketch_broadcast_probe(spark, sf_dir):
+    """The 8k-cell CMS grid must broadcast to the probe side."""
+    plan = _plan(spark, sf_dir, "cms_token_frequencies")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_single_shuffle(spark, sf_dir):
+    """BPE stats: one hash exchange (the subword count) — learning is
+    driver-side over the vocab, application is a map-only Arrow pass."""
+    plan = _plan(spark, sf_dir, "bpe_subword_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
