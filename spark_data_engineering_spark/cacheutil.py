@@ -21,3 +21,26 @@ def code_digest(*modules) -> str:
         with open(m.__file__, "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:12]
+
+
+def sweep_stale(parent: str, max_age_s: float = 3600.0) -> None:
+    """Best-effort cleanup of fresh-build scratch dirs (the queries that
+    mkdtemp a new table per call — txn_snapshot_join, dv_delete_report,
+    export_training_shards): entries older than ``max_age_s`` are
+    removed so repeated gate/bench runs can't slowly fill /tmp. Never
+    raises — a racing run's dir mid-build is simply skipped (it is
+    younger than the cutoff by construction)."""
+    import os
+    import shutil
+    import time
+
+    if not os.path.isdir(parent):
+        return
+    cutoff = time.time() - max_age_s
+    for d in os.listdir(parent):
+        path = os.path.join(parent, d)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass

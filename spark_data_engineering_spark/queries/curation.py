@@ -621,7 +621,10 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile
 
+    from spark_data_engineering_spark.cacheutil import sweep_stale
+
     _os.makedirs("/tmp/spark_de_export", exist_ok=True)
+    sweep_stale("/tmp/spark_de_export")
     out = tempfile.mkdtemp(prefix="shards-", dir="/tmp/spark_de_export")
     d = load_table(spark, "documents", sf_dir).select(
         "doc_id",

@@ -374,7 +374,10 @@ def txn_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_data_engineering_spark.sources.txn import TxnStore
 
+    from spark_data_engineering_spark.cacheutil import sweep_stale
+
     os.makedirs("/tmp/spark_de_txnsnap", exist_ok=True)
+    sweep_stale("/tmp/spark_de_txnsnap")
     root = tempfile.mkdtemp(prefix="snap-", dir="/tmp/spark_de_txnsnap")
     store = TxnStore(root)
     cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
@@ -423,7 +426,10 @@ def dv_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fresh table per call — the build is one orders write."""
     import tempfile
 
+    from spark_data_engineering_spark.cacheutil import sweep_stale
+
     os.makedirs("/tmp/spark_de_dv", exist_ok=True)
+    sweep_stale("/tmp/spark_de_dv")
     root = tempfile.mkdtemp(prefix="dv-", dir="/tmp/spark_de_dv")
     t = TxnTable(root, "orders")
     t.append(
