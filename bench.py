@@ -79,6 +79,9 @@ HEADLINE = (
     "dv_delete_report",
     "dedup_keep_best",
     "cms_token_frequencies",
+    "bpe_subword_stats",
+    "bigram_fluency_scores",
+    "winsorized_revenue_by_priority",
 )
 
 
