@@ -728,3 +728,86 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("btok").cast("double") / F.sum(F.col("bmax") * F.col("bn"))
         ).alias("efficiency"),
     )
+
+
+_CDC_W = 16  # rolling window the boundary decision hashes
+_CDC_D = 64  # expected chunk length ~ one boundary per D positions
+
+
+@query(
+    "cdc_boilerplate_chunks",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, text, UNNEST(RANGE({_CDC_W}, LENGTH(text) + 1)) AS i
+        FROM documents
+    ),
+    cuts0 AS (
+        SELECT doc_id, text, i FROM pos
+        WHERE CAST(('0x' || SUBSTR(MD5(SUBSTR(text, i - {_CDC_W} + 1, {_CDC_W})), 1, 4))
+                   AS BIGINT) % {_CDC_D} = 0
+        UNION
+        SELECT doc_id, text, LENGTH(text) AS i FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               SUBSTR(text,
+                      COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1,
+                      i - COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0))
+                   AS chunk
+        FROM cuts0
+    )
+    SELECT MD5(chunk) AS chunk_md5,
+           CAST(LENGTH(MIN(chunk)) AS BIGINT) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks
+    WHERE LENGTH(chunk) >= {_CDC_W}
+    GROUP BY MD5(chunk)
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def cdc_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking (the rsync/LBFS/FastCDC idea, expressed
+    declaratively): a chunk boundary falls wherever the hash of the
+    trailing {_CDC_W}-byte window ≡ 0 mod {_CDC_D}, so boundaries move
+    WITH the content — a byte inserted at the front of a doc shifts
+    every fixed-stride chunk (``chunk_documents``) but leaves all CDC
+    boundaries after the edit point intact, which is what makes
+    cross-doc chunk dedup robust to shifted boilerplate. Entirely JVM
+    expressions (explode positions → window-hash filter → lag spans →
+    substring → md5 groupBy): no UDF, the full SQL replay is the
+    oracle. Reports chunks ≥{_CDC_W} chars shared by ≥2 docs. Cost is
+    the position explode (~doc length rows per doc), one doc-keyed
+    window, one fingerprint shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(_CDC_W), F.length("text"))).alias("i"),
+    )
+    win = F.substring(F.col("text"), F.col("i") - _CDC_W + 1, _CDC_W)
+    cut_hash = F.conv(
+        F.substring(F.md5(win.cast("binary")), 1, 4), 16, 10
+    ).cast("bigint")
+    cuts = (
+        pos.filter(cut_hash % _CDC_D == 0)
+        .select("doc_id", "text", "i")
+        .unionByName(d.select("doc_id", "text", F.length("text").alias("i")))
+        .distinct()
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    prev = F.coalesce(F.lag("i").over(w), F.lit(0))
+    chunks = cuts.select(
+        "doc_id",
+        F.substring(F.col("text"), prev + 1, F.col("i") - prev).alias("chunk"),
+    )
+    return (
+        chunks.filter(F.length("chunk") >= _CDC_W)
+        .groupBy(F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"))
+        .agg(
+            F.length(F.min("chunk")).cast("bigint").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -280,3 +280,57 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.9)
         .select("id_small", "id_big", "containment")
     )
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT id_a, id_b FROM (""" + _JACCARD_SQL + """)
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    clus AS (
+        SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS csize FROM clus GROUP BY cluster_id
+    )
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(csize) AS BIGINT) AS n_docs,
+           CAST(SUM(csize - 1) AS BIGINT) AS n_removable
+    FROM sizes
+    GROUP BY csize
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup AUDIT report every curation run publishes before
+    deleting anything: the near-dup cluster size histogram (how many
+    singletons, pairs, bigger families) with per-size doc counts and
+    the number of docs a keep-one policy would remove. Answers "what
+    fraction of the corpus is duplicated, and in what shape" —
+    e.g. many pairs = boilerplate variants, few giant clusters = one
+    template gone viral, and the removable total IS the dedup savings
+    estimate. Same CC machinery as ``dedup_clusters`` + two tiny
+    aggregations that reuse its output partitioning."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    clusters = D.dedup_clusters(pairs, docs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    return sizes.groupBy(F.col("csize").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("csize").alias("n_docs"),
+        F.sum(F.col("csize") - 1).alias("n_removable"),
+    )

@@ -65,7 +65,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # dedup_keep_best, dp_source_counts, padding_efficiency_report,
     # cms_token_frequencies, dv_delete_report, bloom_index_point_lookup,
     # bpe_subword_stats, join_skew_report, bigram_fluency_scores,
-    # containment_pairs, winsorized_revenue_by_priority —  [see also: rename/drop evolution + the vectorized
+    # containment_pairs, winsorized_revenue_by_priority,
+    # dedup_cluster_stats, cdc_boilerplate_chunks —  [see also: rename/drop evolution + the vectorized
     # bloom scheme, pytest-verified table-format surfaces with no query]
     # stay OUTSIDE the window: the 44-query r2
     # cohort + the 4 never-checked queries are the VERDICT-mandated

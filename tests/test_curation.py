@@ -123,3 +123,75 @@ def test_scrub_segments_drops_shared_boilerplate(spark):
     assert rows[1].clean_fp == hashlib.md5(a_tail.encode()).hexdigest()
     assert rows[2].clean_fp == hashlib.md5(b_tail.encode()).hexdigest()
     assert rows[3].n_dropped == 0
+
+
+def test_cdc_chunks_are_shift_robust(spark):
+    """The CDC property: prepending bytes to a doc leaves every chunk
+    after the first boundary identical, so shifted boilerplate still
+    dedups — fixed-stride chunking loses ALL alignment on the same
+    edit."""
+    import hashlib
+
+    from spark_data_engineering_spark.queries.curation import _CDC_D, _CDC_W
+
+    import random
+
+    rnd = random.Random(7)
+    base = "".join(
+        chr(ord("a") + rnd.randrange(26)) for _ in range(4000)
+    )  # high-entropy: ~4000/64 boundaries expected
+    docs = spark.createDataFrame(
+        [(1, base), (2, "XYZ" + base)], "doc_id bigint, text string"
+    )
+
+    def chunks_of(text):
+        cuts = [
+            i
+            for i in range(_CDC_W, len(text) + 1)
+            if int(hashlib.md5(text[i - _CDC_W : i].encode()).hexdigest()[:4], 16)
+            % _CDC_D
+            == 0
+        ]
+        if not cuts or cuts[-1] != len(text):
+            cuts.append(len(text))
+        out, prev = [], 0
+        for c in sorted(set(cuts)):
+            out.append(text[prev:c])
+            prev = c
+        return out
+
+    c1, c2 = chunks_of(base), chunks_of("XYZ" + base)
+    shared = set(c1) & set(c2)
+    assert len(shared) >= max(1, len(c1) - 2), (len(c1), len(shared))
+
+    # and the registered query finds those shared chunks across the docs
+    from spark_data_engineering_spark.queries import curation as CQ
+    from pyspark.sql import functions as F
+
+    # inline replica of the query body over this 2-doc frame
+    pos = docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(_CDC_W), F.length("text"))).alias("i")
+    )
+    win = F.substring(F.col("text"), F.col("i") - _CDC_W + 1, _CDC_W)
+    cut_hash = F.conv(F.substring(F.md5(win.cast("binary")), 1, 4), 16, 10).cast("bigint")
+    from pyspark.sql import Window as W
+
+    cuts = (
+        pos.filter(cut_hash % _CDC_D == 0)
+        .select("doc_id", "text", "i")
+        .unionByName(docs.select("doc_id", "text", F.length("text").alias("i")))
+        .distinct()
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    prev = F.coalesce(F.lag("i").over(w), F.lit(0))
+    got = {
+        r.chunk
+        for r in cuts.select(
+            "doc_id", F.substring(F.col("text"), prev + 1, F.col("i") - prev).alias("chunk")
+        )
+        .groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.length("chunk") >= _CDC_W))
+        .collect()
+    }
+    assert got == {c for c in shared if len(c) >= _CDC_W}
