@@ -108,12 +108,28 @@ class IVFIndex:
         )
         assigned = cls._assign(spark, corpus, cents, id_col, vec_col)
         idx.table.overwrite(assigned)
+        # build-time per-cell occupancy, read back from the COMMITTED
+        # table (not the plan — what was written is what drift is
+        # measured against): the baseline drift_report compares appends
+        # to. One tiny agg, ≤ n_centroids rows.
+        build_counts = {
+            str(r["cell"]): r["n"]
+            for r in idx.table.read(spark)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         # atomic sidecar: the table commit is the source of truth for
         # data; centroids swap in afterwards via rename
         tmp = f"{idx.meta_path}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"centroids": cents.tolist(), "id_col": id_col, "vec_col": vec_col},
+                {
+                    "centroids": cents.tolist(),
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                    "build_cell_counts": build_counts,
+                },
                 f,
             )
         os.replace(tmp, idx.meta_path)
@@ -164,6 +180,61 @@ class IVFIndex:
         if mode == "dv":
             return self.table.delete_where_dv(spark, F.col("vec_id").isin(id_list))
         return self.table.delete_where(spark, F.col("vec_id").isin(id_list))
+
+    # ---- maintenance ----------------------------------------------------
+
+    def drift_report(
+        self, spark: SparkSession, rebuild_growth: float = 2.0
+    ) -> DataFrame:
+        """Per-cell occupancy now vs at build time — the signal that
+        tells the operator WHEN to rebuild (retrain centroids). Frozen
+        centroids keep every probe valid as the corpus grows, but cells
+        that balloon relative to their build-time share make probes scan
+        ever more vectors (recall cost stays fine; latency doesn't), and
+        a skewed ingest distribution means the k-means partition no
+        longer fits the data.
+
+        Columns: ``cell``, ``built_rows`` (build-time count),
+        ``live_rows`` (current count, deletes included), ``growth``
+        (live/built, NULL when built 0 rows), ``rebuild`` (this cell
+        grew past ``rebuild_growth``x, or is populated but was EMPTY at
+        build — new-region drift no growth ratio can express).
+
+        Scale: one partial-aggregated count over the postings (the same
+        shape as any cell histogram) joined to ≤ n_centroids literal
+        rows; the report is n_centroids rows."""
+        meta_counts = json.load(open(self.meta_path)).get("build_cell_counts", {})
+        built = spark.createDataFrame(
+            [(int(c), int(n)) for c, n in meta_counts.items()] or [(-1, 0)],
+            "cell int, built_rows bigint",
+        )
+        live = (
+            self.table.read(spark)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("live_rows"))
+        )
+        joined = (
+            live.join(F.broadcast(built), "cell", "full_outer")
+            .filter(F.col("cell") >= 0)
+            .select(
+                "cell",
+                F.coalesce(F.col("built_rows"), F.lit(0)).alias("built_rows"),
+                F.coalesce(F.col("live_rows"), F.lit(0)).alias("live_rows"),
+            )
+        )
+        growth = F.when(
+            F.col("built_rows") > 0, F.col("live_rows") / F.col("built_rows")
+        )
+        return joined.select(
+            "cell",
+            "built_rows",
+            "live_rows",
+            F.round(growth, 4).alias("growth"),
+            (
+                ((F.col("built_rows") == 0) & (F.col("live_rows") > 0))
+                | (growth > F.lit(rebuild_growth))
+            ).alias("rebuild"),
+        )
 
     # ---- search ---------------------------------------------------------
 

@@ -222,6 +222,7 @@ _ANN_RECALL_EXPECTED_SF001 = """
     SELECT method, CAST(recall_at_10 AS DOUBLE) AS recall_at_10
     FROM (VALUES ('ivf', {ivf}),
                  ('ivf_index', {ivf_index}),
+                 ('ivf_index_inc', {ivf_index_inc}),
                  ('ivfpq_index', {ivfpq_index}),
                  ('lsh', {lsh_single}),
                  ('lsh_multiprobe', {lsh}),
@@ -232,7 +233,13 @@ _ANN_RECALL_EXPECTED_SF001 = """
 @query(
     "ann_recall_report",
     oracle=_ANN_RECALL_EXPECTED_SF001.format(
-        ivf=0.94, ivf_index=0.94, ivfpq_index=0.88, lsh_single=0.14, lsh=1.0, pq=0.92
+        ivf=0.94,
+        ivf_index=0.94,
+        ivf_index_inc=0.94,
+        ivfpq_index=0.88,
+        lsh_single=0.14,
+        lsh=1.0,
+        pq=0.92,
     ),
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,6 +302,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_multiprobe": S.lsh_knn_multiprobe(emb, queries_df, k=10, n_probes=9),
         "ivf": S.ivf_knn(emb, queries_df, k=10, n_centroids=32, n_probe=12),
         "ivf_index": idx.search(spark, queries_df, k=10, n_probe=12),
+        # the incremental lifecycle at its production probe point: built
+        # on half the corpus (centroids trained there, frozen), grown to
+        # full via exactly-once ingest. Swept at sf0.01: 6-of-16 probes
+        # = 0.62, 10 = 0.84, 12 = 0.94 — near-uniform synthetic vectors
+        # need the high probe fraction (same finding as plain IVF); the
+        # half-corpus centroids cost nothing vs full-corpus training at
+        # the same fraction (both 0.94)
+        "ivf_index_inc": _incremental_ivf_index(spark, sf_dir, emb).search(
+            spark, queries_df, k=10, n_probe=12
+        ),
         "pq": S.pq_knn(emb, queries_df, k=10, m=16, n_codes=32),
         # the billion-vector serving layout at its production operating
         # point: PQ codes clustered by IVF cell, 12-of-32 probes, exact
@@ -344,6 +361,75 @@ def ann_index_search_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(root, "ann_ivf", "ivf_meta.json")):
         IVFIndex.build(spark, emb, root, n_centroids=16)
     idx = IVFIndex(root)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return idx.search(spark, queries_df, k=10, n_probe=16)
+
+
+def _incremental_ivf_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    """Build-then-grow IVF index shared by ``ann_index_incremental_search``
+    and ``ann_recall_report``: built on the EVEN half of the embeddings
+    (centroids train there and stay frozen), odd half ingested in two
+    exactly-once epochs, epoch 1 replayed to prove the no-op. Cached
+    under a data+code digest; the ``_incremental_done`` marker lands only
+    after the full build+ingest+replay sequence, so a crashed half-build
+    is re-run (every step is overwrite/append_idempotent — race-safe)."""
+    import hashlib
+    import os
+
+    from spark_data_engineering_spark.cacheutil import code_digest
+    from spark_data_engineering_spark.operators import ann_index as _ai_mod
+    from spark_data_engineering_spark.operators import similarity as _sim_mod
+    from spark_data_engineering_spark.operators.ann_index import IVFIndex
+
+    stat = os.stat(f"{sf_dir}/embeddings.parquet")
+    digest = hashlib.md5(
+        f"ivf_inc:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_ai_mod, _sim_mod)}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_ann_index/{digest}"
+    done = os.path.join(root, "ann_ivf", "_incremental_done")
+    if not os.path.exists(done):
+        idx = IVFIndex.build(
+            spark, emb.filter(F.col("vec_id") % 2 == 0), root, n_centroids=16
+        )
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        idx.ingest(spark, odd.filter(F.col("vec_id") % 4 == 1), app_id="inc", epoch_id=1)
+        idx.ingest(spark, odd.filter(F.col("vec_id") % 4 == 3), app_id="inc", epoch_id=2)
+        # exactly-once under at-least-once delivery: the replayed epoch
+        # must be a metadata no-op (None), or the index double-counts
+        v_before = idx.table.version()
+        replay = idx.ingest(
+            spark, odd.filter(F.col("vec_id") % 4 == 1), app_id="inc", epoch_id=1
+        )
+        if replay is not None or idx.table.version() != v_before:
+            raise AssertionError(
+                "replayed ingest epoch committed — exactly-once broken"
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+    return IVFIndex(root)
+
+
+@query("ann_index_incremental_search", oracle=_BF_TOP10_ORACLE)
+def ann_index_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing index lifecycle piece (VERDICT r5 task 3): a serving
+    index fed by a growing corpus — built on half the embeddings,
+    grown to the full corpus via two exactly-once ``ingest`` epochs
+    against the frozen centroids, with epoch 1 replayed to prove
+    duplicate delivery commits nothing (see ``_incremental_ivf_index``).
+    Probe-all search over the result is exact over the UNION, so it
+    must hash-match the same brute-force oracle as a from-scratch
+    build: appends lose nothing, replays add nothing. The per-cell
+    drift ledger this creates (build counts in the sidecar vs live
+    counts) is ``IVFIndex.drift_report`` — pytest-verified in
+    tests/test_ann_index.py.
+
+    Scale: ingest cost is one assignment pass over the NEW vectors only
+    (never the corpus) plus one cell-clustered append; search cost is
+    unchanged. The 100 TB shape for "a billion vectors, a million more
+    per hour"."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = _incremental_ivf_index(spark, sf_dir, emb)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return idx.search(spark, queries_df, k=10, n_probe=16)
 

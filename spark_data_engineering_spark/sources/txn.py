@@ -150,7 +150,14 @@ def _bloom_might_contain(entry: list, value) -> bool:
         # SAME uint64 wraparound arithmetic as the build side — Python
         # big-int modulo would land on different positions whenever
         # h1 + i*h2 overflows 64 bits
-        x = np.array([value], dtype=np.int64).view(np.uint64)
+        try:
+            x = np.array([value], dtype=np.int64).view(np.uint64)
+        except OverflowError:
+            # value outside int64: no stored int64 can equal it, but the
+            # bloom can't test it — conservative keep, matching the
+            # untestable-value fallback (the caller's exact filter still
+            # applies)
+            return True
         h1 = _sm64(x)
         h2 = _sm64(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
         return all(
@@ -385,6 +392,7 @@ class TxnTable:
         dv_counts: dict[str, int] | None = None,
         dv_base_version: int | None = None,
         schema_transform=None,
+        base_version: int | None = None,
     ) -> int:
         """Commit with optimistic retry. Appends retry blindly (their
         files conflict with nothing); rewrites re-validate that every
@@ -399,7 +407,16 @@ class TxnTable:
         concurrent rewrite of the file would resurrect the rows) and
         that no concurrent DV landed on the same files since
         ``dv_base_version`` (overlapping position sets would corrupt
-        the metadata-only deleted-row counts)."""
+        the metadata-only deleted-row counts).
+
+        Rewrite commits (``remove`` non-empty) pass ``base_version`` —
+        the snapshot their survivor computation read — and are refused
+        if a concurrent deletion vector landed on any removed file in
+        ``(base_version, head]``: the rewrite's output was computed
+        before that DV existed, so committing would re-emit the
+        DV-deleted rows into new files while the remove pops the DV's
+        per-file counts — the delete would silently vanish (the mirror
+        of the dv_base_version check above)."""
         while True:
             head = self.version()
             check_live = list(remove) + (sorted(dv_counts) if dv_counts else [])
@@ -411,6 +428,19 @@ class TxnTable:
                         f"{action} conflicts: files already removed by a "
                         f"concurrent commit: {gone[:3]}..."
                     )
+            if remove and base_version is not None:
+                removing = set(remove)
+                for cv in self._commit_files():
+                    if base_version < cv <= head:
+                        other = self._read_commit(cv).get("dv_counts") or {}
+                        hit = removing.intersection(other)
+                        if hit:
+                            raise ConcurrentWriteError(
+                                f"{action} conflicts: a concurrent deletion "
+                                f"vector landed on files this rewrite would "
+                                f"replace (pre-DV survivors would resurrect "
+                                f"the deleted rows): {sorted(hit)[:3]}..."
+                            )
             if dv_counts and dv_base_version is not None:
                 mine = set(dv_counts)
                 for cv in self._commit_files():
@@ -866,7 +896,9 @@ class TxnTable:
             add, stats = self._stage_nonempty(out)
             if not add and not touched and txn is None:
                 return self.version()
-            return self._commit("merge", add, touched, stats, txn=txn, schema=schema)
+            return self._commit(
+                "merge", add, touched, stats, txn=txn, schema=schema, base_version=v0
+            )
         finally:
             src.unpersist()
 
@@ -876,12 +908,14 @@ class TxnTable:
         scan, no full-table rewrite). Files with no matches are untouched,
         the property that makes point-deletes feasible on huge tables.
         A no-op on an emptied table (same guard as ``compact``)."""
-        if not self.live_files():
-            return self.version()
+        v0 = self.version()
+        if not self.live_files(v0):
+            return v0
         # conform to LOGICAL names (keeping the meta columns) so the
         # caller's predicate resolves after renames
         df = self._conform(
-            self._read_files_meta(spark, self.live_files()),
+            self._read_files_meta(spark, self.live_files(v0), at_version=v0),
+            v0,
             keep=("__file", "__ridx"),
         )
         hit_names = sorted(
@@ -889,15 +923,18 @@ class TxnTable:
             for r in df.filter(predicate).select("__file").distinct().collect()
         )
         if not hit_names:
-            return self.version()
+            return v0
         # DELETE WHERE p removes rows where p is TRUE; NULL-p rows survive
         # (~NULL would silently drop them). DV-filtered read: the rewrite
         # materializes any outstanding deletion vectors on these files.
         survivors = self._conform(
-            self._read_files_meta(spark, hit_names).drop("__file", "__ridx")
+            self._read_files_meta(spark, hit_names, at_version=v0).drop(
+                "__file", "__ridx"
+            ),
+            v0,
         ).filter(~F.coalesce(predicate, F.lit(False)))
         add, stats = self._stage_nonempty(survivors)
-        return self._commit("delete", add, hit_names, stats)
+        return self._commit("delete", add, hit_names, stats, base_version=v0)
 
     def delete_where_dv(self, spark: SparkSession, predicate) -> int:
         """DELETE via a deletion vector (merge-on-read, Delta DV
@@ -985,8 +1022,24 @@ class TxnTable:
             names = {f["name"] for f in base if not f.get("dropped")}
             if old not in names:
                 raise ValueError(f"rename_column: no column {old!r}")
-            if new in names:
-                raise ValueError(f"rename_column: {new!r} already exists")
+            # collide against ALL physical identities, not just live
+            # logical names: a dropped tombstone or a prior rename's
+            # prev_name still owns its physical column in old files, and
+            # _conform's coalesce puts the physical name FIRST — reusing
+            # it would resurrect the dead column's stale bytes in place
+            # of the renamed column's data (the drop/re-add guard's
+            # mirror for renames)
+            taken = {f["name"] for f in base} | {
+                p for f in base for p in f.get("prev_names", ())
+            }
+            if new in taken:
+                raise ValueError(
+                    f"rename_column: {new!r} already exists (as a live "
+                    "column, a dropped column's tombstone, or a prior "
+                    "rename's physical name) — old files still hold bytes "
+                    "under that name; rewrite (compact) first or pick a "
+                    "new name"
+                )
             out = []
             for f in base:
                 f = dict(f)
@@ -1070,9 +1123,10 @@ class TxnTable:
         skip most of the table for multi-column point/range predicates
         (Delta's OPTIMIZE ZORDER). Readers at any version are never
         affected — the old files stay until vacuum."""
-        files = self.live_files()
+        v0 = self.version()
+        files = self.live_files(v0)
         if not files:
-            return self.version()
+            return v0
         paths = [os.path.join(self.data_dir, f) for f in files]
         total = sum(os.path.getsize(p) for p in paths)
         n_out = max(1, -(-total // target_file_bytes))
@@ -1081,7 +1135,10 @@ class TxnTable:
         # writes the LOGICAL projection (renames materialize physically,
         # dropped columns' bytes are reclaimed)
         df = self._conform(
-            self._read_files_meta(spark, files).drop("__file", "__ridx")
+            self._read_files_meta(spark, files, at_version=v0).drop(
+                "__file", "__ridx"
+            ),
+            v0,
         )
         if zorder_by:
             packed = (
@@ -1093,7 +1150,7 @@ class TxnTable:
         else:
             packed = df.coalesce(n_out)
         add, stats = self._stage(packed)
-        return self._commit("compact", add, files, stats)
+        return self._commit("compact", add, files, stats, base_version=v0)
 
     def vacuum(self, keep_versions: int = 1, min_age_s: float = 0.0) -> list[str]:
         """Delete data files referenced by NO retained version (the last

@@ -37,12 +37,23 @@ from pyspark.sql.types import StructType
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, dv_paths: tuple[str, ...] = ()) -> None:
+    def __init__(
+        self,
+        path: str,
+        dv_paths: tuple[str, ...] = (),
+        colmap: tuple[tuple[str, tuple[str, ...]], ...] = (),
+    ) -> None:
         self.path = path
         # deletion-vector sidecar dirs whose positions must be dropped
         # from this file (merge-on-read; resolved driver-side from the
         # snapshot's dv state, applied executor-side)
         self.dv_paths = dv_paths
+        # logical-name -> candidate physical names (name first, then
+        # prev_names), resolved driver-side from the table's logical
+        # schema so renamed columns read their old bytes and dropped
+        # columns are never surfaced — the _conform contract, applied
+        # executor-side per file
+        self.colmap = colmap
 
 
 def _arrow_to_ddl(path: str) -> str:
@@ -79,15 +90,41 @@ def _arrow_to_ddl(path: str) -> str:
     return ", ".join(parts)
 
 
-def _read_file(path: str, schema: StructType, dv_paths: tuple[str, ...] = ()):
+def _read_file(
+    path: str,
+    schema: StructType,
+    dv_paths: tuple[str, ...] = (),
+    colmap: tuple[tuple[str, tuple[str, ...]], ...] = (),
+):
     """Executor-side: yield tuples in the query schema's column order,
     with any deletion-vector positions for THIS file dropped (the
-    sidecars are read with a file== filter — small by contract)."""
+    sidecars are read with a file== filter — small by contract).
+    ``colmap`` resolves each logical column to the first of its candidate
+    physical names present in THIS file (a pre-rename file holds the old
+    name; a post-rename file the new — never both, the rename guard
+    forbids it); absent columns become NULLs, matching TxnTable._conform."""
     import os
 
     import pyarrow.parquet as pq
 
-    table = pq.read_table(path, columns=[f.name for f in schema.fields])
+    candidates = dict(colmap)
+    file_names = set(pq.read_schema(path).names)
+    # physical column to read per logical field (None -> all-NULL column)
+    resolve = {
+        f.name: next(
+            (c for c in candidates.get(f.name, (f.name,)) if c in file_names),
+            None,
+        )
+        for f in schema.fields
+    }
+    phys_cols = sorted({c for c in resolve.values() if c is not None})
+    if not phys_cols and file_names:
+        # every projected column is absent from this file (written before
+        # any surviving column existed): read one physical column as the
+        # row-count carrier so DV filtering still applies; output is
+        # all-NULL tuples
+        phys_cols = [sorted(file_names)[0]]
+    table = pq.read_table(path, columns=phys_cols)
     if dv_paths:
         import numpy as np
         import pyarrow.dataset as ds
@@ -107,8 +144,27 @@ def _read_file(path: str, schema: StructType, dv_paths: tuple[str, ...] = ()):
             )
             table = table.take(keep)
     for batch in table.to_batches():
-        cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        by_name = {
+            name: batch.column(i).to_pylist()
+            for i, name in enumerate(batch.schema.names)
+        }
+        nulls = [None] * batch.num_rows
+        cols = [
+            by_name[resolve[f.name]] if resolve[f.name] is not None else nulls
+            for f in schema.fields
+        ]
         yield from zip(*cols) if cols else iter(())
+
+
+def _logical_colmap(table) -> tuple[tuple[str, tuple[str, ...]], ...]:
+    """(logical name, candidate physical names) for every non-dropped
+    column of the table's logical schema — empty for legacy tables with
+    no recorded schema (physical names are then read as-is)."""
+    return tuple(
+        (s["name"], (s["name"], *s.get("prev_names", ())))
+        for s in table.table_schema()
+        if not s.get("dropped")
+    )
 
 
 class TxnBatchReader(DataSourceReader):
@@ -124,14 +180,21 @@ class TxnBatchReader(DataSourceReader):
         self._dv_paths = (
             tuple(os.path.join(t.dv_dir, s) for s in sidecars) if deleted else ()
         )
+        # logical projection (renames coalesce to old physical names,
+        # dropped columns never surface) — TxnTable.read's _conform
+        # contract, mirrored by this connector
+        self._colmap = _logical_colmap(t)
         self._schema = schema
 
     def partitions(self):
-        return [_FilePartition(p, self._dv_paths) for p in self._paths]
+        return [_FilePartition(p, self._dv_paths, self._colmap) for p in self._paths]
 
     def read(self, partition: _FilePartition):
         yield from _read_file(
-            partition.path, self._schema, getattr(partition, "dv_paths", ())
+            partition.path,
+            self._schema,
+            getattr(partition, "dv_paths", ()),
+            getattr(partition, "colmap", ()),
         )
 
 
@@ -143,6 +206,9 @@ class TxnStreamReader(DataSourceStreamReader):
         self._table = TxnTable(os.path.dirname(table_dir), os.path.basename(table_dir))
         self._schema = schema
         self._ignore_changes = ignore_changes
+        # resolved once at stream start; mid-stream schema evolution is
+        # out of scope (Delta restarts the stream there too)
+        self._colmap = _logical_colmap(self._table)
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -163,7 +229,7 @@ class TxnStreamReader(DataSourceStreamReader):
                     "option('ignoreChanges', 'true') to accept that."
                 )
             parts.extend(
-                _FilePartition(os.path.join(self._table.data_dir, f))
+                _FilePartition(os.path.join(self._table.data_dir, f), (), self._colmap)
                 for f in c.get("add", ())
             )
         # a batch may legitimately cover only rowless commits (compact)
@@ -172,7 +238,9 @@ class TxnStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         if not partition.path:
             return iter(())
-        return _read_file(partition.path, self._schema)
+        return _read_file(
+            partition.path, self._schema, (), getattr(partition, "colmap", ())
+        )
 
     def commit(self, end: dict) -> None:
         pass  # the log is immutable; nothing to clean up
@@ -200,6 +268,18 @@ class TxnDataSource(DataSource):
 
         d = self._table_dir()
         t = TxnTable(os.path.dirname(d), os.path.basename(d))
+        logical = t.table_schema()
+        if logical:
+            # the LOGICAL schema (rename/drop applied), not the first
+            # file's physical footer — the connector must agree with
+            # TxnTable.read on evolved tables
+            from pyspark.sql.types import _parse_datatype_json_value
+
+            return ", ".join(
+                f"`{s['name']}` {_parse_datatype_json_value(s['type']).simpleString()}"
+                for s in logical
+                if not s.get("dropped")
+            )
         live = t.live_files()
         if not live:
             raise ValueError(f"txn table {d} is empty; cannot infer schema")

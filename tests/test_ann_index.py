@@ -333,3 +333,37 @@ def test_delete_ids_dv_mode_equals_cow(spark, tmp_path):
     assert got == want
     old = idx.search(spark, queries, k=5, n_probe=8, at_version=pre_version)
     assert {r.neighbor_id for r in old.collect()} & victims
+
+
+def test_drift_report_tracks_ingest_growth(spark, sf_dir, tmp_path):
+    """drift_report: built counts come from the sidecar's build-time
+    ledger, live counts from the postings, growth = live/built, and the
+    rebuild flag fires exactly where growth exceeds the threshold."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 100)
+    idx = IVFIndex.build(spark, base, str(tmp_path), n_centroids=4)
+    # freshly built: live == built everywhere, nothing to rebuild
+    rows0 = idx.drift_report(spark).collect()
+    assert rows0 and all(r.live_rows == r.built_rows for r in rows0)
+    assert all(r.growth == 1.0 and not r.rebuild for r in rows0)
+    assert sum(r.built_rows for r in rows0) == base.count()
+    # grow the corpus 3x with frozen centroids
+    grown = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 400))
+    idx.ingest(spark, grown)
+    rows1 = idx.drift_report(spark, rebuild_growth=1.5).collect()
+    assert sum(r.live_rows for r in rows1) == 400
+    assert sum(r.built_rows for r in rows1) == base.count()
+    for r in rows1:
+        assert r.growth == round(r.live_rows / r.built_rows, 4)
+        assert r.rebuild == (r.growth > 1.5)
+    # ~3x overall growth must trip the flag somewhere
+    assert any(r.rebuild for r in rows1)
+
+
+def test_drift_report_counts_deletes(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    idx = IVFIndex.build(spark, emb.filter(F.col("vec_id") < 100), str(tmp_path), n_centroids=4)
+    idx.delete_ids(spark, list(range(50)), mode="dv")
+    rows = idx.drift_report(spark).collect()
+    assert sum(r.live_rows for r in rows) == 50
+    assert not any(r.rebuild for r in rows)  # shrinkage never forces rebuild

@@ -1,0 +1,110 @@
+"""queries/stats.py: correlation/OLS from decimal power sums, and the
+Apriori co-purchase miner (VERDICT r5 "Next round" task 1: the module
+was committed unwired and untested — these are its tests; the registry
+wiring is asserted in test_queries_registry.py's count invariants and
+exercised here via the registered callables)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_registered_with_oracles():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("brand_quantity_price_corr", "copurchase_part_pairs"):
+        assert name in qs and name in oracles
+
+
+def test_corr_matches_hand_computation(spark, sf_dir):
+    """The per-brand Pearson r / OLS slope / intercept must equal the
+    textbook two-pass formulas computed in plain Python on the same
+    rows (first principles, no Spark aggregate involved)."""
+    from spark_data_engineering_spark.sources import load_table
+
+    got = {
+        r.p_brand: r
+        for r in entrymod.queries()["brand_quantity_price_corr"](
+            spark, sf_dir
+        ).collect()
+    }
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_quantity", "l_extendedprice")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    rows = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("p_brand", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_brand: dict[str, list] = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, []).append((r.l_quantity, r.l_extendedprice))
+    assert set(got) == set(by_brand) and len(got) >= 5
+    for brand, pts in by_brand.items():
+        n = len(pts)
+        mx = sum(p[0] for p in pts) / n
+        my = sum(p[1] for p in pts) / n
+        sxx = sum((p[0] - mx) ** 2 for p in pts)
+        syy = sum((p[1] - my) ** 2 for p in pts)
+        sxy = sum((p[0] - mx) * (p[1] - my) for p in pts)
+        want_corr = sxy / math.sqrt(sxx * syy)
+        want_slope = sxy / sxx
+        want_icpt = my - want_slope * mx
+        g = got[brand]
+        assert g.n_rows == n
+        assert g.avg_qty == pytest.approx(mx, abs=2e-4)
+        assert g.avg_price == pytest.approx(my, abs=2e-4)
+        assert g.corr_qty_price == pytest.approx(want_corr, abs=2e-4)
+        assert g.slope_price_per_qty == pytest.approx(want_slope, abs=2e-4)
+        assert g.intercept_price == pytest.approx(want_icpt, abs=2e-3)
+
+
+def test_copurchase_matches_bruteforce(spark, sf_dir):
+    """Pair supports equal the brute-force per-order pair count, and the
+    Apriori prune is lossless (every reported pair's items are frequent)."""
+    from itertools import combinations
+
+    from spark_data_engineering_spark.queries.stats import MIN_SUPPORT
+    from spark_data_engineering_spark.sources import load_table
+
+    got = {
+        (r.partkey_a, r.partkey_b): r.n_orders
+        for r in entrymod.queries()["copurchase_part_pairs"](spark, sf_dir).collect()
+    }
+    baskets: dict[int, set] = {}
+    for r in (
+        load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").collect()
+    ):
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    want: dict[tuple, int] = {}
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    want = {k: v for k, v in want.items() if v >= MIN_SUPPORT}
+    assert got == want and len(got) > 0
+
+
+def test_corr_plan_broadcasts_dim_single_shuffle(spark, sf_dir):
+    """Plan pin: part broadcasts onto lineitem (no shuffle join) and the
+    5 moment sums partial-aggregate — exactly one exchange end-to-end."""
+    plan = _plan(spark, sf_dir, "brand_quantity_price_corr")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # one data shuffle (the brand agg); BroadcastExchange doesn't count
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_copurchase_plan_broadcast_prune_no_bnl(spark, sf_dir):
+    """Plan pin: the frequent-item prune is a broadcast semi-join and the
+    orderkey self-join is a hash join (never a nested loop)."""
+    plan = _plan(spark, sf_dir, "copurchase_part_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the Apriori semi-join
