@@ -400,10 +400,19 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "curation_decisions",
-    oracle="""
-    WITH t AS (
+# classifier drop threshold for the precedence chain: the low tail of the
+# learned score (22 of 500 docs at sf0.01 — the "worst ~5%" cut every
+# classifier-gated pipeline runs). Compared on the ROUNDED score so both
+# engines decide identically.
+_CLF_DROP = 0.428
+
+
+def _curation_oracle() -> str:
+    from spark_data_engineering_spark.queries.quality import _CLF_SQL_CTES
+
+    return f"""
+    WITH {_CLF_SQL_CTES},
+    t AS (
       SELECT doc_id, text,
              md5(text) AS fp,
              CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
@@ -427,30 +436,43 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              )) * 10000 + 0.5) / 10000 AS quality
       FROM t
     )
-    SELECT doc_id,
-           n_tokens,
-           dup_token_frac,
-           quality,
-           CASE WHEN is_dup = 1 THEN 'drop:duplicate'
-                WHEN n_tokens < 20 THEN 'drop:too_short'
-                WHEN dup_token_frac > 0.65 THEN 'drop:repetitive'
-                WHEN quality < 0.5 THEN 'drop:low_quality'
+    SELECT s.doc_id,
+           s.n_tokens,
+           s.dup_token_frac,
+           s.quality,
+           clf.clf_score,
+           CASE WHEN s.is_dup = 1 THEN 'drop:duplicate'
+                WHEN s.n_tokens < 20 THEN 'drop:too_short'
+                WHEN s.dup_token_frac > 0.65 THEN 'drop:repetitive'
+                WHEN s.quality < 0.5 THEN 'drop:low_quality'
+                WHEN clf.clf_score < {_CLF_DROP} THEN 'drop:classifier'
                 ELSE 'keep' END AS decision
-    FROM s
-    """,
-)
+    FROM s LEFT JOIN clf ON s.doc_id = clf.doc_id
+    """
+
+
+@query("curation_decisions", oracle=_curation_oracle())
 def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end curation verdict: one row per document with a
     keep/drop decision and the reason, composing the oracle-proven
     signals — exact-dup canonicalization (min doc_id per md5), length
-    floor, token-repetition ratio, and the composite quality score —
-    under a fixed precedence (duplicate > too_short > repetitive >
-    low_quality). This is the table a training-data pipeline actually
-    materializes; every signal is deterministic column arithmetic, so
-    the full verdict hash-matches the SQL replay.
+    floor, token-repetition ratio, the composite heuristic quality
+    score, and (new in round 6, VERDICT r5 task 4) the LEARNED
+    classifier tier (``doc_classifier_scores``) — under a fixed
+    precedence (duplicate > too_short > repetitive > low_quality >
+    classifier). Rules fire first because they are cheap and
+    explainable; the classifier catches what rules can't, at the
+    bottom of the chain — the production ordering. This is the table a
+    training-data pipeline actually materializes; every signal is
+    deterministic column arithmetic, so the full verdict hash-matches
+    the SQL replay.
 
-    Scale: one window shuffle on the 16-byte fingerprint (uniform)
-    for canonicalization; every other signal is map-side."""
+    Scale: one window shuffle on the 16-byte fingerprint (uniform) for
+    canonicalization, one doc_id shuffle to join the classifier score,
+    plus the classifier's own train+apply passes; everything else is
+    map-side."""
+    from spark_data_engineering_spark.queries.quality import classifier_scores
+
     d = load_table(spark, "documents", sf_dir)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks).cast("bigint")
@@ -464,6 +486,8 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_token_frac"),
         TX.quality_score(F.col("text")).alias("quality"),
     )
+    clf = classifier_scores(d).select("doc_id", "clf_score")
+    base = base.join(clf, "doc_id", "left")
     is_dup = (
         F.col("doc_id") > F.min("doc_id").over(W.partitionBy("fp"))
     )
@@ -472,10 +496,16 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_tokens") < 20, "drop:too_short")
         .when(F.col("dup_token_frac") > 0.65, "drop:repetitive")
         .when(F.col("quality") < 0.5, "drop:low_quality")
+        .when(F.col("clf_score") < _CLF_DROP, "drop:classifier")
         .otherwise("keep")
     )
     return base.select(
-        "doc_id", "n_tokens", "dup_token_frac", "quality", decision.alias("decision")
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "quality",
+        "clf_score",
+        decision.alias("decision"),
     )
 
 
@@ -644,6 +674,130 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(crc).alias("content_crc"),
         F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
         F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
+    )
+
+
+# ---- deterministic global training-order shuffle (VERDICT r5 task 5) --
+#
+# export_training_shards delivers shards whose READ order is storage
+# order — fine for audit, wrong for training, where the dataloader wants
+# one reproducible global shuffle of the corpus. The shuffle here is the
+# mixture_sample_counts keyed-LCG trick promoted to an ORDER: each doc
+# gets a seeded pseudorandom key, the global training order is
+# (shuffle_key, doc_id), and shards are CONTIGUOUS RANGES OF KEY SPACE —
+# shard k holds exactly the k-th block of the global order, so reading
+# shards 0..N-1 in sequence replays the full shuffled corpus, and no
+# global row_number ever materializes (per-shard rank offsets come from
+# an N_SHARDS-row cumulative window over the manifest, not the data).
+# Key-space sharding is also STABLE: a doc's shard and its relative
+# order are pure functions of doc_id, unchanged when the corpus grows
+# (an ntile/row_number shard would reshuffle everything on every
+# append) — pytest-pinned in tests/test_export_shuffle.py.
+_SHUF_MOD = 1000000007
+
+
+def shuffle_key(key):
+    """Seeded pseudorandom but deterministic order key (LCG over a prime
+    modulus; same overflow-safety bound as ``lcg_bucket`` — the reduced
+    key is < 1e8, times 1103515245 stays under 2^63)."""
+    return ((key % 100000007) * 1103515245 + 12345) % _SHUF_MOD
+
+
+@query(
+    "export_shuffled_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             ((doc_id % 100000007) * 1103515245 + 12345) % {_SHUF_MOD} AS skey
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text, skey,
+             CAST((skey * {N_SHARDS}) // {_SHUF_MOD} AS BIGINT) AS shard
+      FROM t
+    ),
+    m AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(skey) AS BIGINT) AS min_key,
+             CAST(MAX(skey) AS BIGINT) AS max_key,
+             CAST(SUM(skey) AS BIGINT) AS key_crc,
+             CAST(SUM(CAST(('0x' || SUBSTR(MD5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+                 AS content_crc
+      FROM s GROUP BY shard
+    )
+    SELECT shard, n_docs, min_key, max_key, key_crc, content_crc,
+           CAST(COALESCE(SUM(n_docs) OVER (ORDER BY shard
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS rank_lo,
+           CAST(COALESCE(SUM(n_docs) OVER (ORDER BY shard
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + n_docs - 1 AS BIGINT) AS rank_hi
+    FROM m
+    """,
+)
+def export_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export with a reproducible GLOBAL training order (see the block
+    comment above): docs are written shard-partitioned and sorted by
+    (shuffle_key, doc_id) within each shard; the manifest — computed
+    from the READ-BACK files, like ``export_training_shards`` — records
+    per shard the doc count, the key range it owns, order-independent
+    key/content checksums, and the global rank interval
+    [rank_lo, rank_hi] each shard covers. Intervals are disjoint and
+    consecutive BY CONSTRUCTION (cumulative sum over the shard summary),
+    which the oracle re-derives from the source table — any write-side
+    loss, duplication, or misassignment breaks the hash.
+
+    Scale: one shuffle on the shard key for the write (key space is
+    uniform, so shards balance), one read-back aggregate, and an
+    N_SHARDS-row window — the corpus itself is never globally sorted or
+    row-numbered on one machine."""
+    import os as _os
+    import tempfile
+
+    from spark_data_engineering_spark.cacheutil import sweep_stale
+
+    _os.makedirs("/tmp/spark_de_export", exist_ok=True)
+    sweep_stale("/tmp/spark_de_export")
+    out = tempfile.mkdtemp(prefix="shuffled-", dir="/tmp/spark_de_export")
+    skey = shuffle_key(F.col("doc_id"))
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "text",
+        skey.alias("skey"),
+        ((skey * N_SHARDS) / F.lit(_SHUF_MOD)).cast("bigint").alias("shard"),
+    )
+    (
+        d.repartition("shard")
+        .sortWithinPartitions("skey", "doc_id")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(f"{out}/data")
+    )
+    back = spark.read.parquet(f"{out}/data")
+    crc = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    m = back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("skey").cast("bigint").alias("min_key"),
+        F.max("skey").cast("bigint").alias("max_key"),
+        F.sum("skey").cast("bigint").alias("key_crc"),
+        F.sum(crc).alias("content_crc"),
+    )
+    # N_SHARDS-row frame: the single-partition window is over the
+    # manifest summary, never the corpus
+    cum = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    rank_lo = F.coalesce(F.sum("n_docs").over(cum), F.lit(0)).cast("bigint")
+    return m.select(
+        "shard",
+        "n_docs",
+        "min_key",
+        "max_key",
+        "key_crc",
+        "content_crc",
+        rank_lo.alias("rank_lo"),
+        (rank_lo + F.col("n_docs") - 1).cast("bigint").alias("rank_hi"),
     )
 
 
