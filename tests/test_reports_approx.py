@@ -86,3 +86,53 @@ def test_approx_report_close_to_exact(spark, sf_dir):
         f"{out_of_interval} groups where percentile_approx left the "
         "middle-member interval"
     )
+
+
+def test_gk_exactness_domain_rank_law(spark):
+    """Re-derive from scratch the exactness-domain law the
+    daily_category_report_approx oracle relies on: with group size under
+    ``accuracy``, percentile_approx(0.5) returns EXACTLY the rank-⌈n/2⌉
+    order statistic, for odd and even n, with and without duplicate
+    values, under forced partial-sketch merges."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for g, n in [(1, 1), (2, 2), (3, 3), (4, 4), (5, 19), (6, 200), (7, 6)]:
+        rows += [(g, float((i % max(1, n // 2)) + 1)) for i in range(n)]  # dups
+    df = spark.createDataFrame(rows, "g int, v double").repartition(16)
+    got = {
+        r.g: r.m
+        for r in df.groupBy("g")
+        .agg(F.percentile_approx("v", 0.5, 10000).alias("m"))
+        .collect()
+    }
+    vals = {}
+    for g, v in rows:
+        vals.setdefault(g, []).append(v)
+    for g, vs in vals.items():
+        want = sorted(vs)[math.ceil(len(vs) / 2) - 1]
+        assert got[g] == want, (g, got[g], want)
+
+
+def test_gk_corpus_inside_exactness_domain(spark, sf_dir):
+    """The oracle's validity precondition at the gate's scale: every
+    (day, category) group is far below accuracy=10000."""
+    from spark_data_engineering_spark.queries.reports import (
+        _category_joined,
+        order_item_actual_price,
+    )
+    from spark_data_engineering_spark.sources import load_table
+
+    items = order_item_actual_price(spark, sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    mx = (
+        _category_joined(items, orders, part)
+        .groupBy("Date", "Product Category")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert mx < 10000
