@@ -82,6 +82,13 @@ HEADLINE = (
     "bpe_subword_stats",
     "bigram_fluency_scores",
     "winsorized_revenue_by_priority",
+    # round-6 additions
+    "brand_quantity_price_corr",
+    "copurchase_part_pairs",
+    "ann_index_incremental_search",
+    "doc_classifier_scores",
+    "export_shuffled_shards",
+    "curation_decisions",
 )
 
 
@@ -163,21 +170,22 @@ def main() -> None:
     # only the best-of per-query map at 2 decimals, compact separators
     with open(os.path.join(os.path.dirname(__file__), "bench_local.json"), "w") as f:
         json.dump(rich, f, indent=1)
+    # noise_band_pct moved to bench_local.json only as of round 6: the
+    # 62-query map left no room for it under the tail-capture budget
     compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "median_total": rich["median_total"],
-        "noise_band_pct": rich["noise_band_pct"],
         "sf": rich["sf"],
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
+    if len(line) > 1980:
         # last-ditch: drop the slowest-to-name half of the per-query map
         # rather than overflow (total and sf are the headline numbers)
         items = sorted(compact["queries"].items(), key=lambda kv: -kv[1])
-        while len(line) > 1900 and items:
+        while len(line) > 1980 and items:
             items = items[:-1]
             line = json.dumps(
                 {**compact, "queries": dict(items), "queries_truncated": True},
