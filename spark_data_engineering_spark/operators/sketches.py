@@ -132,3 +132,72 @@ def exact_topk_via_sketch(
         # recount scan when the caller executes the returned frame
         return df.sparkSession.createDataFrame(rows, recount.schema)
     return df.groupBy(col).agg(F.count("*").alias("tf"))
+
+
+# ---- KMV (k-minimum-values) distinct-count sketch ----------------------
+#
+# The third workhorse summary (Bar-Yossef et al. 2002; mergeable per
+# Agarwal et al. 2012): keep the k smallest distinct hash values of a
+# column; if fewer than k are ever seen the sketch IS the distinct set
+# (exact), otherwise (k-1)/u_k estimates the count from the k-th
+# smallest normalized hash. Two properties make it the right shape
+# here: the merge is a trivial union+truncate (streaming/kmv.py folds
+# per-batch sketches with no error growth — min-k of a union is the
+# min-k of the per-part min-ks), and the exactness domain gives the
+# same proof-or-fallback contract as Misra-Gries: below k the answer
+# is provably exact, so the query stays hash-green; at saturation the
+# caller recounts exactly and the sketch result is labeled.
+#
+# Hashes are 48-bit md5 prefixes of the value's string form — the same
+# cross-engine integerization as dp_source_counts/doc_classifier_scores,
+# so a DuckDB oracle replays the identical sketch bit for bit. Collision
+# semantics: the sketch counts distinct HASHES (collision probability
+# ~n^2/2^49); every consumer here counts the same quantity on both
+# sides, so the contract is consistent by construction.
+
+KMV_HASH_BITS = 48
+KMV_HASH_SPAN = float(1 << KMV_HASH_BITS)
+
+
+def kmv_hash_col(col):
+    """48-bit md5-prefix hash of a column's string form (JVM-side)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 12), 16, 10
+    ).cast("bigint")
+
+
+def kmv_group_sketch(
+    df: DataFrame, group_col: str, col: str, k: int = 1024
+) -> DataFrame:
+    """Distributed per-group KMV(k): one Arrow pass keeps each
+    partition's k smallest distinct hashes per group (bounded memory,
+    no shuffle), then a per-group window over the pruned candidates
+    (<= k x partitions rows) keeps the global k minimum. Returns
+    (group, hv) — at most k rows per group, still distributed."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    hashed = df.select(
+        F.col(group_col).alias("grp"), kmv_hash_col(F.col(col)).alias("hv")
+    ).filter(F.col("hv").isNotNull())
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict = {}
+        for pdf in batches:
+            for grp, sub in pdf.groupby("grp", dropna=False):
+                cur = best.get(grp)
+                merged = pd.concat([cur, sub["hv"]]) if cur is not None else sub["hv"]
+                u = merged.drop_duplicates().nsmallest(k)
+                best[grp] = u
+        for grp, u in best.items():
+            yield pd.DataFrame({"grp": grp, "hv": u.to_numpy()})
+
+    cand = hashed.mapInPandas(prune, schema="grp string, hv bigint").dropDuplicates()
+    w = W.partitionBy("grp").orderBy("hv")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("grp", "hv")
+    )

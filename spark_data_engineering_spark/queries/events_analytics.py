@@ -387,3 +387,107 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_overlap_pairs"),
         F.countDistinct("b_user").alias("n_partners"),
     )
+
+
+# ---- KMV distinct counting (round 6) -----------------------------------
+
+_KMV_K = 1024
+_KMV_SPAN_SQL = "281474976710656.0"  # 2^48, the hash span
+
+
+def _kmv_oracle() -> str:
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(CASE WHEN rn <= {_KMV_K} THEN 1 END) AS BIGINT) AS sketch_size,
+             MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_users
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_distinct_users, sketch_size,
+           (sketch_size < {_KMV_K}) AS sketch_exact,
+           CASE WHEN sketch_size < {_KMV_K} THEN CAST(sketch_size AS DOUBLE)
+                ELSE FLOOR(({_KMV_K - 1} * {_KMV_SPAN_SQL} / kth) * 10000 + 0.5) / 10000
+           END AS kmv_estimate
+    FROM s
+    """
+
+
+def _kmv_report(spark: SparkSession, sf_dir: str, sketch: DataFrame) -> DataFrame:
+    """(event_type, n_distinct_users, sketch_size, sketch_exact,
+    kmv_estimate) from a per-group KMV sketch frame (grp, hv) — shared
+    by the batch and streaming variants, which must agree row for row.
+    Proof-or-fallback: below k the sketch size IS the distinct count;
+    saturated groups are recounted exactly (left-semi against the tiny
+    saturated-group set, so the expensive distinct touches only them)
+    and the row is labeled ``sketch_exact = false``."""
+    from spark_data_engineering_spark.operators.sketches import (
+        KMV_HASH_SPAN,
+        kmv_hash_col,
+    )
+
+    agg = sketch.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sketch_size"),
+        F.max("hv").alias("kth"),
+    )
+    sat = agg.filter(F.col("sketch_size") >= _KMV_K).select("grp")
+    hashed = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            F.col("event_type").alias("grp"),
+            kmv_hash_col(F.col("user_id")).alias("hv"),
+        )
+        .filter(F.col("hv").isNotNull())
+    )
+    exact = (
+        hashed.join(F.broadcast(sat), "grp", "left_semi")
+        .groupBy("grp")
+        .agg(F.countDistinct("hv").cast("bigint").alias("exact_n"))
+    )
+    est = F.when(
+        F.col("sketch_size") < _KMV_K, F.col("sketch_size").cast("double")
+    ).otherwise(
+        NR.round4(
+            F.lit(float(_KMV_K - 1)) * F.lit(KMV_HASH_SPAN) / F.col("kth").cast("double")
+        )
+    )
+    return agg.join(exact, "grp", "left").select(
+        F.col("grp").alias("event_type"),
+        F.coalesce(F.col("exact_n"), F.col("sketch_size")).alias("n_distinct_users"),
+        "sketch_size",
+        (F.col("sketch_size") < _KMV_K).alias("sketch_exact"),
+        est.alias("kmv_estimate"),
+    )
+
+
+@query("kmv_distinct_users", oracle=_kmv_oracle())
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a KMV(1024) sketch
+    (operators/sketches.py — per-partition Arrow prune, per-group
+    window over <= k x partitions candidates, bounded memory at any
+    cardinality) under the exactness-domain contract: below k the
+    sketch is the distinct set and the count is provably exact — the
+    gate corpus sits deep inside the domain — while saturated groups
+    fall back to an exact recount and are labeled. The oracle replays
+    the identical 48-bit md5 sketch in SQL, so the hash checks the
+    sketch itself (hashing, pruning, k-th selection, estimator), not
+    just the count. Complements approx_count_distinct/HLL
+    (approx_distinct_parts): KMV's exactness domain and lossless
+    union-truncate merge are what the STREAMING accumulator needs
+    (streaming/kmv.py), where HLL's register state has no exactness
+    proof."""
+    from spark_data_engineering_spark.operators.sketches import kmv_group_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    sk = kmv_group_sketch(ev, "event_type", "user_id", _KMV_K)
+    return _kmv_report(spark, sf_dir, sk)

@@ -496,3 +496,74 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+def _kmv_streaming_oracle() -> str:
+    from spark_data_engineering_spark.queries.events_analytics import _kmv_oracle
+
+    return _kmv_oracle()
+
+
+@query("streaming_distinct_users", oracle=_kmv_streaming_oracle())
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type maintained ACROSS micro-batches:
+    replay the events table through a foreachBatch KMV(1024) accumulator
+    (streaming/kmv.py — per-batch distributed sketch folded by lossless
+    union+truncate into a kilobyte JSON state, exactly-once via an
+    (app, epoch) watermark with atomic snapshots). KMV's merge is
+    EXACT (the k smallest of a union are the k smallest of the
+    per-batch k-smallest), so the end-of-stream state is bit-identical
+    to the batch sketch and the result must hash-match the SAME oracle
+    as ``kmv_distinct_users`` — end-of-stream equals the batch answer,
+    the contract every streaming query here obeys. A rerun replays
+    epochs the state already applied and folds nothing twice. This is
+    the distinct-count bound HLL cannot give a streaming state: below
+    k the accumulated sketch is provably the exact distinct set."""
+    import hashlib
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest
+    from spark_data_engineering_spark.operators import sketches as _sk_mod
+    from spark_data_engineering_spark.queries.events_analytics import (
+        _KMV_K,
+        _kmv_report,
+    )
+    from spark_data_engineering_spark.streaming import kmv as _kmv_mod
+    from spark_data_engineering_spark.streaming.kmv import StreamingKMV
+
+    src = f"{sf_dir}/events.parquet"
+    stat = os.stat(src)
+    digest = hashlib.md5(
+        f"{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    staged = f"/tmp/spark_de_stream_input/{digest}"
+    if not os.path.isdir(staged):
+        load_table(spark, "events", sf_dir).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    # derived state: keyed on data, deriving code, AND k (a k edit must
+    # not reopen a state truncated at the old k)
+    state_dir = (
+        f"/tmp/spark_de_kmvstream/{digest}-k{_KMV_K}-"
+        f"{code_digest(_sk_mod, _kmv_mod)}"
+    )
+    acc = StreamingKMV(state_dir, "event_type", "user_id", k=_KMV_K)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(acc.process_batch)
+        .option(
+            "checkpointLocation", f"/tmp/spark_de_kmvstream_ckpt/{uuid.uuid4().hex}"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (grp, int(hv)) for grp, hs in acc.sketches().items() for hv in hs
+    ]
+    sketch = spark.createDataFrame(rows, "grp string, hv bigint")
+    return _kmv_report(spark, sf_dir, sketch)

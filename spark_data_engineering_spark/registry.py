@@ -113,6 +113,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "daily_category_report_approx",
     "curation_decisions",
     "ann_recall_report",
+    # (This round's OTHER new queries — kmv_distinct_users and
+    # streaming_distinct_users, the KMV distinct sketch pair — stay
+    # OUTSIDE the window: the 16 never-checked queries plus the r3
+    # cohort are the VERDICT-mandated priority, no in-window query
+    # contains their computation so a displacement would trade mandated
+    # evidence for new evidence, and both pass the local gate this
+    # round. They are the FIRST rotation priorities for round 7.)
     # --- 29 of the r3 cohort (newest row round 3).
     "ann_ivfpq_search_exhaustive",
     "benchmark_contamination",

@@ -141,3 +141,114 @@ def test_exact_topk_includes_null_heavy_hitter(spark):
     base = exact_topk_via_sketch(df, "v", mg, topk=20)
     rows = {(r.v, r.tf) for r in base.collect()}
     assert (None, 500) in rows
+
+
+# ---- KMV distinct sketch ----------------------------------------------
+
+
+def test_kmv_below_k_is_exact_distinct_set(spark):
+    from spark_data_engineering_spark.operators.sketches import (
+        kmv_group_sketch,
+        kmv_hash_col,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i % 3) for i in range(50)],
+        "g string, v int",
+    ).repartition(8)
+    sk = kmv_group_sketch(df, "g", "v", k=64)
+    got = {}
+    for r in sk.collect():
+        got.setdefault(r.grp, set()).add(r.hv)
+    want = {
+        r.grp: r.hs
+        for r in df.select(
+            F.col("g").alias("grp"), kmv_hash_col(F.col("v")).alias("hv")
+        )
+        .groupBy("grp")
+        .agg(F.collect_set("hv").alias("hs"))
+        .collect()
+    }
+    assert got == {g: set(h) for g, h in want.items()}
+    assert len(got["a"]) == 7 and len(got["b"]) == 3
+
+
+def test_kmv_saturated_keeps_k_smallest_and_estimates(spark):
+    from spark_data_engineering_spark.operators.sketches import (
+        KMV_HASH_SPAN,
+        kmv_group_sketch,
+        kmv_hash_col,
+    )
+    from pyspark.sql import functions as F
+
+    n, k = 5000, 64
+    df = spark.createDataFrame([("a", i) for i in range(n)], "g string, v int").repartition(16)
+    sk = kmv_group_sketch(df, "g", "v", k=k).collect()
+    got = sorted(r.hv for r in sk)
+    all_h = sorted(
+        r.hv
+        for r in df.select(kmv_hash_col(F.col("v")).alias("hv")).distinct().collect()
+    )
+    assert got == all_h[:k]  # exactly the k global minima
+    est = (k - 1) * KMV_HASH_SPAN / got[-1]
+    assert abs(est - n) / n < 0.35  # standard ~1/sqrt(k) relative error
+
+
+def test_kmv_merge_equals_single_pass(spark):
+    """Union+truncate of per-half sketches == sketch of the whole —
+    the lossless-merge property the streaming accumulator relies on."""
+    from spark_data_engineering_spark.operators.sketches import kmv_group_sketch
+
+    df = spark.createDataFrame([("a", i) for i in range(2000)], "g string, v int")
+    k = 32
+    whole = sorted(r.hv for r in kmv_group_sketch(df, "g", "v", k=k).collect())
+    h1 = {r.hv for r in kmv_group_sketch(df.filter("v < 1000"), "g", "v", k=k).collect()}
+    h2 = {r.hv for r in kmv_group_sketch(df.filter("v >= 1000"), "g", "v", k=k).collect()}
+    assert sorted(h1 | h2)[:k] == whole
+
+
+def test_streaming_kmv_exactly_once_and_k_guard(spark, tmp_path):
+    from spark_data_engineering_spark.streaming.kmv import StreamingKMV
+
+    df1 = spark.createDataFrame([("x", i) for i in range(10)], "event_type string, user_id int")
+    df2 = spark.createDataFrame([("x", i) for i in range(5, 15)], "event_type string, user_id int")
+    acc = StreamingKMV(str(tmp_path), "event_type", "user_id", k=64)
+    acc.process_batch(df1, 0)
+    acc.process_batch(df2, 1)
+    state1 = acc.sketches()
+    assert len(state1["x"]) == 15  # union of distincts, below k => exact set
+    # replayed epoch folds nothing (and would be harmless anyway)
+    acc.process_batch(df1, 0)
+    assert acc.sketches() == state1
+    # reopening with a different k is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k=64"):
+        StreamingKMV(str(tmp_path), "event_type", "user_id", k=128).process_batch(df1, 2)
+
+
+def test_kmv_report_fallback_labels_saturated_groups(spark, sf_dir):
+    """Force saturation with a tiny k: n_distinct_users must STILL be
+    exact (recount fallback) and the row labeled sketch_exact=false."""
+    import spark_data_engineering_spark.queries.events_analytics as EA
+    from pyspark.sql import functions as F
+    from spark_data_engineering_spark.operators.sketches import kmv_group_sketch
+    from spark_data_engineering_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    old_k = EA._KMV_K
+    EA._KMV_K = 8
+    try:
+        sk = kmv_group_sketch(ev, "event_type", "user_id", 8)
+        rows = EA._kmv_report(spark, sf_dir, sk).collect()
+    finally:
+        EA._KMV_K = old_k
+    assert rows and all(not r.sketch_exact for r in rows)
+    for r in rows:
+        assert r.n_distinct_users == want[r.event_type]
+        assert r.sketch_size == 8
