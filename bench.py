@@ -89,6 +89,8 @@ HEADLINE = (
     "doc_classifier_scores",
     "export_shuffled_shards",
     "curation_decisions",
+    "jaccard_prefix_pairs",
+    "kmv_distinct_users",
 )
 
 
@@ -170,14 +172,14 @@ def main() -> None:
     # only the best-of per-query map at 2 decimals, compact separators
     with open(os.path.join(os.path.dirname(__file__), "bench_local.json"), "w") as f:
         json.dump(rich, f, indent=1)
-    # noise_band_pct moved to bench_local.json only as of round 6: the
-    # 62-query map left no room for it under the tail-capture budget
+    # noise_band_pct and median_total moved to bench_local.json only as
+    # of round 6: the 64-query map left no room for them under the
+    # driver's 2000-char tail capture
     compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
-        "median_total": rich["median_total"],
         "sf": rich["sf"],
     }
     line = json.dumps(compact, separators=(",", ":"))

@@ -57,6 +57,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
 
 
+@query("jaccard_prefix_pairs", oracle=_JACCARD_SQL)
+def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.8 pairs via PREFIX FILTERING (round 6;
+    operators/dedup.py::jaccard_pairs_prefix) — the exact-tier scale
+    path: only each doc's canonically-rarest shingles enter the
+    self-join (lossless for the threshold, so the result hash-matches
+    the SAME brute-force oracle as ngram_jaccard_pairs), cutting the
+    df^2 hot-shingle cost the plain inverted-index join pays; exact
+    verification then touches candidate pairs only. Candidate-reduction
+    and equality-with-unfiltered are pytest-pinned."""
+    return D.jaccard_pairs_prefix(load_table(spark, "documents", sf_dir), threshold=0.8)
+
+
 @query("minhash_lsh_pairs", oracle=_JACCARD_SQL)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows) candidates, exact-verified at

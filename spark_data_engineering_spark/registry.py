@@ -113,13 +113,18 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "daily_category_report_approx",
     "curation_decisions",
     "ann_recall_report",
-    # (This round's OTHER new queries — kmv_distinct_users and
-    # streaming_distinct_users, the KMV distinct sketch pair — stay
-    # OUTSIDE the window: the 16 never-checked queries plus the r3
-    # cohort are the VERDICT-mandated priority, no in-window query
-    # contains their computation so a displacement would trade mandated
-    # evidence for new evidence, and both pass the local gate this
-    # round. They are the FIRST rotation priorities for round 7.)
+    # (This round's OTHER new queries stay OUTSIDE the window — the 16
+    # never-checked queries plus the r3 cohort are the VERDICT-mandated
+    # priority, and displacing one would trade mandated evidence for
+    # new evidence. All pass the local gate this round and are the
+    # FIRST rotation priorities for round 7:
+    #   kmv_distinct_users / streaming_distinct_users — the KMV distinct
+    #     sketch pair; no in-window query contains their computation.
+    #   jaccard_prefix_pairs — hash-matches the SAME _JACCARD_SQL oracle
+    #     as the in-window ngram_jaccard_pairs (identical result set —
+    #     the lossless-prefix-filter equality is also pytest-pinned at
+    #     three thresholds), so its RESULT is already driver-checked
+    #     this round; only the candidate-pruning machinery is new.)
     # --- 29 of the r3 cohort (newest row round 3).
     "ann_ivfpq_search_exhaustive",
     "benchmark_contamination",

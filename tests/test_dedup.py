@@ -147,3 +147,64 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark, monkeypatch):
     assert small == big
     # min-label semantics: 1-2-3-20-21-22 all label 1; 10-11 label 10
     assert (22, 1) in small and (11, 10) in small and (99, 99) in small
+
+
+# ---- prefix-filtered exact Jaccard (round 6) ---------------------------
+
+
+def test_prefix_jaccard_equals_unfiltered(spark, sf_dir):
+    from spark_data_engineering_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+    from spark_data_engineering_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    for t in (0.5, 0.8, 0.95):
+        want = sorted(map(tuple, jaccard_pairs(docs, threshold=t).collect()))
+        got = sorted(map(tuple, jaccard_pairs_prefix(docs, threshold=t).collect()))
+        assert got == want, f"threshold {t}"
+    assert want  # the corpus has planted near-dups; non-vacuous
+
+
+def test_prefix_jaccard_prunes_candidates(spark, sf_dir):
+    """The point of the operator: the prefix self-join generates
+    strictly fewer candidate pairs than the any-shared-shingle join."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    from spark_data_engineering_spark.operators.dedup import shingle_index
+    from spark_data_engineering_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    idx = shingle_index(docs, "text", "doc_id", 3).select(
+        "_id", F.xxhash64("_shingle").alias("_h")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    full_cand = (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id"), F.col("b._id"))
+        .distinct()
+        .count()
+    )
+    t = 0.8
+    sizes = idx.groupBy("_id").agg(F.count("*").alias("_sz"))
+    dfreq = idx.groupBy("_h").agg(F.count("*").alias("_df"))
+    ranked = idx.join(dfreq, "_h").join(sizes, "_id")
+    w = W.partitionBy("_id").orderBy("_df", "_h")
+    prefix = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1)
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    pruned_cand = (
+        pa.join(
+            pb,
+            (F.col("pa._h") == F.col("pb._h")) & (F.col("pa._id") < F.col("pb._id")),
+        )
+        .select(F.col("pa._id"), F.col("pb._id"))
+        .distinct()
+        .count()
+    )
+    assert pruned_cand < full_cand
+    # at t=0.8 the prefix is ~20% of each doc; expect a big cut
+    assert pruned_cand <= full_cand * 0.5
