@@ -1,0 +1,111 @@
+"""Exact edit-distance similarity join with q-gram count filtering.
+
+The approximate-string-join shape from Gravano et al. (VLDB 2001,
+"Approximate String Joins in a Database (Almost) for Free"): two strings
+with Levenshtein distance <= k must share at least
+
+    max(|a|, |b|) - q + 1 - k*q
+
+positional q-grams (each edit destroys at most q grams), and their
+lengths differ by at most k. So candidates come from a q-gram equi-join
+(+ both filters applied at candidate time), and the exact ``levenshtein``
+runs on candidates only — never on the cross product. The multiset
+semantics matter for losslessness: a gram occurring 3x in one string and
+2x in the other contributes min(3,2)=2 to the bound, which the join
+reproduces by numbering occurrences per (string, gram) and joining on
+(gram, occurrence_index).
+
+Exactness guard: the count bound prunes soundly only while it is >= 1
+for every pair, i.e. min string length >= q + k*q (shorter strings could
+satisfy ed<=k while sharing zero grams, and a gram join would miss
+them). Below that the operator falls back to the length-band cross join
+within each band — still exact, just unpruned — and the chosen path is
+observable for tests.
+
+No reference analog (the reference has no string-similarity surface);
+the 100 TB shape: one gram shuffle sized sum(len), candidate volume
+bounded by genuinely-similar pairs plus count-filter false positives,
+and the O(len^2) dynamic-programming verify touching candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def edit_distance_join(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with levenshtein(col) <= max_dist.
+    Returns (id_a, id_b, edit_dist)."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(col).alias("_s"),
+        F.length(col).alias("_len"),
+    ).filter(F.col("_s").isNotNull())
+    min_len = base.agg(F.min("_len")).first()[0]
+    if min_len is None:
+        return base.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, edit_dist bigint"
+        )
+    if min_len >= q + max_dist * q:
+        # positional q-gram multiset: occurrence-numbered grams
+        grams = base.select(
+            "_id",
+            "_s",
+            "_len",
+            F.posexplode(
+                F.expr(f"transform(sequence(0, _len - {q}), i -> substring(_s, i + 1, {q}))")
+            ).alias("_pos", "_g"),
+        )
+        occ = W.partitionBy("_id", "_g").orderBy("_pos")
+        grams = grams.withColumn("_occ", F.row_number().over(occ)).drop("_pos")
+        ga, gb = grams.alias("ga"), grams.alias("gb")
+        matched = (
+            ga.join(
+                gb,
+                (F.col("ga._g") == F.col("gb._g"))
+                & (F.col("ga._occ") == F.col("gb._occ"))
+                & (F.col("ga._id") < F.col("gb._id"))
+                & (
+                    F.abs(F.col("ga._len") - F.col("gb._len")) <= F.lit(max_dist)
+                ),
+            )
+            .groupBy(
+                F.col("ga._id").alias("id_a"),
+                F.col("gb._id").alias("id_b"),
+                F.col("ga._s").alias("_sa"),
+                F.col("gb._s").alias("_sb"),
+                F.col("ga._len").alias("_la"),
+                F.col("gb._len").alias("_lb"),
+            )
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
+        cand = matched.filter(
+            F.col("_shared")
+            >= F.greatest("_la", "_lb") - F.lit(q - 1) - F.lit(max_dist * q)
+        )
+    else:
+        # short-string fallback: length bands only (exact, unpruned)
+        a, b = base.alias("a"), base.alias("b")
+        cand = a.join(
+            b,
+            (F.abs(F.col("a._len") - F.col("b._len")) <= F.lit(max_dist))
+            & (F.col("a._id") < F.col("b._id")),
+        ).select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._s").alias("_sa"),
+            F.col("b._s").alias("_sb"),
+        )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("_sa", "_sb").cast("bigint"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -1194,3 +1194,29 @@ def winsorized_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
         NR.round2(F.first("p05")).alias("p05"),
         NR.round2(F.first("p95")).alias("p95"),
     ).select("priority", "n_orders", "winsorized_mean", "p05", "p95")
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a, part b
+    WHERE a.p_partkey < b.p_partkey
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance join (round 6): all part-name pairs within
+    Levenshtein distance 2, via the q-gram count filter
+    (operators/fuzzyjoin.py — positional bigram multiset join + length
+    band generate candidates; the O(len^2) levenshtein verify runs on
+    candidates only, never the cross product). The oracle IS the cross
+    product (DuckDB's levenshtein agrees with Spark's on these ASCII
+    names), so the hash proves the filter lossless end-to-end — the
+    fuzzy-matching primitive behind entity resolution and typo-tolerant
+    dedup of titles/names."""
+    from spark_data_engineering_spark.operators.fuzzyjoin import edit_distance_join
+
+    part = load_table(spark, "part", sf_dir)
+    return edit_distance_join(part, "p_name", "p_partkey", max_dist=2, q=2)

@@ -124,7 +124,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     as the in-window ngram_jaccard_pairs (identical result set —
     #     the lossless-prefix-filter equality is also pytest-pinned at
     #     three thresholds), so its RESULT is already driver-checked
-    #     this round; only the candidate-pruning machinery is new.)
+    #     this round; only the candidate-pruning machinery is new.
+    #   fuzzy_part_name_pairs — the q-gram edit-distance join; no
+    #     in-window containment, local-gate green, rotation priority.)
     # --- 29 of the r3 cohort (newest row round 3).
     "ann_ivfpq_search_exhaustive",
     "benchmark_contamination",
