@@ -264,3 +264,29 @@ def test_bpe_single_shuffle(spark, sf_dir):
     driver-side over the vocab, application is a map-only Arrow pass."""
     plan = _plan(spark, sf_dir, "bpe_subword_stats")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kmv_sketch_plan_no_python_rows_no_bnl(spark, sf_dir):
+    """KMV: the only Python is the Arrow prune tier (MapInPandas), the
+    saturated-group fallback is a broadcast semi-join, and nothing
+    degenerates to a nested loop."""
+    plan = _plan(spark, sf_dir, "kmv_distinct_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan  # no row-at-a-time Python
+    assert plan.count("MapInPandas") <= 2  # the bounded prune passes only
+
+
+def test_fuzzy_join_plan_hash_joins_only(spark, sf_dir):
+    """Edit-distance join: the gram self-join is an equi hash/merge join
+    (length band as post-join condition), the verify is JVM levenshtein
+    — no cross product, no Python."""
+    plan = _plan(spark, sf_dir, "fuzzy_part_name_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_prefix_jaccard_plan_no_bnl(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "jaccard_prefix_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
