@@ -189,3 +189,32 @@ def resize_media(media: DataFrame, max_dim: int = 128) -> DataFrame:
             out_id, out_payload, out_w, out_h = [], [], [], []
 
     return media.mapInPandas(op, schema=schema)
+
+
+def frame_energies(
+    media: DataFrame, frame_bytes: int = 16
+) -> DataFrame:
+    """Audio-shaped framing: chop each payload into fixed-size frames
+    and emit one row per frame with its energy (sum of byte values) —
+    the numpy/Arrow plumbing a real VAD runs (there the energy would be
+    RMS over PCM samples; the framing, batch shape, and explode
+    semantics are identical). Output: (media_id, frame_idx, energy)."""
+    schema = "media_id bigint, frame_idx int, energy bigint"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_id, out_idx, out_e = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                n = len(arr) // frame_bytes + (1 if len(arr) % frame_bytes else 0)
+                for i in range(n):
+                    out_id.append(mid)
+                    out_idx.append(i)
+                    out_e.append(int(arr[i * frame_bytes : (i + 1) * frame_bytes].sum()))
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_idx, "energy": out_e}
+            )
+
+    return media.mapInPandas(op, schema=schema)

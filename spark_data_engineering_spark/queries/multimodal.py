@@ -239,3 +239,97 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole mapInPandas fan-out is hash-checked."""
     media = M.attach_payloads(load_table(spark, "documents", sf_dir))
     return M.sample_frames(media, every_n_bytes=64, max_frames=8)
+
+
+_VAD_FRAME = 16
+_VAD_THRESHOLD = 1500
+
+
+@query(
+    "media_audio_segments",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id AS media_id, text,
+             UNNEST(RANGE(0, CAST(CEIL(LENGTH(text) / {_VAD_FRAME}.0) AS BIGINT)))
+                 AS frame_idx
+      FROM documents
+    ),
+    e AS (
+      SELECT media_id, frame_idx,
+             COALESCE(LIST_SUM(LIST_TRANSFORM(
+                 RANGE(1, LEAST(LENGTH(text) - frame_idx * {_VAD_FRAME}, {_VAD_FRAME}) + 1),
+                 i -> ASCII(SUBSTR(text, CAST(frame_idx * {_VAD_FRAME} + i AS INT), 1)))), 0)
+                 AS energy
+      FROM f
+    ),
+    v AS (SELECT media_id, frame_idx, (energy >= {_VAD_THRESHOLD}) AS voiced FROM e),
+    g AS (
+      SELECT media_id, frame_idx,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY frame_idx)
+                 AS grp
+      FROM v WHERE voiced
+    ),
+    seg AS (SELECT media_id, grp, COUNT(*) AS run FROM g GROUP BY media_id, grp),
+    s2 AS (
+      SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(MAX(run) AS BIGINT) AS longest_run
+      FROM seg GROUP BY media_id
+    ),
+    base AS (
+      SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced
+      FROM v GROUP BY media_id
+    )
+    SELECT base.media_id, n_frames, n_voiced,
+           CAST(COALESCE(n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(longest_run, 0) AS BIGINT) AS longest_run
+    FROM base LEFT JOIN s2 USING (media_id)
+    """,
+)
+def media_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped VAD segmentation (round 6): payloads are framed into
+    {F}-byte frames by an Arrow mapInPandas pass
+    (operators/multimodal.py::frame_energies — a real VAD swaps byte
+    sums for RMS over PCM inside the same batch loop), then voiced
+    runs become segments via gaps-and-islands (frame_idx minus
+    per-media voiced row_number — pure JVM windows). Per media: frame
+    and voiced counts, segment count, longest voiced run — the
+    speech-span inventory an audio curation pipeline computes before
+    clipping. The stub energy is plain byte arithmetic, so the whole
+    pipeline replays in SQL and the gate hashes framing, energy,
+    thresholding, and the island construction end-to-end.
+
+    Scale: framing is one linear Arrow pass partitioned by byte budget;
+    the windows shuffle once on media_id; per-media frame counts are
+    bounded by payload size."""
+    from pyspark.sql import Window as W
+
+    media = M.attach_payloads(load_table(spark, "documents", sf_dir))
+    media = M.repartition_by_bytes(media, "n_bytes", target_bytes=256 * 1024)
+    frames = M.frame_energies(media, _VAD_FRAME).withColumn(
+        "voiced", F.col("energy") >= _VAD_THRESHOLD
+    )
+    g = (
+        frames.filter("voiced")
+        .withColumn(
+            "grp",
+            F.col("frame_idx")
+            - F.row_number().over(W.partitionBy("media_id").orderBy("frame_idx")),
+        )
+    )
+    seg = g.groupBy("media_id", "grp").agg(F.count(F.lit(1)).alias("run"))
+    s2 = seg.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.max("run").cast("bigint").alias("longest_run"),
+    )
+    base = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.when(F.col("voiced"), 1).otherwise(0)).cast("bigint").alias("n_voiced"),
+    )
+    return base.join(s2, "media_id", "left").select(
+        "media_id",
+        "n_frames",
+        "n_voiced",
+        F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce(F.col("longest_run"), F.lit(0)).cast("bigint").alias("longest_run"),
+    )

@@ -126,7 +126,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     three thresholds), so its RESULT is already driver-checked
     #     this round; only the candidate-pruning machinery is new.
     #   fuzzy_part_name_pairs — the q-gram edit-distance join; no
-    #     in-window containment, local-gate green, rotation priority.)
+    #     in-window containment, local-gate green, rotation priority.
+    #   media_audio_segments — VAD-shaped framing + gaps-and-islands;
+    #     local-gate green, rotation priority.)
     # --- 29 of the r3 cohort (newest row round 3).
     "ann_ivfpq_search_exhaustive",
     "benchmark_contamination",

@@ -79,3 +79,26 @@ def test_resize_media_caps_dims_and_shrinks_payload(spark, sf_dir):
              M.resize_media(media, max_dim=64).collect()}
     for r in out:
         assert again[r.media_id] == (r.width, r.height, bytes(r.payload))
+
+
+def test_frame_energies_and_segments_hand_case(spark):
+    """frame_energies + the gaps-and-islands segmentation on a payload
+    engineered frame-by-frame: 16 'z's (energy 1952, voiced), 16 spaces
+    (512, unvoiced), 16 'z's, 8 'z's (tail frame, 976 < threshold)."""
+    from spark_data_engineering_spark.operators.multimodal import frame_energies
+    from pyspark.sql import functions as F
+
+    payload = ("z" * 16 + " " * 16 + "z" * 16 + "z" * 8).encode()
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id bigint, payload binary"
+    )
+    rows = {r.frame_idx: r.energy for r in frame_energies(media, 16).collect()}
+    assert rows == {0: 122 * 16, 1: 32 * 16, 2: 122 * 16, 3: 122 * 8}
+    # the registered query's island construction over the same logic
+    import __spark_entry__ as entrymod  # noqa: F401  (registration side-effect)
+    from spark_data_engineering_spark.queries.multimodal import (
+        _VAD_THRESHOLD,
+    )
+
+    voiced = [i for i, e in rows.items() if e >= _VAD_THRESHOLD]
+    assert voiced == [0, 2]  # two singleton segments
