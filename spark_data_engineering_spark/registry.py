@@ -46,11 +46,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the limit; the _BF_TOP10_ORACLE containment argument retires);
 # (c) this round's new/changed surfaces (incremental ANN search, the
 # learned classifier + its curation_decisions integration, the shuffled
-# export manifest, and daily_category_report_approx's upgrade from
-# rows-only to a pinned-expectation hash oracle);
-# (d) 29 of the 43 queries whose newest row is round 3 (two rounds ago —
-# the staleness limit). The 14 r3-cohort queries left out, each with a
-# containment rationale:
+# export manifest, ann_recall_report's new incremental-index row, and
+# daily_category_report_approx's upgrade from rows-only to the
+# exactness-domain hash oracle);
+# (d) 28 of the 43 queries whose newest row is round 3 (two rounds ago —
+# the staleness limit; curation_decisions above is also r3-cohort). The
+# 15 r3-cohort queries left out, each with a containment rationale:
 #   knn_lsh / knn_lsh_multiprobe / knn_ivf / knn_pq / knn_int8_quantized
 #     — rows-only-by-design ANN configs; their machinery is hash-verified
 #     by the in-cohort exhaustive twins (knn_lsh_exhaustive /
