@@ -144,3 +144,58 @@ def test_greedy_pack_matches_reference(spark, rows, budget):
         state[shard] = (fill, pack, True)
         want[i] = pack
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=12, max_size=40),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_prefix_jaccard_lossless_on_random_docs(spark, docs, threshold):
+    """jaccard_pairs_prefix == jaccard_pairs on arbitrary documents —
+    the prefix filter's losslessness, beyond the fixed corpus."""
+    from spark_data_engineering_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    want = sorted(map(tuple, jaccard_pairs(df, threshold=threshold).collect()))
+    got = sorted(map(tuple, jaccard_pairs_prefix(df, threshold=threshold).collect()))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcx", min_size=1, max_size=14), min_size=2, max_size=14),
+    st.integers(1, 2),
+)
+def test_edit_distance_join_lossless_on_random_strings(spark, strings, k):
+    """edit_distance_join == brute-force levenshtein on arbitrary
+    strings — covers both the gram path and the short-string fallback
+    (lengths straddle q + k*q)."""
+    from spark_data_engineering_spark.operators.fuzzyjoin import edit_distance_join
+
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = sorted(map(tuple, edit_distance_join(df, "s", "id", max_dist=k).collect()))
+    a, b = df.alias("a"), df.alias("b")
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.levenshtein("a.s", "b.s").cast("bigint").alias("edit_dist"),
+            )
+            .filter(F.col("edit_dist") <= k)
+            .collect(),
+        )
+    )
+    assert got == want
