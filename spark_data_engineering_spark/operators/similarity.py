@@ -750,3 +750,42 @@ def pq_knn(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 8,
+    sim_lo: float = 0.2,
+    sim_hi: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive-training pair mining: for each anchor, the top-k
+    MOST similar vectors whose cosine falls inside [sim_lo, sim_hi) —
+    similar enough to be informative negatives, below the near-dup
+    ceiling so no positive leaks into the negative set (the standard
+    hard-negative recipe for embedding/retriever training, e.g. DPR,
+    Karpukhin et al. 2020). Returns (query_id, neighbor_id, cos_sim,
+    rank) with the same determinism contract as ``brute_force_knn``
+    (rounded similarity, neighbor-id tie-break).
+
+    Scale: one broadcast of the anchor set over a single corpus scan +
+    a per-anchor WindowGroupLimit top-k — identical cost shape to
+    brute-force kNN; swap the scan for an ANN candidate fetch
+    (IVFIndex.search with a wider k, then band-filter) when the corpus
+    outgrows full scans."""
+    q = anchors.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", NR.round4(cosine(F.col("_qvec"), F.col("_cvec"))))
+        .filter((F.col("cos_sim") >= sim_lo) & (F.col("cos_sim") < sim_hi))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -622,3 +622,37 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in (n_exact, n_sem, validity, recall, n_sem2, validity2, recall2):
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "hard_negative_pairs",
+    oracle="""
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           FLOOR((LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY FLOOR((LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 DESC,
+                        c.vec_id ASC) AS BIGINT) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+      AND FLOOR((LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(c.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 >= 0.2
+      AND FLOOR((LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(c.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 < 0.45
+    QUALIFY rank <= 8
+    """,
+)
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training (round 6): per anchor
+    (vec_id < 5), the top-8 vectors with cosine in [0.2, 0.45) —
+    informative negatives below the near-dup ceiling
+    (operators/similarity.py::hard_negative_mining; the band keeps
+    positives out of the negative set). Exact and fully SQL-replayable;
+    at corpus scale the scan swaps for an ANN candidate fetch with the
+    band filter applied post-hoc."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 5)
+    return S.hard_negative_mining(emb, anchors, k=8)

@@ -129,6 +129,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #   fuzzy_part_name_pairs — the q-gram edit-distance join; no
     #     in-window containment, local-gate green, rotation priority.
     #   media_audio_segments — VAD-shaped framing + gaps-and-islands;
+    #     local-gate green, rotation priority.
+    #   hard_negative_pairs — band-filtered contrastive negative mining;
+    #     the cosine/top-k machinery is in-window via knn_bruteforce
+    #     (identical scan + window shape), only the band is new;
     #     local-gate green, rotation priority.)
     # --- 29 of the r3 cohort (newest row round 3).
     "ann_ivfpq_search_exhaustive",
