@@ -134,7 +134,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     the cosine/top-k machinery is in-window via knn_bruteforce
     #     (identical scan + window shape), only the band is new;
     #     local-gate green, rotation priority.)
-    # --- 29 of the r3 cohort (newest row round 3).
+    # --- 27 more of the r3 cohort (newest row round 3); with
+    # curation_decisions above, 28 of the 43 r3-cohort names get a
+    # fresh driver row this round.
     "ann_ivfpq_search_exhaustive",
     "benchmark_contamination",
     "bm25_keyword_search",
