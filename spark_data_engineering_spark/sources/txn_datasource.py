@@ -206,8 +206,12 @@ class TxnStreamReader(DataSourceStreamReader):
         self._table = TxnTable(os.path.dirname(table_dir), os.path.basename(table_dir))
         self._schema = schema
         self._ignore_changes = ignore_changes
-        # resolved once at stream start; mid-stream schema evolution is
-        # out of scope (Delta restarts the stream there too)
+        # resolved once at stream start; schema commits at or below this
+        # version are already reflected in the colmap (safe to skip —
+        # they move no data), while a LATER rename/drop invalidates the
+        # resolved mapping and aborts the stream for a restart (Delta's
+        # contract for mid-stream schema evolution)
+        self._colmap_version = self._table.version()
         self._colmap = _logical_colmap(self._table)
 
     def initialOffset(self) -> dict:
@@ -222,6 +226,18 @@ class TxnStreamReader(DataSourceStreamReader):
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
             c = self._table._read_commit(v)
+            if c["action"] in ("rename_column", "drop_column"):
+                # metadata-only: moves no data. Already reflected in the
+                # stream's resolved column map -> nothing to do; newer ->
+                # the mapping is stale and silently reading would emit
+                # NULLs for post-rename files: restart required.
+                if v > self._colmap_version:
+                    raise RuntimeError(
+                        f"txn stream: commit {v} is a '{c['action']}' schema "
+                        "change made after this stream started; restart the "
+                        "stream to pick up the evolved schema."
+                    )
+                continue
             if c["action"] not in ("append", "streaming-append") and not self._ignore_changes:
                 raise RuntimeError(
                     f"txn stream: commit {v} is '{c['action']}', not an append; "

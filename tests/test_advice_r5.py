@@ -157,3 +157,28 @@ def test_datasource_matches_table_read_after_rename_and_drop(spark, tmp_path):
     want = sorted((r.id, r.amount) for r in via_tbl.collect())
     assert got == want
     assert (100, 1000) in got and (0, 0) in got
+
+
+def test_datasource_stream_applies_logical_schema(spark, tmp_path):
+    spark.dataSource.register(TxnDataSource)
+    t = TxnTable(str(tmp_path), "sevo")
+    t.append(spark.range(3).select("id", (F.col("id") * 10).alias("amt")))
+    t.rename_column(spark, "amt", "amount")
+    # post-rename appends write the new physical name; the stream must
+    # surface BOTH generations under the logical name
+    t.append(spark.createDataFrame([(50, 500)], "id bigint, amount bigint"))
+    q = (
+        spark.readStream.format("txn")
+        .load(t.table_dir)
+        .writeStream.format("memory")
+        .queryName("txn_evo_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        rows = {(r.id, r.amount) for r in spark.table("txn_evo_tail").collect()}
+    finally:
+        q.stop()
+    assert rows == {(0, 0), (1, 10), (2, 20), (50, 500)}
