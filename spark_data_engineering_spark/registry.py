@@ -133,7 +133,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #   hard_negative_pairs — band-filtered contrastive negative mining;
     #     the cosine/top-k machinery is in-window via knn_bruteforce
     #     (identical scan + window shape), only the band is new;
-    #     local-gate green, rotation priority.)
+    #     local-gate green, rotation priority.
+    #   txn_maintenance_report — metadata-only OPTIMIZE advisor gated
+    #     against an exact recount; the underlying count_rows/DV ledger
+    #     is exercised in-window via dv_delete_report; local-gate green,
+    #     rotation priority.)
     # --- 27 more of the r3 cohort (newest row round 3); with
     # curation_decisions above, 28 of the 43 r3-cohort names get a
     # fresh driver row this round.
