@@ -173,3 +173,104 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_orders"))
         .filter(F.col("n_orders") >= MIN_SUPPORT)
     )
+
+
+@query(
+    "ab_test_report",
+    oracle="""
+    WITH assigned AS (
+        SELECT event_type,
+               CAST(('0x' || SUBSTR(MD5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm,
+               value
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+                    AS DOUBLE) AS ss
+        FROM assigned GROUP BY event_type, arm
+    ),
+    w AS (
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               a.s / a.n AS mean_a, b.s / b.n AS mean_b,
+               (a.ss - a.s * a.s / a.n) / (a.n - 1) AS var_a,
+               (b.ss - b.s * b.s / b.n) / (b.n - 1) AS var_b
+        FROM (SELECT * FROM m WHERE arm = 0) a
+        JOIN (SELECT * FROM m WHERE arm = 1) b USING (event_type)
+    )
+    SELECT event_type, n_a, n_b,
+           FLOOR((mean_a) * 10000 + 0.5) / 10000 AS mean_a,
+           FLOOR((mean_b) * 10000 + 0.5) / 10000 AS mean_b,
+           FLOOR(((mean_b - mean_a)
+                  / SQRT(var_a / n_a + var_b / n_b)) * 10000 + 0.5) / 10000
+               AS t_stat,
+           (ABS((mean_b - mean_a) / SQRT(var_a / n_a + var_b / n_b)) > 1.96)
+               AS significant_95
+    FROM w
+    """,
+)
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis (round 6): users are deterministically
+    hash-assigned to two arms (seeded md5 parity — the stable
+    bucketing every experimentation platform uses so a user never
+    switches arms), and each event type gets a Welch two-sample
+    t-statistic on the event value, computed from the same exact
+    decimal power sums as ``brand_quantity_price_corr`` (single-pass
+    moments, partial-aggregable, float-order-proof; sqrt is an
+    exactly-rounded IEEE op so both engines agree bit-for-bit). The
+    synthetic assignment is a true A/A test, so ``significant_95``
+    doubles as a false-positive monitor — on this corpus no arm split
+    should clear |t| > 1.96 except by the expected 5% chance.
+
+    Scale: one shuffle of 2 x #event_types moment rows; the md5
+    assignment is map-side."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    v = F.col("value").cast("decimal(18,4)")
+    m = ev.select("event_type", arm.alias("arm"), "value").groupBy(
+        "event_type", "arm"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("ss"),
+    )
+    a = m.filter(F.col("arm") == 0).alias("a")
+    b = m.filter(F.col("arm") == 1).alias("b")
+    j = a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        (F.col("a.s") / F.col("a.n")).alias("_ma"),
+        (F.col("b.s") / F.col("b.n")).alias("_mb"),
+        ((F.col("a.ss") - F.col("a.s") * F.col("a.s") / F.col("a.n")) / (F.col("a.n") - 1)).alias("_va"),
+        ((F.col("b.ss") - F.col("b.s") * F.col("b.s") / F.col("b.n")) / (F.col("b.n") - 1)).alias("_vb"),
+    )
+    t = (F.col("_mb") - F.col("_ma")) / F.sqrt(
+        F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        round4(F.col("_ma")).alias("mean_a"),
+        round4(F.col("_mb")).alias("mean_b"),
+        round4(t).alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )

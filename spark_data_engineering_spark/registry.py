@@ -137,6 +137,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #   txn_maintenance_report — metadata-only OPTIMIZE advisor gated
     #     against an exact recount; the underlying count_rows/DV ledger
     #     is exercised in-window via dv_delete_report; local-gate green,
+    #     rotation priority.
+    #   ab_test_report — Welch t-test from the SAME decimal moment-sum
+    #     machinery as in-window brand_quantity_price_corr; only the
+    #     hash-assignment and t arithmetic are new; local-gate green,
     #     rotation priority.)
     # --- 27 more of the r3 cohort (newest row round 3); with
     # curation_decisions above, 28 of the 43 r3-cohort names get a

@@ -108,3 +108,43 @@ def test_copurchase_plan_broadcast_prune_no_bnl(spark, sf_dir):
     plan = _plan(spark, sf_dir, "copurchase_part_pairs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # the Apriori semi-join
+
+
+def test_ab_test_matches_hand_computation(spark, sf_dir):
+    """Welch t per event type equals the textbook formula computed in
+    plain Python over the same deterministic arm assignment."""
+    import hashlib
+
+    from spark_data_engineering_spark.sources import load_table
+
+    got = {r.event_type: r for r in entrymod.queries()["ab_test_report"](spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", "user_id", "value")
+        .collect()
+    )
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        if r.user_id is None or r.value is None:
+            continue
+        arm = int(hashlib.md5(f"ab1:{r.user_id}".encode()).hexdigest()[:8], 16) % 2
+        groups.setdefault((r.event_type, arm), []).append(r.value)
+    assert set(got) == {et for et, _ in groups}
+    for et, g in got.items():
+        a, b = groups[(et, 0)], groups[(et, 1)]
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        t = (mb - ma) / math.sqrt(va / len(a) + vb / len(b))
+        assert (g.n_a, g.n_b) == (len(a), len(b))
+        assert g.mean_a == pytest.approx(ma, abs=2e-4)
+        assert g.mean_b == pytest.approx(mb, abs=2e-4)
+        assert g.t_stat == pytest.approx(t, abs=2e-4)
+        assert g.significant_95 == (abs(t) > 1.96)
+
+
+def test_ab_test_plan_single_shuffle_moments(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ab_test_report")
+    assert plan.count("HashAggregate") >= 2  # partial + final moments
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
