@@ -274,3 +274,166 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(t).alias("t_stat"),
         (F.abs(t) > 1.96).alias("significant_95"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities), pinned as
+# literals so both engines draw identical resample counts from the same
+# seeded uniform — the dp_source_counts technique applied to the
+# bootstrap. P(K <= k) for k = 0..5; u beyond the last threshold -> 6.
+_POIS1_CDF = (0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015, 0.99940582)
+_BOOT_B = 100  # bootstrap replicates
+_BOOT_LO_RANK = 3   # ~2.5th percentile of 100 means
+_BOOT_HI_RANK = 98  # ~97.5th percentile
+
+
+def _pois_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+def _pois_col(u):
+    out = F.lit(6)
+    for k, t in reversed(list(enumerate(_POIS1_CDF))):
+        out = F.when(u < F.lit(t), F.lit(k)).otherwise(out)
+    return out
+
+
+@query(
+    "bootstrap_revenue_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT o.o_orderpriority AS priority, o.o_orderkey, o.o_totalprice,
+               b.b
+        FROM orders o, (SELECT UNNEST(RANGE(1, {_BOOT_B} + 1)) AS b) b
+    ),
+    drawn AS (
+        SELECT priority, b, o_totalprice,
+               {_pois_sql("CAST(('0x' || SUBSTR(MD5('boot:' || CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0")}
+                   AS c
+        FROM reps
+    ),
+    bmeans AS (
+        SELECT priority, b,
+               FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * c) AS DOUBLE)
+                      / SUM(c)) * 100 + 0.5) / 100 AS bmean
+        FROM drawn GROUP BY priority, b HAVING SUM(c) > 0
+    ),
+    ranked AS (
+        SELECT priority, bmean,
+               ROW_NUMBER() OVER (PARTITION BY priority ORDER BY bmean, b) AS rn,
+               COUNT(*) OVER (PARTITION BY priority) AS nb
+        FROM bmeans
+    ),
+    ci AS (
+        SELECT priority,
+               MAX(CASE WHEN rn = {_BOOT_LO_RANK} THEN bmean END) AS ci_lo,
+               MAX(CASE WHEN rn = {_BOOT_HI_RANK} THEN bmean END) AS ci_hi,
+               CAST(MAX(nb) AS BIGINT) AS n_replicates
+        FROM ranked GROUP BY priority
+    ),
+    pt AS (
+        SELECT o_orderpriority AS priority,
+               FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*)) * 100 + 0.5) / 100 AS mean_revenue
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT pt.priority, pt.mean_revenue, ci.ci_lo, ci.ci_hi, ci.n_replicates,
+           (pt.mean_revenue >= ci.ci_lo AND pt.mean_revenue <= ci.ci_hi)
+               AS point_inside_ci
+    FROM pt JOIN ci USING (priority)
+    """,
+)
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95% CI for mean order revenue per priority
+    (round 6) — the resampling-statistics tier (Efron 1979) on top of
+    the closed-form moment queries. Each of the {B} replicates draws a
+    Poisson(1) count per order (the Poisson bootstrap, Chamandy et al.
+    2012 — the STREAMABLE bootstrap: counts are independent per row, so
+    no replicate ever needs a global n, which is what makes resampling
+    work map-side on a 100 TB table) from a seeded md5 uniform against
+    pinned inverse-CDF literals; replicate means use exact decimal
+    sums; the CI is the {lo}rd/{hi}th order statistic of the rounded
+    replicate means (explicit ranks — no interpolation ambiguity).
+    Fully deterministic, so the whole resampling pipeline hash-matches
+    the SQL replay — and ``point_inside_ci`` doubles as a sanity
+    monitor (the point estimate should sit inside its own 95% CI).
+
+    Scale: the only blowup is the B-way row explode, map-side and
+    partial-aggregated into B x #groups moment rows; the rank window
+    runs over 100 rows per group."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("priority"), "o_orderkey", "o_totalprice"
+    )
+    reps = orders.withColumn(
+        "b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B)))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    drawn = reps.withColumn("c", _pois_col(u))
+    bmeans = (
+        drawn.groupBy("priority", "b")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * F.col("c")).alias("_s"),
+            F.sum("c").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            "priority",
+            "b",
+            (
+                F.floor((F.col("_s").cast("double") / F.col("_n")) * 100 + F.lit(0.5))
+                / 100
+            ).alias("bmean"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("priority").orderBy("bmean", "b")
+    ranked = bmeans.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nb", F.count(F.lit(1)).over(W.partitionBy("priority"))
+    )
+    ci = ranked.groupBy("priority").agg(
+        F.max(F.when(F.col("rn") == _BOOT_LO_RANK, F.col("bmean"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == _BOOT_HI_RANK, F.col("bmean"))).alias("ci_hi"),
+        F.max("nb").cast("bigint").alias("n_replicates"),
+    )
+    pt = orders.groupBy("priority").agg(
+        (
+            F.floor(
+                (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)))
+                * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("mean_revenue")
+    )
+    return pt.join(ci, "priority").select(
+        "priority",
+        "mean_revenue",
+        "ci_lo",
+        "ci_hi",
+        "n_replicates",
+        (
+            (F.col("mean_revenue") >= F.col("ci_lo"))
+            & (F.col("mean_revenue") <= F.col("ci_hi"))
+        ).alias("point_inside_ci"),
+    )

@@ -141,7 +141,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #   ab_test_report — Welch t-test from the SAME decimal moment-sum
     #     machinery as in-window brand_quantity_price_corr; only the
     #     hash-assignment and t arithmetic are new; local-gate green,
-    #     rotation priority.)
+    #     rotation priority.
+    #   bootstrap_revenue_ci — Poisson-bootstrap percentile CI (seeded
+    #     md5 draws against pinned inverse-CDF literals, the
+    #     dp_source_counts technique which IS in-window); local-gate
+    #     green, rotation priority.)
     # --- 27 more of the r3 cohort (newest row round 3); with
     # curation_decisions above, 28 of the 43 r3-cohort names get a
     # fresh driver row this round.

