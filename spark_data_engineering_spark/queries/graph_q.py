@@ -66,3 +66,96 @@ def pagerank_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     edges = ed.union(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank_fixed_point(edges, iterations=_ITERS)
+
+
+@query(
+    "coclick_triangle_stats",
+    oracle="""
+    WITH ui AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+        WHERE user_id IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    e AS (
+        SELECT DISTINCT a.u AS s, b.u AS d
+        FROM ui a JOIN ui b ON a.item = b.item AND a.u < b.u
+    ),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM e e1 JOIN e e2 ON e1.d = e2.s JOIN e e3
+             ON e3.s = e1.s AND e3.d = e2.d
+    ),
+    deg AS (
+        SELECT v, COUNT(*) AS dg FROM (
+            SELECT s AS v FROM e UNION ALL SELECT d FROM e
+        ) GROUP BY v
+    ),
+    wedges AS (SELECT SUM(dg * (dg - 1) / 2) AS w FROM deg)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT w FROM wedges) AS BIGINT) AS n_wedges,
+           FLOOR((3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges)) * 10000 + 0.5)
+               / 10000 AS clustering_coefficient
+    """,
+)
+def coclick_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient (round 6) over
+    the user co-click projection (users sharing a clicked item). The
+    count uses the canonical-orientation edge join (s < d everywhere,
+    so each triangle is generated exactly once as s < m < d — the
+    node-iterator family; at production scale the canonical order is by
+    (degree, id) so hub vertices never enumerate their full
+    neighborhood, same join shape). Clustering coefficient =
+    3·triangles / wedges with exact integer counts, so the whole graph
+    statistic hash-matches the SQL replay.
+
+    Scale: the projection and both joins are hash equi-joins on vertex
+    keys; wedge counts are one degree aggregation. The quadratic
+    per-item pair expansion is bounded by item popularity — the skew
+    guard at 100 TB is the same hot-key salting the dedup family uses."""
+    ev = load_table(spark, "events", sf_dir)
+    ui = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+    )
+    a, b = ui.alias("a"), ui.alias("b")
+    e = (
+        a.join(b, (F.col("a.item") == F.col("b.item")) & (F.col("a.u") < F.col("b.u")))
+        .select(F.col("a.u").alias("s"), F.col("b.u").alias("d"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.d") == F.col("e2.d")),
+        )
+        .count()
+    )
+    deg = (
+        e.select(F.col("s").alias("v"))
+        .unionAll(e.select(F.col("d").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(F.col("dg") * (F.col("dg") - 1) / 2).alias("n_wedges"),
+    ).first()
+    import math as _math
+
+    n_edges = e.count()
+    wedges = int(stats["n_wedges"])
+    cc = _math.floor((3.0 * tri / wedges) * 10000 + 0.5) / 10000 if wedges else 0.0
+    return spark.createDataFrame(
+        [(n_edges, int(stats["n_vertices"]), tri, wedges, cc)],
+        "n_edges bigint, n_vertices bigint, n_triangles bigint, "
+        "n_wedges bigint, clustering_coefficient double",
+    )

@@ -1220,3 +1220,84 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, "part", sf_dir)
     return edit_distance_join(part, "p_name", "p_partkey", max_dist=2, q=2)
+
+
+_HIER_SQL = """
+    WITH RECURSIVE tree(doc_id, n_chars, depth) AS (
+        SELECT doc_id, n_chars, 0 AS depth FROM {src} WHERE doc_id <= 1
+        UNION ALL
+        SELECT d.doc_id, d.n_chars, t.depth + 1
+        FROM {src} d JOIN tree t ON CAST(FLOOR(d.doc_id / 2.0) AS BIGINT) = t.doc_id
+        WHERE d.doc_id > 1
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tree GROUP BY depth
+"""
+
+
+@query("doc_hierarchy_depths", oracle=_HIER_SQL.format(src="documents"))
+def doc_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy traversal (round 6): the documents form
+    an implicit binary tree (parent = doc_id // 2, roots 0 and 1), and
+    Spark 4's WITH RECURSIVE walks it to a per-depth rollup — the
+    SQL-surface parity item for BOM explosions / org charts /
+    category trees. The Spark side and the DuckDB oracle run the SAME
+    recursive SQL text over the same view, so the gate checks Spark's
+    recursive-CTE execution itself against an independent engine.
+
+    Scale: each recursion level is one equi-join of the frontier
+    against the table — the standard iterative-join expansion; depth
+    is log2(N) for this tree (e.g. ~34 levels at 10^10 docs)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    docs.createOrReplaceTempView("_hier_docs")
+    return spark.sql(_HIER_SQL.format(src="_hier_docs"))
+
+
+_KANON_QI = "(lang, source, length-ventile)"
+
+
+@query(
+    "k_anonymity_report",
+    oracle="""
+    WITH classes AS (
+        SELECT lang, source, CAST(FLOOR(n_chars / 20.0) AS BIGINT) AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+               AS n_docs_at_risk,
+           (MIN(class_size) >= 5) AS is_5_anonymous
+    FROM classes
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (round 6) over the quasi-identifier tuple
+    (lang, source, 20-char length bucket): equivalence-class sizes and
+    the k=5 verdict — the release-readiness check run before publishing
+    any per-document table (Sweeney 2002; the privacy tier next to
+    dp_source_counts' noise release: DP protects aggregates, k-anonymity
+    audits row-level releases). One partial-aggregated groupBy over the
+    quasi-identifiers + a 5-number summary; nothing leaves the JVM."""
+    d = load_table(spark, "documents", sf_dir)
+    classes = d.groupBy(
+        "lang", "source", F.floor(F.col("n_chars") / 20).cast("bigint").alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_at_risk"),
+        (F.min("class_size") >= 5).alias("is_5_anonymous"),
+    )

@@ -145,7 +145,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #   bootstrap_revenue_ci — Poisson-bootstrap percentile CI (seeded
     #     md5 draws against pinned inverse-CDF literals, the
     #     dp_source_counts technique which IS in-window); local-gate
-    #     green, rotation priority.)
+    #     green, rotation priority.
+    #   coclick_triangle_stats / doc_hierarchy_depths /
+    #     k_anonymity_report — triangle counting + clustering
+    #     coefficient, Spark 4 recursive-CTE tree walk (same SQL text
+    #     on both engines), k-anonymity release audit; all local-gate
+    #     green, rotation priorities.)
     # --- 27 more of the r3 cohort (newest row round 3); with
     # curation_decisions above, 28 of the 43 r3-cohort names get a
     # fresh driver row this round.
