@@ -290,3 +290,52 @@ def test_prefix_jaccard_plan_no_bnl(spark, sf_dir):
     plan = _plan(spark, sf_dir, "jaccard_prefix_pairs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_join_no_bnl(spark, sf_dir):
+    """The co-click projection and both triangle joins must stay equi
+    hash/merge joins — a condition-ordering mistake here degenerates to
+    a nested loop over the edge set."""
+    import __spark_entry__ as em
+    from spark_data_engineering_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", sf_dir)
+    ui = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+    )
+    a, b = ui.alias("a"), ui.alias("b")
+    e = (
+        a.join(b, (F.col("a.item") == F.col("b.item")) & (F.col("a.u") < F.col("b.u")))
+        .select(F.col("a.u").alias("s"), F.col("b.u").alias("d"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e1.d") == F.col("e2.s")).join(
+        e3, (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.d") == F.col("e2.d"))
+    )
+    plan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kanon_and_ab_single_aggregation_pass(spark, sf_dir):
+    for name in ("k_anonymity_report", "ab_test_report"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("HashAggregate") >= 2, name  # partial + final
+        assert "EvalPython" not in plan, name
+
+
+def test_bootstrap_explode_is_map_side(spark, sf_dir):
+    """The B-way replicate explode must sit below the partial aggregate
+    (map-side blowup, combined before the shuffle), and the Poisson
+    draw is pure JVM."""
+    plan = _plan(spark, sf_dir, "bootstrap_revenue_ci")
+    assert "EvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
