@@ -69,17 +69,14 @@ def pagerank_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "coclick_triangle_stats",
+    "neardup_triangle_stats",
     oracle="""
-    WITH ui AS (
-        SELECT DISTINCT user_id AS u,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-        FROM events
-        WHERE user_id IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
-    ),
-    e AS (
-        SELECT DISTINCT a.u AS s, b.u AS d
-        FROM ui a JOIN ui b ON a.item = b.item AND a.u < b.u
+    WITH e AS (
+        SELECT a.vec_id AS s, b.vec_id AS d
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND FLOOR((LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 >= 0.45
     ),
     tri AS (
         SELECT COUNT(*) AS t
@@ -96,39 +93,44 @@ def pagerank_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_vertices,
            CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
            CAST((SELECT w FROM wedges) AS BIGINT) AS n_wedges,
-           FLOOR((3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges)) * 10000 + 0.5)
+           FLOOR((3.0 * (SELECT t FROM tri)
+                  / GREATEST((SELECT w FROM wedges), 1)) * 10000 + 0.5)
                / 10000 AS clustering_coefficient
     """,
 )
-def coclick_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + global clustering coefficient (round 6) over
-    the user co-click projection (users sharing a clicked item). The
+    the embedding near-dup graph (cosine >= 0.45 pairs — SPARSE by
+    construction: edges exist only between near-duplicates, which is
+    what makes triangle enumeration tractable at any corpus size; a
+    co-click-style projection was rejected here because hot items make
+    it near-complete — measured 2.7B candidate pairs at 10x — and no
+    fixed hot-item cap survives this corpus's uniform popularity). The
     count uses the canonical-orientation edge join (s < d everywhere,
-    so each triangle is generated exactly once as s < m < d — the
-    node-iterator family; at production scale the canonical order is by
-    (degree, id) so hub vertices never enumerate their full
-    neighborhood, same join shape). Clustering coefficient =
-    3·triangles / wedges with exact integer counts, so the whole graph
-    statistic hash-matches the SQL replay.
+    each triangle generated exactly once as s < m < d); clustering
+    coefficient = 3*triangles / wedges with exact integer counts, so
+    the whole statistic hash-matches the SQL replay. High clustering
+    here means near-dup groups are cliques (true duplicate clusters)
+    rather than chains (drift) — the audit signal for choosing a
+    connected-components vs clique-based dedup policy.
 
-    Scale: the projection and both joins are hash equi-joins on vertex
-    keys; wedge counts are one degree aggregation. The quadratic
-    per-item pair expansion is bounded by item popularity — the skew
-    guard at 100 TB is the same hot-key salting the dedup family uses."""
-    ev = load_table(spark, "events", sf_dir)
-    ui = (
-        ev.select(
-            F.col("user_id").alias("u"),
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-        )
-        .filter(F.col("u").isNotNull() & F.col("item").isNotNull())
-        .distinct()
+    Scale: edge generation is the adjudicated blocked all-pairs
+    (LSH-candidate pairs at corpus scale); both triangle joins are hash
+    equi-joins on vertex keys over the sparse edge set."""
+    from spark_data_engineering_spark.operators.similarity import (
+        cosine_pairs_blocked,
     )
-    a, b = ui.alias("a"), ui.alias("b")
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # the sparse edge set feeds FIVE consumers (three triangle join
+    # legs, the degree pass, and the edge count); materialize it once
+    # or each re-executes the full blocked all-pairs plan (measured
+    # 42 s -> ~8 s at sf0.01) — same eager-cut finding as
+    # minhash_lsh_dedup's candidate set
     e = (
-        a.join(b, (F.col("a.item") == F.col("b.item")) & (F.col("a.u") < F.col("b.u")))
-        .select(F.col("a.u").alias("s"), F.col("b.u").alias("d"))
-        .distinct()
+        cosine_pairs_blocked(emb, threshold=0.45)
+        .select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -152,10 +154,11 @@ def coclick_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math as _math
 
     n_edges = e.count()
-    wedges = int(stats["n_wedges"])
-    cc = _math.floor((3.0 * tri / wedges) * 10000 + 0.5) / 10000 if wedges else 0.0
+    n_vertices = int(stats["n_vertices"] or 0)
+    wedges = int(stats["n_wedges"] or 0)
+    cc = _math.floor((3.0 * tri / max(wedges, 1)) * 10000 + 0.5) / 10000
     return spark.createDataFrame(
-        [(n_edges, int(stats["n_vertices"]), tri, wedges, cc)],
+        [(n_edges, n_vertices, tri, wedges, cc)],
         "n_edges bigint, n_vertices bigint, n_triangles bigint, "
         "n_wedges bigint, clustering_coefficient double",
     )

@@ -146,9 +146,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     md5 draws against pinned inverse-CDF literals, the
     #     dp_source_counts technique which IS in-window); local-gate
     #     green, rotation priority.
-    #   coclick_triangle_stats / doc_hierarchy_depths /
+    #   neardup_triangle_stats / doc_hierarchy_depths /
     #     k_anonymity_report — triangle counting + clustering
-    #     coefficient, Spark 4 recursive-CTE tree walk (same SQL text
+    #     coefficient over the sparse near-dup graph (the co-click
+    #     projection was rejected: hot items make it near-complete —
+    #     2.7B pairs at 10x), Spark 4 recursive-CTE tree walk (same SQL text
     #     on both engines), k-anonymity release audit; all local-gate
     #     green, rotation priorities.)
     # --- 27 more of the r3 cohort (newest row round 3); with

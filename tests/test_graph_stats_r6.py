@@ -33,7 +33,7 @@ def test_triangle_count_on_known_graph(spark):
 
 
 def test_triangle_query_internal_consistency(spark, sf_dir):
-    r = entrymod.queries()["coclick_triangle_stats"](spark, sf_dir).first()
+    r = entrymod.queries()["neardup_triangle_stats"](spark, sf_dir).first()
     assert r.n_vertices > 0 and r.n_edges > 0
     assert 0 <= r.clustering_coefficient <= 1
     # every triangle contributes 3 wedges

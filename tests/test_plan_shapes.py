@@ -293,27 +293,13 @@ def test_prefix_jaccard_plan_no_bnl(spark, sf_dir):
 
 
 def test_triangle_join_no_bnl(spark, sf_dir):
-    """The co-click projection and both triangle joins must stay equi
-    hash/merge joins — a condition-ordering mistake here degenerates to
-    a nested loop over the edge set."""
-    import __spark_entry__ as em
-    from spark_data_engineering_spark.sources import load_table
+    """Both triangle join legs must stay equi hash joins — a
+    condition-ordering mistake here degenerates to a nested loop over
+    the edge set."""
     from pyspark.sql import functions as F
 
-    ev = load_table(spark, "events", sf_dir)
-    ui = (
-        ev.select(
-            F.col("user_id").alias("u"),
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-        )
-        .filter(F.col("u").isNotNull() & F.col("item").isNotNull())
-        .distinct()
-    )
-    a, b = ui.alias("a"), ui.alias("b")
-    e = (
-        a.join(b, (F.col("a.item") == F.col("b.item")) & (F.col("a.u") < F.col("b.u")))
-        .select(F.col("a.u").alias("s"), F.col("b.u").alias("d"))
-        .distinct()
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4)], "s bigint, d bigint"
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = e1.join(e2, F.col("e1.d") == F.col("e2.s")).join(
