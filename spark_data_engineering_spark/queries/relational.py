@@ -1265,9 +1265,6 @@ def doc_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_HIER_SQL.format(src="_hier_docs"))
 
 
-_KANON_QI = "(lang, source, length-ventile)"
-
-
 @query(
     "k_anonymity_report",
     oracle="""
