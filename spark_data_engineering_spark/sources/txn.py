@@ -744,6 +744,57 @@ class TxnTable:
         add, stats = self._stage(df)
         return self._commit("overwrite", add, removed, stats, txn=txn, schema=schema)
 
+    def write_audit_publish(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        checks: tuple,
+        mode: str = "append",
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Write-Audit-Publish: stage ``df``'s files, AUDIT the staged
+        BYTES (re-read from disk — the exact data a commit would
+        publish, not the logical plan, so a lossy write path can't
+        sneak past the checks), and publish atomically only if every
+        check passes. On failure the staged files are deleted and
+        ``CheckError`` raises with the messages — the table is
+        byte-identical to before, and no reader ever saw the bad data
+        (staged-but-uncommitted files are invisible by construction:
+        the log, not a listing, defines the table).
+
+        This is the ACID-integrated form of the validation gate the
+        plans/dag runner applies to snapshot writes (reference analog:
+        base_table.py:232-235 raising InvalidDataException before
+        ``write``) — here the audit sits between staging and the
+        atomic commit, the Iceberg/Delta WAP pattern. ``checks`` are
+        ``checks.Check`` values (all foldable checks run as ONE job
+        over the staged read)."""
+        from spark_data_engineering_spark.checks import CheckError, run_checks
+
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"write_audit_publish: mode={mode!r}")
+        schema = self._merged_schema(df)
+        removed = self.live_files() if mode == "overwrite" else []
+        add, stats = self._stage(df)
+        staged = (
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.data_dir, f) for f in add]
+            )
+            if add
+            else df.limit(0)
+        )
+        failures = run_checks(staged, tuple(checks))
+        if failures:
+            for f in add:
+                try:
+                    os.remove(os.path.join(self.data_dir, f))
+                except OSError:
+                    pass
+            raise CheckError(
+                f"write_audit_publish: audit failed, nothing published: {failures}"
+            )
+        return self._commit(mode, add, removed, stats, txn=txn, schema=schema)
+
     def _read_files_meta(
         self, spark: SparkSession, files: list[str], at_version: int | None = None
     ) -> DataFrame:

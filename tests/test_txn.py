@@ -295,3 +295,49 @@ def test_reserved_stats_key_rejected(spark, tmp_path):
         assert "reserved" in str(e)
     else:
         raise AssertionError("a real __num_rows column must be refused")
+
+
+# ---- write-audit-publish (round 6) -------------------------------------
+
+
+def test_wap_publishes_only_clean_data(spark, tmp_path):
+    from spark_data_engineering_spark.checks import CheckError, not_null, unique
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path), "wap")
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    v1 = t.write_audit_publish(spark, clean, (unique("id"), not_null("v")))
+    assert v1 == 1 and t.read(spark).count() == 2
+    # dirty batch: duplicate key AND a null — must not publish, must not
+    # leave staged bytes behind
+    import os
+
+    dirty = spark.createDataFrame([(2, None), (2, "c")], "id bigint, v string")
+    files_before = sorted(os.listdir(t.data_dir))
+    try:
+        t.write_audit_publish(spark, dirty, (unique("id"), not_null("v")))
+        raise AssertionError("dirty batch published")
+    except CheckError as e:
+        assert "audit failed" in str(e)
+    assert t.version() == v1
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    assert sorted(os.listdir(t.data_dir)) == files_before  # staged cleaned
+
+
+def test_wap_overwrite_keeps_old_snapshot_on_failure(spark, tmp_path):
+    from spark_data_engineering_spark.checks import CheckError, not_null
+    from spark_data_engineering_spark.sources.txn import TxnTable
+    from pyspark.sql import functions as F
+
+    t = TxnTable(str(tmp_path), "wap2")
+    t.append(spark.range(5).withColumn("v", F.lit("x")))
+    bad = spark.createDataFrame([(9, None)], "id bigint, v string")
+    try:
+        t.write_audit_publish(spark, bad, (not_null("v"),), mode="overwrite")
+        raise AssertionError("published")
+    except CheckError:
+        pass
+    assert t.read(spark).count() == 5  # overwrite never happened
+    good = spark.createDataFrame([(9, "y")], "id bigint, v string")
+    t.write_audit_publish(spark, good, (not_null("v"),), mode="overwrite")
+    assert [(r.id, r.v) for r in t.read(spark).collect()] == [(9, "y")]
