@@ -751,7 +751,7 @@ class TxnTable:
         checks: tuple,
         mode: str = "append",
         txn: tuple[str, int] | None = None,
-    ) -> int:
+    ) -> int | None:
         """Write-Audit-Publish: stage ``df``'s files, AUDIT the staged
         BYTES (re-read from disk — the exact data a commit would
         publish, not the logical plan, so a lossy write path can't
@@ -773,6 +773,11 @@ class TxnTable:
 
         if mode not in ("append", "overwrite"):
             raise ValueError(f"write_audit_publish: mode={mode!r}")
+        if txn is not None and txn[1] <= self.last_epoch(txn[0]):
+            # exactly-once composition: a crash-redelivered epoch already
+            # published (or was already audited-and-published) — stage
+            # nothing, publish nothing, same contract as append_idempotent
+            return None
         schema = self._merged_schema(df)
         removed = self.live_files() if mode == "overwrite" else []
         add, stats = self._stage(df)

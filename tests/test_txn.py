@@ -341,3 +341,16 @@ def test_wap_overwrite_keeps_old_snapshot_on_failure(spark, tmp_path):
     good = spark.createDataFrame([(9, "y")], "id bigint, v string")
     t.write_audit_publish(spark, good, (not_null("v"),), mode="overwrite")
     assert [(r.id, r.v) for r in t.read(spark).collect()] == [(9, "y")]
+
+
+def test_wap_exactly_once_replay(spark, tmp_path):
+    from spark_data_engineering_spark.checks import not_null
+    from spark_data_engineering_spark.sources.txn import TxnTable
+    from pyspark.sql import functions as F
+
+    t = TxnTable(str(tmp_path), "wap3")
+    batch = spark.range(3).withColumn("v", F.lit("x"))
+    assert t.write_audit_publish(spark, batch, (not_null("v"),), txn=("s", 1)) == 1
+    # crash-redelivered epoch: no staging, no commit, no duplicate rows
+    assert t.write_audit_publish(spark, batch, (not_null("v"),), txn=("s", 1)) is None
+    assert t.version() == 1 and t.read(spark).count() == 3
