@@ -491,3 +491,87 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     sk = kmv_group_sketch(ev, "event_type", "user_id", _KMV_K)
     return _kmv_report(spark, sf_dir, sk)
+
+
+@query(
+    "kmv_audience_overlap",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (SELECT event_type, hv FROM r WHERE rn <= {_KMV_K}),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sk a JOIN sk b ON a.hv = b.hv AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sz FROM sk GROUP BY 1)
+    SELECT p.type_a, p.type_b, p.n_common,
+           sa.sz AS n_a, sb.sz AS n_b,
+           (sa.sz < {_KMV_K} AND sb.sz < {_KMV_K}) AS exact,
+           FLOOR((CAST(p.n_common AS DOUBLE)
+                  / (sa.sz + sb.sz - p.n_common)) * 10000 + 0.5) / 10000
+               AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.type_a = sa.event_type
+    JOIN sizes sb ON p.type_b = sb.event_type
+    """,
+)
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types from KMV sketches (round 6)
+    — the theta-sketch staple: which behaviors share users, answered
+    from k-minimum-values state instead of a pairwise distinct-count
+    join over raw events. Below k the sketches ARE the distinct hash
+    sets, so intersection, sizes, and Jaccard are EXACT (this corpus's
+    regime, and the gate hashes it); at saturation the same pair join
+    over the k-min sets yields the standard KMV intersection estimate —
+    the sketch-join cost is k x #types rows either way, independent of
+    corpus size. The oracle replays the identical sketch construction
+    and pair join in SQL.
+
+    Scale: sketches come from the bounded per-partition prune
+    (kmv_group_sketch); the overlap join touches <= k rows per type —
+    audience overlap over a trillion events costs a kilobyte join."""
+    from spark_data_engineering_spark.operators.sketches import kmv_group_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    sk = kmv_group_sketch(ev, "event_type", "user_id", _KMV_K).localCheckpoint(
+        eager=True
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hv") == F.col("b.hv")) & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("type_a"), F.col("b.grp").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sizes = sk.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pairs.join(F.broadcast(sa), F.col("type_a") == F.col("sa.grp"))
+        .join(F.broadcast(sb), F.col("type_b") == F.col("sb.grp"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.col("sa.sz").alias("n_a"),
+            F.col("sb.sz").alias("n_b"),
+            ((F.col("sa.sz") < _KMV_K) & (F.col("sb.sz") < _KMV_K)).alias("exact"),
+            NR.round4(
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -119,8 +119,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # priority, and displacing one would trade mandated evidence for
     # new evidence. All pass the local gate this round and are the
     # FIRST rotation priorities for round 7:
-    #   kmv_distinct_users / streaming_distinct_users — the KMV distinct
-    #     sketch pair; no in-window query contains their computation.
+    #   kmv_distinct_users / streaming_distinct_users /
+    #     kmv_audience_overlap — the KMV distinct-sketch family (counts,
+    #     streaming fold, theta-style set overlap); no in-window query
+    #     contains their computation.
     #   jaccard_prefix_pairs — hash-matches the SAME _JACCARD_SQL oracle
     #     as the in-window ngram_jaccard_pairs (identical result set —
     #     the lossless-prefix-filter equality is also pytest-pinned at

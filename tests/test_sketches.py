@@ -252,3 +252,32 @@ def test_kmv_report_fallback_labels_saturated_groups(spark, sf_dir):
     for r in rows:
         assert r.n_distinct_users == want[r.event_type]
         assert r.sketch_size == 8
+
+
+def test_kmv_overlap_exact_below_k(spark, sf_dir):
+    """Below k the sketch overlap equals the exact distinct-user
+    intersection per type pair."""
+    from itertools import combinations
+
+    import pytest
+
+    import __spark_entry__ as entrymod
+    from spark_data_engineering_spark.sources import load_table
+
+    got = {
+        (r.type_a, r.type_b): r
+        for r in entrymod.queries()["kmv_audience_overlap"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir).select("event_type", "user_id").collect()
+    users: dict[str, set] = {}
+    for r in ev:
+        if r.user_id is not None:
+            users.setdefault(r.event_type, set()).add(r.user_id)
+    for ta, tb in combinations(sorted(users), 2):
+        g = got[(ta, tb)]
+        assert g.exact
+        inter = len(users[ta] & users[tb])
+        union = len(users[ta] | users[tb])
+        assert g.n_common == inter
+        assert (g.n_a, g.n_b) == (len(users[ta]), len(users[tb]))
+        assert g.jaccard == pytest.approx(inter / union, abs=2e-4)
