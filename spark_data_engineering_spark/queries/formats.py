@@ -113,3 +113,45 @@ def csv_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
     )
     return _hourly(ev)
+
+
+@query("xml_events_hourly_stats", oracle=_HOURLY_ORACLE)
+def xml_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events round-tripped through XML (round 6 — Spark 4's built-in
+    XML source, the enterprise-feed format): staged once with
+    ``rowTag`` records and ISO timestamp strings (XML carries no
+    timestamp type, same contract as the JSON/CSV variants), read back
+    with an EXPLICIT schema (inference on XML is an extra full scan
+    plus type drift), parsed to micros, and aggregated — must hash the
+    same oracle as the parquet original, proving the round-trip
+    lossless."""
+    src = f"{sf_dir}/events.parquet"
+    stat = os.stat(src)
+    digest = hashlib.md5(
+        f"xml:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    staged = f"/tmp/spark_de_fmt/xml/{digest}"
+    if not os.path.isdir(staged):
+        ev = load_table(spark, "events", sf_dir).withColumn(
+            "ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        )
+        (
+            ev.repartition(4)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "events")
+            .option("rowTag", "event")
+            .save(staged)
+        )
+    schema = (
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    ev = (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "event")
+        .load(staged)
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    )
+    return _hourly(ev)

@@ -136,6 +136,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     the cosine/top-k machinery is in-window via knn_bruteforce
     #     (identical scan + window shape), only the band is new;
     #     local-gate green, rotation priority.
+    #   xml_events_hourly_stats — XML restage of the hourly agg; the
+    #     agg core is in-window via csv_events_hourly_stats, only the
+    #     Spark 4 XML reader is new; local-gate green, rotation priority.
     #   txn_maintenance_report — metadata-only OPTIMIZE advisor gated
     #     against an exact recount; the underlying count_rows/DV ledger
     #     is exercised in-window via dv_delete_report; local-gate green,
