@@ -273,6 +273,13 @@ def lsh_candidate_pairs(
     banded = band_rows(signatures, bands, rows)
     if max_bucket is not None:
         banded = drop_hot_buckets(banded, max_bucket)
+    # the self-join consumes this frame on BOTH sides, and Spark does
+    # not reuse the exchange across them (one side broadcasts), so the
+    # whole shingle->minhash->band pipeline would execute twice —
+    # measured at sf0.1: two FileScans of documents in one candidate
+    # plan. Materialize once: #docs x bands small rows (~25 MB at
+    # sf0.1), the bucket-join input a cluster run would persist anyway.
+    banded = banded.localCheckpoint(eager=True)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
