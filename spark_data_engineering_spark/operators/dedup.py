@@ -122,8 +122,13 @@ def jaccard_pairs(
     # join on the 64-bit shingle hash: fixed-width shuffle key (the
     # string shingle would shuffle ~3 words per row); collision odds over
     # a corpus of S shingles ~ S^2/2^65 — negligible for intersection counts
-    idx = shingle_index(df, text_col, id_col, n).select(
-        "_id", F.xxhash64("_shingle").alias("_h")
+    # three consumers (both join sides + sizes) and no exchange reuse
+    # across them: materialize the hashed index once (at cluster scale
+    # this is the persisted shingle-index table)
+    idx = (
+        shingle_index(df, text_col, id_col, n)
+        .select("_id", F.xxhash64("_shingle").alias("_h"))
+        .localCheckpoint(eager=True)
     )
     sizes = idx.groupBy("_id").agg(F.count("*").alias("_sz"))
     a = idx.alias("a")
@@ -451,9 +456,15 @@ def simhash_near_pairs(
         )
         for i in range(n_bands)
     ]
-    banded = sigs.select(
-        "_id", "simhash", F.explode(F.array(*band_structs)).alias("b")
-    ).select("_id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    banded = (
+        sigs.select("_id", "simhash", F.explode(F.array(*band_structs)).alias("b"))
+        .select(
+            "_id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+        )
+        # both self-join sides consume this: one signature pass, not two
+        # (same no-exchange-reuse finding as the MinHash candidate join)
+        .localCheckpoint(eager=True)
+    )
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -667,8 +678,13 @@ def jaccard_pairs_prefix(
     length filter |B| >= t|A|."""
     from pyspark.sql import Window as W
 
-    idx = shingle_index(df, text_col, id_col, n).select(
-        "_id", F.xxhash64("_shingle").alias("_h")
+    # the hashed index feeds SIX consumers here (df-count, sizes, both
+    # prefix sides, both verify sides) — unmaterialized, the shingle
+    # pipeline executed 10x (measured by FileScan count at sf0.1)
+    idx = (
+        shingle_index(df, text_col, id_col, n)
+        .select("_id", F.xxhash64("_shingle").alias("_h"))
+        .localCheckpoint(eager=True)
     )
     sizes = idx.groupBy("_id").agg(F.count("*").alias("_sz"))
     # one document-frequency pass; joined back on the shingle hash
@@ -683,6 +699,8 @@ def jaccard_pairs_prefix(
             <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + F.lit(1)
         )
         .select("_id", "_h", "_sz")
+        # both candidate sides consume it: one window pass, not two
+        .localCheckpoint(eager=True)
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (

@@ -274,8 +274,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_data_engineering_spark.operators.dedup import shingle_index
 
     docs = load_table(spark, "documents", sf_dir)
-    idx = shingle_index(docs, "text", "doc_id", 3).select(
-        "_id", F.xxhash64("_shingle").alias("_h")
+    # three consumers (both join sides + sizes): materialize once
+    idx = (
+        shingle_index(docs, "text", "doc_id", 3)
+        .select("_id", F.xxhash64("_shingle").alias("_h"))
+        .localCheckpoint(eager=True)
     )
     sizes = idx.groupBy("_id").agg(F.count("*").alias("_sz"))
     a, b = idx.alias("a"), idx.alias("b")

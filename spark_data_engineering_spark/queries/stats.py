@@ -146,10 +146,14 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-order fan-out is bounded by basket size; (4) pair groupBy
     with partial counts. No step materializes the item×item matrix.
     """
+    # li feeds the frequency count AND (via fi) both self-join sides;
+    # materialize the distinct pairs once (measured 4 FileScans of
+    # lineitem in one plan without it)
     li = (
         load_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     freq = (
         li.groupBy("l_partkey")
