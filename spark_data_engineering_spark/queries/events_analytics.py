@@ -360,8 +360,13 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_overlap_join,
     )
 
-    s = sessionize_events(spark, sf_dir).select(
-        "user_id", "session_id", "session_start", "session_end"
+    # the session table feeds both interval-join sides; materialize the
+    # sessionization window pipeline once (no exchange reuse across a
+    # self-join — same finding as the dedup family, SCALE.md round 6)
+    s = (
+        sessionize_events(spark, sf_dir)
+        .select("user_id", "session_id", "session_start", "session_end")
+        .localCheckpoint(eager=True)
     )
     a = s.select(
         F.col("user_id").alias("a_user"),
