@@ -157,7 +157,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     projection was rejected: hot items make it near-complete —
     #     2.7B pairs at 10x), Spark 4 recursive-CTE tree walk (same SQL text
     #     on both engines), k-anonymity release audit; all local-gate
-    #     green, rotation priorities.)
+    #     green, rotation priorities.
+    #   global_row_ids / column_stats_report / corpus_snapshot_diff —
+    #     the queries/profiling.py family (two-pass bucket-offset global
+    #     row numbering, exact per-column ANALYZE profile, epoch diff);
+    #     no in-window containment, local-gate green, rotation
+    #     priorities.)
     # --- 27 more of the r3 cohort (newest row round 3); with
     # curation_decisions above, 28 of the 43 r3-cohort names get a
     # fresh driver row this round.
@@ -353,6 +358,7 @@ def load_all() -> None:
         multimodal,
         pipeline,
         privacy,
+        profiling,
         quality,
         relational,
         reports,

@@ -325,3 +325,39 @@ def test_bootstrap_explode_is_map_side(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "Generate explode" in plan or "Generate" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_global_row_ids_ranking_window_is_partitioned(spark, sf_dir):
+    """The 100 TB contract of the bucket-offset row-id scheme: the
+    ranking window over the data is PARTITIONED by the bucket (never a
+    global window), the data-scale exchange is keyed on the bucket, and
+    the only SinglePartition exchanges feed the tiny (<=64-row)
+    min/max + offsets frames."""
+    plan = _plan(spark, sf_dir, "global_row_ids")
+    import re
+
+    rn = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn and all("__b" in ln for ln in rn)
+    assert re.search(r"Exchange hashpartitioning\(__b", plan)
+    assert plan.count("Exchange SinglePartition") <= 3
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_column_stats_branches_prune_to_one_column(spark, sf_dir):
+    """Each union branch of the exact-NDV profile scans exactly its own
+    column (parquet column pruning per branch)."""
+    import re
+
+    df = entrymod.queries()["column_stats_report"](spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 8
+    assert all("," not in s for s in scans)  # one column per scan
+
+
+def test_snapshot_diff_single_keyed_join_no_bnl(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
