@@ -16,11 +16,16 @@ reproduces by numbering occurrences per (string, gram) and joining on
 (gram, occurrence_index).
 
 Exactness guard: the count bound prunes soundly only while it is >= 1
-for every pair, i.e. min string length >= q + k*q (shorter strings could
-satisfy ed<=k while sharing zero grams, and a gram join would miss
-them). Below that the operator falls back to the length-band cross join
-within each band — still exact, just unpruned — and the chosen path is
-observable for tests.
+for every pair, i.e. both string lengths >= q + k*q (shorter strings
+could satisfy ed<=k while sharing zero grams, and a gram join would
+miss them). The input is therefore STRATIFIED by length instead of
+gated on a global min(length): the long stratum gram-joins as usual,
+while any pair with at least one short member goes through a
+length-band join made equi by key expansion (each short row explodes
+into the 2k+1 lengths it can match, then hash-joins on exact length) —
+still exact, just unpruned, and bounded by the short stratum's size.
+One stray short string no longer forces the unpruned path onto the
+whole dataset, and no driver-side action is needed to pick a path.
 
 No reference analog (the reference has no string-similarity surface);
 the 100 TB shape: one gram shuffle sized sum(len), candidate volume
@@ -49,61 +54,70 @@ def edit_distance_join(
         F.col(col).alias("_s"),
         F.length(col).alias("_len"),
     ).filter(F.col("_s").isNotNull())
-    min_len = base.agg(F.min("_len")).first()[0]
-    if min_len is None:
-        return base.sparkSession.createDataFrame(
-            [], "id_a bigint, id_b bigint, edit_dist bigint"
+    lmin = q + max_dist * q  # both lens >= lmin => gram bound >= 1
+    long_side = base.filter(F.col("_len") >= lmin)
+    short_side = base.filter(F.col("_len") < lmin)
+
+    # long-long pairs: positional q-gram multiset, occurrence-numbered
+    grams = long_side.select(
+        "_id",
+        "_s",
+        "_len",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, _len - {q}), i -> substring(_s, i + 1, {q}))")
+        ).alias("_pos", "_g"),
+    )
+    occ = W.partitionBy("_id", "_g").orderBy("_pos")
+    grams = grams.withColumn("_occ", F.row_number().over(occ)).drop("_pos")
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    matched = (
+        ga.join(
+            gb,
+            (F.col("ga._g") == F.col("gb._g"))
+            & (F.col("ga._occ") == F.col("gb._occ"))
+            & (F.col("ga._id") < F.col("gb._id"))
+            & (F.abs(F.col("ga._len") - F.col("gb._len")) <= F.lit(max_dist)),
         )
-    if min_len >= q + max_dist * q:
-        # positional q-gram multiset: occurrence-numbered grams
-        grams = base.select(
-            "_id",
-            "_s",
-            "_len",
-            F.posexplode(
-                F.expr(f"transform(sequence(0, _len - {q}), i -> substring(_s, i + 1, {q}))")
-            ).alias("_pos", "_g"),
+        .groupBy(
+            F.col("ga._id").alias("id_a"),
+            F.col("gb._id").alias("id_b"),
+            F.col("ga._s").alias("_sa"),
+            F.col("gb._s").alias("_sb"),
+            F.col("ga._len").alias("_la"),
+            F.col("gb._len").alias("_lb"),
         )
-        occ = W.partitionBy("_id", "_g").orderBy("_pos")
-        grams = grams.withColumn("_occ", F.row_number().over(occ)).drop("_pos")
-        ga, gb = grams.alias("ga"), grams.alias("gb")
-        matched = (
-            ga.join(
-                gb,
-                (F.col("ga._g") == F.col("gb._g"))
-                & (F.col("ga._occ") == F.col("gb._occ"))
-                & (F.col("ga._id") < F.col("gb._id"))
-                & (
-                    F.abs(F.col("ga._len") - F.col("gb._len")) <= F.lit(max_dist)
-                ),
-            )
-            .groupBy(
-                F.col("ga._id").alias("id_a"),
-                F.col("gb._id").alias("id_b"),
-                F.col("ga._s").alias("_sa"),
-                F.col("gb._s").alias("_sb"),
-                F.col("ga._len").alias("_la"),
-                F.col("gb._len").alias("_lb"),
-            )
-            .agg(F.count(F.lit(1)).alias("_shared"))
-        )
-        cand = matched.filter(
-            F.col("_shared")
-            >= F.greatest("_la", "_lb") - F.lit(q - 1) - F.lit(max_dist * q)
-        )
-    else:
-        # short-string fallback: length bands only (exact, unpruned)
-        a, b = base.alias("a"), base.alias("b")
-        cand = a.join(
-            b,
-            (F.abs(F.col("a._len") - F.col("b._len")) <= F.lit(max_dist))
-            & (F.col("a._id") < F.col("b._id")),
-        ).select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._s").alias("_sa"),
-            F.col("b._s").alias("_sb"),
-        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    cand_long = matched.filter(
+        F.col("_shared")
+        >= F.greatest("_la", "_lb") - F.lit(q - 1) - F.lit(max_dist * q)
+    ).select("id_a", "id_b", "_sa", "_sb")
+
+    # pairs with >= 1 short member: length band, equi via key expansion
+    # (each short row explodes into the 2k+1 lengths it can pair with,
+    # then hash-joins on exact length — no nested-loop join). Covered
+    # exactly once: a-short vs anything-bigger-id, then a-long vs
+    # b-short-bigger-id.
+    short_exp = short_side.withColumn(
+        "_lmatch",
+        F.explode(F.sequence(F.col("_len") - max_dist, F.col("_len") + max_dist)),
+    )
+    pair_cols_ab = [
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a._s").alias("_sa"),
+        F.col("b._s").alias("_sb"),
+    ]
+    p1 = short_exp.alias("a").join(
+        base.alias("b"),
+        (F.col("a._lmatch") == F.col("b._len")) & (F.col("a._id") < F.col("b._id")),
+    ).select(*pair_cols_ab)
+    p2 = long_side.alias("a").join(
+        short_exp.alias("b"),
+        (F.col("a._len") == F.col("b._lmatch")) & (F.col("a._id") < F.col("b._id")),
+    ).select(*pair_cols_ab)
+
+    cand = cand_long.unionByName(p1).unionByName(p2)
     return (
         cand.withColumn("edit_dist", F.levenshtein("_sa", "_sb").cast("bigint"))
         .filter(F.col("edit_dist") <= max_dist)

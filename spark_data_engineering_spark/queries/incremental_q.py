@@ -571,6 +571,17 @@ def txn_maintenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append_idempotent(small, "maint", 2)
         # 10% DV delete across both generations (no file rewritten)
         t.delete_where_dv(spark, F.col("doc_id") % 10 == 0)
+        # Build invariant behind the oracle's pinned n_data_files = 5:
+        # repartition(4, doc_id) must yield 4 non-empty hash partitions
+        # (one file each) plus the 1-file small append. Assert HERE so a
+        # corpus or writer change fails at the builder with a clear
+        # message, not as a confusing gate hash-mismatch (ADVICE r6).
+        n_built = len(t.live_files())
+        if n_built != 5:
+            raise AssertionError(
+                "txn_maintenance_report build invariant broken: expected "
+                f"4 hash-partition files + 1 small-append file, got {n_built}"
+            )
         with open(done, "w") as f:
             f.write("ok")
     files = t.live_files()

@@ -56,16 +56,35 @@ def assign_row_ids(
     over the data. Deterministic ordered bucket = integer equi-width over
     [min, max] — reproducible across the two passes, unlike
     repartitionByRange, whose sampled boundaries can differ between
-    computations of the same lineage. ``(k - min) * n_buckets`` stays far
-    below 2^53 for any realistic key domain."""
+    computations of the same lineage. The bucket arithmetic
+    ``(k - min) * n_buckets`` is exact only while the key domain keeps it
+    under 2^53 (bigint product, then a double divide); beyond that the
+    product loses precision silently and bucket monotonicity — the whole
+    row-id contract — breaks. Enforced with an executor-side
+    ``assert_true`` over the broadcast min/max (no extra driver action,
+    constant-folds to one comparison per partition): out-of-range
+    domains fail loudly instead of mis-ranking."""
     mm = df.agg(F.min(key).alias("__minv"), F.max(key).alias("__maxv"))
+    domain_ok = F.assert_true(
+        (F.col("__maxv").cast("double") - F.col("__minv").cast("double") + 1.0)
+        * float(n_buckets)
+        < F.lit(2.0**53),
+        F.lit(
+            f"assign_row_ids: key domain * {n_buckets} buckets exceeds 2^53; "
+            "bucket arithmetic would lose precision — shrink n_buckets or "
+            "pre-normalize the key"
+        ),
+    )
     with_b = df.crossJoin(F.broadcast(mm)).withColumn(
         "__b",
-        (
-            (F.col(key) - F.col("__minv"))
-            * n_buckets
-            / (F.col("__maxv") - F.col("__minv") + 1)
-        ).cast("bigint"),
+        F.when(
+            domain_ok.isNull(),  # assert_true: null on pass, raises on fail
+            (
+                (F.col(key) - F.col("__minv"))
+                * n_buckets
+                / (F.col("__maxv") - F.col("__minv") + 1)
+            ).cast("bigint"),
+        ),
     )
     counts = with_b.groupBy("__b").agg(F.count("*").alias("__cnt"))
     # Cumulative offsets: a window over <= n_buckets rows — bounded by

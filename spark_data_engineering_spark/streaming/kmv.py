@@ -13,12 +13,17 @@ oracle. Below k distinct values the sketch is the distinct set itself
 the row, the same proof-or-fallback contract as streaming heavy
 hitters.
 
-Exactly-once: identical to StreamingHeavyHitters — an (app, epoch)
-high-water mark plus single-file atomic state snapshots, so a
-crash-redelivered micro-batch folds nothing twice (KMV's union-idempotence
-would even make a double fold harmless, but the watermark keeps the
-contract uniform across accumulators). State size: at most
-k x #groups 48-bit ints as JSON, kilobytes forever.
+Delivery semantics: KMV union-truncate is IDEMPOTENT — folding the
+same micro-batch twice yields bit-identical state — so this accumulator
+deliberately carries NO applied-epoch watermark (unlike the MG/heavy-
+hitters accumulator, whose counted fold is not idempotent and needs
+one). An epoch high-water mark keyed by app_id would add silent-skip
+risk with zero dedup benefit: a rerun against a fresh checkpoint dir
+restarts epoch numbering at 0 and a stale watermark would wrongly drop
+those batches as "already folded" (ADVICE r6). Crash-redelivered
+batches simply fold again, harmlessly. State snapshots stay
+single-file atomic; state size: at most k x #groups 48-bit ints as
+JSON, kilobytes forever.
 """
 
 from __future__ import annotations
@@ -56,7 +61,7 @@ class StreamingKMV:
 
     def _load(self) -> dict:
         if not os.path.exists(self.state_path):
-            return {"hashes": {}, "applied": {}, "k": self.k}
+            return {"hashes": {}, "k": self.k}
         with open(self.state_path) as f:
             raw = json.load(f)
         if raw.get("k", self.k) != self.k:
@@ -82,9 +87,11 @@ class StreamingKMV:
     # -- streaming hook ------------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # No epoch watermark: the KMV fold is idempotent, so redelivered
+        # batches merge to identical state, while a watermark could
+        # silently SKIP real batches after a rerun resets epoch ids to 0
+        # (ADVICE r6). epoch_id stays in the signature for foreachBatch.
         state = self._load()
-        if epoch_id <= state["applied"].get(self.app_id, -1):
-            return  # crash-redelivered epoch: already folded
         rows = kmv_group_sketch(
             batch_df, self.group_col, self.col, self.k
         ).collect()  # bounded: <= k hashes per group
@@ -95,7 +102,6 @@ class StreamingKMV:
         for grp, hs in incoming.items():
             merged = sorted(set(hashes.get(grp, [])) | hs)[: self.k]
             hashes[grp] = merged
-        state["applied"][self.app_id] = epoch_id
         self._store(state)
 
     def sketches(self) -> dict[str, list[int]]:

@@ -218,8 +218,14 @@ def test_streaming_kmv_exactly_once_and_k_guard(spark, tmp_path):
     acc.process_batch(df2, 1)
     state1 = acc.sketches()
     assert len(state1["x"]) == 15  # union of distincts, below k => exact set
-    # replayed epoch folds nothing (and would be harmless anyway)
+    # replayed batch folds AGAIN but the idempotent union leaves state
+    # bit-identical — no epoch watermark (a stale one could silently skip
+    # real batches after a rerun resets epoch ids; ADVICE r6)
     acc.process_batch(df1, 0)
+    assert acc.sketches() == state1
+    # a fresh accumulator instance over the same state dir re-folding an
+    # already-seen batch with a RESET epoch id must also be a no-op
+    StreamingKMV(str(tmp_path), "event_type", "user_id", k=64).process_batch(df2, 0)
     assert acc.sketches() == state1
     # reopening with a different k is refused
     import pytest as _pytest
