@@ -33,6 +33,7 @@ from spark_data_engineering_spark.functions.vectors import cosine
 from spark_data_engineering_spark.functions import numeric as NR
 from spark_data_engineering_spark.operators.similarity import train_ivf_centroids
 from spark_data_engineering_spark.sources.txn import TxnTable
+from spark_data_engineering_spark.materialize import materialize
 
 
 class IVFIndex:
@@ -353,7 +354,7 @@ class IVFIndex:
             # materialize once: the distinct-cell collect below and the
             # broadcast join both consume this tiny frame, and a lazy
             # plan would recompute the assignment pass per consumer
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # driver-side probe-cell set: at most #queries x n_probe ints
         probe_cells = sorted(

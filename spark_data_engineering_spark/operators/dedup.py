@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_data_engineering_spark.functions import numeric as NR
+from spark_data_engineering_spark.materialize import materialize
 
 _LOG = logging.getLogger(__name__)
 
@@ -128,7 +129,7 @@ def jaccard_pairs(
     idx = (
         shingle_index(df, text_col, id_col, n)
         .select("_id", F.xxhash64("_shingle").alias("_h"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sizes = idx.groupBy("_id").agg(F.count("*").alias("_sz"))
     a = idx.alias("a")
@@ -233,7 +234,7 @@ def drop_hot_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
         banded.groupBy("band", "sig")
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > max_bucket)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # one combined job for both observability stats (not two)
     n_hot, biggest = hot.agg(F.count(F.lit(1)), F.max("_n")).first()
@@ -284,7 +285,7 @@ def lsh_candidate_pairs(
     # measured at sf0.1: two FileScans of documents in one candidate
     # plan. Materialize once: #docs x bands small rows (~25 MB at
     # sf0.1), the bucket-join input a cluster run would persist anyway.
-    banded = banded.localCheckpoint(eager=True)
+    banded = banded.transform(materialize)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -326,7 +327,7 @@ def minhash_lsh_dedup(
     # persist() 16.2s vs no materialization 23.3s — lazy caches can't be
     # shared by branches computed concurrently within one job, so the
     # eager cut is the right call at every scale.
-    cands = lsh_candidate_pairs(sigs, bands, rows, max_bucket).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(sigs, bands, rows, max_bucket).transform(materialize)
     return verify_candidate_pairs(df, cands, text_col, id_col, n, threshold)
 
 
@@ -358,7 +359,7 @@ def verify_candidate_pairs(
     idx_c = (
         shingle_index(df_c, text_col, id_col, n)
         .select("_id", F.xxhash64("_shingle").alias("_h"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sizes = idx_c.groupBy("_id").agg(F.count("*").alias("_sz"))
     a, b = idx_c.alias("a"), idx_c.alias("b")
@@ -463,7 +464,7 @@ def simhash_near_pairs(
         )
         # both self-join sides consume this: one signature pass, not two
         # (same no-exchange-reuse finding as the MinHash candidate join)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     l, r = banded.alias("l"), banded.alias("r")
     return (
@@ -527,7 +528,7 @@ def dedup_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b"), F.col("id_a")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_edges = edges.count()
     if n_edges <= _DRIVER_CC_MAX_EDGES:
@@ -563,11 +564,11 @@ def dedup_clusters(
     # cost is dominated by task count on small graphs (measured 33s -> 5s
     # on a 500-node corpus); big graphs get ~200k edges per partition
     n_parts = max(2, min(edges.rdd.getNumPartitions(), int(n_edges / 200_000) + 2))
-    edges = edges.repartition(n_parts, "dst").localCheckpoint(eager=True)
+    edges = edges.repartition(n_parts, "dst").transform(materialize)
     labels = (
         all_ids.select(F.col(id_col).alias("node"), F.col(id_col).cast("bigint").alias("label"))
         .repartition(n_parts, "node")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     while True:
         neighbor_min = (
@@ -581,7 +582,7 @@ def dedup_clusters(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = (
             new_labels.alias("n")
@@ -684,7 +685,7 @@ def jaccard_pairs_prefix(
     idx = (
         shingle_index(df, text_col, id_col, n)
         .select("_id", F.xxhash64("_shingle").alias("_h"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sizes = idx.groupBy("_id").agg(F.count("*").alias("_sz"))
     # one document-frequency pass; joined back on the shingle hash
@@ -700,7 +701,7 @@ def jaccard_pairs_prefix(
         )
         .select("_id", "_h", "_sz")
         # both candidate sides consume it: one window pass, not two
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (

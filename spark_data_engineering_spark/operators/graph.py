@@ -17,9 +17,11 @@ sums are integer sums, associative and partitioning-independent.
 Scale: each iteration is one join edges⋈ranks (shuffle on src — at
 cluster scale pre-partition both by src so iterations reuse the
 exchange) + one partial-aggregated groupBy(dst). Plans are cut per
-iteration with localCheckpoint, the same lineage-bounding every
-iterative Spark algorithm needs (dedup_clusters does likewise); for
-billion-edge graphs swap in checkpoint() to HDFS and AQE handles the
+iteration with materialize() (spark_data_engineering_spark/materialize
+— localCheckpoint by default, SPARK_GRAFT_MATERIALIZE=reliable for a
+real checkpoint dir), the same lineage-bounding every iterative Spark
+algorithm needs (dedup_clusters does likewise); for billion-edge graphs
+set the reliable mode to HDFS and AQE handles the
 skewed-celebrity-node partitions.
 """
 
@@ -27,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from spark_data_engineering_spark.materialize import materialize
 
 SCALE = 10**12
 
@@ -45,14 +48,14 @@ def pagerank_fixed_point(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = nodes.count()  # driver scalar: graph metadata, O(1) result
     # size partitions to the graph (tiny-task overhead dominates small
     # graphs — the dedup_clusters lesson); at cluster scale pass a
     # pre-partitioned edge set and this coalesce is a no-op
     p = max(2, min(32, n // 50_000 + 2))
-    edges = edges.repartition(p, "src").localCheckpoint(eager=True)
+    edges = edges.repartition(p, "src").transform(materialize)
     nodes = nodes.repartition(p, "node")
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
     base = int((0.15 * SCALE) / n)  # == FLOOR, same IEEE ops as the SQL oracle
@@ -84,5 +87,5 @@ def pagerank_fixed_point(
         # cut lineage every other iteration (and on the last): enough to
         # bound plan growth, half the materialization barriers
         if it % 2 == 1 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(materialize)
     return ranks.select("node", F.col("rank").alias("rank_fp"))

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_data_engineering_spark.operators.similarity import train_ivf_centroids
+from spark_data_engineering_spark.materialize import materialize
 
 
 def semantic_dedup(
@@ -209,7 +210,7 @@ def _semantic_dedup_overlap(
         # cell with the identical rounded sim — one dedup aggregate
         .groupBy("id_a", "id_b")
         .agg(F.max("sim").alias("sim"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     comp = dedup_clusters(
         pairs, corpus.select(id_col), id_col=id_col
@@ -321,6 +322,6 @@ def overlap_pair_sets(
                 "both_primary"
             ),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     return pairs, pairs.filter(F.col("both_primary"))

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from spark_data_engineering_spark.operators import dedup as D
 from spark_data_engineering_spark.registry import query
 from spark_data_engineering_spark.sources import load_table
+from spark_data_engineering_spark.materialize import materialize
 
 # Exact pairwise Jaccard on word 3-gram shingles, as one SQL statement —
 # shared by the exact query and (as verification target) the LSH query.
@@ -278,7 +279,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = (
         shingle_index(docs, "text", "doc_id", 3)
         .select("_id", F.xxhash64("_shingle").alias("_h"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sizes = idx.groupBy("_id").agg(F.count("*").alias("_sz"))
     a, b = idx.alias("a"), idx.alias("b")

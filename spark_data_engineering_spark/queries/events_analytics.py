@@ -12,6 +12,7 @@ from spark_data_engineering_spark.functions import numeric as NR
 from spark_data_engineering_spark.operators.asof import asof_join
 from spark_data_engineering_spark.registry import query
 from spark_data_engineering_spark.sources import load_table
+from spark_data_engineering_spark.materialize import materialize
 
 
 @query(
@@ -366,7 +367,7 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         sessionize_events(spark, sf_dir)
         .select("user_id", "session_id", "session_start", "session_end")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a = s.select(
         F.col("user_id").alias("a_user"),
@@ -548,8 +549,8 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_data_engineering_spark.operators.sketches import kmv_group_sketch
 
     ev = load_table(spark, "events", sf_dir)
-    sk = kmv_group_sketch(ev, "event_type", "user_id", _KMV_K).localCheckpoint(
-        eager=True
+    sk = kmv_group_sketch(ev, "event_type", "user_id", _KMV_K).transform(
+        materialize
     )
     a, b = sk.alias("a"), sk.alias("b")
     pairs = (

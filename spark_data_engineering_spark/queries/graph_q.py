@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from spark_data_engineering_spark.operators.graph import pagerank_fixed_point
 from spark_data_engineering_spark.registry import query
 from spark_data_engineering_spark.sources import load_table
+from spark_data_engineering_spark.materialize import materialize
 
 _ITERS = 5
 
@@ -130,7 +131,7 @@ def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         cosine_pairs_blocked(emb, threshold=0.45)
         .select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (

@@ -9,6 +9,7 @@ from spark_data_engineering_spark.operators import similarity as S
 from spark_data_engineering_spark.functions import numeric as NR
 from spark_data_engineering_spark.registry import query
 from spark_data_engineering_spark.sources import load_table
+from spark_data_engineering_spark.materialize import materialize
 
 
 # Exact cosine top-10 for query vectors vec_id < 5 — shared by the
@@ -272,7 +273,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = (
         S.brute_force_knn(emb, queries_df, k=10)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     stat = os.stat(f"{sf_dir}/embeddings.parquet")
     # derived-state cache: key on the training/index code as well as the
@@ -549,7 +550,7 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = emb.select("vec_id")
     sem_cc = dedup_clusters(pairs_primary, ids, id_col="vec_id")
     sem2_cc = dedup_clusters(pairs_all, ids, id_col="vec_id")
-    pairs = S.cosine_pairs_blocked(emb, threshold=0.45).localCheckpoint(eager=True)
+    pairs = S.cosine_pairs_blocked(emb, threshold=0.45).transform(materialize)
     exact = dedup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
     exact_drops = exact.filter(F.col("vec_id") != F.col("cluster_id")).select("vec_id")
     sem_drops = sem_cc.filter(F.col("vec_id") != F.col("cluster_id")).select("vec_id")

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from spark_data_engineering_spark.functions.numeric import round4
 from spark_data_engineering_spark.registry import query
 from spark_data_engineering_spark.sources import load_table
+from spark_data_engineering_spark.materialize import materialize
 
 
 @query(
@@ -153,7 +154,7 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     freq = (
         li.groupBy("l_partkey")

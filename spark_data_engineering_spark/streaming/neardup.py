@@ -53,6 +53,7 @@ from spark_data_engineering_spark.operators.dedup import (
     verify_candidate_pairs,
 )
 from spark_data_engineering_spark.sources.txn import TxnTable
+from spark_data_engineering_spark.materialize import materialize
 
 
 class NearDupIngest:
@@ -98,8 +99,8 @@ class NearDupIngest:
         if epoch_id <= self.docs.last_epoch("neardup:docs") and epoch_id <= self.bands_table.last_epoch("neardup:bands"):
             return
         spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint(eager=True)  # pin: referenced many times
-        new_bands = self._bands_of(batch).localCheckpoint(eager=True)
+        batch = batch_df.transform(materialize)  # pin: referenced many times
+        new_bands = self._bands_of(batch).transform(materialize)
         # the PROBE side gets the hot-bucket guardrail (same cap as the
         # batch operator — a low-entropy signature in one crawl batch is
         # otherwise a quadratic intra-join); the full new_bands frame is
@@ -143,7 +144,7 @@ class NearDupIngest:
                 # orient as (historical id_a, new id_b): history always wins
                 .select(F.col("h._id").alias("id_a"), F.col("nb._id").alias("id_b"))
                 .distinct()
-                .localCheckpoint(eager=True)  # feeds cands + ids + bounds
+                .transform(materialize)  # feeds cands + ids + bounds
             )
             bounds = inter.agg(
                 F.min("id_a").alias("lo"), F.max("id_a").alias("hi")
@@ -170,7 +171,7 @@ class NearDupIngest:
 
         verified = verify_candidate_pairs(
             texts,
-            cands.localCheckpoint(eager=True),
+            cands.transform(materialize),
             self.text_col,
             self.id_col,
             self.n,
@@ -181,7 +182,7 @@ class NearDupIngest:
         # first-seen representative of each duplicate group
         drop_ids = verified.select(F.col("id_b").alias(self.id_col)).distinct()
         kept = batch.join(F.broadcast(drop_ids), self.id_col, "left_anti")
-        kept = kept.localCheckpoint(eager=True)
+        kept = kept.transform(materialize)
 
         self.docs.append_idempotent(kept, "neardup:docs", epoch_id)
         # banding is deterministic, so the kept docs' bands are exactly
