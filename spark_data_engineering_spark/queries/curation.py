@@ -801,6 +801,79 @@ def export_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- line-format (JSONL) export under the same manifest gate ----------
+#
+# Parquet shards audit well but trainers mostly consume LINE formats
+# (JSONL / WebDataset). The hard part — the read-back manifest whose
+# order-independent md5-prefix crc must equal the source-side aggregate
+# — carries over unchanged; what's new under test is the JSON
+# encode/decode round-trip itself (escaping, unicode, embedded
+# newlines), which the manifest now covers end-to-end: the crc is
+# computed from the PARSED text of the re-read lines, so any character
+# the writer mangles or the reader mis-unescapes is a hash mismatch.
+# Byte-level escaping edge cases (quotes, backslashes, \n, emoji,
+# control chars) are additionally round-trip-pinned in
+# tests/test_export_jsonl.py.
+
+
+@query(
+    "export_jsonl_shards",
+    oracle=f"""
+    SELECT CAST(doc_id % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(CAST(('0x' || SUBSTR(MD5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_crc,
+           MIN(MD5(text)) AS min_md5,
+           MAX(MD5(text)) AS max_md5
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def export_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export as shard-partitioned JSONL (one JSON object
+    per line — the format LLM dataloaders actually stream), gated by
+    the same read-back manifest as ``export_training_shards``: the
+    oracle aggregates doc counts, token counts and order-independent
+    md5-prefix checksums from the SOURCE table, while this query
+    computes them from the text PARSED OUT of the re-read JSONL files —
+    a row lost in the write, a mis-escaped quote, or a unicode mangle
+    anywhere in the encode/decode loop breaks the hash.
+
+    Scale shape: identical to the parquet sink — one shuffle on the
+    shard key for the write, one read-back scan for the manifest; the
+    JSON codec is JVM-side (native ``json`` writer/reader), and the
+    explicit read schema avoids an inference pass over the export."""
+    import os as _os
+    import tempfile
+
+    from spark_data_engineering_spark.cacheutil import sweep_stale
+
+    _os.makedirs("/tmp/spark_de_export", exist_ok=True)
+    sweep_stale("/tmp/spark_de_export")
+    out = tempfile.mkdtemp(prefix="jsonl-", dir="/tmp/spark_de_export")
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % N_SHARDS).cast("bigint").alias("shard"),
+    )
+    d.repartition("shard").write.partitionBy("shard").mode("overwrite").json(
+        f"{out}/data"
+    )
+    back = spark.read.schema("doc_id bigint, text string").json(f"{out}/data")
+    crc = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.sum(crc).alias("content_crc"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+        F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
+    )
+
+
 _BATCH_SIZE = 32
 _BUCKET_BOUNDS = (16, 32, 64, 96)  # token-count bucket upper edges (corpus spans 10-99)
 

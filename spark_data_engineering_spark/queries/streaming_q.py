@@ -70,6 +70,76 @@ def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_enriched_event_stats",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR((SUM(e.value)) * 100 + 0.5) / 100 AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_acctbal > 0
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enriched_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join under the gate (VERDICT r6 task 7):
+    the event stream is joined per micro-batch against the broadcast
+    active-customer dimension (``enrich_with_dim_stream`` — a map-side
+    hash join, no stream shuffle), then aggregated per (segment,
+    event_type) in complete mode; the end-of-stream state must
+    hash-match the one-shot batch join SQL. This is the reference's
+    is_active enrichment re-expressed streaming — the shape every
+    production event pipeline runs first. Exactly-once replay of the
+    enrichment is pinned in tests/test_streaming.py (same checkpoint →
+    zero rows reprocessed)."""
+    import hashlib
+
+    from spark_data_engineering_spark.streaming.events import (
+        enrich_with_dim_stream,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    stat = os.stat(src)
+    digest = hashlib.md5(
+        f"{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    staged = f"/tmp/spark_de_stream_input/{digest}"
+    if not os.path.isdir(staged):
+        load_table(spark, "events", sf_dir).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment"))
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    agg = enrich_with_dim_stream(stream, dim, "user_id").groupBy(
+        "c_mktsegment", "event_type"
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value_raw"))
+    name = "streaming_enriched_gate"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("c_mktsegment").alias("segment"),
+        "event_type",
+        "n_events",
+        NR.round2(F.col("sum_value_raw")).alias("sum_value"),
+    )
+
+
+@query(
     "streaming_dedup_documents",
     oracle="SELECT DISTINCT md5(text) AS fp FROM documents",
 )

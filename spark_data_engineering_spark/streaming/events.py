@@ -44,6 +44,25 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def enrich_with_dim_stream(
+    events: DataFrame, dim: DataFrame, on: str | list, how: str = "inner"
+) -> DataFrame:
+    """Stream-static equi join — the most common production streaming
+    shape (enrich an event stream with a slowly-changing dimension; the
+    reference's is_active customer enrichment, done streaming —
+    reference etl/jobs/daily_order_report, here at micro-batch time).
+
+    The static side is explicitly ``broadcast()``: Structured Streaming
+    re-plans the join per micro-batch, so a broadcast dim means each
+    batch is a map-side hash join with NO shuffle of the stream — the
+    only plan that keeps up at production event rates. The static frame
+    is re-read per batch (by design: a dim updated between batches is
+    picked up), which at 100 TB argues for a compact dim table behind a
+    fast format. Stateless, so any output mode works and no watermark is
+    needed for the join itself."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def hourly_event_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of the batch ``hourly_event_stats`` query:
     tumbling 1-hour windows per event_type with late-data tolerance."""

@@ -232,3 +232,75 @@ def test_snapshot_sink_fresh_run_not_dropped(spark, stream_dir, tmp_path):
     # same input replayed through a new lineage: upserts must have
     # executed (not been swallowed) and converged to the same state
     assert second == first
+
+
+def test_stream_static_enrichment_matches_batch(spark, stream_dir, sf_dir):
+    """Stream-static broadcast join: end-of-stream complete-mode state
+    equals the batch join+agg over the same files."""
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = SE.read_event_stream(spark, stream_dir)
+    agg = (
+        SE.enrich_with_dim_stream(stream, dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")  # unwindowed agg: complete
+        .format("memory")
+        .queryName("enriched_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.c_mktsegment, r.event_type): (r.n, r.s)
+        for r in spark.sql("select * from enriched_out").collect()
+    }
+    batch = (
+        spark.read.parquet(stream_dir)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    want = {(r.c_mktsegment, r.event_type): (r.n, r.s) for r in batch.collect()}
+    assert got == want and got
+
+
+def test_stream_static_enrichment_exactly_once_replay(spark, stream_dir, sf_dir, tmp_path):
+    """Restarting the checkpointed enrichment stream after completion
+    reprocesses NOTHING — the file source's checkpoint is the
+    exactly-once ledger; a second run must deliver zero rows."""
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    delivered = []
+
+    def sink(bdf, epoch_id):
+        delivered.append(bdf.count())
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = SE.read_event_stream(spark, stream_dir)
+        q = (
+            SE.enrich_with_dim_stream(stream, dim, "user_id")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    total_first = sum(delivered)
+    n_batch = spark.read.parquet(stream_dir).join(F.broadcast(dim), "user_id").count()
+    assert total_first == n_batch  # every enriched row delivered exactly once
+    delivered.clear()
+    run()  # same checkpoint: the replay must deliver zero rows
+    assert sum(delivered) == 0
