@@ -39,54 +39,128 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external correctness gate oracle-checks only the FIRST 50 registered
-# queries. The round-6 window executes VERDICT r5 "Next round" tasks 1-2:
-# (a) the 16 queries that have NEVER had a driver hash row — the 14
-# round-5 additions plus the two newly-wired queries/stats.py queries;
-# (b) knn_bruteforce, whose newest direct row is round 2 (three rounds is
-# the limit; the _BF_TOP10_ORACLE containment argument retires);
-# (c) this round's new/changed surfaces (incremental ANN search, the
-# learned classifier + its curation_decisions integration, the shuffled
-# export manifest, ann_recall_report's new incremental-index row, and
-# daily_category_report_approx's upgrade from rows-only to the
-# exactness-domain hash oracle);
-# (d) 28 of the 43 queries whose newest row is round 3 (two rounds ago —
-# the staleness limit; curation_decisions above is also r3-cohort). The
-# 15 r3-cohort queries left out, each with a containment rationale:
-#   knn_lsh / knn_lsh_multiprobe / knn_ivf / knn_pq / knn_int8_quantized
-#     — rows-only-by-design ANN configs; their machinery is hash-verified
-#     by the in-cohort exhaustive twins (knn_lsh_exhaustive /
-#     knn_ivf_exhaustive, r5 green) and their recall by ann_recall_report
-#     (r4 green); a rows-only driver row adds no hash evidence.
-#   jsonl_events_hourly_stats / orc_events_hourly_stats — same
-#     computation as csv_events_hourly_stats (in-window, shared
-#     hourly-agg core with streaming_hourly_event_stats r5 green); the
-#     format readers are byte-round-trip pytest-covered.
-#   pipeline_daily_order_report / pipeline_daily_category_report — the
-#     medallion path recomputes daily_order_report /
-#     daily_category_report (r4 green) through views; the pipeline
-#     plumbing is pytest-covered and its outputs hash the same oracles.
-#   ann_index_search_exhaustive — the new ann_index_incremental_search
-#     (in-window) builds the SAME persisted IVF index and runs the same
-#     probe-all == brute-force oracle, plus the append lifecycle on top.
-#   daily_category_report_bucketed — identical oracle to
-#     daily_category_report (r4 green); the bucketed-table plan shape is
-#     pinned in tests/test_plan_shapes.py.
-#   streaming_sessionize_events — sessionize_events (r5 green) hashes
-#     the same session assignment; the streaming path's exactly-once
-#     replay is pytest-covered.
-#   dedup_clusters — dedup_cluster_stats (in-window) builds the same
-#     MinHash-LSH clusters and audits them; dedup_keep_best (in-window)
-#     exercises the CC machinery end-to-end.
-#   media_exact_dedup — the binary twin of dedup_exact (in-window):
-#     identical md5-groupBy machinery, binary-column specifics
-#     pytest-covered; its slot goes to ann_recall_report, whose output
-#     CHANGED this round (new ivf_index_inc row) and therefore needs a
-#     fresh hash row more than a twin needs a second one.
-#   embedding_dup_clusters — embedding_near_dup (r5 green) hashes the
-#     cosine-pair machinery; the CC step is the same operator
-#     dedup_keep_best (in-window) covers.
+# queries. The round-7 window executes VERDICT r6 "Next round" task 1:
+# (a) the 17 round-6 queries that have NEVER had a driver hash row
+#     (all local-gate green in r6, named there as the first rotation
+#     priority);
+# (b) the 11 queries whose newest row is round 3 — three rounds stale
+#     at r7, past the repo's two-round staleness limit (this cohort
+#     includes knn_int8_quantized, which a round-6 comment here
+#     misclassified as rows-only-by-design: it is ORACLED — full-ranking
+#     SQL replay, r3 green — and rotating it in both refreshes the
+#     evidence and retires the wrong rationale, VERDICT r6 "What's
+#     wrong" #2);
+# (c) this round's two new oracled surfaces (export_jsonl_shards — the
+#     line-format export under the read-back manifest gate, VERDICT
+#     task 5; streaming_enriched_event_stats — the stream-static
+#     broadcast enrichment join, VERDICT task 6/7);
+# (d) 20 of the 47 queries whose newest row is round 4 (also three
+#     rounds stale), chosen one-per-family so every distinct machinery
+#     family gets a fresh row. The 27 r4-cohort names left out, each
+#     with a containment rationale:
+#   cube_flag_status / grouping_sets_flag_status / pivot_status_by_flag
+#     / unpivot_brand_metrics — the grouping-set/pivot family;
+#     rollup_flag_status (in-window) exercises the same Expand-based
+#     machinery over the same table, and the four variants differ only
+#     in the grouping-set list / pivot direction.
+#   customer_running_revenue / customer_trailing_7d_revenue /
+#     customer_value_quartiles / top10_customers_by_revenue /
+#     orders_above_customer_avg — the window-function family;
+#     customer_rank_suite (in-window) runs rank/dense_rank/ntile over
+#     the same partitioned-window shape, and latest_order_per_customer
+#     (in-window) the row_number-dedup shape; the variants swap the
+#     frame spec / aggregate, all pytest-covered.
+#   customers_with_high_value_orders / customers_without_orders —
+#     semi/anti joins, r5-green via tpch_q4 (EXISTS), q21, q22 (NOT
+#     EXISTS) — two rounds, at the limit but not past it.
+#   daily_revenue_anomalies / daily_revenue_gapfilled — windowed
+#     z-score + sequence()/explode gapfill; windows covered in-window
+#     by customer_rank_suite, explode by pipeline_daily_category_report
+#     (in-window), the date arithmetic by csv/jsonl/orc hourly stats.
+#   distinct_counts / global_maxima — single-scan aggregate scalars
+#     CONTAINED in column_stats_report (in-window: exact NDV + typed
+#     min/max per column is a superset of both).
+#   customer_tiers — a CASE bucketing projection; the same expression
+#     shape is in-window via context-length bucketing in r6-green
+#     context_length_buckets and the SCD2 tier queries (in-window).
+#   bottomk_sample_per_source — keyed-LCG bottom-k ordering; the LCG
+#     machinery is in-window via export_shuffled_shards'
+#     r6-green twin (same shuffle_key family) and mixture/stratified
+#     samples r6-green.
+#   media_feature_knn / token_run_lengths — the cosine-top-k machinery
+#     is in-window via hard_negative_pairs + ann_index_search_exhaustive;
+#     the UDTF surface via pack_documents_greedy (in-window).
+#   media_format_profile — metadata group-by over the media table; the
+#     same scan+agg shape is in-window via media_audio_segments, and
+#     media_resize_profile is r6 green.
+#   orders_by_year_quarter / part_name_analysis / project_derive_filter
+#     / quantity_band_join / segment_set_ops — basic projection/derive/
+#     string-split/banded-join/set-op shapes, all r4 green and
+#     pytest-covered; their machinery appears in-window inside
+#     brand_type_metrics' struct keys (r6 green), concurrent_sessions'
+#     range join, and corpus_snapshot_diff's full-outer set diff.
+#   scrub_boilerplate_segments — the fingerprint-and-drop machinery is
+#     r6 green twice (boilerplate_chunks, cdc_boilerplate_chunks).
 CHECK_PRIORITY: tuple[str, ...] = (
-    # --- Never driver-checked: the 14 round-5 additions.
+    # --- (a) the 17 never-driver-checked round-6 queries.
+    "kmv_distinct_users",
+    "streaming_distinct_users",
+    "kmv_audience_overlap",
+    "jaccard_prefix_pairs",
+    "fuzzy_part_name_pairs",
+    "media_audio_segments",
+    "hard_negative_pairs",
+    "xml_events_hourly_stats",
+    "txn_maintenance_report",
+    "ab_test_report",
+    "bootstrap_revenue_ci",
+    "neardup_triangle_stats",
+    "doc_hierarchy_depths",
+    "k_anonymity_report",
+    "global_row_ids",
+    "column_stats_report",
+    "corpus_snapshot_diff",
+    # --- (b) the 11 r3-stale queries (newest row round 3).
+    "ann_index_search_exhaustive",
+    "daily_category_report_bucketed",
+    "dedup_clusters",
+    "embedding_dup_clusters",
+    "jsonl_events_hourly_stats",
+    "knn_int8_quantized",
+    "media_exact_dedup",
+    "orc_events_hourly_stats",
+    "pipeline_daily_category_report",
+    "pipeline_daily_order_report",
+    "streaming_sessionize_events",
+    # --- (c) new oracled surfaces this round.
+    "export_jsonl_shards",
+    "streaming_enriched_event_stats",
+    # --- (d) 20 of the r4 cohort, one per machinery family.
+    "tpch_q1_pricing_summary",
+    "daily_order_report",
+    "daily_category_report",
+    "hourly_event_stats",
+    "simhash_near_pairs",
+    "wide_lineitem",
+    "dim_customer",
+    "hybrid_search_rerank",
+    "zorder_pruned_revenue",
+    "scd2_pit_revenue",
+    "scd2_customer_tiers",
+    "incremental_scd2_tiers",
+    "streaming_heavy_hitters",
+    "streaming_neardup_survivors",
+    "concurrent_sessions",
+    "pack_documents_greedy",
+    "bloom_pruned_supplier_revenue",
+    "customer_rank_suite",
+    "latest_order_per_customer",
+    "rollup_flag_status",
+)
+
+# The round-6 window, kept for the audit trail (every name below got its
+# newest driver row in CORRECTNESS_r06.json — 50/50 hash-green).
+_R6_WINDOW: tuple[str, ...] = (
     "dv_delete_report",
     "bloom_index_point_lookup",
     "export_training_shards",
@@ -101,71 +175,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "winsorized_revenue_by_priority",
     "dedup_cluster_stats",
     "cdc_boilerplate_chunks",
-    # --- Never driver-checked: queries/stats.py, newly wired into
-    # load_all() (VERDICT r5 "What's wrong" #1).
     "brand_quantity_price_corr",
     "copurchase_part_pairs",
-    # --- Newest direct row round 2; rotated in per VERDICT r5 item 3.
     "knn_bruteforce",
-    # --- New/changed this round.
     "ann_index_incremental_search",
     "doc_classifier_scores",
     "export_shuffled_shards",
     "daily_category_report_approx",
     "curation_decisions",
     "ann_recall_report",
-    # (This round's OTHER new queries stay OUTSIDE the window — the 16
-    # never-checked queries plus the r3 cohort are the VERDICT-mandated
-    # priority, and displacing one would trade mandated evidence for
-    # new evidence. All pass the local gate this round and are the
-    # FIRST rotation priorities for round 7:
-    #   kmv_distinct_users / streaming_distinct_users /
-    #     kmv_audience_overlap — the KMV distinct-sketch family (counts,
-    #     streaming fold, theta-style set overlap); no in-window query
-    #     contains their computation.
-    #   jaccard_prefix_pairs — hash-matches the SAME _JACCARD_SQL oracle
-    #     as the in-window ngram_jaccard_pairs (identical result set —
-    #     the lossless-prefix-filter equality is also pytest-pinned at
-    #     three thresholds), so its RESULT is already driver-checked
-    #     this round; only the candidate-pruning machinery is new.
-    #   fuzzy_part_name_pairs — the q-gram edit-distance join; no
-    #     in-window containment, local-gate green, rotation priority.
-    #   media_audio_segments — VAD-shaped framing + gaps-and-islands;
-    #     local-gate green, rotation priority.
-    #   hard_negative_pairs — band-filtered contrastive negative mining;
-    #     the cosine/top-k machinery is in-window via knn_bruteforce
-    #     (identical scan + window shape), only the band is new;
-    #     local-gate green, rotation priority.
-    #   xml_events_hourly_stats — XML restage of the hourly agg; the
-    #     agg core is in-window via csv_events_hourly_stats, only the
-    #     Spark 4 XML reader is new; local-gate green, rotation priority.
-    #   txn_maintenance_report — metadata-only OPTIMIZE advisor gated
-    #     against an exact recount; the underlying count_rows/DV ledger
-    #     is exercised in-window via dv_delete_report; local-gate green,
-    #     rotation priority.
-    #   ab_test_report — Welch t-test from the SAME decimal moment-sum
-    #     machinery as in-window brand_quantity_price_corr; only the
-    #     hash-assignment and t arithmetic are new; local-gate green,
-    #     rotation priority.
-    #   bootstrap_revenue_ci — Poisson-bootstrap percentile CI (seeded
-    #     md5 draws against pinned inverse-CDF literals, the
-    #     dp_source_counts technique which IS in-window); local-gate
-    #     green, rotation priority.
-    #   neardup_triangle_stats / doc_hierarchy_depths /
-    #     k_anonymity_report — triangle counting + clustering
-    #     coefficient over the sparse near-dup graph (the co-click
-    #     projection was rejected: hot items make it near-complete —
-    #     2.7B pairs at 10x), Spark 4 recursive-CTE tree walk (same SQL text
-    #     on both engines), k-anonymity release audit; all local-gate
-    #     green, rotation priorities.
-    #   global_row_ids / column_stats_report / corpus_snapshot_diff —
-    #     the queries/profiling.py family (two-pass bucket-offset global
-    #     row numbering, exact per-column ANALYZE profile, epoch diff);
-    #     no in-window containment, local-gate green, rotation
-    #     priorities.)
-    # --- 27 more of the r3 cohort (newest row round 3); with
-    # curation_decisions above, 28 of the 43 r3-cohort names get a
-    # fresh driver row this round.
     "ann_ivfpq_search_exhaustive",
     "benchmark_contamination",
     "bm25_keyword_search",
@@ -194,6 +212,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "txn_datasource_revenue",
     "vocab_top_tokens",
 )
+
 
 # The round-5 window, kept for the audit trail (every name below got its
 # newest driver row in CORRECTNESS_r05.json — 50/50 hash-green).
