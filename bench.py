@@ -31,7 +31,6 @@ HEADLINE = (
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
     "tpch_q13_customer_distribution",
     "tpch_q18_volume_customers",
     "tpch_q21_sole_returned_supplier",
@@ -47,13 +46,9 @@ HEADLINE = (
     "project_derive_filter",
     "brand_type_metrics",
     "latest_order_per_customer",
-    "top10_customers_by_revenue",
     "distinct_counts",
     "rollup_flag_status",
-    "hourly_event_stats",
     "event_rollup_multires",
-    "stratified_sample_documents",
-    "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
@@ -63,7 +58,6 @@ HEADLINE = (
     "doc_repetition_metrics",
     "doc_pii_scrub",
     "benchmark_contamination",
-    "chunk_documents",
     "boilerplate_chunks",
     "knn_int8_quantized",
     "media_feature_knn",
@@ -91,6 +85,19 @@ HEADLINE = (
     "curation_decisions",
     "jaccard_prefix_pairs",
     "kmv_distinct_users",
+    # round-7 additions: every registered query with sf0.1 wall > 2 s now
+    # enters the bench record (VERDICT r6 "What's wrong" #4 — the
+    # heaviest query must not be invisible to round-over-round tracking);
+    # six sub-0.2 s rows were dropped to stay under the 1980-char stdout
+    # budget (stratified_sample_documents, dedup_exact, chunk_documents,
+    # tpch_q6_forecast_revenue, hourly_event_stats,
+    # top10_customers_by_revenue — all pytest/gate-covered).
+    "bootstrap_revenue_ci",
+    "neardup_triangle_stats",
+    "doc_hierarchy_depths",
+    "fuzzy_part_name_pairs",
+    "export_jsonl_shards",
+    "streaming_enriched_event_stats",
 )
 
 
