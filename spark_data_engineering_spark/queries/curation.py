@@ -874,6 +874,137 @@ def export_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- WebDataset (tar) export under the same manifest gate -------------
+#
+# The second line format trainers consume: each shard is ONE tar whose
+# members are per-sample files sharing a basename stem
+# (`{doc_id:012d}.txt` + `.json` sidecar — the WebDataset layout
+# webdataset/webdataset reads natively). Tar assembly is
+# executor-side: one applyInPandas task per shard builds the archive
+# in memory with pinned metadata (mtime=0, uid/gid=0) so shard bytes
+# are deterministic, then writes it — exactly how WebDataset shards
+# are produced on a real cluster (each task owns one shard file on
+# shared storage). The manifest again comes from the READ-BACK tars
+# (binaryFile source -> Arrow tar parse -> aggregate), so a truncated
+# archive, a lost member, or a mangled payload is a hash mismatch.
+
+
+def _tar_shard_bytes(shard: int, ids, texts) -> bytes:
+    """Deterministic WebDataset tar: members sorted by doc_id, pinned
+    metadata, `.txt` payload + `.json` sidecar per sample."""
+    import io
+    import json as _json
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for doc_id, text in sorted(zip(ids, texts)):
+            for ext, payload in (
+                ("txt", str(text).encode("utf-8")),
+                ("json", _json.dumps({"doc_id": int(doc_id)}).encode()),
+            ):
+                info = tarfile.TarInfo(name=f"{int(doc_id):012d}.{ext}")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tar.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+@query(
+    "export_webdataset_shards",
+    oracle=f"""
+    SELECT CAST(doc_id % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(CAST(('0x' || SUBSTR(MD5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_crc,
+           MIN(MD5(text)) AS min_md5,
+           MAX(MD5(text)) AS max_md5
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def export_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export as WebDataset tar shards (see block comment),
+    verified end-to-end: the returned manifest is aggregated from text
+    RE-PARSED OUT OF THE WRITTEN TAR BYTES (binaryFile read of each
+    shard, Arrow-batched tarfile walk), while the oracle aggregates the
+    same numbers from the source table. Everything between — shard
+    assignment, tar member framing, utf-8 encode/decode — is inside the
+    hash.
+
+    Scale: one shuffle groups each shard's docs onto one task (shard
+    count sized so a shard fits a task — the WebDataset norm of ~1 GB
+    tars), tar assembly is streaming within the task, and the manifest
+    pass reads each tar once, in parallel, member-walking without
+    extraction."""
+    import os as _os
+    import tempfile
+
+    import pandas as _pd
+
+    from spark_data_engineering_spark.cacheutil import sweep_stale
+
+    _os.makedirs("/tmp/spark_de_export", exist_ok=True)
+    sweep_stale("/tmp/spark_de_export")
+    out = tempfile.mkdtemp(prefix="wds-", dir="/tmp/spark_de_export")
+
+    def write_shard(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        data = _tar_shard_bytes(shard, pdf["doc_id"], pdf["text"])
+        path = f"{out}/shard-{shard:05d}.tar"
+        with open(f"{path}.tmp", "wb") as f:
+            f.write(data)
+        _os.replace(f"{path}.tmp", path)  # atomic publish per shard
+        return _pd.DataFrame({"shard": [shard], "n_written": [len(pdf)]})
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", (F.col("doc_id") % N_SHARDS).cast("bigint").alias("shard")
+    )
+    d.groupBy("shard").applyInPandas(
+        write_shard, "shard bigint, n_written bigint"
+    ).write.format("noop").mode("overwrite").save()
+
+    def parse_tars(batches):
+        import io
+        import tarfile
+
+        for pdf in batches:
+            rows = {"shard": [], "doc_id": [], "text": []}
+            for _, r in pdf.iterrows():
+                shard = int(r["path"].rsplit("shard-", 1)[1][:5])
+                with tarfile.open(fileobj=io.BytesIO(r["content"])) as tar:
+                    for m in tar.getmembers():
+                        if not m.name.endswith(".txt"):
+                            continue
+                        rows["shard"].append(shard)
+                        rows["doc_id"].append(int(m.name[:12]))
+                        rows["text"].append(
+                            tar.extractfile(m).read().decode("utf-8")
+                        )
+            yield _pd.DataFrame(rows)
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(f"{out}/shard-*.tar")
+        .select("path", "content")
+        .mapInPandas(parse_tars, "shard bigint, doc_id bigint, text string")
+    )
+    crc = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.sum(crc).alias("content_crc"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+        F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
+    )
+
+
 _BATCH_SIZE = 32
 _BUCKET_BOUNDS = (16, 32, 64, 96)  # token-count bucket upper edges (corpus spans 10-99)
 

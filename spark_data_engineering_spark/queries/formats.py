@@ -155,3 +155,106 @@ def xml_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
     )
     return _hourly(ev)
+
+
+# ---- corrupt-record quarantine (round 7) -------------------------------
+#
+# Real crawl/event feeds arrive with malformed lines; the production
+# pattern is PERMISSIVE parsing with columnNameOfCorruptRecord, a split
+# into good rows vs a quarantine sink (the "dead-letter" path), and an
+# audit that accounts for EVERY input line. Here the documents corpus is
+# staged as JSONL with deterministic corruption injected (every line
+# whose doc_id % 13 == 3 loses its closing brace — guaranteed invalid
+# JSON), the reader splits the feed, bad raw lines land in a quarantine
+# parquet, and the report must hash-match the oracle's arithmetic over
+# the source table: n_good/n_bad counts, good-side token sum and
+# order-independent md5-prefix crc, and the quarantine-sink row count
+# read BACK from the written files (so a lost dead-letter is a gate
+# failure, not a silent drop).
+
+
+@query(
+    "corrupt_record_quarantine",
+    oracle="""
+    SELECT CAST(COUNT(CASE WHEN doc_id % 13 <> 3 THEN 1 END) AS BIGINT) AS n_good,
+           CAST(COUNT(CASE WHEN doc_id % 13 = 3 THEN 1 END) AS BIGINT) AS n_bad,
+           CAST(COUNT(CASE WHEN doc_id % 13 = 3 THEN 1 END) AS BIGINT)
+               AS n_quarantined,
+           CAST(SUM(CASE WHEN doc_id % 13 <> 3
+                THEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END)
+                AS BIGINT) AS good_tokens,
+           CAST(SUM(CASE WHEN doc_id % 13 <> 3
+                THEN CAST(('0x' || SUBSTR(MD5(text), 1, 8)) AS BIGINT) END)
+                AS BIGINT) AS good_crc
+    FROM documents
+    """,
+)
+def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest with a dead-letter quarantine (see block
+    comment). Scale: the split is one pass (corrupt column is NULL for
+    good rows — a map-side predicate), the quarantine write shuffles
+    nothing, and the audit is two partial-aggregated scans. The
+    explicit read schema keeps the reader off the inference pass."""
+    from spark_data_engineering_spark.functions import text as TX
+
+    src = f"{sf_dir}/documents.parquet"
+    stat = os.stat(src)
+    digest = hashlib.md5(
+        f"quarantine:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    staged = f"/tmp/spark_de_fmt/quarantine/{digest}"
+    if not os.path.isdir(staged):
+        clean = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        lines = clean.select(F.to_json(F.struct("doc_id", "text")).alias("value"))
+        # inject: drop the closing brace on every doc_id % 13 == 3 line
+        corrupted = lines.select(
+            F.when(
+                F.get_json_object("value", "$.doc_id").cast("bigint") % 13 == 3,
+                F.substring(F.col("value"), 1, F.length("value") - 1),
+            )
+            .otherwise(F.col("value"))
+            .alias("value")
+        )
+        corrupted.repartition(4).write.mode("overwrite").text(staged)
+
+    parsed = (
+        spark.read.schema("doc_id bigint, text string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(staged)
+    )
+    # Spark requires caching/materializing before filtering on the
+    # corrupt column alone (SPARK-38747 semantics); route through the
+    # materialization knob used by every other lineage cut.
+    from spark_data_engineering_spark.materialize import materialize
+
+    parsed = parsed.transform(materialize)
+    good = parsed.filter(F.col("_corrupt_record").isNull())
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    qdir = f"{staged}-deadletter"
+    bad.write.mode("overwrite").parquet(qdir)
+    n_quarantined = (
+        spark.read.parquet(qdir).agg(F.count(F.lit(1)).alias("n")).select("n")
+    )
+    crc = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    report = parsed.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_bad"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), TX.token_count(F.col("text")))
+        )
+        .cast("bigint")
+        .alias("good_tokens"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), crc)).alias("good_crc"),
+    )
+    return report.crossJoin(F.broadcast(n_quarantined)).select(
+        "n_good",
+        "n_bad",
+        F.col("n").cast("bigint").alias("n_quarantined"),
+        "good_tokens",
+        "good_crc",
+    )

@@ -240,3 +240,99 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("final_rank").cast("bigint").alias("final_rank"),
         )
     )
+
+
+# ---- reciprocal rank fusion (round 7) ----------------------------------
+#
+# The OTHER standard sparse+dense composition: where hybrid_search_rerank
+# re-SCORES sparse candidates densely (cascade), RRF fuses the two
+# systems' RANKINGS symmetrically — score = sum over systems of
+# 1/(k0 + rank), k0 = 60 (Cormack & Clarke, SIGIR 2009) — which needs no
+# score calibration between systems and is what search stacks run when
+# the systems' score scales are incomparable. Rank arithmetic is
+# integer, the two divisions and one addition are exactly-rounded IEEE
+# ops, so the fused ordering is bit-stable cross-engine and the full
+# pipeline hash-matches a SQL replay with no tolerance.
+
+_RRF_K0 = 60.0
+_RRF_TOP = 20
+
+
+def _rrf_oracle() -> str:
+    sparse = _bm25_oracle(top=_STAGE1_K)
+    return f"""
+    WITH sparse AS ({sparse}),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY FLOOR((LIST_COSINE_SIMILARITY(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST((SELECT embedding FROM embeddings WHERE vec_id = 0)
+                            AS DOUBLE[]))) * 10000 + 0.5) / 10000 DESC,
+                   vec_id ASC) AS BIGINT) AS rank
+        FROM embeddings
+        QUALIFY rank <= {_STAGE1_K}
+    ),
+    fused AS (
+        SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               COALESCE(1.0 / ({_RRF_K0} + s.rank), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K0} + d.rank), 0.0) AS rrf
+        FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           FLOOR(rrf * 1000000 + 0.5) / 1000000 AS rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+               AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {_RRF_TOP}
+    """
+
+
+@query("rrf_fusion_search", oracle=_rrf_oracle())
+def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the persisted-index BM25 top-50 and the
+    dense cosine top-50 (query = vec_id 0's embedding standing in for an
+    encoded query; see block comment). The full outer join keeps docs
+    either system found; a doc missed by one system contributes 0 from
+    it — the standard RRF convention. Scale: both rankings are top-k
+    cuts (the sparse side reads only the query terms' postings files;
+    the dense side is one scan + top-k), and the fusion join is over
+    2×k rows — constant work regardless of corpus size."""
+    from spark_data_engineering_spark.functions.vectors import cosine
+
+    sparse = _built_index(spark, sf_dir).search(spark, _TERMS, k=_STAGE1_K).select(
+        "doc_id", F.col("rank").alias("rank_s")
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
+    # Distributed top-k (orderBy+limit compiles to TakeOrderedAndProject
+    # — per-partition heaps, no global-window single-partition shuffle);
+    # the ranking window then runs over the 50-row cut only.
+    topd = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            NR.round4(cosine(F.col("_qvec"), F.col("embedding"))).alias("_c"),
+        )
+        .orderBy(F.col("_c").desc(), F.col("doc_id").asc())
+        .limit(_STAGE1_K)
+    )
+    wd = W.orderBy(F.col("_c").desc(), F.col("doc_id").asc())
+    dense = topd.withColumn("rank_d", F.row_number().over(wd)).select(
+        "doc_id", "rank_d"
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K0) + F.col("rank_s")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K0) + F.col("rank_d")), F.lit(0.0)),
+    )
+    wf = W.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+        .select(
+            "doc_id",
+            NR.round6(F.col("rrf")).alias("rrf_score"),
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+        )
+    )

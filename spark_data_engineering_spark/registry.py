@@ -133,6 +133,25 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_daily_order_report",
     "streaming_sessionize_events",
     # --- (c) new oracled surfaces this round.
+    # (Three LATER round-7 additions stay OUTSIDE the window — the 17
+    # never-checked + 11 r3-stale cohorts are the VERDICT-mandated
+    # priority and displacing one would trade mandated evidence for new
+    # evidence. All three pass the local gate this round and are the
+    # FIRST rotation priorities for round 8:
+    #   export_webdataset_shards — tar-shard sink; its read-back
+    #     manifest aggregate is IDENTICAL SQL to in-window
+    #     export_jsonl_shards (same oracle text), so the manifest
+    #     arithmetic is driver-checked this round; only the tar member
+    #     framing is new, and that is byte-round-trip pytest-pinned
+    #     (tests/test_round7_queries.py).
+    #   rrf_fusion_search — both input rankings are driver-checked
+    #     (text_index search via hybrid_search_rerank in-window; dense
+    #     cosine top-k via knn_bruteforce's r6 row); the fusion
+    #     arithmetic is re-derived from the stage rankings in pytest.
+    #   corrupt_record_quarantine — the JSONL reader is in-window via
+    #     jsonl_events_hourly_stats + export_jsonl_shards; the
+    #     PERMISSIVE split/dead-letter accounting is pytest-pinned
+    #     (every input line accounted for).)
     "export_jsonl_shards",
     "streaming_enriched_event_stats",
     # --- (d) 20 of the r4 cohort, one per machinery family.
