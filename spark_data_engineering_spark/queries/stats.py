@@ -286,22 +286,31 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seeded uniform — the dp_source_counts technique applied to the
 # bootstrap. P(K <= k) for k = 0..5; u beyond the last threshold -> 6.
 _POIS1_CDF = (0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015, 0.99940582)
+# The same thresholds as 8-hex-char literals: ceil(t * 2^32) in lowercase
+# hex. md5 output is fixed-width lowercase hex, so comparing the first 8
+# chars LEXICOGRAPHICALLY equals comparing the 32-bit integer they
+# encode — h/2^32 < t  <=>  h < ceil(t*2^32)  <=>  hex(h) < hex literal.
+# This removes the conv(hex,16,10) + division per draw (measured 2x on
+# the whole query); re-derived from _POIS1_CDF in tests/test_stats.py.
+_POIS1_HEX = ("5e2d58d4", "bc5ab1a8", "eb715e12", "fb23978a", "ff1025e8", "ffd90f51")
 _BOOT_B = 100  # bootstrap replicates
+_BOOT_LANES = 4  # uniforms carved per md5: 32 hex chars = 4 x 8
+_BOOT_G = _BOOT_B // _BOOT_LANES
 _BOOT_LO_RANK = 3   # ~2.5th percentile of 100 means
 _BOOT_HI_RANK = 98  # ~97.5th percentile
 
 
-def _pois_sql(u: str) -> str:
+def _pois_sql_hex(hx: str) -> str:
     branches = " ".join(
-        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+        f"WHEN {hx} < '{t}' THEN {k}" for k, t in enumerate(_POIS1_HEX)
     )
     return f"CASE {branches} ELSE 6 END"
 
 
-def _pois_col(u):
+def _pois_col_hex(hx):
     out = F.lit(6)
-    for k, t in reversed(list(enumerate(_POIS1_CDF))):
-        out = F.when(u < F.lit(t), F.lit(k)).otherwise(out)
+    for k, t in reversed(list(enumerate(_POIS1_HEX))):
+        out = F.when(hx < F.lit(t), F.lit(k)).otherwise(out)
     return out
 
 
@@ -309,20 +318,25 @@ def _pois_col(u):
     "bootstrap_revenue_ci",
     oracle=f"""
     WITH reps AS (
-        SELECT o.o_orderpriority AS priority, o.o_orderkey, o.o_totalprice,
-               b.b
-        FROM orders o, (SELECT UNNEST(RANGE(1, {_BOOT_B} + 1)) AS b) b
+        SELECT o.o_orderpriority AS priority, o.o_orderkey,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               g.g, l.lane
+        FROM orders o,
+             (SELECT UNNEST(RANGE(1, {_BOOT_G} + 1)) AS g) g,
+             (SELECT UNNEST(RANGE(0, {_BOOT_LANES})) AS lane) l
     ),
     drawn AS (
-        SELECT priority, b, o_totalprice,
-               {_pois_sql("CAST(('0x' || SUBSTR(MD5('boot:' || CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0")}
+        SELECT priority, (g - 1) * {_BOOT_LANES} + lane + 1 AS b, cents,
+               {_pois_sql_hex(
+                   "SUBSTR(MD5('boot:' || CAST(g AS VARCHAR) || ':'"
+                   " || CAST(o_orderkey AS VARCHAR)), 1 + 8 * lane, 8)")}
                    AS c
         FROM reps
     ),
     bmeans AS (
         SELECT priority, b,
-               FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * c) AS DOUBLE)
-                      / SUM(c)) * 100 + 0.5) / 100 AS bmean
+               FLOOR(CAST(SUM(cents * c) AS DOUBLE) / SUM(c) + 0.5) / 100
+                   AS bmean
         FROM drawn GROUP BY priority, b HAVING SUM(c) > 0
     ),
     ranked AS (
@@ -340,8 +354,8 @@ def _pois_col(u):
     ),
     pt AS (
         SELECT o_orderpriority AS priority,
-               FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                      / COUNT(*)) * 100 + 0.5) / 100 AS mean_revenue
+               FLOOR(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) + 0.5) / 100 AS mean_revenue
         FROM orders GROUP BY o_orderpriority
     )
     SELECT pt.priority, pt.mean_revenue, ci.ci_lo, ci.ci_hi, ci.n_replicates,
@@ -357,10 +371,12 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson(1) count per order (the Poisson bootstrap, Chamandy et al.
     2012 — the STREAMABLE bootstrap: counts are independent per row, so
     no replicate ever needs a global n, which is what makes resampling
-    work map-side on a 100 TB table) from a seeded md5 uniform against
-    pinned inverse-CDF literals; replicate means use exact decimal
-    sums; the CI is the {lo}rd/{hi}th order statistic of the rounded
-    replicate means (explicit ranks — no interpolation ambiguity).
+    work map-side on a 100 TB table) from a seeded md5 uniform — four
+    32-bit lanes carved per digest, compared as fixed-width hex against
+    pinned inverse-CDF literals (see _POIS1_HEX); replicate means use
+    exact integer CENTS sums; the CI is the {lo}rd/{hi}th order
+    statistic of the rounded replicate means (explicit ranks — no
+    interpolation ambiguity).
     Fully deterministic, so the whole resampling pipeline hash-matches
     the SQL replay — and ``point_inside_ci`` doubles as a sanity
     monitor (the point estimate should sit inside its own 95% CI).
@@ -371,33 +387,39 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select(
         F.col("o_orderpriority").alias("priority"), "o_orderkey", "o_totalprice"
     )
-    reps = orders.withColumn(
-        "b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B)))
+    # One md5 per (order, hash-group): each digest's 32 hex chars carve
+    # into 4 lane substrings = 4 independent 32-bit uniforms, and the
+    # Poisson inverse-CDF compares the 8-hex-char lane LEXICOGRAPHICALLY
+    # against the pinned _POIS1_HEX thresholds (fixed-width lowercase hex
+    # orders exactly like the integer it encodes). Together with exact
+    # integer CENTS sums instead of per-row decimal multiplies, this is
+    # the same draw-per-(b, order) contract at 6x the throughput
+    # (31.3 s -> 4.4 s at sf0.1, SCALE.md round 7).
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    g = orders.withColumn("g", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_G))))
+    digest = F.md5(
+        F.concat(
+            F.lit("boot:"),
+            F.col("g").cast("string"),
+            F.lit(":"),
+            F.col("o_orderkey").cast("string"),
+        ).cast("binary")
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("boot:"),
-                        F.col("b").cast("string"),
-                        F.lit(":"),
-                        F.col("o_orderkey").cast("string"),
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
+    lanes = g.withColumn("_h", digest).select(
+        "priority",
+        cents.alias("cents"),
+        "g",
+        F.posexplode(
+            F.array(*[F.substring("_h", 1 + 8 * i, 8) for i in range(_BOOT_LANES)])
+        ).alias("lane", "hx"),
     )
-    drawn = reps.withColumn("c", _pois_col(u))
+    drawn = lanes.withColumn(
+        "b", (F.col("g") - 1) * _BOOT_LANES + F.col("lane") + 1
+    ).withColumn("c", _pois_col_hex(F.col("hx")))
     bmeans = (
         drawn.groupBy("priority", "b")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * F.col("c")).alias("_s"),
+            F.sum(F.col("cents") * F.col("c")).alias("_s"),
             F.sum("c").alias("_n"),
         )
         .filter(F.col("_n") > 0)
@@ -405,8 +427,7 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority",
             "b",
             (
-                F.floor((F.col("_s").cast("double") / F.col("_n")) * 100 + F.lit(0.5))
-                / 100
+                F.floor(F.col("_s").cast("double") / F.col("_n") + F.lit(0.5)) / 100
             ).alias("bmean"),
         )
     )
@@ -424,9 +445,7 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = orders.groupBy("priority").agg(
         (
             F.floor(
-                (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)))
-                * 100
-                + F.lit(0.5)
+                F.sum(cents).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
             )
             / 100
         ).alias("mean_revenue")

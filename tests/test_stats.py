@@ -155,10 +155,18 @@ def test_bootstrap_ci_brackets_point_and_replays(spark, sf_dir):
     every group (sanity monitor column), hold n_replicates == B, and a
     Python replay of one replicate's Poisson draws must match Spark's."""
     import hashlib
+    import math
 
     from spark_data_engineering_spark.queries.stats import (
         _BOOT_B,
+        _BOOT_LANES,
         _POIS1_CDF,
+        _POIS1_HEX,
+    )
+
+    # the hex thresholds ARE ceil(t * 2^32) of the float thresholds
+    assert _POIS1_HEX == tuple(
+        format(math.ceil(t * 2**32), "08x") for t in _POIS1_CDF
     )
     from spark_data_engineering_spark.sources import load_table
 
@@ -171,7 +179,11 @@ def test_bootstrap_ci_brackets_point_and_replays(spark, sf_dir):
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey").limit(50).collect()
 
     def draw(b, key):
-        u = int(hashlib.md5(f"boot:{b}:{key}".encode()).hexdigest()[:8], 16) / 4294967296.0
+        # lane-carved digest: replicate b reads lane (b-1) % LANES of
+        # hash-group g = (b-1) // LANES + 1; hex compare == integer compare
+        g, lane = (b - 1) // _BOOT_LANES + 1, (b - 1) % _BOOT_LANES
+        hx = hashlib.md5(f"boot:{g}:{key}".encode()).hexdigest()[8 * lane : 8 * lane + 8]
+        u = int(hx, 16) / 4294967296.0
         for k, t in enumerate(_POIS1_CDF):
             if u < t:
                 return k
