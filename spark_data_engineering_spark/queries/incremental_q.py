@@ -610,3 +610,83 @@ def txn_maintenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         NR.round4(F.col("dv_debt_ratio")).alias("dv_debt_ratio"),
         "recommend_compact",
     )
+
+
+@query(
+    "txn_branch_merge_revenue",
+    oracle="""
+    WITH corrected AS (
+        SELECT o_orderkey, o_orderstatus, FLOOR(o_totalprice) AS o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 5
+    ),
+    final AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 17 <> 5
+        UNION ALL SELECT * FROM corrected
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM final
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_branch_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The branch-audit-merge lifecycle (round 7, txn.py::branch /
+    merge_branch — Nessie/LakeFS-style refs over the txn log): orders
+    land on main; a ZERO-COPY branch takes a correction pass (DV-delete
+    every o_orderkey % 17 == 5 row, re-append it with the price floored
+    — a rounding correction) while main provably serves the UNCHANGED
+    pre-branch snapshot (asserted at build, from metadata alone); then
+    a fast-forward merge replays the branch commits onto main —
+    metadata-only, since branch data files live in the shared data dir.
+    The final main-table aggregate must hash-match SQL over
+    (orders minus corrected) UNION corrected — a row leaked from the
+    branch before merge, resurrected by the DV replay, or dropped by
+    the merge all fail the gate.
+
+    Scale: branch creation writes a few KB of log regardless of table
+    size; the merge is one metadata commit per branch commit; the only
+    data ever written is the branch's own corrections."""
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"branch:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_branch", exist_ok=True)
+    sweep_stale("/tmp/spark_de_branch")
+    root = f"/tmp/spark_de_branch/{digest}"
+    t = TxnTable(root, "orders_br")
+    done = os.path.join(t.table_dir, "_branch_done")
+    if not os.path.exists(done):
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        n_all = o.count()
+        t.append(o.repartition(4, "o_orderkey"))
+        b = t.branch("corrections")
+        b.delete_where_dv(spark, F.col("o_orderkey") % 17 == 5)
+        b.append(
+            o.filter(F.col("o_orderkey") % 17 == 5).withColumn(
+                "o_totalprice", F.floor("o_totalprice").cast("double")
+            )
+        )
+        # isolation invariant: main still serves every original row,
+        # answered from pure metadata — a branch leak fails HERE, at the
+        # builder, with a clear message
+        if t.count_rows() != n_all:
+            raise AssertionError(
+                f"branch leaked into main pre-merge: {t.count_rows()} != {n_all}"
+            )
+        t.merge_branch(b)
+        with open(done, "w") as f:
+            f.write("ok")
+    return t.read(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -151,7 +151,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #   corrupt_record_quarantine — the JSONL reader is in-window via
     #     jsonl_events_hourly_stats + export_jsonl_shards; the
     #     PERMISSIVE split/dead-letter accounting is pytest-pinned
-    #     (every input line accounted for).)
+    #     (every input line accounted for).
+    #   txn_branch_merge_revenue — the branch/merge lifecycle over the
+    #     txn format; its read/aggregate path is in-window via
+    #     txn_datasource_revenue (same orders aggregate) and the DV
+    #     machinery via dv_delete_report's r6 row; the branch semantics
+    #     (zero-copy seed, DV inheritance, fast-forward replay, vacuum
+    #     ref-roots) are pinned by 7 dedicated tests in
+    #     tests/test_txn_branch.py.)
     "export_jsonl_shards",
     "streaming_enriched_event_stats",
     # --- (d) 20 of the r4 cohort, one per machinery family.

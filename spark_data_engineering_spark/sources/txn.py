@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
 _DV_DIR = "dv"
+_BRANCH_DIR = "_branches"
 _VERSION_DIGITS = 20
 
 # per-file bloom index (stage-time, stored in commit stats): sizing
@@ -1221,6 +1222,18 @@ class TxnTable:
         keep = set()
         for v in range(max(1, head - keep_versions + 1), head + 1):
             keep.update(self.live_files(v))
+        # live branches share this data dir: every file any branch head
+        # references must survive the parent's vacuum (a branch is a ref
+        # root, exactly as in Nessie/LakeFS garbage collection)
+        bdir = os.path.join(self.table_dir, _BRANCH_DIR)
+        if os.path.isdir(bdir):
+            for bname in os.listdir(bdir):
+                if os.path.isdir(os.path.join(bdir, bname, _LOG_DIR)):
+                    b = TxnTable(bdir, bname)
+                    b.data_dir = self.data_dir
+                    b.dv_dir = self.dv_dir
+                    if b.version() > 0:
+                        keep.update(b.live_files())
         now = time.time()
         removed = []
         for f in os.listdir(self.data_dir):
@@ -1417,6 +1430,180 @@ class TxnTable:
                 if v % self.checkpoint_every == 0:
                     self._write_checkpoint(v)
                 return v
+
+    # ---- branches (Nessie/LakeFS-style zero-copy) -----------------------
+
+    def branch(self, name: str) -> "TxnTable":
+        """Create (or reopen) a ZERO-COPY branch: a full TxnTable under
+        ``table_dir/_branches/{name}`` whose data/ and dv/ dirs ARE the
+        parent's — commits reference file basenames, so the branch's
+        seed commit simply lists the parent's live files at the current
+        version (no byte is copied) and every later branch write stages
+        new uniquely-named files into the shared data dir. All existing
+        machinery (append / DV delete / compact / MERGE / time travel /
+        WAP) works on the branch unchanged, isolated from the parent's
+        log.
+
+        Parent merge-on-read state carries over by CONSOLIDATING the
+        parent's live sidecar positions into one branch-owned sidecar
+        (pyarrow, no Spark job; sidecars are kilobytes) — a branch read
+        must not resurrect parent-deleted rows. Seed commits are marked
+        ``branch_inherited`` so ``merge_branch`` replays only genuine
+        branch work. The audit/experiment pattern this enables: branch,
+        mutate, validate, merge-or-abandon — on 100 TB the whole
+        lifecycle is metadata plus the branch's own new data."""
+        b = TxnTable(
+            os.path.join(self.table_dir, _BRANCH_DIR),
+            name,
+            checkpoint_every=self.checkpoint_every,
+            bloom_cols=self.bloom_cols,
+        )
+        b.data_dir = self.data_dir
+        b.dv_dir = self.dv_dir
+        if b.version() > 0:
+            return b  # reopen
+        base_v = self.version()
+        seed = {
+            "version": 1,
+            "action": "branch",
+            "add": self.live_files(base_v),
+            "remove": [],
+            "stats": self.file_stats(base_v),
+            "branch_base": base_v,
+            "branch_inherited": True,
+        }
+        schema = self.table_schema(base_v)
+        if schema:
+            seed["schema"] = schema
+        if not b._try_commit(seed):
+            return b  # racing creation: the winner's seed is equivalent
+        sidecars, deleted = self.dv_state(base_v)
+        live = set(seed["add"])
+        live_deleted = {f: n for f, n in deleted.items() if f in live}
+        if sidecars and live_deleted:
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            tabs = [
+                _pq.read_table(os.path.join(self.dv_dir, s)) for s in sidecars
+            ]
+            merged = _pa.concat_tables(tabs)
+            mask = _pa.compute.is_in(
+                merged["file"], value_set=_pa.array(sorted(live))
+            )
+            merged = merged.filter(mask)
+            dv_name = f"branch-{uuid.uuid4().hex}.parquet"
+            _pq.write_table(merged, os.path.join(self.dv_dir, dv_name))
+            b._try_commit(
+                {
+                    "version": 2,
+                    "action": "branch-dv",
+                    "add": [],
+                    "remove": [],
+                    "dv_add": dv_name,
+                    "dv_counts": live_deleted,
+                    "branch_inherited": True,
+                }
+            )
+        return b
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch: remove its log (refs). Branch-only data
+        files become unreferenced and the parent's next ``vacuum``
+        collects them — the branch never owned shared bytes."""
+        path = os.path.join(self.table_dir, _BRANCH_DIR, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
+    def merge_branch(self, branch: "TxnTable") -> int:
+        """FAST-FORWARD merge: replay the branch's non-inherited commits
+        onto this table, one validated commit each (shared data dir =>
+        metadata-only; a compact replay just swaps basenames). Refused
+        unless the parent is still AT the branch's base version — a
+        diverged parent needs a rebase (re-branch and re-apply), the
+        same discipline Nessie enforces; and refused for branches that
+        carry schema-evolution commits (rename/drop fold ambiguously
+        across lines of history — rewrite on the branch first). The
+        replay is one commit per branch commit, each atomic; a
+        concurrent writer landing mid-replay aborts with the merge
+        partially applied and reported (single-writer merge is the
+        contract, as in Delta's commit coordinator).
+
+        Returns the parent version at merge completion; verifies the
+        parent's live-file set and DV counts equal the branch head's
+        before returning."""
+        if os.path.realpath(branch.data_dir) != os.path.realpath(self.data_dir):
+            raise ValueError("merge_branch: not a branch of this table")
+        commits = branch._commit_files()
+        if not commits:
+            raise ValueError("merge_branch: empty branch log")
+        first = branch._read_commit(commits[0])
+        base_v = first.get("branch_base")
+        if base_v is None:
+            raise ValueError("merge_branch: branch log has no branch_base seed")
+        if self.version() != base_v:
+            raise ConcurrentWriteError(
+                f"merge_branch requires fast-forward: parent is at "
+                f"v{self.version()}, branch was cut at v{base_v} — rebase "
+                "(re-branch from the current head and re-apply)"
+            )
+        to_replay = [
+            branch._read_commit(v)
+            for v in commits
+            if not branch._read_commit(v).get("branch_inherited")
+        ]
+        for rec in to_replay:
+            if rec.get("action") in ("rename_column", "drop_column"):
+                raise ValueError(
+                    "merge_branch: branch carries schema-evolution commits "
+                    f"({rec['action']}); compact the branch first"
+                )
+        v = self.version()
+        for rec in to_replay:
+            txn = rec.get("txn")
+            # conflict windows start at the RUNNING parent version: each
+            # replayed commit's snapshot is the parent state produced by
+            # the previous replay (fast-forward guarantees it mirrors
+            # the branch history), so earlier replayed commits of this
+            # same merge are history, not conflicts — only a foreign
+            # commit landing mid-replay can enter the window, and the
+            # expected-version check below catches that too.
+            got = self._commit(
+                f"merge-branch:{rec.get('action', 'commit')}",
+                rec.get("add", []),
+                rec.get("remove", []),
+                stats=rec.get("stats"),
+                txn=(txn["app"], txn["epoch"]) if txn else None,
+                schema=rec.get("schema"),
+                dv_add=rec.get("dv_add"),
+                dv_counts=rec.get("dv_counts"),
+                dv_base_version=v if rec.get("dv_add") else None,
+                base_version=v if rec.get("remove") else None,
+            )
+            if got != v + 1:
+                raise ConcurrentWriteError(
+                    f"merge_branch: a concurrent commit landed mid-replay "
+                    f"(expected v{v + 1}, committed v{got}); merge partially "
+                    "applied — resolve manually"
+                )
+            v = got
+        bhead = branch.version()
+        if set(self.live_files()) != set(branch.live_files(bhead)):
+            raise ConcurrentWriteError(
+                "merge_branch: post-merge live set diverges from the branch "
+                "head — concurrent interference; resolve manually"
+            )
+        _, pdel = self.dv_state()
+        _, bdel = branch.dv_state(bhead)
+        plive = set(self.live_files())
+        if {f: n for f, n in pdel.items() if f in plive} != {
+            f: n for f, n in bdel.items() if f in plive
+        }:
+            raise ConcurrentWriteError(
+                "merge_branch: post-merge DV counts diverge from the branch "
+                "head — concurrent interference; resolve manually"
+            )
+        return v
 
 
 class TxnStore:
