@@ -1482,15 +1482,14 @@ class TxnTable:
         live_deleted = {f: n for f, n in deleted.items() if f in live}
         if sidecars and live_deleted:
             import pyarrow as _pa
+            import pyarrow.compute as _pc
             import pyarrow.parquet as _pq
 
             tabs = [
                 _pq.read_table(os.path.join(self.dv_dir, s)) for s in sidecars
             ]
             merged = _pa.concat_tables(tabs)
-            mask = _pa.compute.is_in(
-                merged["file"], value_set=_pa.array(sorted(live))
-            )
+            mask = _pc.is_in(merged["file"], value_set=_pa.array(sorted(live)))
             merged = merged.filter(mask)
             dv_name = f"branch-{uuid.uuid4().hex}.parquet"
             _pq.write_table(merged, os.path.join(self.dv_dir, dv_name))
