@@ -361,3 +361,27 @@ def test_snapshot_diff_single_keyed_join_no_bnl(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_export_jsonl_plan_stays_jvm(spark, sf_dir):
+    """The JSONL manifest pass is pure JVM (native json reader + crc
+    expressions) — no Python tier anywhere."""
+    plan = _plan(spark, sf_dir, "export_jsonl_shards")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # partial + final manifest agg (min/max on strings may plan as
+    # SortAggregate/ObjectHashAggregate rather than HashAggregate)
+    assert plan.count("Aggregate") >= 2
+
+
+def test_quarantine_plan_stays_jvm(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corrupt_record_quarantine")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_webdataset_parse_is_single_arrow_tier(spark, sf_dir):
+    """Tar member parsing is the ONE sanctioned Arrow tier in the
+    manifest plan (binaryFile -> mapInPandas); everything downstream is
+    JVM aggregation."""
+    plan = _plan(spark, sf_dir, "export_webdataset_shards")
+    assert plan.count("MapInPandas") == 1
+    assert "EvalPython" not in plan  # no row-at-a-time Python
