@@ -690,3 +690,74 @@ def txn_branch_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "txn_writer_roundtrip_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 11 = 4)
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_writer_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector WRITE path under the gate (round 7,
+    txn_datasource.py::TxnArrowWriter): orders land through the
+    standard ``df.write.format("txn")`` API in two appends — each save
+    is executor-parallel Arrow->parquet task files plus ONE atomic log
+    commit carrying their footer stats — then a merge-on-read DV delete
+    runs on the table, and the aggregate read back through
+    ``format("txn")`` must hash-match SQL over the survivors. Proves
+    foreign Spark jobs can both produce AND consume the table format
+    through nothing but the standard reader/writer API, with the
+    format's ACID/DV semantics intact over connector-written files.
+
+    Scale: the write is embarrassingly parallel (one file per task, no
+    shuffle beyond the caller's partitioning); the commit is one JSON
+    append regardless of table size."""
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+    from spark_data_engineering_spark.sources import txn_datasource as _ds_mod
+    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+
+    spark.dataSource.register(TxnDataSource)
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"writer:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod, _ds_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_branch", exist_ok=True)
+    sweep_stale("/tmp/spark_de_branch")
+    root = f"/tmp/spark_de_branch/w-{digest}"
+    t = TxnTable(root, "orders_w")
+    done = os.path.join(t.table_dir, "_writer_done")
+    if not os.path.exists(done):
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        d = t.table_dir
+        o.filter(F.col("o_orderkey") % 3 != 0).repartition(4).write.format(
+            "txn"
+        ).mode("append").save(d)
+        o.filter(F.col("o_orderkey") % 3 == 0).repartition(2).write.format(
+            "txn"
+        ).mode("append").save(d)
+        if t.version() != 2:  # one atomic commit per save — build invariant
+            raise AssertionError(f"expected 2 commits, log has {t.version()}")
+        t.delete_where_dv(spark, F.col("o_orderkey") % 11 == 4)
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("txn")
+        .load(t.table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

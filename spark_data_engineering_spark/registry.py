@@ -158,7 +158,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     machinery via dv_delete_report's r6 row; the branch semantics
     #     (zero-copy seed, DV inheritance, fast-forward replay, vacuum
     #     ref-roots) are pinned by 7 dedicated tests in
-    #     tests/test_txn_branch.py.)
+    #     tests/test_txn_branch.py.
+    #   txn_writer_roundtrip_revenue — the format("txn") WRITE path;
+    #     the read/aggregate half is the same machinery as
+    #     txn_datasource_revenue (r6 green) and the write protocol is
+    #     pinned by 4 dedicated tests in tests/test_txn_writer.py
+    #     (atomic per-save commits, overwrite swap, schema enforcement,
+    #     DV/compact interop over connector-written files).)
     "export_jsonl_shards",
     "streaming_enriched_event_stats",
     # --- (d) 20 of the r4 cohort, one per machinery family.
