@@ -889,7 +889,7 @@ def export_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # archive, a lost member, or a mangled payload is a hash mismatch.
 
 
-def _tar_shard_bytes(shard: int, ids, texts) -> bytes:
+def _tar_shard_bytes(ids, texts) -> bytes:
     """Deterministic WebDataset tar: members sorted by doc_id, pinned
     metadata, `.txt` payload + `.json` sidecar per sample."""
     import io
@@ -954,7 +954,7 @@ def export_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def write_shard(pdf: _pd.DataFrame) -> _pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
-        data = _tar_shard_bytes(shard, pdf["doc_id"], pdf["text"])
+        data = _tar_shard_bytes(pdf["doc_id"], pdf["text"])
         path = f"{out}/shard-{shard:05d}.tar"
         with open(f"{path}.tmp", "wb") as f:
             f.write(data)

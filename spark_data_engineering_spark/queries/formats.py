@@ -197,10 +197,18 @@ def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit read schema keeps the reader off the inference pass."""
     from spark_data_engineering_spark.functions import text as TX
 
+    import sys
+
+    from spark_data_engineering_spark.cacheutil import code_digest
+
     src = f"{sf_dir}/documents.parquet"
     stat = os.stat(src)
+    # derived-cache rule: the staged bytes come from in-module injection
+    # code, so the key must fold the deriving module's digest — an edit
+    # to the corruption rule must invalidate the stage (round-7 review)
     digest = hashlib.md5(
-        f"quarantine:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+        f"quarantine:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(sys.modules[__name__])}".encode()
     ).hexdigest()[:16]
     staged = f"/tmp/spark_de_fmt/quarantine/{digest}"
     if not os.path.isdir(staged):
@@ -223,15 +231,18 @@ def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(staged)
     )
-    # Spark requires caching/materializing before filtering on the
-    # corrupt column alone (SPARK-38747 semantics); route through the
-    # materialization knob used by every other lineage cut.
+    # parsed feeds two jobs (the dead-letter write and the audit agg);
+    # cut the lineage once. NOTE this is an optimization, not a
+    # correctness dependency: the dead-letter select below carries
+    # doc_id alongside the corrupt column, so even under
+    # SPARK_GRAFT_MATERIALIZE=none the plan never references ONLY the
+    # internal corrupt-record column (the SPARK-38747 restriction) —
+    # pinned in tests/test_round7_queries.py.
     from spark_data_engineering_spark.materialize import materialize
 
     parsed = parsed.transform(materialize)
-    good = parsed.filter(F.col("_corrupt_record").isNull())
     bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
+        "doc_id", F.col("_corrupt_record").alias("raw_line")
     )
     qdir = f"{staged}-deadletter"
     bad.write.mode("overwrite").parquet(qdir)

@@ -659,9 +659,17 @@ def txn_branch_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_branch", exist_ok=True)
     sweep_stale("/tmp/spark_de_branch")
     root = f"/tmp/spark_de_branch/{digest}"
-    t = TxnTable(root, "orders_br")
-    done = os.path.join(t.table_dir, "_branch_done")
-    if not os.path.exists(done):
+    # crash/race-safe cached build: construct under a private tmp root,
+    # then atomically rename into place — a crash mid-build leaves no
+    # half-built table under the digest key, and a concurrent builder
+    # loses the rename and discards its copy (round-7 review finding;
+    # the done-marker-after-append pattern re-entered half-built state)
+    if not os.path.isdir(root):
+        import shutil as _sh
+        import uuid as _uuid
+
+        tmp_root = f"{root}.build-{_uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_br")
         o = load_table(spark, "orders", sf_dir).select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
@@ -682,8 +690,11 @@ def txn_branch_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"branch leaked into main pre-merge: {t.count_rows()} != {n_all}"
             )
         t.merge_branch(b)
-        with open(done, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published first
+    t = TxnTable(root, "orders_br")
     return t.read(spark).groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -732,9 +743,14 @@ def txn_writer_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_branch", exist_ok=True)
     sweep_stale("/tmp/spark_de_branch")
     root = f"/tmp/spark_de_branch/w-{digest}"
-    t = TxnTable(root, "orders_w")
-    done = os.path.join(t.table_dir, "_writer_done")
-    if not os.path.exists(done):
+    # crash/race-safe cached build (same tmp-root + atomic rename as
+    # txn_branch_merge_revenue; round-7 review finding)
+    if not os.path.isdir(root):
+        import shutil as _sh
+        import uuid as _uuid
+
+        tmp_root = f"{root}.build-{_uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_w")
         o = load_table(spark, "orders", sf_dir).select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
@@ -748,8 +764,11 @@ def txn_writer_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         if t.version() != 2:  # one atomic commit per save — build invariant
             raise AssertionError(f"expected 2 commits, log has {t.version()}")
         t.delete_where_dv(spark, F.col("o_orderkey") % 11 == 4)
-        with open(done, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)
+    t = TxnTable(root, "orders_w")
     return (
         spark.read.format("txn")
         .load(t.table_dir)

@@ -394,6 +394,7 @@ class TxnTable:
         dv_base_version: int | None = None,
         schema_transform=None,
         base_version: int | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Commit with optimistic retry. Appends retry blindly (their
         files conflict with nothing); rewrites re-validate that every
@@ -454,6 +455,11 @@ class TxnTable:
                                 f"vector landed on {sorted(hit)[:3]}..."
                             )
             record = {"version": head + 1, "action": action, "add": add, "remove": remove}
+            if extra:
+                # provenance fields (e.g. merged_from) — never dispatched
+                # on, so downstream action-string consumers (read_changes,
+                # the streaming reader) see the ORIGINAL action
+                record.update(extra)
             if stats:
                 record["stats"] = stats
             if dv_add is not None:
@@ -1546,11 +1552,8 @@ class TxnTable:
                 f"v{self.version()}, branch was cut at v{base_v} — rebase "
                 "(re-branch from the current head and re-apply)"
             )
-        to_replay = [
-            branch._read_commit(v)
-            for v in commits
-            if not branch._read_commit(v).get("branch_inherited")
-        ]
+        recs = [branch._read_commit(v) for v in commits]
+        to_replay = [r for r in recs if not r.get("branch_inherited")]
         for rec in to_replay:
             if rec.get("action") in ("rename_column", "drop_column"):
                 raise ValueError(
@@ -1568,7 +1571,13 @@ class TxnTable:
             # commit landing mid-replay can enter the window, and the
             # expected-version check below catches that too.
             got = self._commit(
-                f"merge-branch:{rec.get('action', 'commit')}",
+                # PRESERVE the original action: read_changes and the
+                # streaming reader dispatch on exact action strings — a
+                # 'merge-branch:' prefix would silently drop replayed DV
+                # deletes from the change feed and abort append-only
+                # streams (round-7 review finding). Provenance rides in
+                # the merged_from field instead.
+                rec.get("action", "commit"),
                 rec.get("add", []),
                 rec.get("remove", []),
                 stats=rec.get("stats"),
@@ -1578,6 +1587,7 @@ class TxnTable:
                 dv_counts=rec.get("dv_counts"),
                 dv_base_version=v if rec.get("dv_add") else None,
                 base_version=v if rec.get("remove") else None,
+                extra={"merged_from": os.path.basename(branch.table_dir)},
             )
             if got != v + 1:
                 raise ConcurrentWriteError(

@@ -16,8 +16,8 @@ def test_webdataset_tar_bytes_deterministic_and_readable():
 
     ids = [7, 3, 11]
     texts = ["hello world", "café \U0001f600", 'quotes "q" and\nnewline']
-    b1 = _tar_shard_bytes(0, ids, texts)
-    b2 = _tar_shard_bytes(0, list(reversed(ids)), list(reversed(texts)))
+    b1 = _tar_shard_bytes(ids, texts)
+    b2 = _tar_shard_bytes(list(reversed(ids)), list(reversed(texts)))
     assert b1 == b2  # member order sorted by doc_id => byte-deterministic
     with tarfile.open(fileobj=io.BytesIO(b1)) as tar:
         names = tar.getnames()
@@ -129,3 +129,22 @@ def test_quarantine_accounts_for_every_line(spark, sf_dir):
     assert row.n_good + row.n_bad == n_total  # no line silently dropped
     assert row.n_quarantined == row.n_bad  # dead-letter sink is complete
     assert row.n_bad > 0  # the injection actually corrupted lines
+
+
+def test_quarantine_works_under_materialize_none(spark, sf_dir):
+    """The dead-letter select carries doc_id beside the corrupt column,
+    so the query is correct even with materialization disabled (the
+    SPARK-38747 corrupt-column-only restriction never triggers) —
+    round-7 review finding."""
+    from spark_data_engineering_spark import materialize as M
+    from spark_data_engineering_spark.queries.formats import (
+        corrupt_record_quarantine,
+    )
+
+    base = M.get_mode()
+    try:
+        M.set_mode("none")
+        row = corrupt_record_quarantine(spark, sf_dir).first()
+        assert row.n_good + row.n_bad > 0 and row.n_quarantined == row.n_bad
+    finally:
+        M.set_mode(base)

@@ -108,3 +108,25 @@ def test_merge_idempotent_epoch_watermarks_replay(spark, tmp_path):
     t.merge_branch(b)
     assert t.last_epoch("app1") == 2  # watermark travelled with the merge
     assert _ids(spark, t) == list(range(40)) + list(range(600, 610))
+
+
+def test_merged_dv_deletes_appear_in_change_feed(spark, tmp_path):
+    """Replayed branch commits keep their ORIGINAL action strings, so
+    read_changes emits the branch's DV deletes and appends after a
+    merge (round-7 review finding: a 'merge-branch:' action prefix made
+    the change feed silently drop them)."""
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    b = t.branch("cdc")
+    b.append(spark.range(700, 705).withColumn("v", F.col("id")))
+    b.delete_where_dv(spark, F.col("id") < 3)
+    t.merge_branch(b)
+    changes = t.read_changes(spark, from_version=v0).collect()
+    ins = sorted(r.id for r in changes if r._change_type == "insert")
+    dels = sorted(r.id for r in changes if r._change_type == "delete")
+    assert ins == list(range(700, 705))
+    assert dels == [0, 1, 2]
+    # provenance recorded without touching the dispatched action
+    replayed = [c for c in t.history() if c.get("merged_from")]
+    assert replayed and all(c["action"] != "" for c in replayed)
+    assert {c["action"] for c in replayed} == {"append", "delete_dv"}
