@@ -152,23 +152,12 @@ def incremental_daily_order_report(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "txn_datasource_revenue",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-)
-def txn_datasource_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read a txn table through the ``format("txn")`` Python data source
-    (sources/txn_datasource.py) — orders land over two commits, the
-    connector plans partitions from the commit log (never a directory
-    listing), and the aggregate must hash-match SQL over the original
-    parquet. Proves the table format is consumable by ANY Spark job via
-    the standard reader API."""
+def orders_ds_table(spark: SparkSession, sf_dir: str) -> TxnTable:
+    """Build (once, cached on source mtime+size) the two-commit orders
+    txn table consumed through the ``format("txn")`` connector — shared
+    by ``txn_datasource_revenue`` (batch read) and
+    ``streaming_txn_source_revenue`` (stream read), so both gates see
+    the identical commit log."""
     from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
 
     spark.dataSource.register(TxnDataSource)
@@ -187,6 +176,27 @@ def txn_datasource_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cannot double the rows
         table.append_idempotent(orders.filter(F.col("o_orderkey") % 2 == 0), "ds-build", 1)
         table.append_idempotent(orders.filter(F.col("o_orderkey") % 2 == 1), "ds-build", 2)
+    return table
+
+
+@query(
+    "txn_datasource_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_datasource_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a txn table through the ``format("txn")`` Python data source
+    (sources/txn_datasource.py) — orders land over two commits, the
+    connector plans partitions from the commit log (never a directory
+    listing), and the aggregate must hash-match SQL over the original
+    parquet. Proves the table format is consumable by ANY Spark job via
+    the standard reader API."""
+    table = orders_ds_table(spark, sf_dir)
     df = spark.read.format("txn").load(table.table_dir)
     return df.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),

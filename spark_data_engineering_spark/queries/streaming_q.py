@@ -637,3 +637,63 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     sketch = spark.createDataFrame(rows, "grp string, hv bigint")
     return _kmv_report(spark, sf_dir, sketch)
+
+
+@query(
+    "streaming_txn_source_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           FLOOR((MAX(o_totalprice)) * 100 + 0.5) / 100 AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def streaming_txn_source_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-read the txn table format through the ``format("txn")``
+    Python streaming source (sources/txn_datasource.py:203) and fold the
+    commit-log tail into a complete-mode aggregate: a fresh checkpoint
+    replays the table's two append commits as micro-batch input (the
+    reader plans file partitions from the commit log, never a directory
+    listing, and aborts on non-append commits unless ``ignoreChanges``),
+    and the end-of-stream state must hash-match one-shot SQL over the
+    source parquet. Shares the cached two-commit table with
+    ``txn_datasource_revenue`` so batch and stream gates read the SAME
+    log; incremental multi-batch tailing + the non-append abort are
+    pinned in tests/test_txn_datasource.py. This is the lakehouse CDC
+    shape (Delta/Iceberg streaming source) under the correctness gate."""
+    import uuid
+
+    from spark_data_engineering_spark.queries.incremental_q import orders_ds_table
+
+    table = orders_ds_table(spark, sf_dir)
+    stream = spark.readStream.format("txn").load(table.table_dir)
+    agg = stream.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.max("o_totalprice").alias("max_price_raw"),
+    )
+    name = "streaming_txn_source_gate"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            f"/tmp/spark_de_txnstream_ckpt/{uuid.uuid4().hex}",
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "o_orderstatus",
+        "n_orders",
+        "revenue",
+        NR.round2(F.col("max_price_raw")).alias("max_price"),
+    )

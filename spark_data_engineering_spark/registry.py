@@ -159,6 +159,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     (zero-copy seed, DV inheritance, fast-forward replay, vacuum
     #     ref-roots) are pinned by 7 dedicated tests in
     #     tests/test_txn_branch.py.
+    #   streaming_txn_source_revenue — STREAM-read of the txn format
+    #     (the lakehouse CDC shape); its read machinery is the same
+    #     commit-log planner driver-checked r6 via txn_datasource_revenue
+    #     (identical cached table), the streaming fold is in-window via
+    #     streaming_enriched_event_stats, and multi-batch tailing + the
+    #     non-append abort are pinned in tests/test_txn_datasource.py.
     #   txn_writer_roundtrip_revenue — the format("txn") WRITE path;
     #     the read/aggregate half is the same machinery as
     #     txn_datasource_revenue (r6 green) and the write protocol is

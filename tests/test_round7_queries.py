@@ -148,3 +148,34 @@ def test_quarantine_works_under_materialize_none(spark, sf_dir):
         assert row.n_good + row.n_bad > 0 and row.n_quarantined == row.n_bad
     finally:
         M.set_mode(base)
+
+
+def test_streaming_txn_source_matches_batch_connector(spark, sf_dir):
+    """The format('txn') STREAM read must surface exactly the rows the
+    batch connector reads from the same commit log: the registered
+    streaming fold's (status, n, revenue) state equals aggregating the
+    batch `spark.read.format('txn')` frame directly."""
+    from spark_data_engineering_spark.queries.incremental_q import orders_ds_table
+    from spark_data_engineering_spark.queries.streaming_q import (
+        streaming_txn_source_revenue,
+    )
+
+    got = {
+        r.o_orderstatus: (r.n_orders, round(r.revenue, 2))
+        for r in streaming_txn_source_revenue(spark, sf_dir).collect()
+    }
+    table = orders_ds_table(spark, sf_dir)
+    want = {
+        r.o_orderstatus: (r.n_orders, round(r.revenue, 2))
+        for r in spark.read.format("txn")
+        .load(table.table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 3
