@@ -43,7 +43,6 @@ HEADLINE = (
     "tpch_q16_supplier_part_counts",
     "tpch_q20_part_promotion_suppliers",
     "wide_lineitem",
-    "project_derive_filter",
     "latest_order_per_customer",
     "distinct_counts",
     "rollup_flag_status",
@@ -92,13 +91,18 @@ HEADLINE = (
     # hourly_event_stats, top10_customers_by_revenue,
     # brand_type_metrics, event_rollup_multires — all
     # pytest/gate-covered; the r7 quiet run measured the full line at
-    # exactly 1980 chars, one noisy digit from a parse failure).
+    # exactly 1980 chars, one noisy digit from a parse failure;
+    # project_derive_filter (0.27 s, machinery contained in
+    # wide_lineitem's projection chain) was dropped later in r7 to fund
+    # streaming_txn_source_revenue, which at 2.8 s crosses the >2 s
+    # must-bench bar).
     "bootstrap_revenue_ci",
     "neardup_triangle_stats",
     "doc_hierarchy_depths",
     "fuzzy_part_name_pairs",
     "export_jsonl_shards",
     "streaming_enriched_event_stats",
+    "streaming_txn_source_revenue",
 )
 
 
