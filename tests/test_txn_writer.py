@@ -81,3 +81,29 @@ def test_writer_interops_with_table_features(spark, tmp_path):
     assert _ids(spark, t) == [i for i in range(40) if i % 4 != 0]
     t.compact(spark)
     assert _ids(spark, t) == [i for i in range(40) if i % 4 != 0]
+
+
+def test_vacuum_collects_crashed_writer_orphans(spark, tmp_path):
+    """A task that crashes AFTER writing its uniquely-named parquet but
+    before the driver commit leaks bytes, never rows — and vacuum is the
+    promised GC for those bytes: an orphan data file referenced by no
+    commit is removed (once past min_age_s), while every committed file
+    survives."""
+    import os
+
+    d = str(tmp_path / "t")
+    spark.range(10).withColumn("v", F.col("id")).write.format("txn").mode(
+        "append"
+    ).save(d)
+    t = TxnTable(str(tmp_path), "t")
+    committed = set(t.live_files())
+    # simulate the crashed task's leftover: a well-formed parquet in the
+    # data dir that no commit references
+    orphan = os.path.join(t.data_dir, "deadbeef-crashed-w0.parquet")
+    spark.range(3).toPandas().to_parquet(orphan)
+    # an age guard above the orphan's age spares it (in-flight write)
+    assert t.vacuum(min_age_s=3600) == []
+    removed = t.vacuum(min_age_s=0.0)
+    assert removed == ["deadbeef-crashed-w0.parquet"]
+    assert set(t.live_files()) == committed and not os.path.exists(orphan)
+    assert _ids(spark, t) == list(range(10))
