@@ -47,6 +47,7 @@ _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
 _DV_DIR = "dv"
 _BRANCH_DIR = "_branches"
+_BRANCH_MARKER = "_branch_meta.json"
 _VERSION_DIGITS = 20
 
 # per-file bloom index (stage-time, stored in commit stats): sizing
@@ -193,9 +194,31 @@ class TxnTable:
         # columns land in the commit stats (``__bloom_<col>``); pruning
         # honors whatever blooms exist regardless of this setting
         self.bloom_cols = tuple(bloom_cols)
+        # a BRANCH persists a marker pointing at the owner's shared
+        # data/dv dirs (relative, so the tree can move) — any direct
+        # open (vacuum's ref walk, format("txn") on a branch path, a
+        # plain TxnTable(...) reopen) resolves the shared dirs without
+        # needing to come through parent.branch()
+        marker = os.path.join(self.table_dir, _BRANCH_MARKER)
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                rel = json.load(fh)
+            self.data_dir = os.path.normpath(
+                os.path.join(self.table_dir, rel["data_dir"])
+            )
+            self.dv_dir = os.path.normpath(
+                os.path.join(self.table_dir, rel["dv_dir"])
+            )
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.dv_dir, exist_ok=True)
+
+    def _is_branch(self) -> bool:
+        """True when this table is a branch of another table (its data/dv
+        dirs are shared, owned by the parent)."""
+        return os.path.isfile(
+            os.path.join(self.table_dir, _BRANCH_MARKER)
+        ) or self.data_dir != os.path.join(self.table_dir, _DATA_DIR)
 
     # ---- log plumbing ---------------------------------------------------
 
@@ -1224,22 +1247,41 @@ class TxnTable:
         duration."""
         import time
 
+        # a branch does NOT own the shared data/dv dirs: its keep-set
+        # misses every file only the parent (or a sibling branch)
+        # references, so vacuuming from a branch would delete the
+        # owner's live data. GC authority is the owning table only.
+        if self._is_branch():
+            raise ValueError(
+                "vacuum on a branch is refused — the data/dv dirs are "
+                "shared and owned by the parent table; vacuum the parent "
+                "(branch heads are kept as GC ref roots)"
+            )
         head = self.version()
         keep = set()
         for v in range(max(1, head - keep_versions + 1), head + 1):
             keep.update(self.live_files(v))
         # live branches share this data dir: every file any branch head
         # references must survive the parent's vacuum (a branch is a ref
-        # root, exactly as in Nessie/LakeFS garbage collection)
-        bdir = os.path.join(self.table_dir, _BRANCH_DIR)
-        if os.path.isdir(bdir):
+        # root, exactly as in Nessie/LakeFS garbage collection).
+        # RECURSIVE: a branch of a branch is still a ref root over the
+        # same shared dirs — one-level walking would lose its new files.
+        branch_dirs: list[str] = []
+        stack = [self.table_dir]
+        while stack:
+            bdir = os.path.join(stack.pop(), _BRANCH_DIR)
+            if not os.path.isdir(bdir):
+                continue
             for bname in os.listdir(bdir):
                 if os.path.isdir(os.path.join(bdir, bname, _LOG_DIR)):
                     b = TxnTable(bdir, bname)
+                    # markerless (pre-marker) branches still share OUR dirs
                     b.data_dir = self.data_dir
                     b.dv_dir = self.dv_dir
                     if b.version() > 0:
                         keep.update(b.live_files())
+                    branch_dirs.append(b.table_dir)
+                    stack.append(b.table_dir)
         now = time.time()
         removed = []
         for f in os.listdir(self.data_dir):
@@ -1256,15 +1298,18 @@ class TxnTable:
         # docstring's 'cleaned by vacuum' promise; min_age_s guards
         # in-flight stages exactly as it guards staged-but-uncommitted
         # data files
-        for d in os.listdir(self.table_dir):
-            path = os.path.join(self.table_dir, d)
-            if (
-                d.startswith(".staging-")
-                and os.path.isdir(path)
-                and now - os.path.getmtime(path) >= min_age_s
-            ):
-                shutil.rmtree(path)
-                removed.append(d)
+        # branch vacuum is refused (above), so crashed-stage dirs under
+        # branch table_dirs are this vacuum's job too
+        for tdir in [self.table_dir, *branch_dirs]:
+            for d in os.listdir(tdir):
+                path = os.path.join(tdir, d)
+                if (
+                    d.startswith(".staging-")
+                    and os.path.isdir(path)
+                    and now - os.path.getmtime(path) >= min_age_s
+                ):
+                    shutil.rmtree(path)
+                    removed.append(d)
         # same contract for crashed deletion-vector stagings; committed
         # sidecars are kept (retained versions may still reference them
         # and dead-file entries anti-join against nothing)
@@ -1466,6 +1511,21 @@ class TxnTable:
         )
         b.data_dir = self.data_dir
         b.dv_dir = self.dv_dir
+        # persist the shared-dir pointer so ANY later open of this path
+        # (vacuum's ref walk, format("txn"), plain TxnTable(...)) resolves
+        # the owner's data/dv dirs — relative, so the tree can move
+        marker = os.path.join(b.table_dir, _BRANCH_MARKER)
+        if not os.path.isfile(marker):
+            tmp = marker + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "data_dir": os.path.relpath(self.data_dir, b.table_dir),
+                        "dv_dir": os.path.relpath(self.dv_dir, b.table_dir),
+                    },
+                    fh,
+                )
+            os.replace(tmp, marker)
         if b.version() > 0:
             return b  # reopen
         base_v = self.version()

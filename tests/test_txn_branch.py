@@ -130,3 +130,64 @@ def test_merged_dv_deletes_appear_in_change_feed(spark, tmp_path):
     replayed = [c for c in t.history() if c.get("merged_from")]
     assert replayed and all(c["action"] != "" for c in replayed)
     assert {c["action"] for c in replayed} == {"append", "delete_dv"}
+
+
+def test_vacuum_on_a_branch_is_refused(spark, tmp_path):
+    """A branch's keep-set misses parent/sibling refs over the SHARED
+    data dir — vacuuming from it would delete the owner's live files
+    (e.g. anything the parent appended after branching). Refused."""
+    t = _table(spark, tmp_path)
+    b = t.branch("exp")
+    t.append(spark.range(100, 110).withColumn("v", F.col("id")))
+    with pytest.raises(ValueError, match="vacuum on a branch"):
+        b.vacuum(keep_versions=1)
+    # the parent-only files survive and the parent is the GC authority
+    assert t.vacuum(keep_versions=1) == []
+    assert _ids(spark, t) == list(range(40)) + list(range(100, 110))
+
+
+def test_parent_vacuum_sees_nested_branch_refs(spark, tmp_path):
+    """A branch of a branch is still a ref root over the same shared
+    dirs: the one-level walk would miss the grandchild's NEW files and
+    delete them. The recursive walk must keep them."""
+    t = _table(spark, tmp_path)
+    b = t.branch("child")
+    g = b.branch("grandchild")
+    g.append(spark.range(900, 905).withColumn("v", F.col("id")))
+    # parent rewrite: its own old generation is branch-referenced (kept);
+    # the grandchild's new file is referenced ONLY by the grandchild head
+    t.overwrite(spark.range(10).withColumn("v", F.col("id")))
+    removed = t.vacuum(keep_versions=1)
+    assert removed == []
+    assert _ids(spark, g) == list(range(40)) + list(range(900, 905))
+    # dropping the child drops the grandchild with it (rmtree) — both
+    # ref lines die and the next vacuum collects old gen + branch files
+    t.drop_branch("child")
+    assert t.vacuum(keep_versions=1)
+    assert _ids(spark, t) == list(range(10))
+
+
+def test_direct_open_of_branch_resolves_shared_dirs(spark, tmp_path):
+    """The persisted branch marker makes a plain TxnTable(...) open of a
+    branch path read the parent's shared data/dv dirs — no need to come
+    through parent.branch()."""
+    t = _table(spark, tmp_path)
+    b = t.branch("exp")
+    b.append(spark.range(500, 505).withColumn("v", F.col("id")))
+    b.delete_where_dv(spark, F.col("id") == 3)
+    reopened = TxnTable(os.path.join(str(tmp_path), "t", "_branches"), "exp")
+    assert reopened.data_dir == t.data_dir and reopened.dv_dir == t.dv_dir
+    assert _ids(spark, reopened) == [i for i in range(40) if i != 3] + list(
+        range(500, 505)
+    )
+
+
+def test_parent_vacuum_cleans_crashed_branch_staging(spark, tmp_path):
+    """Crashed-stage dirs under a BRANCH table_dir are the parent
+    vacuum's job (branch vacuum is refused)."""
+    t = _table(spark, tmp_path)
+    b = t.branch("exp")
+    crashed = os.path.join(b.table_dir, ".staging-deadbeef")
+    os.makedirs(crashed)
+    assert ".staging-deadbeef" in t.vacuum(keep_versions=1, min_age_s=0.0)
+    assert not os.path.isdir(crashed)
