@@ -191,3 +191,25 @@ def test_parent_vacuum_cleans_crashed_branch_staging(spark, tmp_path):
     os.makedirs(crashed)
     assert ".staging-deadbeef" in t.vacuum(keep_versions=1, min_age_s=0.0)
     assert not os.path.isdir(crashed)
+
+
+def test_format_txn_writer_on_a_branch_path(spark, tmp_path):
+    """The branch marker makes the standard df.write.format('txn') API
+    compose with branches: a save targeting the branch path stages into
+    the SHARED data dir, commits to the branch log only, and the commit
+    fast-forward-merges onto the parent."""
+    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+
+    spark.dataSource.register(TxnDataSource)
+    t = _table(spark, tmp_path)
+    b = t.branch("exp")
+    bpath = b.table_dir
+    spark.range(700, 706).withColumn("v", F.col("id") * 2).write.format(
+        "txn"
+    ).mode("append").save(bpath)
+    # staged into the shared dir, visible on the branch, parent isolated
+    assert _ids(spark, b) == list(range(40)) + list(range(700, 706))
+    assert _ids(spark, t) == list(range(40))
+    assert not os.listdir(os.path.join(bpath, "data"))  # nothing branch-local
+    t.merge_branch(b)
+    assert _ids(spark, t) == list(range(40)) + list(range(700, 706))
