@@ -215,6 +215,16 @@ class TxnStreamReader(DataSourceStreamReader):
         # contract for mid-stream schema evolution)
         self._colmap_version = self._table.version()
         self._colmap = _logical_colmap(self._table)
+        # DV snapshot at stream start: deletion-vector positions already
+        # committed when the stream begins apply to the files the stream
+        # replays as its initial snapshot (batch-read parity — otherwise
+        # a fresh stream over a table/branch with merge-on-read deletes
+        # would resurrect the deleted rows). LATER dv commits still abort
+        # (rows were already emitted) unless ignoreChanges.
+        sidecars, _ = self._table.dv_state(self._colmap_version)
+        self._dv_paths = tuple(
+            os.path.join(self._table.dv_dir, s) for s in sidecars
+        )
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -240,14 +250,41 @@ class TxnStreamReader(DataSourceStreamReader):
                         "stream to pick up the evolved schema."
                     )
                 continue
-            if c["action"] not in ("append", "streaming-append") and not self._ignore_changes:
+            if c["action"] in ("delete_dv", "branch-dv"):
+                # position-delete metadata, no files added. At or below
+                # the stream-start version it is already reflected in the
+                # captured dv snapshot (applied to every initial-snapshot
+                # file below); later it deletes rows this stream already
+                # emitted -> restart-or-optin, same rule as mid-stream
+                # schema evolution.
+                if v > self._colmap_version and not self._ignore_changes:
+                    raise RuntimeError(
+                        f"txn stream: commit {v} is a '{c['action']}' "
+                        "row-deletion made after this stream started; "
+                        "already-emitted rows cannot be retracted. Restart "
+                        "the stream, or pass option('ignoreChanges', "
+                        "'true') to keep going without retraction."
+                    )
+                continue
+            if (
+                c["action"] not in ("append", "streaming-append", "branch")
+                and not self._ignore_changes
+            ):
+                # "branch" is allowed: a branch's seed commit IS the
+                # line's initial snapshot — none of its rows were emitted
+                # by this stream before, so replaying them re-emits
+                # nothing (inherited dv positions apply via the snapshot).
                 raise RuntimeError(
                     f"txn stream: commit {v} is '{c['action']}', not an append; "
                     "rewritten files would re-emit their rows. Pass "
                     "option('ignoreChanges', 'true') to accept that."
                 )
+            # dv snapshot applies only to files that existed at stream
+            # start; post-start appends can't be covered by it (and
+            # skipping the sidecar probe saves a scan per new file)
+            dv = self._dv_paths if v <= self._colmap_version else ()
             parts.extend(
-                _FilePartition(os.path.join(self._table.data_dir, f), (), self._colmap)
+                _FilePartition(os.path.join(self._table.data_dir, f), dv, self._colmap)
                 for f in c.get("add", ())
             )
         # a batch may legitimately cover only rowless commits (compact)
@@ -257,7 +294,10 @@ class TxnStreamReader(DataSourceStreamReader):
         if not partition.path:
             return iter(())
         return _read_file(
-            partition.path, self._schema, (), getattr(partition, "colmap", ())
+            partition.path,
+            self._schema,
+            getattr(partition, "dv_paths", ()),
+            getattr(partition, "colmap", ()),
         )
 
     def commit(self, end: dict) -> None:

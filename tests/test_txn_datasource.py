@@ -83,3 +83,80 @@ def test_batch_read_applies_deletion_vectors(spark, tmp_path):
     )
     want = sorted(r.k for r in t.read(spark).collect())
     assert got == want == [k for k in range(40) if k % 4 != 0]
+
+
+def test_stream_initial_snapshot_applies_existing_dvs(spark, tmp_path):
+    """A stream STARTED AFTER a merge-on-read delete must not resurrect
+    the deleted rows: the stream-start dv snapshot applies to the files
+    it replays as the initial snapshot (batch-read parity), and the
+    delete_dv commit itself is skipped, not aborted on."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(20).repartition(2))
+    t.delete_where_dv(spark, F.col("id") % 5 == 0)
+    q = (
+        spark.readStream.format("txn")
+        .load(t.table_dir)
+        .writeStream.format("memory")
+        .queryName("txn_dv_snap")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dv"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.id for r in spark.table("txn_dv_snap").collect())
+    finally:
+        q.stop()
+    want = sorted(r.id for r in t.read(spark).collect())
+    assert got == want == [i for i in range(20) if i % 5 != 0]
+
+
+def test_stream_aborts_on_mid_stream_dv_delete(spark, tmp_path):
+    """A delete_dv AFTER stream start deletes rows the stream already
+    emitted — abort (restart-or-optin), mirroring the rewrite rule."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(10))
+    q = (
+        spark.readStream.format("txn")
+        .load(t.table_dir)
+        .writeStream.format("memory")
+        .queryName("txn_dv_abort")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dva"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        t.delete_where_dv(spark, F.col("id") == 1)
+        with pytest.raises(
+            Exception, match="ignoreChanges|StreamingQueryException|row-deletion"
+        ):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_over_a_branch_matches_batch(spark, tmp_path):
+    """Streaming a BRANCH path: the seed commit is the line's initial
+    snapshot (allowed — nothing re-emitted), inherited dv positions
+    apply, and branch appends tail in; end state == batch read."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(30).repartition(2))
+    t.delete_where_dv(spark, F.col("id") % 10 == 0)  # inherited deletes
+    b = t.branch("exp")
+    b.append(spark.range(100, 105))
+    q = (
+        spark.readStream.format("txn")
+        .load(b.table_dir)
+        .writeStream.format("memory")
+        .queryName("txn_branch_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_b"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.id for r in spark.table("txn_branch_stream").collect())
+    finally:
+        q.stop()
+    want = sorted(r.id for r in b.read(spark).collect())
+    assert got == want == [i for i in range(30) if i % 10 != 0] + list(
+        range(100, 105)
+    )
