@@ -1378,9 +1378,15 @@ class TxnTable:
                 ins, rem = added, None
             elif c["action"] == "compact":
                 continue  # net-zero row change by construction
-            elif c["action"] == "delete_dv":
+            elif c["action"] in ("delete_dv", "branch-dv"):
                 # the sidecar IS the delete set: its positions, read from
-                # the still-live data files
+                # the still-live data files. branch-dv (a branch's
+                # inherited-DV consolidation) carries the same
+                # dv_add/dv_counts shape — without this case the seed's
+                # parent-deleted rows would be reported as inserts at v1
+                # and never deleted, so a CDF fold over the branch would
+                # diverge from the branch read. (The "branch" seed itself
+                # lands in the generic diff arm below: pure inserts.)
                 raw = (
                     spark.read.option("mergeSchema", "true")
                     .parquet(

@@ -213,3 +213,23 @@ def test_format_txn_writer_on_a_branch_path(spark, tmp_path):
     assert not os.listdir(os.path.join(bpath, "data"))  # nothing branch-local
     t.merge_branch(b)
     assert _ids(spark, t) == list(range(40)) + list(range(700, 706))
+
+
+def test_change_feed_over_branch_folds_to_branch_state(spark, tmp_path):
+    """read_changes over a BRANCH log: the seed reports the inherited
+    snapshot as inserts, the branch-dv consolidation reports the
+    parent-deleted rows as deletes (same shape as delete_dv), and branch
+    appends follow — so insert-minus-delete folds exactly to the branch
+    read."""
+    t = _table(spark, tmp_path)
+    t.delete_where_dv(spark, F.col("id") % 8 == 0)
+    b = t.branch("cdf")
+    b.append(spark.range(200, 204).withColumn("v", F.col("id")))
+    ch = b.read_changes(spark, 0).select("id", "_change_type").collect()
+    ins = sorted(r.id for r in ch if r._change_type == "insert")
+    dels = sorted(r.id for r in ch if r._change_type == "delete")
+    assert dels == [i for i in range(40) if i % 8 == 0]
+    folded = sorted(set(ins) - set(dels))
+    assert folded == _ids(spark, b) == [
+        i for i in range(40) if i % 8 != 0
+    ] + list(range(200, 204))
