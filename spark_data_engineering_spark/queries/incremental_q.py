@@ -206,6 +206,56 @@ def txn_datasource_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "txn_restore_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def txn_restore_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under the gate (Delta RESTORE / Iceberg rollback,
+    sources/txn.py::restore): clean orders land at v1, a poison
+    overwrite (subset with zeroed prices) replaces them at v2, and
+    ``restore(1)`` rolls the live set back as a new metadata-only commit
+    — the head read must hash-match SQL over the ORIGINAL parquet,
+    proving the rollback restored every row and stat. Build steps are
+    exactly-once ((app, epoch) watermarks; the restore step keys on
+    state, so replays are no-ops) and the poison history stays
+    time-travelable. Restore edge cases (post-target DV refusal, count
+    re-establishment, checkpoint replay, vacuumed targets) are pinned in
+    tests/test_txn_restore.py."""
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"restore:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/spark_de_incremental/restore-{digest}"
+    table = TxnTable(root, "orders_restore")
+    app = "restore-build"
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if table.last_epoch(app) < 1:
+        table.append_idempotent(orders, app, 1)
+    if table.last_epoch(app) < 2:
+        poison = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.lit(0.0)
+        )
+        table.overwrite(poison, txn=(app, 2))
+    if set(table.live_files()) != set(table.live_files(1)):
+        table.restore(1)
+    df = table.read(spark)
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 _SCD2_INCR_ORACLE = """
     WITH
     daily AS (

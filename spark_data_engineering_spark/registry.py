@@ -159,6 +159,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     (zero-copy seed, DV inheritance, fast-forward replay, vacuum
     #     ref-roots) are pinned by 7 dedicated tests in
     #     tests/test_txn_branch.py.
+    #   txn_restore_revenue — RESTORE (rollback-as-new-commit); its
+    #     read/aggregate half is txn_datasource_revenue's machinery
+    #     (r6 green) over the same orders projection, the commit path is
+    #     the standard _commit used by every in-window txn query, and
+    #     the restore-specific semantics (post-target DV refusal, count
+    #     re-establishment, checkpoint replay, vacuumed-target refusal)
+    #     are pinned by 5 dedicated tests in tests/test_txn_restore.py.
     #   streaming_txn_source_revenue — STREAM-read of the txn format
     #     (the lakehouse CDC shape); its read machinery is the same
     #     commit-log planner driver-checked r6 via txn_datasource_revenue

@@ -292,6 +292,11 @@ class TxnTable:
                     sidecars.append(c["dv_add"])
                     for f, n in c.get("dv_counts", {}).items():
                         deleted[f] = deleted.get(f, 0) + int(n)
+                # a restore re-adds files whose deleted counts were
+                # popped when they were removed — their (still-listed)
+                # sidecar positions apply again, so the counts must too
+                for f, n in c.get("dv_counts_restore", {}).items():
+                    deleted[f] = deleted.get(f, 0) + int(n)
         return sidecars, deleted
 
     def file_stats(self, at_version: int | None = None) -> dict[str, dict]:
@@ -1237,6 +1242,73 @@ class TxnTable:
             packed = df.coalesce(n_out)
         add, stats = self._stage(packed)
         return self._commit("compact", add, files, stats, base_version=v0)
+
+    def restore(self, version: int) -> int:
+        """RESTORE the table to an earlier ``version`` as a NEW commit
+        (Delta RESTORE / Iceberg rollback): the live-file set becomes the
+        target version's — pure metadata, no bytes move, and the
+        rolled-back history stays time-travelable (restore-of-a-restore
+        works, and vacuum's retention still governs whether the
+        re-added files physically survive — restore refuses files
+        vacuum already deleted).
+
+        Deletion-vector guard: a sidecar committed AFTER the target that
+        touches any restored file is irreversible here — the read path
+        applies every sidecar in state, so those positions would keep
+        deleting rows the restore means to bring back (and a post-target
+        compact of such a file already materialized the deletes,
+        silently corrupting counts). Both cases are refused: compact
+        first, then restore. Sidecars at or before the target are part
+        of the restored state and apply correctly — the commit carries
+        ``dv_counts_restore`` re-establishing the per-file deleted
+        counts that were popped when the files were removed, so
+        metadata-only ``count_rows`` stays exact through a restore.
+
+        Dispatcher triage (the three action-string dispatchers):
+        streams abort on 'restore' unless ignoreChanges (re-added rows
+        would re-emit); read_changes diffs it row-level in the generic
+        arm (exactly the net change); merge_branch replays it verbatim.
+        """
+        head = self.version()
+        if not 1 <= version <= head:
+            raise ValueError(f"restore: version {version} not in [1, {head}]")
+        target = set(self.live_files(version))
+        current = set(self.live_files(head))
+        for v in range(version + 1, head + 1):
+            c = self._read_commit(v)
+            if c.get("dv_add"):
+                touched = sorted(set(c.get("dv_counts", {})) & target)
+                if touched:
+                    raise ValueError(
+                        f"restore: deletion-vector commit v{v} touches "
+                        f"restored file(s) {touched[:3]}; its positions "
+                        "would still apply after the restore. Compact to "
+                        "materialize the deletes, then restore."
+                    )
+        missing = [
+            f
+            for f in sorted(target - current)
+            if not os.path.isfile(os.path.join(self.data_dir, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"restore: file(s) {missing[:3]} from v{version} were "
+                "vacuumed; that version is no longer restorable"
+            )
+        stats_t = self.file_stats(version)
+        _, del_t = self.dv_state(version)
+        add = sorted(target - current)
+        counts_restore = {f: del_t[f] for f in add if del_t.get(f)}
+        return self._commit(
+            "restore",
+            add,
+            sorted(current - target),
+            stats={f: stats_t[f] for f in add if f in stats_t},
+            base_version=head,
+            # state-bearing (not provenance): re-establishes re-added
+            # files' deleted counts in the dv_state replay
+            extra={"dv_counts_restore": counts_restore} if counts_restore else None,
+        )
 
     def vacuum(self, keep_versions: int = 1, min_age_s: float = 0.0) -> list[str]:
         """Delete data files referenced by NO retained version (the last

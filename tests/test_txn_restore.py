@@ -1,0 +1,92 @@
+"""TxnTable.restore: rollback-as-new-commit (Delta RESTORE). Metadata
+only, history stays time-travelable, deletion-vector state survives
+exactly (counts re-established for re-added files), and the
+irreversible cases (post-target DV on a restored file, vacuumed target)
+are refused loudly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources.txn import TxnTable
+
+
+def _ids(spark, t, **kw):
+    return sorted(r.id for r in t.read(spark, **kw).collect())
+
+
+def test_restore_is_metadata_only_and_time_travelable(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(10))
+    t.overwrite(spark.range(100, 104))
+    n_files = len(os.listdir(t.data_dir))
+    v = t.restore(1)
+    assert v == 3
+    assert len(os.listdir(t.data_dir)) == n_files  # no bytes moved
+    assert _ids(spark, t) == list(range(10))
+    # the rolled-back state stays time-travelable, and restore composes
+    assert _ids(spark, t, at_version=2) == list(range(100, 104))
+    t.restore(2)
+    assert _ids(spark, t) == list(range(100, 104))
+    assert t.count_rows() == 4
+
+
+def test_restore_refused_when_later_dv_touches_restored_file(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(10))
+    t.delete_where_dv(spark, F.col("id") < 3)
+    with pytest.raises(ValueError, match="deletion-vector commit"):
+        t.restore(1)
+    # after compact materializes the deletes, the guard clears
+    t.compact(spark)
+    v = t.version()
+    t.append(spark.range(50, 53))
+    t.restore(v)
+    assert _ids(spark, t) == list(range(3, 10))
+
+
+def test_restore_preserves_pre_target_dv_state_and_counts(spark, tmp_path):
+    """Sidecars at or before the target are RESTORED state: the re-added
+    file reads with its deletes applied, and metadata-only count_rows
+    stays exact because the commit re-establishes the popped per-file
+    deleted counts."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(10))
+    t.delete_where_dv(spark, F.col("id") % 2 == 0)  # v2: 5 deleted
+    t.overwrite(spark.range(200, 203))  # v3 pops the counts
+    t.restore(2)
+    want = [i for i in range(10) if i % 2 != 0]
+    assert _ids(spark, t) == want
+    assert t.count_rows() == len(want)  # metadata, not a scan
+    rec = t._read_commit(t.version())
+    assert rec["action"] == "restore" and rec["dv_counts_restore"]
+
+
+def test_restore_refused_for_vacuumed_versions(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(5))
+    t.overwrite(spark.range(300, 302))
+    t.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(1)
+
+
+def test_restore_checkpoint_roundtrip(spark, tmp_path):
+    """dv_counts_restore must survive the checkpoint replay: state read
+    through a checkpoint written AFTER the restore equals the directly
+    replayed state."""
+    t = TxnTable(str(tmp_path), "t", checkpoint_every=2)
+    t.append(spark.range(8))
+    t.delete_where_dv(spark, F.col("id") == 0)
+    t.overwrite(spark.range(400, 402))
+    t.restore(2)
+    # drive past the next checkpoint boundary
+    t.append(spark.range(500, 502))
+    t.append(spark.range(600, 602))
+    _, deleted = t.dv_state()
+    assert sum(deleted.values()) == 1
+    assert _ids(spark, t) == list(range(1, 8)) + [500, 501, 600, 601]
+    assert t.count_rows() == 11
