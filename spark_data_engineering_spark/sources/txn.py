@@ -1725,7 +1725,17 @@ class TxnTable:
                 dv_counts=rec.get("dv_counts"),
                 dv_base_version=v if rec.get("dv_add") else None,
                 base_version=v if rec.get("remove") else None,
-                extra={"merged_from": os.path.basename(branch.table_dir)},
+                extra={
+                    "merged_from": os.path.basename(branch.table_dir),
+                    # state-bearing field of a replayed 'restore' commit:
+                    # dropping it would desync the parent's dv counts and
+                    # trip the post-merge DV verification below
+                    **(
+                        {"dv_counts_restore": rec["dv_counts_restore"]}
+                        if rec.get("dv_counts_restore")
+                        else {}
+                    ),
+                },
             )
             if got != v + 1:
                 raise ConcurrentWriteError(

@@ -90,3 +90,20 @@ def test_restore_checkpoint_roundtrip(spark, tmp_path):
     assert sum(deleted.values()) == 1
     assert _ids(spark, t) == list(range(1, 8)) + [500, 501, 600, 601]
     assert t.count_rows() == 11
+
+
+def test_branch_side_restore_merges_with_exact_dv_counts(spark, tmp_path):
+    """A restore performed ON A BRANCH replays onto the parent with its
+    dv_counts_restore intact — dropping the field would desync the
+    parent's metadata counts and trip merge_branch's post-merge DV
+    verification."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(10))
+    t.delete_where_dv(spark, F.col("id") >= 8)  # 2 deleted, pre-branch
+    b = t.branch("exp")
+    bv = b.version()
+    b.overwrite(spark.range(700, 703))  # pops counts on the branch
+    b.restore(bv)  # re-establishes them via dv_counts_restore
+    t.merge_branch(b)  # would raise ConcurrentWriteError without the fix
+    assert _ids(spark, t) == list(range(8))
+    assert t.count_rows() == 8
