@@ -652,11 +652,12 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_txn_source_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-read the txn table format through the ``format("txn")``
-    Python streaming source (sources/txn_datasource.py:203) and fold the
-    commit-log tail into a complete-mode aggregate: a fresh checkpoint
-    replays the table's two append commits as micro-batch input (the
-    reader plans file partitions from the commit log, never a directory
-    listing, and aborts on non-append commits unless ``ignoreChanges``),
+    Python streaming source (sources/txn_datasource.py:203) and fold it
+    into a complete-mode aggregate: a fresh checkpoint emits the table's
+    INITIAL SNAPSHOT (live files at stream start, DV-applied, planned
+    from the commit log — never a directory listing; Delta semantics, so
+    historical rewrites neither abort nor double-emit) and then tails
+    later commits (mid-stream rewrites abort unless ``ignoreChanges``),
     and the end-of-stream state must hash-match one-shot SQL over the
     source parquet. Shares the cached two-commit table with
     ``txn_datasource_revenue`` so batch and stream gates read the SAME

@@ -236,7 +236,27 @@ class TxnStreamReader(DataSourceStreamReader):
         import os
 
         parts = []
-        for v in range(start["version"] + 1, end["version"] + 1):
+        lo = start["version"]
+        if lo == 0 and self._colmap_version > 0:
+            # INITIAL SNAPSHOT (Delta semantics): a fresh stream emits
+            # the table's LIVE state at stream start as batch input —
+            # not a replay of the commit log — so historical rewrites
+            # (overwrite/delete/compact/restore/branch seeds) neither
+            # abort the stream nor double-emit; the stream-start dv
+            # snapshot applies. Tailing begins AFTER the snapshot
+            # version; the per-commit rules below then govern only
+            # commits made while the stream is live (or while a resumed
+            # stream was down).
+            parts.extend(
+                _FilePartition(
+                    os.path.join(self._table.data_dir, f),
+                    self._dv_paths,
+                    self._colmap,
+                )
+                for f in self._table.live_files(self._colmap_version)
+            )
+            lo = self._colmap_version
+        for v in range(lo + 1, end["version"] + 1):
             c = self._table._read_commit(v)
             if c["action"] in ("rename_column", "drop_column"):
                 # metadata-only: moves no data. Already reflected in the

@@ -160,3 +160,35 @@ def test_stream_over_a_branch_matches_batch(spark, tmp_path):
     assert got == want == [i for i in range(30) if i % 10 != 0] + list(
         range(100, 105)
     )
+
+
+def test_fresh_stream_over_rewritten_history_is_initial_snapshot(spark, tmp_path):
+    """A FRESH stream over a table whose log contains rewrites
+    (overwrite, compact, restore) must emit the live state at stream
+    start — initial-snapshot semantics, not a log replay — with no
+    ignoreChanges opt-in, no aborts, and no double emission. Mid-stream
+    appends still tail in."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(10))
+    t.overwrite(spark.range(100, 105))
+    t.compact(spark)
+    t.restore(2)  # back to the overwrite state
+    q = (
+        spark.readStream.format("txn")
+        .load(t.table_dir)
+        .writeStream.format("memory")
+        .queryName("txn_snapshot_mode")
+        .option("checkpointLocation", str(tmp_path / "ckpt_snap"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(r.id for r in spark.table("txn_snapshot_mode").collect()) == list(
+            range(100, 105)
+        )
+        t.append(spark.range(7, 9))
+        q.processAllAvailable()
+        got = sorted(r.id for r in spark.table("txn_snapshot_mode").collect())
+    finally:
+        q.stop()
+    assert got == [7, 8] + list(range(100, 105))
