@@ -482,14 +482,20 @@ class TxnArrowWriter(DataSourceArrowWriter):
         stats = {
             m.name: m.stats for m in messages if m is not None and m.name
         }
-        remove = t.live_files() if self._overwrite else []
+        # pin the snapshot version FIRST and compute the removed set AT
+        # it (the repo-wide rewrite rule): reading live_files() at one
+        # head and base_version at a later one leaves a gap where a
+        # concurrent deletion vector lands outside the conflict window
+        # and its delete silently vanishes with the overwritten files
+        v0 = t.version()
+        remove = t.live_files(v0) if self._overwrite else []
         t._commit(
             "overwrite" if self._overwrite else "append",
             add,
             remove,
             stats=stats,
             schema=self._incoming_schema,
-            base_version=t.version() if remove else None,
+            base_version=v0 if remove else None,
         )
 
     def abort(self, messages):  # driver-side on task failure
