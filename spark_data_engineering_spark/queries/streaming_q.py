@@ -698,3 +698,67 @@ def streaming_txn_source_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         NR.round2(F.col("max_price_raw")).alias("max_price"),
     )
+
+
+@query(
+    "streaming_txn_sink_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def streaming_txn_sink_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native STREAMING SINK under the gate (round 7,
+    txn_datasource.py::TxnStreamArrowWriter): a txn->txn streaming PIPE
+    through nothing but the standard APIs —
+    ``readStream.format("txn")`` over the shared two-commit orders
+    table (the same cached log ``txn_datasource_revenue`` and
+    ``streaming_txn_source_revenue`` gate) piped into
+    ``writeStream.format("txn")`` on a fresh sink table, then the SINK
+    is batch-read back through the connector and its aggregate must
+    hash-match SQL over the source parquet. Each epoch lands as one
+    atomic commit carrying an ``(txnAppId, batchId)`` watermark, so a
+    crash-redelivered epoch commits nothing (exactly-once via the
+    standard writeStream API — no foreachBatch); restart-replay and the
+    required-txnAppId / append-only contracts are pinned in
+    tests/test_txn_stream_sink.py.
+
+    Scale: per epoch the sink does one parquet file per task (no extra
+    shuffle) plus one JSON log append regardless of epoch size; the
+    watermark check is one metadata read of the last commit chain."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import sweep_stale
+    from spark_data_engineering_spark.queries.incremental_q import orders_ds_table
+
+    src = orders_ds_table(spark, sf_dir)
+    os.makedirs("/tmp/spark_de_streamsink", exist_ok=True)
+    sweep_stale("/tmp/spark_de_streamsink")
+    run = f"/tmp/spark_de_streamsink/{uuid.uuid4().hex}"
+    sink_dir = f"{run}/orders_sink"
+    q = (
+        spark.readStream.format("txn")
+        .load(src.table_dir)
+        .writeStream.format("txn")
+        .option("txnAppId", "gate-pipe")
+        .option("checkpointLocation", f"{run}/ckpt")
+        .start(sink_dir)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.format("txn")
+        .load(sink_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

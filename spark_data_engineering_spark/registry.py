@@ -133,11 +133,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_daily_order_report",
     "streaming_sessionize_events",
     # --- (c) new oracled surfaces this round.
-    # (Three LATER round-7 additions stay OUTSIDE the window — the 17
-    # never-checked + 11 r3-stale cohorts are the VERDICT-mandated
+    # (The LATER round-7 additions below stay OUTSIDE the window — the
+    # 17 never-checked + 11 r3-stale cohorts are the VERDICT-mandated
     # priority and displacing one would trade mandated evidence for new
-    # evidence. All three pass the local gate this round and are the
-    # FIRST rotation priorities for round 8:
+    # evidence. Every one passes the local gate this round and they are
+    # the FIRST rotation priorities for round 8:
     #   export_webdataset_shards — tar-shard sink; its read-back
     #     manifest aggregate is IDENTICAL SQL to in-window
     #     export_jsonl_shards (same oracle text), so the manifest
@@ -172,6 +172,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     (identical cached table), the streaming fold is in-window via
     #     streaming_enriched_event_stats, and multi-batch tailing + the
     #     non-append abort are pinned in tests/test_txn_datasource.py.
+    #   streaming_txn_sink_revenue — the native STREAMING SINK
+    #     (writeStream.format("txn"), one atomic (txnAppId, batchId)
+    #     watermarked commit per epoch): the pipe's stream-read half is
+    #     streaming_txn_source_revenue's machinery over the SAME cached
+    #     table, the read-back aggregate is txn_datasource_revenue's
+    #     (r6 green), and the sink-specific exactly-once semantics
+    #     (restart replay commits nothing, txnAppId required,
+    #     append-only) are pinned by 3 dedicated tests in
+    #     tests/test_txn_stream_sink.py.
     #   txn_writer_roundtrip_revenue — the format("txn") WRITE path;
     #     the read/aggregate half is the same machinery as
     #     txn_datasource_revenue (r6 green) and the write protocol is

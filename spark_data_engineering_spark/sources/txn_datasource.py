@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -376,6 +377,22 @@ class TxnDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "TxnArrowWriter":
         return TxnArrowWriter(self._table_dir(), schema, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "TxnStreamArrowWriter":
+        if overwrite:
+            raise ValueError(
+                "txn streaming sink supports append output mode only "
+                "(an epoch-wise overwrite would discard prior epochs)"
+            )
+        app_id = self.options.get("txnappid") or self.options.get("txnAppId")
+        if not app_id:
+            raise ValueError(
+                "txn streaming sink requires option('txnAppId', <id>): it "
+                "namespaces the exactly-once epoch watermark; a default "
+                "would make two queries writing one table dedupe each "
+                "other's batches"
+            )
+        return TxnStreamArrowWriter(self._table_dir(), schema, app_id)
+
 
 # ---- write path (round 7) ----------------------------------------------
 #
@@ -507,3 +524,57 @@ class TxnArrowWriter(DataSourceArrowWriter):
                     os.unlink(os.path.join(self._data_dir, m.name))
                 except FileNotFoundError:
                     pass
+
+
+class TxnStreamArrowWriter(TxnArrowWriter, DataSourceStreamArrowWriter):
+    """Native STREAMING sink: ``df.writeStream.format("txn")`` — each
+    micro-batch reuses the batch writer's executor protocol (one
+    uniquely-named parquet per task, invisible until commit) and the
+    driver lands ONE commit per epoch carrying an ``(app, batchId)``
+    watermark, so a crash-redelivered epoch commits NOTHING (the
+    ``append_idempotent`` exactly-once contract, spoken through the
+    standard writeStream API instead of foreachBatch —
+    streaming/events.py:227's ``stream_to_txn_table`` without the
+    library import). ``txnAppId`` is a REQUIRED option: it namespaces
+    the watermark, and defaulting it would make two distinct queries
+    writing one table dedupe each other's epochs."""
+
+    def __init__(self, table_dir: str, schema: StructType, app_id: str) -> None:
+        TxnArrowWriter.__init__(self, table_dir, schema, overwrite=False)
+        self._app_id = app_id
+
+    def commit(self, messages, batchId):  # driver-side, once per epoch
+        import os
+
+        from spark_data_engineering_spark.sources.txn import TxnTable
+
+        t = TxnTable(
+            os.path.dirname(self._table_dir), os.path.basename(self._table_dir)
+        )
+        staged = [m.name for m in messages if m is not None and m.name]
+        if batchId <= t.last_epoch(self._app_id):
+            # crash-redelivered epoch: this batch already committed in a
+            # previous run — publish nothing, and the re-staged task
+            # files are orphans (unlink now; vacuum would also collect)
+            for name in staged:
+                try:
+                    os.unlink(os.path.join(self._data_dir, name))
+                except FileNotFoundError:
+                    pass
+            return
+        stats = {
+            m.name: m.stats for m in messages if m is not None and m.name
+        }
+        # empty epochs still commit: the watermark must advance or a
+        # redelivery of a later non-empty epoch could double-commit
+        t._commit(
+            "streaming-append",
+            staged,
+            [],
+            stats=stats,
+            txn=(self._app_id, batchId),
+            schema=self._incoming_schema,
+        )
+
+    def abort(self, messages, batchId):  # driver-side on epoch failure
+        TxnArrowWriter.abort(self, messages)
