@@ -764,6 +764,112 @@ def txn_branch_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_branch_rebase_revenue",
+    oracle="""
+    WITH kept AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey % 5 <> 1
+    ),
+    parent_new AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 2 = 0
+    ),
+    branch_new AS (
+        SELECT o_orderkey, o_orderstatus, FLOOR(o_totalprice) AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 2 = 1
+    ),
+    final AS (
+        SELECT * FROM kept
+        UNION ALL SELECT * FROM parent_new
+        UNION ALL SELECT * FROM branch_new
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM final
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_branch_rebase_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DIVERGED-branch lifecycle (round 7, txn.py::rebase_branch —
+    Nessie's re-branch-and-re-apply, done by the table): an initial
+    orders load lands on main; a branch is cut; main ADVANCES (a late
+    load of half the held-out orders) so the branch base goes stale; the
+    branch meanwhile DV-deletes every o_orderkey % 5 == 1 row it can see
+    and appends the other half of the held-out orders price-floored.
+    ``merge_branch`` now correctly REFUSES (asserted at build — the
+    fast-forward discipline), ``rebase_branch`` replays the branch onto
+    the advanced head (new zero-copy seed + one validated metadata
+    commit per branch commit, atomic log swap), and the merge
+    fast-forwards. The final aggregate must hash-match SQL over
+    kept UNION parent-load UNION branch-corrections: the branch DV
+    applying to post-rebase parent files, a parent row lost to the
+    swap, or a replayed commit dropped all fail the gate. Note the
+    parent's late rows with o_orderkey % 5 == 1 SURVIVE — the branch
+    DV binds to the seed files it was computed on, never to data it
+    had not seen.
+
+    Scale: rebase is pure metadata (the branch's staged files and DV
+    sidecars are immutable and re-referenced); the only data written is
+    the branch's own corrections."""
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+    from spark_data_engineering_spark.sources.txn import ConcurrentWriteError
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"rebase:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_branch", exist_ok=True)
+    sweep_stale("/tmp/spark_de_branch")
+    root = f"/tmp/spark_de_branch/rb-{digest}"
+    if not os.path.isdir(root):
+        import shutil as _sh
+        import uuid as _uuid
+
+        tmp_root = f"{root}.build-{_uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_rb")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        held = F.col("o_orderkey") % 7 == 3
+        t.append(o.filter(~held).repartition(4, "o_orderkey"))
+        b = t.branch("fix")
+        # main advances AFTER the branch cut: the base is now stale
+        t.append(o.filter(held & (F.col("o_orderkey") % 2 == 0)))
+        b.delete_where_dv(spark, F.col("o_orderkey") % 5 == 1)
+        b.append(
+            o.filter(held & (F.col("o_orderkey") % 2 == 1)).withColumn(
+                "o_totalprice", F.floor("o_totalprice").cast("double")
+            )
+        )
+        # build-time invariant: the diverged merge must REFUSE — if it
+        # ever fast-forwards here, the discipline is broken and the
+        # failure should name the builder, not hash-mismatch at the gate
+        try:
+            t.merge_branch(b)
+            raise AssertionError(
+                "merge_branch fast-forwarded a DIVERGED branch"
+            )
+        except ConcurrentWriteError:
+            pass
+        rb = t.rebase_branch(b)
+        t.merge_branch(rb)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published first
+    t = TxnTable(root, "orders_rb")
+    return t.read(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
     "txn_writer_roundtrip_revenue",
     oracle="""
     SELECT o_orderstatus,

@@ -172,6 +172,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     (identical cached table), the streaming fold is in-window via
     #     streaming_enriched_event_stats, and multi-batch tailing + the
     #     non-append abort are pinned in tests/test_txn_datasource.py.
+    #   txn_branch_rebase_revenue — the DIVERGED-branch lifecycle
+    #     (rebase_branch: replay onto the advanced head, then
+    #     fast-forward merge): the read/aggregate half and the branch/
+    #     merge machinery are txn_branch_merge_revenue's (local-gate
+    #     green this round, r8 rotation peer), the replay commits go
+    #     through the same validated _commit as every in-window txn
+    #     query, and the rebase-specific semantics (conflict refusal
+    #     both directions, schema-evolution refusal, non-destructive
+    #     failure, watermark survival, scratch-dir GC) are pinned by 7
+    #     dedicated tests in tests/test_txn_rebase.py.
     #   streaming_txn_sink_revenue — the native STREAMING SINK
     #     (writeStream.format("txn"), one atomic (txnAppId, batchId)
     #     watermarked commit per epoch): the pipe's stream-read half is

@@ -1370,9 +1370,29 @@ class TxnTable:
         # docstring's 'cleaned by vacuum' promise; min_age_s guards
         # in-flight stages exactly as it guards staged-but-uncommitted
         # data files
+        # abandoned rebase scratch (.rebase-*) and swap leftovers
+        # (.trash-*) under _branches/: counted as ref roots above (so an
+        # in-flight rebase loses nothing), collected once old enough —
+        # min_age_s guards them exactly as it guards staged files. A
+        # crash mid-swap leaves BOTH the old line (.trash-*) and the new
+        # one (.rebase-*) recoverable until the retention window closes.
+        bparent = os.path.join(self.table_dir, _BRANCH_DIR)
+        if os.path.isdir(bparent):
+            for d in os.listdir(bparent):
+                path = os.path.join(bparent, d)
+                if (
+                    (d.startswith(".rebase-") or d.startswith(".trash-"))
+                    and os.path.isdir(path)
+                    and now - os.path.getmtime(path) >= min_age_s
+                ):
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(d)
         # branch vacuum is refused (above), so crashed-stage dirs under
-        # branch table_dirs are this vacuum's job too
+        # branch table_dirs are this vacuum's job too (a branch_dir the
+        # rebase-scratch sweep just collected is simply gone)
         for tdir in [self.table_dir, *branch_dirs]:
+            if not os.path.isdir(tdir):
+                continue
             for d in os.listdir(tdir):
                 path = os.path.join(tdir, d)
                 if (
@@ -1581,6 +1601,16 @@ class TxnTable:
         branch work. The audit/experiment pattern this enables: branch,
         mutate, validate, merge-or-abandon — on 100 TB the whole
         lifecycle is metadata plus the branch's own new data."""
+        b = self._branch_handle(name)
+        if b.version() > 0:
+            return b  # reopen
+        self._seed_branch(b)
+        return b
+
+    def _branch_handle(self, name: str) -> "TxnTable":
+        """Open (creating dirs/marker if needed) a branch TABLE HANDLE
+        under ``_branches/{name}`` sharing this table's data/dv dirs —
+        no commits are written."""
         b = TxnTable(
             os.path.join(self.table_dir, _BRANCH_DIR),
             name,
@@ -1604,8 +1634,12 @@ class TxnTable:
                     fh,
                 )
             os.replace(tmp, marker)
-        if b.version() > 0:
-            return b  # reopen
+        return b
+
+    def _seed_branch(self, b: "TxnTable") -> None:
+        """Write the zero-copy seed (and, if needed, the consolidated
+        parent-DV sidecar commit) into an EMPTY branch handle, cut at
+        this table's CURRENT head."""
         base_v = self.version()
         seed = {
             "version": 1,
@@ -1620,7 +1654,7 @@ class TxnTable:
         if schema:
             seed["schema"] = schema
         if not b._try_commit(seed):
-            return b  # racing creation: the winner's seed is equivalent
+            return  # racing creation: the winner's seed is equivalent
         sidecars, deleted = self.dv_state(base_v)
         live = set(seed["add"])
         live_deleted = {f: n for f, n in deleted.items() if f in live}
@@ -1648,7 +1682,136 @@ class TxnTable:
                     "branch_inherited": True,
                 }
             )
-        return b
+
+    def rebase_branch(self, branch: "TxnTable") -> "TxnTable":
+        """REBASE a diverged branch onto this table's CURRENT head — the
+        step ``merge_branch`` demands when the parent advanced past the
+        branch base (Nessie's re-branch-and-re-apply, done for you).
+        Builds a NEW branch log at a hidden path: a fresh zero-copy seed
+        cut at the current parent head, then the old branch's
+        non-inherited commits replayed one validated commit each
+        (shared data dir => pure metadata; the branch's staged files and
+        DV sidecars are immutable and simply re-referenced). On success
+        the new log atomically replaces the old one and the returned
+        handle fast-forward-merges.
+
+        Conflicts are REFUSED, never auto-resolved (first-writer-wins,
+        the Delta/Nessie discipline):
+        - a branch rewrite/DV touching a file the parent removed or
+          DV-deleted after the base (replaying would resurrect
+          parent-deleted rows or pop counts the parent already popped);
+        - parent OR branch schema-evolution commits after the base
+          (rename/drop fold ambiguously across lines of history);
+        - branch RESTORE commits (they reference branch-log versions
+          that do not exist in the rebased line).
+        ``_commit``'s own live-file / DV-window validation backstops
+        each replayed commit. Exactly-once ``txn`` watermarks replay
+        verbatim, so a stream writing to the branch stays exactly-once
+        across a rebase.
+
+        Crash contract: the swap is rename(old→.trash-*) then
+        rename(new→name); a crash between them leaves both hidden dirs
+        intact for manual recovery, and the parent's ``vacuum`` keeps
+        every log-bearing dir under ``_branches/`` as a GC ref root, so
+        no data file is collected out from under either line."""
+        if os.path.realpath(branch.data_dir) != os.path.realpath(self.data_dir):
+            raise ValueError("rebase_branch: not a branch of this table")
+        commits = branch._commit_files()
+        if not commits:
+            raise ValueError("rebase_branch: empty branch log")
+        first = branch._read_commit(commits[0])
+        base_v = first.get("branch_base")
+        if base_v is None:
+            raise ValueError("rebase_branch: branch log has no branch_base seed")
+        head = self.version()
+        if head == base_v:
+            return branch  # already fast-forwardable; nothing to rebase
+        # what the parent did after the base: removed files (compact /
+        # rewrite / restore) and DV-touched files
+        parent_removed: set[str] = set()
+        parent_dv: set[str] = set()
+        for cv in self._commit_files():
+            if not (base_v < cv <= head):
+                continue
+            rec = self._read_commit(cv)
+            if rec.get("action") in ("rename_column", "drop_column"):
+                raise ConcurrentWriteError(
+                    "rebase_branch: the parent evolved its schema "
+                    f"({rec['action']}) after the branch base — branch "
+                    "data files were written under the old column map; "
+                    "re-branch and re-apply by hand"
+                )
+            parent_removed.update(rec.get("remove", []))
+            parent_dv.update(rec.get("dv_counts") or {})
+        recs = [branch._read_commit(v) for v in commits]
+        to_replay = [r for r in recs if not r.get("branch_inherited")]
+        for rec in to_replay:
+            act = rec.get("action")
+            if act in ("rename_column", "drop_column"):
+                raise ValueError(
+                    "rebase_branch: branch carries schema-evolution "
+                    f"commits ({act}); compact the branch first"
+                )
+            if act == "restore":
+                raise ValueError(
+                    "rebase_branch: branch carries a RESTORE commit — it "
+                    "references branch-log versions that do not exist in "
+                    "the rebased line; compact the branch first"
+                )
+            touched = set(rec.get("remove", [])) | set(rec.get("dv_counts") or {})
+            hit = touched & (parent_removed | parent_dv)
+            if hit:
+                raise ConcurrentWriteError(
+                    "rebase_branch: conflict — the parent removed or "
+                    "DV-deleted files this branch commit also touches "
+                    f"(replaying would resurrect or double-delete rows): "
+                    f"{sorted(hit)[:3]}..."
+                )
+        name = os.path.basename(branch.table_dir)
+        nb = self._branch_handle(f".rebase-{uuid.uuid4().hex}")
+        try:
+            self._seed_branch(nb)
+            v = nb.version()
+            for rec in to_replay:
+                txn = rec.get("txn")
+                schema = rec.get("schema")
+                if schema:
+                    # fold over the REBASED base: the parent may have
+                    # append-evolved columns after the branch base, and
+                    # replaying the branch's narrower view verbatim would
+                    # drop them from the head schema
+                    schema = self._merge_schema_lists(
+                        nb.table_schema() or [], schema
+                    )
+                got = nb._commit(
+                    rec.get("action", "commit"),
+                    rec.get("add", []),
+                    rec.get("remove", []),
+                    stats=rec.get("stats"),
+                    txn=(txn["app"], txn["epoch"]) if txn else None,
+                    schema=schema,
+                    dv_add=rec.get("dv_add"),
+                    dv_counts=rec.get("dv_counts"),
+                    dv_base_version=v if rec.get("dv_add") else None,
+                    base_version=v if rec.get("remove") else None,
+                    extra={"rebased_from": name},
+                )
+                if got != v + 1:
+                    raise ConcurrentWriteError(
+                        "rebase_branch: unexpected version while replaying "
+                        f"(expected v{v + 1}, committed v{got})"
+                    )
+                v = got
+        except BaseException:
+            shutil.rmtree(nb.table_dir, ignore_errors=True)
+            raise
+        trash = os.path.join(
+            self.table_dir, _BRANCH_DIR, f".trash-{uuid.uuid4().hex}"
+        )
+        os.rename(branch.table_dir, trash)
+        os.rename(nb.table_dir, os.path.join(self.table_dir, _BRANCH_DIR, name))
+        shutil.rmtree(trash, ignore_errors=True)
+        return self.branch(name)
 
     def drop_branch(self, name: str) -> None:
         """Abandon a branch: remove its log (refs). Branch-only data

@@ -202,13 +202,20 @@ class TxnBatchReader(DataSourceReader):
 
 
 class TxnStreamReader(DataSourceStreamReader):
-    def __init__(self, table_dir: str, schema: StructType, ignore_changes: bool) -> None:
+    def __init__(
+        self,
+        table_dir: str,
+        schema: StructType,
+        ignore_changes: bool,
+        max_files: int | None = None,
+    ) -> None:
         from spark_data_engineering_spark.sources.txn import TxnTable
         import os
 
         self._table = TxnTable(os.path.dirname(table_dir), os.path.basename(table_dir))
         self._schema = schema
         self._ignore_changes = ignore_changes
+        self._max_files = max_files
         # resolved once at stream start; schema commits at or below this
         # version are already reflected in the colmap (safe to skip —
         # they move no data), while a LATER rename/drop invalidates the
@@ -226,18 +233,67 @@ class TxnStreamReader(DataSourceStreamReader):
         self._dv_paths = tuple(
             os.path.join(self._table.dv_dir, s) for s in sidecars
         )
+        # sorted => the snapshot's file order is deterministic across
+        # reader instances, so paced offsets ({"version": 0, "snap": i})
+        # mean the same prefix after a restart
+        self._snap_files = sorted(self._table.live_files(self._colmap_version))
+        # pacing floor: the snapshot prefix KNOWN consumed. Advances only
+        # from offsets Spark hands back (partitions' start, commit's end)
+        # — never from a merely-planned end, so a failed batch replays in
+        # full; and a restart whose first latestOffset under-guesses the
+        # checkpoint position self-corrects from the next start without
+        # re-emitting (the inverted range plans empty, the floor keeps
+        # later batches from re-covering the committed prefix).
+        self._snap_floor = 0
+        # pacing pointer: the last snapshot end latestOffset HANDED OUT.
+        # Advanced by latestOffset itself (the RateSource pattern — the
+        # engine does not echo batch completion back to the reader
+        # between triggers), so the stream makes progress one capped
+        # chunk per trigger; replay safety never depends on it.
+        self._paced_next = 0
+
+    def _snap_of(self, off: dict) -> int:
+        # position within the initial snapshot this offset implies: any
+        # offset past the snapshot version covers the whole snapshot; a
+        # version-0 offset without a snap key is the unpaced stream
+        # start (nothing consumed yet)
+        if off["version"] > 0:
+            return len(self._snap_files)
+        return off.get("snap", 0)
 
     def initialOffset(self) -> dict:
+        if self._max_files and self._snap_files:
+            return {"version": 0, "snap": 0}
         return {"version": 0}
 
     def latestOffset(self) -> dict:
+        if self._max_files and self._paced_next < len(self._snap_files):
+            # still draining the initial snapshot: hand out one capped
+            # chunk past the furthest point already given out or known
+            # consumed (Delta's maxFilesPerTrigger on the snapshot — at
+            # large scale the snapshot must not be one unbounded epoch).
+            # Tailing resumes once the pointer reaches the end; a
+            # premature hand-off to the version offset is still safe
+            # (partitions() emits any unconsumed snapshot remainder
+            # before tailing).
+            self._paced_next = min(
+                len(self._snap_files),
+                max(self._paced_next, self._snap_floor) + self._max_files,
+            )
+            return {"version": 0, "snap": self._paced_next}
         return {"version": self._table.version()}
+
+    def commit(self, end: dict) -> None:
+        # the log is immutable — nothing to clean up; but a completed
+        # batch durably advances the pacing floor
+        self._snap_floor = max(self._snap_floor, self._snap_of(end))
 
     def partitions(self, start: dict, end: dict):
         import os
 
         parts = []
         lo = start["version"]
+        self._snap_floor = max(self._snap_floor, self._snap_of(start))
         if lo == 0 and self._colmap_version > 0:
             # INITIAL SNAPSHOT (Delta semantics): a fresh stream emits
             # the table's LIVE state at stream start as batch input —
@@ -247,15 +303,26 @@ class TxnStreamReader(DataSourceStreamReader):
             # snapshot applies. Tailing begins AFTER the snapshot
             # version; the per-commit rules below then govern only
             # commits made while the stream is live (or while a resumed
-            # stream was down).
+            # stream was down). With maxFilesPerTrigger the snapshot
+            # drains as bounded [lo_idx, hi_idx) chunks of the sorted
+            # file list instead of one unbounded epoch.
+            lo_idx = max(self._snap_of(start), self._snap_floor)
+            hi_idx = (
+                self._snap_of(end)
+                if end["version"] == 0
+                else len(self._snap_files)
+            )
             parts.extend(
                 _FilePartition(
                     os.path.join(self._table.data_dir, f),
                     self._dv_paths,
                     self._colmap,
                 )
-                for f in self._table.live_files(self._colmap_version)
+                for f in self._snap_files[lo_idx:hi_idx]
             )
+            if end["version"] == 0:
+                # snapshot-phase batch only: no commits to tail yet
+                return parts or [_FilePartition("")]
             lo = self._colmap_version
         for v in range(lo + 1, end["version"] + 1):
             c = self._table._read_commit(v)
@@ -321,9 +388,6 @@ class TxnStreamReader(DataSourceStreamReader):
             getattr(partition, "colmap", ()),
         )
 
-    def commit(self, end: dict) -> None:
-        pass  # the log is immutable; nothing to clean up
-
     def stop(self) -> None:
         pass
 
@@ -368,10 +432,14 @@ class TxnDataSource(DataSource):
         return TxnBatchReader(self._table_dir(), schema)
 
     def streamReader(self, schema: StructType) -> TxnStreamReader:
+        mft = self.options.get("maxfilespertrigger") or self.options.get(
+            "maxFilesPerTrigger"
+        )
         return TxnStreamReader(
             self._table_dir(),
             schema,
             str(self.options.get("ignoreChanges", "false")).lower() == "true",
+            max_files=int(mft) if mft else None,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> "TxnArrowWriter":
