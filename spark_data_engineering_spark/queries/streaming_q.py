@@ -762,3 +762,101 @@ def streaming_txn_sink_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "streaming_txn_cdf_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 9 = 4)
+    GROUP BY o_orderstatus
+    """,
+)
+def streaming_txn_cdf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE-DATA-FEED under the gate (round 7,
+    txn_datasource.py: ``option("readChangeFeed")`` +
+    ``option("startingVersion")``): orders land in a txn table over two
+    appends and a merge-on-read DV delete; the stream tails the log
+    from version 0 — appends arrive as ``_change_type='insert'`` rows,
+    the DV commit arrives as DELETE rows fetched from the sidecar's
+    positions (the retraction a downstream incremental fold needs,
+    where the plain stream must abort) — and a SIGNED fold
+    (insert:+1/price, delete:-1/price, exact decimal sums) of the feed
+    must hash-match one-shot SQL over the survivors. A retraction row
+    lost, doubled, or mis-signed fails the gate arithmetic exactly.
+    Batch/stream agreement with ``read_changes`` plus the
+    rewrite-abort and snapshot-mode contracts are pinned in
+    tests/test_txn_stream_cdf.py.
+
+    Scale: planning stays metadata-only (added files for inserts; the
+    kilobyte DV sidecar names the delete set — one partition per marked
+    file, reading only those positions); no row-level diff job ever
+    runs, and rewrite-family commits are refused rather than silently
+    mis-fed."""
+    import hashlib
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+    from spark_data_engineering_spark.sources.txn import TxnTable
+    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+
+    spark.dataSource.register(TxnDataSource)
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"cdf:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/cdf-{digest}"
+    if not os.path.isdir(root):
+        import shutil as _sh
+
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_cdf")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.filter(F.col("o_orderkey") % 2 == 0).repartition(3))
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
+        t.delete_where_dv(spark, F.col("o_orderkey") % 9 == 4)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published first
+    table_dir = TxnTable(root, "orders_cdf").table_dir
+    stream = (
+        spark.readStream.format("txn")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(table_dir)
+    )
+    sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    agg = stream.groupBy("o_orderstatus").agg(
+        F.sum(sign).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * sign)
+        .cast("double")
+        .alias("revenue"),
+    )
+    name = "streaming_txn_cdf_gate"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            f"/tmp/spark_de_txnstream_ckpt/{uuid.uuid4().hex}",
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("o_orderstatus", "n_orders", "revenue")

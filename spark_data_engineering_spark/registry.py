@@ -172,6 +172,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     (identical cached table), the streaming fold is in-window via
     #     streaming_enriched_event_stats, and multi-batch tailing + the
     #     non-append abort are pinned in tests/test_txn_datasource.py.
+    #   streaming_txn_cdf_revenue — the streaming CHANGE-DATA-FEED
+    #     (readChangeFeed + startingVersion): its insert half is the
+    #     same planner/reader machinery as streaming_txn_source_revenue
+    #     over the same orders projection, its signed decimal fold is
+    #     the in-window streaming_enriched_event_stats shape, and the
+    #     CDF-specific semantics (batch read_changes agreement, DV
+    #     retraction rows, rewrite abort-or-skip, snapshot + live-delete
+    #     mode, plain startingVersion tailing) are pinned by 4 dedicated
+    #     tests in tests/test_txn_stream_cdf.py.
     #   txn_branch_rebase_revenue — the DIVERGED-branch lifecycle
     #     (rebase_branch: replay onto the advanced head, then
     #     fast-forward merge): the read/aggregate half and the branch/

@@ -45,6 +45,9 @@ class _FilePartition(InputPartition):
         path: str,
         dv_paths: tuple[str, ...] = (),
         colmap: tuple[tuple[str, tuple[str, ...]], ...] = (),
+        cdf_type: str | None = None,
+        cdf_version: int | None = None,
+        cdf_select: bool = False,
     ) -> None:
         self.path = path
         # deletion-vector sidecar dirs whose positions must be dropped
@@ -57,6 +60,13 @@ class _FilePartition(InputPartition):
         # columns are never surfaced — the _conform contract, applied
         # executor-side per file
         self.colmap = colmap
+        # change-data-feed markers: rows from this partition carry
+        # (_change_type=cdf_type, _commit_version=cdf_version); with
+        # cdf_select the single dv_paths sidecar SELECTS the rows (the
+        # delete set) instead of dropping them
+        self.cdf_type = cdf_type
+        self.cdf_version = cdf_version
+        self.cdf_select = cdf_select
 
 
 def _arrow_to_ddl(path: str) -> str:
@@ -98,14 +108,17 @@ def _read_file(
     schema: StructType,
     dv_paths: tuple[str, ...] = (),
     colmap: tuple[tuple[str, tuple[str, ...]], ...] = (),
+    select_positions: bool = False,
 ):
     """Executor-side: yield tuples in the query schema's column order,
     with any deletion-vector positions for THIS file dropped (the
-    sidecars are read with a file== filter — small by contract).
-    ``colmap`` resolves each logical column to the first of its candidate
-    physical names present in THIS file (a pre-rename file holds the old
-    name; a post-rename file the new — never both, the rename guard
-    forbids it); absent columns become NULLs, matching TxnTable._conform."""
+    sidecars are read with a file== filter — small by contract) — or,
+    with ``select_positions``, KEPT and everything else dropped (the
+    change feed's delete-row fetch). ``colmap`` resolves each logical
+    column to the first of its candidate physical names present in THIS
+    file (a pre-rename file holds the old name; a post-rename file the
+    new — never both, the rename guard forbids it); absent columns
+    become NULLs, matching TxnTable._conform."""
     import os
 
     import pyarrow.parquet as pq
@@ -141,11 +154,16 @@ def _read_file(
             if t.num_rows:
                 pos.append(t.column(0).to_numpy(zero_copy_only=False))
         if pos:
-            dead = np.concatenate(pos)
-            keep = np.setdiff1d(
-                np.arange(table.num_rows, dtype=np.int64), dead.astype(np.int64)
-            )
-            table = table.take(keep)
+            dead = np.unique(np.concatenate(pos).astype(np.int64))
+            if select_positions:
+                table = table.take(dead)
+            else:
+                keep = np.setdiff1d(
+                    np.arange(table.num_rows, dtype=np.int64), dead
+                )
+                table = table.take(keep)
+        elif select_positions:
+            table = table.slice(0, 0)  # nothing marked in this file
     for batch in table.to_batches():
         by_name = {
             name: batch.column(i).to_pylist()
@@ -208,6 +226,8 @@ class TxnStreamReader(DataSourceStreamReader):
         schema: StructType,
         ignore_changes: bool,
         max_files: int | None = None,
+        cdf: bool = False,
+        starting_version: int | None = None,
     ) -> None:
         from spark_data_engineering_spark.sources.txn import TxnTable
         import os
@@ -216,6 +236,15 @@ class TxnStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._ignore_changes = ignore_changes
         self._max_files = max_files
+        # readChangeFeed: emit (_change_type, _commit_version)-stamped
+        # rows — appends as inserts, DV commits as DELETE rows (the
+        # retraction a downstream incremental fold needs), compact
+        # skipped (net-zero); rewrite-family commits abort-or-optin
+        # since their row-level diff is not plannable from metadata
+        self._cdf = cdf
+        # startingVersion (Delta semantics): tail the log from AFTER
+        # this version instead of emitting the initial snapshot
+        self._start_version = starting_version
         # resolved once at stream start; schema commits at or below this
         # version are already reflected in the colmap (safe to skip —
         # they move no data), while a LATER rename/drop invalidates the
@@ -262,6 +291,9 @@ class TxnStreamReader(DataSourceStreamReader):
         return off.get("snap", 0)
 
     def initialOffset(self) -> dict:
+        if self._start_version is not None:
+            # startingVersion: no initial snapshot — tail from after it
+            return {"version": self._start_version}
         if self._max_files and self._snap_files:
             return {"version": 0, "snap": 0}
         return {"version": 0}
@@ -294,7 +326,7 @@ class TxnStreamReader(DataSourceStreamReader):
         parts = []
         lo = start["version"]
         self._snap_floor = max(self._snap_floor, self._snap_of(start))
-        if lo == 0 and self._colmap_version > 0:
+        if lo == 0 and self._colmap_version > 0 and self._start_version is None:
             # INITIAL SNAPSHOT (Delta semantics): a fresh stream emits
             # the table's LIVE state at stream start as batch input —
             # not a replay of the commit log — so historical rewrites
@@ -317,6 +349,10 @@ class TxnStreamReader(DataSourceStreamReader):
                     os.path.join(self._table.data_dir, f),
                     self._dv_paths,
                     self._colmap,
+                    # the change feed reports the starting state as
+                    # inserts at the snapshot version (Delta CDF)
+                    cdf_type="insert" if self._cdf else None,
+                    cdf_version=self._colmap_version if self._cdf else None,
                 )
                 for f in self._snap_files[lo_idx:hi_idx]
             )
@@ -339,6 +375,26 @@ class TxnStreamReader(DataSourceStreamReader):
                     )
                 continue
             if c["action"] in ("delete_dv", "branch-dv"):
+                if self._cdf:
+                    # the change feed's whole point: the sidecar IS the
+                    # delete set — emit those positions' rows as
+                    # retractions instead of aborting. One partition per
+                    # marked file; the sidecar selects (never drops).
+                    sidecar = (
+                        os.path.join(self._table.dv_dir, c["dv_add"]),
+                    )
+                    parts.extend(
+                        _FilePartition(
+                            os.path.join(self._table.data_dir, f),
+                            sidecar,
+                            self._colmap,
+                            cdf_type="delete",
+                            cdf_version=v,
+                            cdf_select=True,
+                        )
+                        for f in sorted(c.get("dv_counts", {}))
+                    )
+                    continue
                 # position-delete metadata, no files added. At or below
                 # the stream-start version it is already reflected in the
                 # captured dv snapshot (applied to every initial-snapshot
@@ -354,6 +410,8 @@ class TxnStreamReader(DataSourceStreamReader):
                         "'true') to keep going without retraction."
                     )
                 continue
+            if self._cdf and c["action"] == "compact":
+                continue  # net-zero row change by construction
             if (
                 c["action"] not in ("append", "streaming-append", "branch")
                 and not self._ignore_changes
@@ -362,17 +420,35 @@ class TxnStreamReader(DataSourceStreamReader):
                 # line's initial snapshot — none of its rows were emitted
                 # by this stream before, so replaying them re-emits
                 # nothing (inherited dv positions apply via the snapshot).
-                raise RuntimeError(
-                    f"txn stream: commit {v} is '{c['action']}', not an append; "
-                    "rewritten files would re-emit their rows. Pass "
-                    "option('ignoreChanges', 'true') to accept that."
+                msg = (
+                    f"txn stream: commit {v} is '{c['action']}', not an "
+                    "append; its row-level change set is not plannable "
+                    "from metadata. Use batch read_changes for it, or "
+                    "pass option('ignoreChanges', 'true') to skip it."
+                    if self._cdf
+                    else f"txn stream: commit {v} is '{c['action']}', not "
+                    "an append; rewritten files would re-emit their rows. "
+                    "Pass option('ignoreChanges', 'true') to accept that."
                 )
+                raise RuntimeError(msg)
+            if self._cdf and c["action"] not in (
+                "append",
+                "streaming-append",
+                "branch",
+            ):
+                continue  # ignoreChanges under CDF: skip, never re-emit
             # dv snapshot applies only to files that existed at stream
             # start; post-start appends can't be covered by it (and
             # skipping the sidecar probe saves a scan per new file)
             dv = self._dv_paths if v <= self._colmap_version else ()
             parts.extend(
-                _FilePartition(os.path.join(self._table.data_dir, f), dv, self._colmap)
+                _FilePartition(
+                    os.path.join(self._table.data_dir, f),
+                    () if self._cdf else dv,
+                    self._colmap,
+                    cdf_type="insert" if self._cdf else None,
+                    cdf_version=v if self._cdf else None,
+                )
                 for f in c.get("add", ())
             )
         # a batch may legitimately cover only rowless commits (compact)
@@ -381,6 +457,31 @@ class TxnStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         if not partition.path:
             return iter(())
+        ct = getattr(partition, "cdf_type", None)
+        if ct is not None:
+            # change-feed rows: table columns from the file, then the
+            # two metadata columns as partition-level constants (they
+            # are the LAST two fields of the CDF query schema)
+            from pyspark.sql.types import StructType as _St
+
+            base = _St(
+                [
+                    f
+                    for f in self._schema.fields
+                    if f.name not in ("_change_type", "_commit_version")
+                ]
+            )
+            cv = partition.cdf_version
+            return (
+                (*row, ct, cv)
+                for row in _read_file(
+                    partition.path,
+                    base,
+                    partition.dv_paths,
+                    partition.colmap,
+                    select_positions=partition.cdf_select,
+                )
+            )
         return _read_file(
             partition.path,
             self._schema,
@@ -405,12 +506,27 @@ class TxnDataSource(DataSource):
             raise ValueError("txn datasource requires .load(<table_dir>)")
         return path
 
+    def _cdf_on(self) -> bool:
+        return (
+            str(
+                self.options.get("readchangefeed")
+                or self.options.get("readChangeFeed")
+                or "false"
+            ).lower()
+            == "true"
+        )
+
     def schema(self) -> str:
         from spark_data_engineering_spark.sources.txn import TxnTable
         import os
 
         d = self._table_dir()
         t = TxnTable(os.path.dirname(d), os.path.basename(d))
+        cdf_cols = (
+            ", `_change_type` string, `_commit_version` bigint"
+            if self._cdf_on()
+            else ""
+        )
         logical = t.table_schema()
         if logical:
             # the LOGICAL schema (rename/drop applied), not the first
@@ -418,15 +534,18 @@ class TxnDataSource(DataSource):
             # TxnTable.read on evolved tables
             from pyspark.sql.types import _parse_datatype_json_value
 
-            return ", ".join(
-                f"`{s['name']}` {_parse_datatype_json_value(s['type']).simpleString()}"
-                for s in logical
-                if not s.get("dropped")
+            return (
+                ", ".join(
+                    f"`{s['name']}` {_parse_datatype_json_value(s['type']).simpleString()}"
+                    for s in logical
+                    if not s.get("dropped")
+                )
+                + cdf_cols
             )
         live = t.live_files()
         if not live:
             raise ValueError(f"txn table {d} is empty; cannot infer schema")
-        return _arrow_to_ddl(os.path.join(t.data_dir, live[0]))
+        return _arrow_to_ddl(os.path.join(t.data_dir, live[0])) + cdf_cols
 
     def reader(self, schema: StructType) -> TxnBatchReader:
         return TxnBatchReader(self._table_dir(), schema)
@@ -435,11 +554,16 @@ class TxnDataSource(DataSource):
         mft = self.options.get("maxfilespertrigger") or self.options.get(
             "maxFilesPerTrigger"
         )
+        sv = self.options.get("startingversion")
+        if sv is None:
+            sv = self.options.get("startingVersion")
         return TxnStreamReader(
             self._table_dir(),
             schema,
             str(self.options.get("ignoreChanges", "false")).lower() == "true",
             max_files=int(mft) if mft else None,
+            cdf=self._cdf_on(),
+            starting_version=int(sv) if sv is not None else None,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> "TxnArrowWriter":
