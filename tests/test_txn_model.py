@@ -45,6 +45,21 @@ _op = st.one_of(
         st.lists(st.integers(0, 99), min_size=1, max_size=3),
     ),
     st.tuples(st.just("vacuum")),
+    # rollback to a random recorded version (refusals — vacuumed target,
+    # post-target DV overlap — must be perfect no-ops)
+    st.tuples(st.just("restore"), st.integers(0, 100)),
+    # branch -> DV-correct + append on the branch -> fast-forward merge
+    st.tuples(
+        st.just("branch_cycle"),
+        st.lists(st.integers(0, 99), min_size=1, max_size=3),
+        st.integers(0, 99),
+    ),
+    # branch -> parent diverges -> branch appends -> rebase -> merge
+    st.tuples(
+        st.just("rebase_cycle"),
+        st.lists(st.integers(0, 99), min_size=1, max_size=3),
+        st.lists(st.integers(0, 99), min_size=1, max_size=3),
+    ),
 )
 
 # one-off deeper searches: TXN_MODEL_EXAMPLES=25 python -m pytest tests/test_txn_model.py
@@ -59,6 +74,8 @@ def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops, seq_id):
     model: list[int] = []
     snapshots: dict[int, list[int]] = {}
     last_epoch = 0  # exactly-once watermark model for app "m"
+    vacuumed = False  # read_changes(0) needs every historical file
+    n_branches = 0
 
     def df_of(vals):
         return spark.createDataFrame([(v,) for v in vals], "val int").coalesce(1)
@@ -129,6 +146,43 @@ def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops, seq_id):
             table.vacuum(keep_versions=1, min_age_s=0.0)
             head = table.version()
             snapshots = {v: s for v, s in snapshots.items() if v >= head}
+            vacuumed = True
+        elif op[0] == "restore":
+            if not snapshots or table.version() == 0:
+                continue
+            versions = sorted(snapshots)
+            target = versions[op[1] % len(versions)]
+            if target == table.version():
+                continue
+            try:
+                table.restore(target)
+                model = list(snapshots[target])
+            except ValueError:
+                # legal refusal (vacuumed target / post-target DV overlap
+                # with restored files): must be a perfect no-op
+                assert read_vals() == sorted(model), "refused restore mutated"
+                continue
+        elif op[0] == "branch_cycle":
+            if table.version() == 0:
+                continue
+            n_branches += 1
+            b = table.branch(f"b{n_branches}")
+            b.delete_where_dv(spark, F.col("val") <= op[2])
+            b.append(df_of(op[1]))
+            table.merge_branch(b)
+            table.drop_branch(f"b{n_branches}")
+            model = [v for v in model if v > op[2]] + list(op[1])
+        elif op[0] == "rebase_cycle":
+            if table.version() == 0:
+                continue
+            n_branches += 1
+            b = table.branch(f"b{n_branches}")
+            table.append(df_of(op[1]))  # parent DIVERGES past the base
+            b.append(df_of(op[2]))
+            rb = table.rebase_branch(b)
+            table.merge_branch(rb)
+            table.drop_branch(f"b{n_branches}")
+            model = model + list(op[1]) + list(op[2])
         else:
             table.compact(spark, target_file_bytes=1 << 20)
         if table.version() > 0:
@@ -138,6 +192,19 @@ def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops, seq_id):
     # every committed version time-travels to its exact snapshot
     for v, snap in snapshots.items():
         assert read_vals(at_version=v) == snap, f"time travel v{v}"
+
+    # the change feed is CONSERVATIVE over any op mix: folding
+    # read_changes(0) — insert +1 / delete -1 per row — must land on
+    # exactly the final multiset (vacuum excluded: the row-level diff
+    # needs historical files it may have collected)
+    if not vacuumed and table.version() > 0:
+        from collections import Counter
+
+        fold: Counter = Counter()
+        for r in table.read_changes(spark, 0).collect():
+            fold[r.val] += 1 if r._change_type == "insert" else -1
+        folded = sorted(v for v, n in fold.items() for _ in range(n))
+        assert folded == sorted(model), "CDF fold diverged from the table"
 
 
 def test_emptied_table_ops_are_noops_then_reusable(spark, tmp_path):
