@@ -1758,6 +1758,15 @@ class TxnTable:
                     "references branch-log versions that do not exist in "
                     "the rebased line; compact the branch first"
                 )
+            if act == "overwrite":
+                raise ValueError(
+                    "rebase_branch: branch carries an OVERWRITE commit — "
+                    "it replaced the TABLE as the branch saw it, and "
+                    "replaying it file-wise onto a diverged parent would "
+                    "silently keep the parent's post-base rows the "
+                    "overwrite meant to discard; merge by hand or "
+                    "overwrite the parent directly"
+                )
             touched = set(rec.get("remove", [])) | set(rec.get("dv_counts") or {})
             hit = touched & (parent_removed | parent_dv)
             if hit:

@@ -299,7 +299,11 @@ class TxnStreamReader(DataSourceStreamReader):
         return {"version": 0}
 
     def latestOffset(self) -> dict:
-        if self._max_files and self._paced_next < len(self._snap_files):
+        if (
+            self._max_files
+            and self._start_version is None  # startingVersion: no snapshot
+            and self._paced_next < len(self._snap_files)
+        ):
             # still draining the initial snapshot: hand out one capped
             # chunk past the furthest point already given out or known
             # consumed (Delta's maxFilesPerTrigger on the snapshot — at
@@ -548,6 +552,12 @@ class TxnDataSource(DataSource):
         return _arrow_to_ddl(os.path.join(t.data_dir, live[0])) + cdf_cols
 
     def reader(self, schema: StructType) -> TxnBatchReader:
+        if self._cdf_on():
+            raise ValueError(
+                "readChangeFeed is a STREAMING option on format('txn'); "
+                "for a batch change feed use TxnTable.read_changes "
+                "(silently reading would emit NULL _change_type rows)"
+            )
         return TxnBatchReader(self._table_dir(), schema)
 
     def streamReader(self, schema: StructType) -> TxnStreamReader:

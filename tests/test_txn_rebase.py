@@ -122,3 +122,15 @@ def test_vacuum_collects_abandoned_rebase_scratch(spark, tmp_path):
     assert ".rebase-dead" in removed and ".trash-dead" in removed
     # the real branch survived untouched
     assert _ids(spark, t.branch("fix")) == list(range(40)) + [200, 201, 202]
+
+
+def test_rebase_refuses_branch_overwrite(spark, tmp_path):
+    """A branch OVERWRITE replaced the table as the branch saw it;
+    replaying it file-wise onto a diverged parent would silently keep
+    the parent's post-base rows — refused."""
+    t = _table(spark, tmp_path)
+    b = t.branch("fix")
+    b.overwrite(spark.range(3).withColumn("v", F.lit(9).cast("long")))
+    t.append(spark.range(100, 102).withColumn("v", F.lit(0).cast("long")))
+    with pytest.raises(ValueError, match="OVERWRITE"):
+        t.rebase_branch(b)

@@ -141,3 +141,12 @@ def test_starting_version_plain_stream_tails_without_snapshot(spark, tmp_path):
         q.stop()
     # only the second commit: the first is before startingVersion
     assert sorted(r.id for r in spark.table(name).collect()) == [10, 11, 12]
+
+
+def test_batch_read_refuses_cdf_option(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(3).withColumn("v", F.lit(1).cast("long")))
+    with pytest.raises(Exception, match="read_changes"):
+        spark.read.format("txn").option("readChangeFeed", "true").load(
+            t.table_dir
+        ).collect()

@@ -98,3 +98,28 @@ def test_paced_stream_tails_after_snapshot(spark, tmp_path):
         101,
         102,
     ]
+
+
+def test_paced_with_starting_version_tails_unpaced(spark, tmp_path):
+    """maxFilesPerTrigger + startingVersion: there is no snapshot to
+    pace — the stream must tail immediately (regression: the pacing
+    pointer used to hand out snapshot offsets the snapshot-less stream
+    could never consume, bouncing through empty batches)."""
+    src = _src(spark, tmp_path, n_files=4, n_rows=8)
+    src.append(spark.range(100, 103).withColumn("v", F.lit(0).cast("long")))
+    q = (
+        spark.readStream.format("txn")
+        .option("maxFilesPerTrigger", "1")
+        .option("startingVersion", "1")
+        .load(src.table_dir)
+        .writeStream.format("txn")
+        .option("txnAppId", "svp")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sv"))
+        .start(str(tmp_path / "dst_sv"))
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dst = TxnTable(str(tmp_path), "dst_sv")
+    assert sorted(r.id for r in dst.read(spark).collect()) == [100, 101, 102]
