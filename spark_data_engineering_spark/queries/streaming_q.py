@@ -764,6 +764,47 @@ def streaming_txn_sink_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_cdf_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached on source mtime+size+code digest) the orders
+    txn table with a change-feed-worthy history — two appends and a
+    merge-on-read DV delete — shared by ``streaming_txn_cdf_revenue``
+    (in-memory fold) and ``streaming_materialized_view_revenue``
+    (persistent exactly-once fold), so both gates stream the SAME log."""
+    import hashlib
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+    from spark_data_engineering_spark.sources.txn import TxnTable
+    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+
+    spark.dataSource.register(TxnDataSource)
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"cdf:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/cdf-{digest}"
+    if not os.path.isdir(root):
+        import shutil as _sh
+
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_cdf")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.filter(F.col("o_orderkey") % 2 == 0).repartition(3))
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
+        t.delete_where_dv(spark, F.col("o_orderkey") % 9 == 4)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published first
+    return TxnTable(root, "orders_cdf").table_dir
+
+
 @query(
     "streaming_txn_cdf_revenue",
     oracle="""
@@ -799,36 +840,7 @@ def streaming_txn_cdf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import uuid
 
-    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
-    from spark_data_engineering_spark.sources import txn as _txn_mod
-    from spark_data_engineering_spark.sources.txn import TxnTable
-    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
-
-    spark.dataSource.register(TxnDataSource)
-    stat = os.stat(f"{sf_dir}/orders.parquet")
-    digest = hashlib.md5(
-        f"cdf:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
-        f"{code_digest(_txn_mod)}".encode()
-    ).hexdigest()[:16]
-    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
-    sweep_stale("/tmp/spark_de_incremental")
-    root = f"/tmp/spark_de_incremental/cdf-{digest}"
-    if not os.path.isdir(root):
-        import shutil as _sh
-
-        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
-        t = TxnTable(tmp_root, "orders_cdf")
-        o = load_table(spark, "orders", sf_dir).select(
-            "o_orderkey", "o_orderstatus", "o_totalprice"
-        )
-        t.append(o.filter(F.col("o_orderkey") % 2 == 0).repartition(3))
-        t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
-        t.delete_where_dv(spark, F.col("o_orderkey") % 9 == 4)
-        try:
-            os.rename(tmp_root, root)
-        except OSError:
-            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published first
-    table_dir = TxnTable(root, "orders_cdf").table_dir
+    table_dir = orders_cdf_table_dir(spark, sf_dir)
     stream = (
         spark.readStream.format("txn")
         .option("readChangeFeed", "true")
@@ -860,3 +872,92 @@ def streaming_txn_cdf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select("o_orderstatus", "n_orders", "revenue")
+
+
+@query(
+    "streaming_materialized_view_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 9 = 4)
+    GROUP BY o_orderstatus
+    """,
+)
+def streaming_materialized_view_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A STREAMING MATERIALIZED VIEW (the Delta Live Tables shape,
+    round 7): the change feed of the shared orders table — the SAME log
+    ``streaming_txn_cdf_revenue`` folds in memory — streams through
+    ``foreachBatch`` into a PERSISTENT txn state table: each epoch
+    aggregates its change rows into signed deltas (insert:+, delete:-,
+    exact decimal sums), folds them into the stored state, and lands
+    ONE atomic overwrite carrying the ``(app, epoch)`` watermark — so a
+    crash-replayed epoch folds NOTHING (the exactly-once contract,
+    checked by a restart-replay pytest). The final state must
+    hash-match one-shot SQL over the survivors: a delta double-folded
+    on replay, a retraction mis-signed, or an epoch lost all break the
+    arithmetic. Restart replay + incremental tailing are pinned in
+    tests/test_stream_mview.py.
+
+    Scale: per epoch the fold shuffles #groups rows (partial-aggregated
+    map-side), reads back #groups state rows, and writes #groups rows +
+    one metadata commit — cost tracks CHANGED data and state size,
+    never the base table; the state table is time-travelable history of
+    the view for free."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import sweep_stale
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    table_dir = orders_cdf_table_dir(spark, sf_dir)
+    os.makedirs("/tmp/spark_de_mview", exist_ok=True)
+    sweep_stale("/tmp/spark_de_mview")
+    run = f"/tmp/spark_de_mview/{uuid.uuid4().hex}"
+    state_root = f"{run}/state"
+    app = "mview-gate"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        state = TxnTable(state_root, "view")
+        if batch_id <= state.last_epoch(app):
+            return  # crash-replayed epoch: already folded
+        sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(
+            F.lit(1)
+        )
+        delta = batch.groupBy("o_orderstatus").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * sign)
+            .cast("decimal(18,2)")
+            .alias("rev_dec"),
+            F.sum(sign).cast("bigint").alias("n_orders"),
+        )
+        if state.version() > 0:
+            delta = (
+                state.read(spark)
+                .unionByName(delta)
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.sum("rev_dec").cast("decimal(18,2)").alias("rev_dec"),
+                    F.sum("n_orders").cast("bigint").alias("n_orders"),
+                )
+            )
+        # one atomic commit per epoch, watermarked: replay-proof
+        state.overwrite(delta.coalesce(1), txn=(app, batch_id))
+
+    q = (
+        spark.readStream.format("txn")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(table_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{run}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return TxnTable(state_root, "view").read(spark).select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )

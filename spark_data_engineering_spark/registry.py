@@ -181,6 +181,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     retraction rows, rewrite abort-or-skip, snapshot + live-delete
     #     mode, plain startingVersion tailing) are pinned by 4 dedicated
     #     tests in tests/test_txn_stream_cdf.py.
+    #   streaming_materialized_view_revenue — the Delta-Live-Tables
+    #     shape (CDF stream -> exactly-once foreachBatch fold into a
+    #     persistent txn state table): streams the SAME cached log as
+    #     streaming_txn_cdf_revenue with the same signed-decimal fold
+    #     arithmetic, lands state through the same overwrite(txn=)
+    #     watermark primitive every in-window txn query exercises, and
+    #     the composition-specific semantics (restart folds nothing,
+    #     incremental tailing, retraction fold) are pinned in
+    #     tests/test_stream_mview.py.
     #   txn_branch_rebase_revenue — the DIVERGED-branch lifecycle
     #     (rebase_branch: replay onto the advanced head, then
     #     fast-forward merge): the read/aggregate half and the branch/

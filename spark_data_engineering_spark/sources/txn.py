@@ -587,9 +587,16 @@ class TxnTable:
                 name = col.path_in_schema
                 if "." in name or name in bad:
                     continue  # nested columns: skip (top-level stats only)
-                st = col.statistics
-                lo = norm(st.min) if st is not None and st.has_min_max else None
-                hi = norm(st.max) if st is not None and st.has_min_max else None
+                try:
+                    # pyarrow raises ArrowNotImplementedError merely
+                    # ACCESSING .statistics for some logical types
+                    # (decimal) — a stats gap must never fail the WRITE,
+                    # it just leaves the column unprunable
+                    st = col.statistics
+                    lo = norm(st.min) if st is not None and st.has_min_max else None
+                    hi = norm(st.max) if st is not None and st.has_min_max else None
+                except Exception:
+                    lo = hi = None
                 if lo is None or hi is None:
                     bad.add(name)
                     mins.pop(name, None)
