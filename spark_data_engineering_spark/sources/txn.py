@@ -288,6 +288,12 @@ class TxnTable:
                 c = self._read_commit(v)
                 for f in c.get("remove", ()):
                     deleted.pop(f, None)
+                if c.get("dv_remove"):
+                    # dv-prune maintenance: drop all-dead sidecars from
+                    # the probe list (their files left the live set; the
+                    # counts popped when those files were removed)
+                    gone = set(c["dv_remove"])
+                    sidecars = [s for s in sidecars if s not in gone]
                 if c.get("dv_add"):
                     sidecars.append(c["dv_add"])
                     for f, n in c.get("dv_counts", {}).items():
@@ -968,7 +974,14 @@ class TxnTable:
                 # unmatched target rows in rewritten files always survive
                 parts.append(t_rows.join(F.broadcast(src.select(*on).distinct()), on, "left_anti"))
                 if when_matched == "update":
-                    upd = src.join(t_rows.select(*on).distinct(), on, "left_semi")
+                    # one updated row PER MATCHED TARGET ROW (ANSI/Delta
+                    # UPDATE SET * updates each matched row in place):
+                    # joining the target's keys — NOT distinct — against
+                    # the ≤1-row-per-key source preserves duplicate-key
+                    # target multiplicity. The prior source-side semi-join
+                    # collapsed [k,k] targets to one row (found by the
+                    # round-7 randomized model search).
+                    upd = t_rows.select(*on).join(F.broadcast(src), on, "inner")
                     if matched_delete_condition is not None:
                         upd = upd.filter(
                             ~F.coalesce(matched_delete_condition, F.lit(False))
@@ -1281,9 +1294,16 @@ class TxnTable:
             raise ValueError(f"restore: version {version} not in [1, {head}]")
         target = set(self.live_files(version))
         current = set(self.live_files(head))
+        # sidecars a later dv-prune dropped from the probe list no
+        # longer apply to anything — they neither block a restore (the
+        # loop below) nor survive one
+        pruned: set[str] = set()
+        for v in self._commit_files():
+            if v <= head:
+                pruned.update(self._read_commit(v).get("dv_remove", ()))
         for v in range(version + 1, head + 1):
             c = self._read_commit(v)
-            if c.get("dv_add"):
+            if c.get("dv_add") and c["dv_add"] not in pruned:
                 touched = sorted(set(c.get("dv_counts", {})) & target)
                 if touched:
                     raise ValueError(
@@ -1306,6 +1326,22 @@ class TxnTable:
         _, del_t = self.dv_state(version)
         add = sorted(target - current)
         counts_restore = {f: del_t[f] for f in add if del_t.get(f)}
+        if counts_restore:
+            # a post-target dv-prune may have dropped the sidecars whose
+            # positions these re-added files' counts describe — restoring
+            # would re-establish counts with no positions behind them
+            # (metadata-only count_rows and the actual read diverge).
+            # Each prune records its file coverage, so refuse precisely.
+            for v in range(version + 1, head + 1):
+                c = self._read_commit(v)
+                hit = set(c.get("dv_remove_files", ())) & set(counts_restore)
+                if hit:
+                    raise ValueError(
+                        f"restore: dv-prune commit v{v} dropped the "
+                        f"sidecar positions for restored file(s) "
+                        f"{sorted(hit)[:3]}; that version's merge-on-read "
+                        "state is no longer restorable"
+                    )
         return self._commit(
             "restore",
             add,
@@ -1316,6 +1352,63 @@ class TxnTable:
             # files' deleted counts in the dv_state replay
             extra={"dv_counts_restore": counts_restore} if counts_restore else None,
         )
+
+    def prune_dv_sidecars(self) -> int | None:
+        """DV maintenance: drop from the head's probe list every sidecar
+        whose marked files are ALL dead (removed by compact/overwrite/
+        MERGE/restore) — its positions anti-join against nothing, yet
+        every merge-on-read scan still probes it per file. Without this,
+        a long-lived table's sidecar list grows monotonically and read
+        cost creeps O(#historical-deletes). The commit is metadata-only
+        ('dv-prune': net-zero rows — streams and the change feed skip
+        it) and records the pruned sidecars' FILE SETS so ``restore``
+        can refuse precisely when a rollback would need pruned
+        positions. The sidecar FILES stay on disk for retained-version
+        time travel until ``vacuum`` collects the unreferenced ones.
+
+        Linearizable via compare-and-swap on the head version: a
+        concurrent restore reviving a file cannot interleave with the
+        deadness computation (the prune would simply lose the race and
+        recompute). Returns the commit version, or None when nothing is
+        prunable."""
+        import pyarrow.parquet as pq
+
+        while True:
+            head = self.version()
+            if head == 0:
+                return None
+            sidecars, _ = self.dv_state(head)
+            if not sidecars:
+                return None
+            live = set(self.live_files(head))
+            dead_names: list[str] = []
+            dead_files: set[str] = set()
+            for s in sidecars:
+                fs = set(
+                    pq.read_table(
+                        os.path.join(self.dv_dir, s), columns=["file"]
+                    )
+                    .column(0)
+                    .to_pylist()
+                )
+                if not fs & live:
+                    dead_names.append(s)
+                    dead_files |= fs
+            if not dead_names:
+                return None
+            rec = {
+                "version": head + 1,
+                "action": "dv-prune",
+                "add": [],
+                "remove": [],
+                "dv_remove": sorted(dead_names),
+                "dv_remove_files": sorted(dead_files),
+            }
+            if self._try_commit(rec):
+                if (head + 1) % self.checkpoint_every == 0:
+                    self._write_checkpoint(head + 1)
+                return head + 1
+            # lost the race: recompute deadness against the new head
 
     def vacuum(self, keep_versions: int = 1, min_age_s: float = 0.0) -> list[str]:
         """Delete data files referenced by NO retained version (the last
@@ -1338,8 +1431,10 @@ class TxnTable:
             )
         head = self.version()
         keep = set()
+        dv_keep = set()
         for v in range(max(1, head - keep_versions + 1), head + 1):
             keep.update(self.live_files(v))
+            dv_keep.update(self.dv_state(v)[0])
         # live branches share this data dir: every file any branch head
         # references must survive the parent's vacuum (a branch is a ref
         # root, exactly as in Nessie/LakeFS garbage collection).
@@ -1359,6 +1454,7 @@ class TxnTable:
                     b.dv_dir = self.dv_dir
                     if b.version() > 0:
                         keep.update(b.live_files())
+                        dv_keep.update(b.dv_state()[0])
                     branch_dirs.append(b.table_dir)
                     stack.append(b.table_dir)
         now = time.time()
@@ -1410,8 +1506,11 @@ class TxnTable:
                     shutil.rmtree(path)
                     removed.append(d)
         # same contract for crashed deletion-vector stagings; committed
-        # sidecars are kept (retained versions may still reference them
-        # and dead-file entries anti-join against nothing)
+        # sidecars are kept while ANY retained version or branch head
+        # still lists them — after a dv-prune drops a sidecar from every
+        # retained state, its file is garbage like any unreferenced
+        # data file (deleting a still-listed sidecar would crash reads,
+        # so dv_keep is computed from the same ref roots as keep)
         for d in os.listdir(self.dv_dir):
             path = os.path.join(self.dv_dir, d)
             if (
@@ -1420,6 +1519,19 @@ class TxnTable:
                 and now - os.path.getmtime(path) >= min_age_s
             ):
                 shutil.rmtree(path)
+                removed.append(d)
+            elif (
+                not d.startswith(".staging-")
+                and d not in dv_keep
+                and now - os.path.getmtime(path) >= min_age_s
+            ):
+                # a committed sidecar (spark-written directory, or a
+                # branch-consolidated single file) no retained version
+                # or branch head lists any more
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                else:
+                    os.unlink(path)
                 removed.append(d)
         return sorted(removed)
 
@@ -1475,7 +1587,7 @@ class TxnTable:
             removed = rd(c.get("remove", []), v, v - 1)
             if c["action"] in ("append", "streaming-append"):
                 ins, rem = added, None
-            elif c["action"] == "compact":
+            elif c["action"] in ("compact", "dv-prune"):
                 continue  # net-zero row change by construction
             elif c["action"] in ("delete_dv", "branch-dv"):
                 # the sidecar IS the delete set: its positions, read from
@@ -1765,6 +1877,13 @@ class TxnTable:
                     "references branch-log versions that do not exist in "
                     "the rebased line; compact the branch first"
                 )
+            if act == "dv-prune":
+                raise ValueError(
+                    "rebase_branch: branch carries a dv-prune maintenance "
+                    "commit (computed against the old base's sidecar "
+                    "list); compact the branch first and re-run the "
+                    "prune after the merge"
+                )
             if act == "overwrite":
                 raise ValueError(
                     "rebase_branch: branch carries an OVERWRITE commit — "
@@ -1876,6 +1995,16 @@ class TxnTable:
                 raise ValueError(
                     "merge_branch: branch carries schema-evolution commits "
                     f"({rec['action']}); compact the branch first"
+                )
+            if rec.get("action") == "dv-prune":
+                # the replay path does not forward dv_remove, and the
+                # branch's prune was computed against the BRANCH's
+                # sidecar list anyway — silently replaying would drop
+                # the field and desync the parent's probe list
+                raise ValueError(
+                    "merge_branch: branch carries a dv-prune maintenance "
+                    "commit; drop it by compacting the branch, and run "
+                    "prune_dv_sidecars on the parent after the merge"
                 )
         v = self.version()
         for rec in to_replay:

@@ -414,6 +414,10 @@ class TxnStreamReader(DataSourceStreamReader):
                         "'true') to keep going without retraction."
                     )
                 continue
+            if c["action"] == "dv-prune":
+                # DV maintenance: drops all-dead sidecars from the probe
+                # list — no visible row changes in either mode
+                continue
             if self._cdf and c["action"] == "compact":
                 continue  # net-zero row change by construction
             if (

@@ -60,6 +60,8 @@ _op = st.one_of(
         st.lists(st.integers(0, 99), min_size=1, max_size=3),
         st.lists(st.integers(0, 99), min_size=1, max_size=3),
     ),
+    # DV maintenance: drop all-dead sidecars — visible state unchanged
+    st.tuples(st.just("dv_prune")),
 )
 
 # one-off deeper searches: TXN_MODEL_EXAMPLES=25 python -m pytest tests/test_txn_model.py
@@ -147,6 +149,10 @@ def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops, seq_id):
             head = table.version()
             snapshots = {v: s for v, s in snapshots.items() if v >= head}
             vacuumed = True
+        elif op[0] == "dv_prune":
+            if table.version() == 0:
+                continue
+            table.prune_dv_sidecars()  # never changes visible state
         elif op[0] == "restore":
             if not snapshots or table.version() == 0:
                 continue
