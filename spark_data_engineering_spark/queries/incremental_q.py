@@ -946,3 +946,74 @@ def txn_writer_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "txn_dv_maintenance_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(0 AS BIGINT) AS n_sidecars
+    FROM orders
+    WHERE NOT (o_orderkey % 13 = 6)
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_dv_maintenance_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DV-maintenance lifecycle under the gate (round 7,
+    txn.py::prune_dv_sidecars): orders land, a merge-on-read DV delete
+    removes every o_orderkey % 13 == 6 row, COMPACT materializes the
+    deletes (the sidecar goes all-dead), ``prune_dv_sidecars`` drops it
+    from the probe list with a metadata-only 'dv-prune' commit, and
+    ``vacuum`` collects the now-unreferenced sidecar bytes. The final
+    aggregate must hash-match SQL over the survivors AND the table must
+    report ZERO live sidecars (pinned as a column, so a prune that
+    silently failed — or one that resurrected deleted rows — both break
+    the hash). Read cost is the point at scale: without pruning, every
+    merge-on-read scan probes every historical sidecar forever.
+
+    Scale: prune reads only the KB-scale sidecars (never data), commits
+    once via compare-and-swap; vacuum's sidecar GC is a directory
+    listing against the retained-state union."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"dvmaint:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_branch", exist_ok=True)
+    sweep_stale("/tmp/spark_de_branch")
+    root = f"/tmp/spark_de_branch/dvm-{digest}"
+    if not os.path.isdir(root):
+        import shutil as _sh
+
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_dvm")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.repartition(4, "o_orderkey"))
+        t.delete_where_dv(spark, F.col("o_orderkey") % 13 == 6)
+        t.compact(spark)
+        pruned = t.prune_dv_sidecars()
+        if pruned is None:
+            raise AssertionError("dv-prune found nothing to drop post-compact")
+        t.vacuum(keep_versions=1, min_age_s=0.0)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published first
+    t = TxnTable(root, "orders_dvm")
+    n_sidecars = len(t.dv_state()[0])
+    return t.read(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.lit(n_sidecars).cast("bigint").alias("n_sidecars"),
+    )

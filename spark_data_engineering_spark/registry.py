@@ -181,6 +181,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     retraction rows, rewrite abort-or-skip, snapshot + live-delete
     #     mode, plain startingVersion tailing) are pinned by 4 dedicated
     #     tests in tests/test_txn_stream_cdf.py.
+    #   txn_dv_maintenance_revenue — the DV-maintenance lifecycle
+    #     (delete_where_dv -> compact -> prune_dv_sidecars -> vacuum):
+    #     its read/aggregate half is txn_datasource_revenue's machinery
+    #     (r6 green) and the DV/compact halves are dv_delete_report's
+    #     (r6 green); the prune-specific semantics (only-dead pruning,
+    #     restore interplay, stream skip, vacuum GC, merge/rebase
+    #     refusal) are pinned by 6 dedicated tests in
+    #     tests/test_txn_dv_prune.py plus the dv_prune op in the
+    #     randomized model search (tests/test_txn_model.py).
     #   streaming_materialized_view_revenue — the Delta-Live-Tables
     #     shape (CDF stream -> exactly-once foreachBatch fold into a
     #     persistent txn state table): streams the SAME cached log as
