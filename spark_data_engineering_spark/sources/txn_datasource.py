@@ -399,19 +399,25 @@ class TxnStreamReader(DataSourceStreamReader):
                         for f in sorted(c.get("dv_counts", {}))
                     )
                     continue
-                # position-delete metadata, no files added. At or below
-                # the stream-start version it is already reflected in the
-                # captured dv snapshot (applied to every initial-snapshot
-                # file below); later it deletes rows this stream already
-                # emitted -> restart-or-optin, same rule as mid-stream
-                # schema evolution.
-                if v > self._colmap_version and not self._ignore_changes:
+                # position-delete metadata, no files added. A dv commit
+                # at or below the SNAPSHOT version is folded into the
+                # snapshot and never reaches this loop (tailing starts
+                # after it) — so ANY dv commit replayed here deletes
+                # rows a previous batch already emitted, including ones
+                # that landed while a restarted stream was down
+                # (comparing against the restart-time colmap_version
+                # used to skip those silently: un-retracted downstream
+                # rows with no abort — round-7 review finding).
+                if not self._ignore_changes:
                     raise RuntimeError(
                         f"txn stream: commit {v} is a '{c['action']}' "
-                        "row-deletion made after this stream started; "
-                        "already-emitted rows cannot be retracted. Restart "
-                        "the stream, or pass option('ignoreChanges', "
-                        "'true') to keep going without retraction."
+                        "row-deletion on rows this stream already "
+                        "emitted; they cannot be retracted. Restart the "
+                        "stream (a fresh checkpoint folds the deletes "
+                        "into the initial snapshot), use readChangeFeed "
+                        "for retraction rows, or pass "
+                        "option('ignoreChanges', 'true') to keep going "
+                        "without retraction."
                     )
                 continue
             if c["action"] == "dv-prune":

@@ -192,3 +192,48 @@ def test_fresh_stream_over_rewritten_history_is_initial_snapshot(spark, tmp_path
     finally:
         q.stop()
     assert got == [7, 8] + list(range(100, 105))
+
+
+def test_restarted_stream_aborts_on_delete_landed_while_down(spark, tmp_path):
+    """Regression (round-7 review): a DV delete committed while the
+    stream was DOWN deletes rows the previous incarnation already
+    emitted — the restart must abort-or-optin, not silently skip it
+    because the restart-time snapshot version already covers it."""
+    spark.dataSource.register(TxnDataSource)
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(6).withColumn("v", F.lit(1).cast("long")))
+
+    def run():
+        q = (
+            spark.readStream.format("txn")
+            .load(t.table_dir)
+            .writeStream.format("txn")
+            .option("txnAppId", "r")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start(str(tmp_path / "dst"))
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()  # snapshot emitted
+    t.delete_where_dv(spark, F.col("id") == 3)  # lands while down
+    with pytest.raises(Exception, match="retract"):
+        run()
+    # opt-in keeps going (documented: no retraction)
+    q = (
+        spark.readStream.format("txn")
+        .option("ignoreChanges", "true")
+        .load(t.table_dir)
+        .writeStream.format("txn")
+        .option("txnAppId", "r")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start(str(tmp_path / "dst"))
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dst = TxnTable(str(tmp_path), "dst")
+    assert sorted(r.id for r in dst.read(spark).collect()) == list(range(6))
