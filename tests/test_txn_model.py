@@ -65,11 +65,14 @@ _op = st.one_of(
 )
 
 # one-off deeper searches: TXN_MODEL_EXAMPLES=25 python -m pytest tests/test_txn_model.py
+# (and TXN_MODEL_MAXOPS=12 for longer op sequences — deep interleavings
+# like branch->restore->prune->merge need more than 7 steps to form)
 _EXAMPLES = int(os.environ.get("TXN_MODEL_EXAMPLES", "4"))
+_MAXOPS = int(os.environ.get("TXN_MODEL_MAXOPS", "7"))
 
 
 @settings(max_examples=_EXAMPLES, deadline=None)
-@given(st.lists(_op, min_size=2, max_size=7), st.integers(0, 10**6))
+@given(st.lists(_op, min_size=2, max_size=_MAXOPS), st.integers(0, 10**6))
 def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops, seq_id):
     root = str(tmp_path_factory.mktemp(f"txnmodel{seq_id}"))
     table = TxnTable(root, "t", checkpoint_every=3)
