@@ -1410,14 +1410,29 @@ class TxnTable:
                 return head + 1
             # lost the race: recompute deadness against the new head
 
-    def vacuum(self, keep_versions: int = 1, min_age_s: float = 0.0) -> list[str]:
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        min_age_s: float = 0.0,
+        dry_run: bool = False,
+    ) -> list[str]:
         """Delete data files referenced by NO retained version (the last
         ``keep_versions`` snapshots stay time-travelable). ``min_age_s``
         is the Delta-style retention guard: a writer that has staged files
         but not yet committed would otherwise lose them to a concurrent
         vacuum — production keeps this above the longest plausible commit
-        duration."""
+        duration. ``dry_run`` (Delta's VACUUM ... DRY RUN) returns the
+        same list without deleting anything — what an operator reads
+        BEFORE pointing real retention at a 100 TB table."""
         import time
+
+        def _unlink(path: str) -> None:
+            if not dry_run:
+                os.unlink(path)
+
+        def _rmtree(path: str, ignore_errors: bool = False) -> None:
+            if not dry_run:
+                shutil.rmtree(path, ignore_errors=ignore_errors)
 
         # a branch does NOT own the shared data/dv dirs: its keep-set
         # misses every file only the parent (or a sibling branch)
@@ -1466,7 +1481,7 @@ class TxnTable:
                 and f not in keep
                 and now - os.path.getmtime(path) >= min_age_s
             ):
-                os.unlink(path)
+                _unlink(path)
                 removed.append(f)
         # orphaned staging dirs from writers that crashed inside _stage
         # (before the rename loop) accumulate forever otherwise — the
@@ -1488,7 +1503,7 @@ class TxnTable:
                     and os.path.isdir(path)
                     and now - os.path.getmtime(path) >= min_age_s
                 ):
-                    shutil.rmtree(path, ignore_errors=True)
+                    _rmtree(path, ignore_errors=True)
                     removed.append(d)
         # branch vacuum is refused (above), so crashed-stage dirs under
         # branch table_dirs are this vacuum's job too (a branch_dir the
@@ -1503,7 +1518,7 @@ class TxnTable:
                     and os.path.isdir(path)
                     and now - os.path.getmtime(path) >= min_age_s
                 ):
-                    shutil.rmtree(path)
+                    _rmtree(path)
                     removed.append(d)
         # same contract for crashed deletion-vector stagings; committed
         # sidecars are kept while ANY retained version or branch head
@@ -1518,7 +1533,7 @@ class TxnTable:
                 and os.path.isdir(path)
                 and now - os.path.getmtime(path) >= min_age_s
             ):
-                shutil.rmtree(path)
+                _rmtree(path)
                 removed.append(d)
             elif (
                 not d.startswith(".staging-")
@@ -1529,9 +1544,9 @@ class TxnTable:
                 # branch-consolidated single file) no retained version
                 # or branch head lists any more
                 if os.path.isdir(path):
-                    shutil.rmtree(path)
+                    _rmtree(path)
                 else:
-                    os.unlink(path)
+                    _unlink(path)
                 removed.append(d)
         return sorted(removed)
 

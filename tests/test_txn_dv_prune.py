@@ -133,3 +133,17 @@ def test_merge_and_rebase_refuse_branch_prune_commits(spark, tmp_path):
     t.append(spark.range(100, 101).withColumn("v", F.lit(0).cast("long")))
     with pytest.raises(ValueError, match="dv-prune"):
         t.rebase_branch(b)
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where_dv(spark, F.col("id") < 3)
+    t.compact(spark)
+    t.prune_dv_sidecars()
+    before = sorted(os.listdir(t.data_dir)) + sorted(os.listdir(t.dv_dir))
+    planned = t.vacuum(keep_versions=1, min_age_s=0.0, dry_run=True)
+    assert planned  # pre-compact data files + the pruned sidecar
+    after = sorted(os.listdir(t.data_dir)) + sorted(os.listdir(t.dv_dir))
+    assert after == before  # nothing touched
+    # the real run deletes exactly what the dry run planned
+    assert t.vacuum(keep_versions=1, min_age_s=0.0) == planned
