@@ -42,18 +42,21 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_knn(emb, queries, k=10)
 
 
-@query("knn_lsh")
-def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH bucketing (rows-only:
-    approximate by design — recall vs the brute-force oracle is an
-    oracled row of ``ann_recall_report``). Multi-probe by default as of
-    round 5 (``lsh_knn`` delegates to 9-probe: measured recall@10 = 1.0
-    here vs 0.14 for the old single-probe default, which survives only
-    as the explicit ``n_probes=1`` opt-out and as the documented
-    cheapest frontier point in the recall report)."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_knn(emb, queries, k=10)
+# RETIRED registry entries (round 8, VERDICT r7 task 5): the standalone
+# rows-only queries knn_lsh, knn_lsh_multiprobe, knn_ivf and knn_pq were
+# the last four registrations without an oracle. Their operator code is
+# fully exercised under EXACT contracts by the probe-all twins below
+# (knn_lsh_exhaustive, knn_ivf_exhaustive, ann_ivfpq_search_exhaustive —
+# all hash-matched against _BF_TOP10_ORACLE), and their production
+# APPROXIMATE operating points are each an oracled row of
+# ``ann_recall_report`` (lsh single-probe 0.14 / multiprobe 1.0 /
+# ivf 12-of-32 0.94 / pq 0.92 — pinned expectation constants swept at
+# sf0.01, re-derived in tests). knn_lsh even delegated to the identical
+# 9-probe computation as knn_lsh_multiprobe, so the standalone entries
+# added registry surface without adding evidence: every registered
+# query now carries an oracle (rows-only list = zero). The operators
+# stay caller-tunable (S.lsh_knn / S.lsh_knn_multiprobe / S.ivf_knn /
+# S.pq_knn) — retirement removes only the redundant queries() rows.
 
 
 @query(
@@ -77,33 +80,6 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora where N^2 itself is infeasible, MinHash/LSH is the path."""
     emb = load_table(spark, "embeddings", sf_dir)
     return S.cosine_pairs_blocked(emb, threshold=0.45)
-
-
-@query("knn_lsh_multiprobe")
-def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe hyperplane LSH top-10 (probe own bucket + 8 one-bit
-    flips) — measured 3x the recall of single-probe on this corpus at
-    the same corpus-scan cost (rows-only: approximate by design)."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_knn_multiprobe(emb, queries, k=10, n_probes=9)
-
-
-@query("knn_ivf")
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: k-means cells + 12-of-32 probe — the
-    sharded-ANN layout for billion-vector corpora (rows-only:
-    approximate by design; recall vs brute force is an oracled row of
-    ``ann_recall_report``). The operating point was swept at sf0.01:
-    the old 4-of-16 default measured recall@10 = 0.62, too low to ship;
-    12-of-32 measures 0.94 at ~3/8 of a full scan. The probe fraction
-    is high because these synthetic embeddings are near-uniform in R^64
-    (k-means cells barely separate them) — clustered real-world
-    embeddings sit at much lower probe fractions for the same recall,
-    which is why n_probe/n_centroids stay caller-tunable."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_knn(emb, queries, k=10, n_centroids=32, n_probe=12)
 
 
 @query("knn_ivf_exhaustive", oracle=_BF_TOP10_ORACLE)
@@ -462,18 +438,6 @@ def ann_ivfpq_search_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(
         spark, queries_df, k=10, n_probe=16, rerank_with=emb, rerank_factor=10**6
     )
-
-
-@query("knn_pq")
-def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization top-10: corpus scanned as 16 uint8 codes
-    per vector (16x smaller than float32 at dim 64), ADC lookup-table
-    scoring builds a 4x short list, exact cosine re-ranks it — the
-    memory-bound billion-vector ANN layout (rows-only: approximate by
-    short-list cut; recall vs brute force asserted in tests)."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5)
-    return S.pq_knn(emb, queries, k=10, m=16, n_codes=32)
 
 
 @query(

@@ -15,6 +15,21 @@ from spark_data_engineering_spark.sources import load_table
 from spark_data_engineering_spark.streaming.events import EVENT_SCHEMA
 
 
+def _txnstream_ckpt() -> str:
+    """Fresh per-run checkpoint dir under a swept root — the txn-stream
+    gate queries checkpoint once per invocation, so without sweeping the
+    root every gate run leaks a directory (round-7 review finding; the
+    same sweep-before-create contract every other /tmp root here uses)."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import sweep_stale
+
+    root = "/tmp/spark_de_txnstream_ckpt"
+    sweep_stale(root)
+    os.makedirs(root, exist_ok=True)
+    return f"{root}/{uuid.uuid4().hex}"
+
+
 @query(
     "streaming_hourly_event_stats",
     oracle="""
@@ -682,10 +697,7 @@ def streaming_txn_source_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .option(
-            "checkpointLocation",
-            f"/tmp/spark_de_txnstream_ckpt/{uuid.uuid4().hex}",
-        )
+        .option("checkpointLocation", _txnstream_ckpt())
         .start()
     )
     try:
@@ -861,10 +873,7 @@ def streaming_txn_cdf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .option(
-            "checkpointLocation",
-            f"/tmp/spark_de_txnstream_ckpt/{uuid.uuid4().hex}",
-        )
+        .option("checkpointLocation", _txnstream_ckpt())
         .start()
     )
     try:

@@ -38,71 +38,99 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The external correctness gate oracle-checks only the FIRST 50 registered
-# queries. The round-7 window executes VERDICT r6 "Next round" task 1:
-# (a) the 17 round-6 queries that have NEVER had a driver hash row
-#     (all local-gate green in r6, named there as the first rotation
-#     priority);
-# (b) the 11 queries whose newest row is round 3 — three rounds stale
-#     at r7, past the repo's two-round staleness limit (this cohort
-#     includes knn_int8_quantized, which a round-6 comment here
-#     misclassified as rows-only-by-design: it is ORACLED — full-ranking
-#     SQL replay, r3 green — and rotating it in both refreshes the
-#     evidence and retires the wrong rationale, VERDICT r6 "What's
-#     wrong" #2);
-# (c) this round's two new oracled surfaces (export_jsonl_shards — the
-#     line-format export under the read-back manifest gate, VERDICT
-#     task 5; streaming_enriched_event_stats — the stream-static
-#     broadcast enrichment join, VERDICT task 6/7);
-# (d) 20 of the 47 queries whose newest row is round 4 (also three
-#     rounds stale), chosen one-per-family so every distinct machinery
-#     family gets a fresh row. The 27 r4-cohort names left out, each
-#     with a containment rationale:
-#   cube_flag_status / grouping_sets_flag_status / pivot_status_by_flag
-#     / unpivot_brand_metrics — the grouping-set/pivot family;
-#     rollup_flag_status (in-window) exercises the same Expand-based
-#     machinery over the same table, and the four variants differ only
-#     in the grouping-set list / pivot direction.
-#   customer_running_revenue / customer_trailing_7d_revenue /
-#     customer_value_quartiles / top10_customers_by_revenue /
-#     orders_above_customer_avg — the window-function family;
-#     customer_rank_suite (in-window) runs rank/dense_rank/ntile over
-#     the same partitioned-window shape, and latest_order_per_customer
-#     (in-window) the row_number-dedup shape; the variants swap the
-#     frame spec / aggregate, all pytest-covered.
-#   customers_with_high_value_orders / customers_without_orders —
-#     semi/anti joins, r5-green via tpch_q4 (EXISTS), q21, q22 (NOT
-#     EXISTS) — two rounds, at the limit but not past it.
-#   daily_revenue_anomalies / daily_revenue_gapfilled — windowed
-#     z-score + sequence()/explode gapfill; windows covered in-window
-#     by customer_rank_suite, explode by pipeline_daily_category_report
-#     (in-window), the date arithmetic by csv/jsonl/orc hourly stats.
-#   distinct_counts / global_maxima — single-scan aggregate scalars
-#     CONTAINED in column_stats_report (in-window: exact NDV + typed
-#     min/max per column is a superset of both).
-#   customer_tiers — a CASE bucketing projection; the same expression
-#     shape is in-window via context-length bucketing in r6-green
-#     context_length_buckets and the SCD2 tier queries (in-window).
-#   bottomk_sample_per_source — keyed-LCG bottom-k ordering; the LCG
-#     machinery is in-window via export_shuffled_shards'
-#     r6-green twin (same shuffle_key family) and mixture/stratified
-#     samples r6-green.
-#   media_feature_knn / token_run_lengths — the cosine-top-k machinery
-#     is in-window via hard_negative_pairs + ann_index_search_exhaustive;
-#     the UDTF surface via pack_documents_greedy (in-window).
-#   media_format_profile — metadata group-by over the media table; the
-#     same scan+agg shape is in-window via media_audio_segments, and
-#     media_resize_profile is r6 green.
-#   orders_by_year_quarter / part_name_analysis / project_derive_filter
-#     / quantity_band_join / segment_set_ops — basic projection/derive/
-#     string-split/banded-join/set-op shapes, all r4 green and
-#     pytest-covered; their machinery appears in-window inside
-#     brand_type_metrics' struct keys (r6 green), concurrent_sessions'
-#     range join, and corpus_snapshot_diff's full-outer set diff.
-#   scrub_boilerplate_segments — the fingerprint-and-drop machinery is
-#     r6 green twice (boilerplate_chunks, cdc_boilerplate_chunks).
+# The external correctness gate oracle-checks only the FIRST 50
+# registered queries (dict order = driver check order), so CHECK_PRIORITY
+# IS the evidence window. With ~190 oracled queries and 50 slots a full
+# refresh takes >= 4 rounds, so the window is derived MECHANICALLY each
+# round by the codified priority rule (VERDICT r7 task 4; implementation:
+# tools/derive_window.py, run with --check to diff this tuple against the
+# rule's output):
+#
+#   P1. NEVER-driver-checked oracled queries first (registration order) —
+#       new surfaces enter the window the round they land.
+#   P2. Then whole cohorts by newest-green driver round, OLDEST FIRST —
+#       staleness is the only tiebreak across already-checked queries.
+#   P3. A cohort that overflows the remaining slots keeps one query per
+#       machinery family (the tool's FAMILIES map names representative ->
+#       covered members); what still overflows is cut at registration
+#       order and rotates in next round under P2 by construction.
+#
+# Round-8 derivation (tools/derive_window.py against CORRECTNESS_r01-r07):
+#   P1 = the 12 round-7 surfaces with no driver row yet (txn streaming
+#        source/sink/CDF/mview, branch merge/rebase, restore, DV
+#        maintenance, writer roundtrip, webdataset, rrf, quarantine) —
+#        VERDICT r7 task 1's first cohort. (The 4 rows-only ANN configs
+#        that were also never-checked are RETIRED this round — see
+#        queries/similarity.py — shrinking the rows-only list to zero.)
+#   P2 = the 27 queries whose newest row is round 4 (four rounds stale)
+#        — VERDICT r7 task 1's second cohort — then the r5 cohort.
+#   P3 = the r5 cohort (50 names) overflows the 11 remaining slots:
+#        tpch_q21/q22's multi-correlated EXISTS / NOT-EXISTS machinery is
+#        refreshed in-window by customers_with_high_value_orders /
+#        customers_without_orders (family map); the rest cut at
+#        registration order — the full displaced list with rationales is
+#        the tool's output, and those names are the head of the r9
+#        window's P2 queue by construction.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # --- (a) the 17 never-driver-checked round-6 queries.
+    # --- P1: the 12 never-driver-checked round-7 surfaces.
+    "export_webdataset_shards",
+    "corrupt_record_quarantine",
+    "txn_restore_revenue",
+    "txn_branch_merge_revenue",
+    "txn_branch_rebase_revenue",
+    "txn_writer_roundtrip_revenue",
+    "txn_dv_maintenance_revenue",
+    "rrf_fusion_search",
+    "streaming_txn_source_revenue",
+    "streaming_txn_sink_revenue",
+    "streaming_txn_cdf_revenue",
+    "streaming_materialized_view_revenue",
+    # --- P2: the 27-query r4-stale cohort (four rounds stale).
+    "bottomk_sample_per_source",
+    "scrub_boilerplate_segments",
+    "orders_by_year_quarter",
+    "part_name_analysis",
+    "customer_tiers",
+    "unpivot_brand_metrics",
+    "media_format_profile",
+    "media_feature_knn",
+    "project_derive_filter",
+    "collect_explode_roundtrip",
+    "global_maxima",
+    "customer_running_revenue",
+    "top10_customers_by_revenue",
+    "customers_without_orders",
+    "customers_with_high_value_orders",
+    "segment_set_ops",
+    "distinct_counts",
+    "pivot_status_by_flag",
+    "orders_above_customer_avg",
+    "quantity_band_join",
+    "cube_flag_status",
+    "grouping_sets_flag_status",
+    "daily_revenue_gapfilled",
+    "daily_revenue_anomalies",
+    "customer_value_quartiles",
+    "customer_trailing_7d_revenue",
+    "token_run_lengths",
+    # --- P2/P3: r5-cohort fills at registration order (11 slots).
+    "stratified_sample_documents",
+    "train_split_counts",
+    "pack_sequences",
+    "corpus_curation_counts",
+    "doc_repetition_metrics",
+    "doc_pii_scrub",
+    "asof_purchase_click",
+    "sessionize_events",
+    "signup_click_purchase_funnel",
+    "event_type_map_roundtrip",
+    "event_rollup_multires",
+)
+
+
+# The round-7 window, kept for the audit trail (every name below got
+# its newest driver row in CORRECTNESS_r07.json — 50/50 hash-green).
+_R7_WINDOW: tuple[str, ...] = (
     "kmv_distinct_users",
     "streaming_distinct_users",
     "kmv_audience_overlap",
@@ -120,7 +148,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "global_row_ids",
     "column_stats_report",
     "corpus_snapshot_diff",
-    # --- (b) the 11 r3-stale queries (newest row round 3).
     "ann_index_search_exhaustive",
     "daily_category_report_bucketed",
     "dedup_clusters",
@@ -132,101 +159,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_daily_category_report",
     "pipeline_daily_order_report",
     "streaming_sessionize_events",
-    # --- (c) new oracled surfaces this round.
-    # (The LATER round-7 additions below stay OUTSIDE the window — the
-    # 17 never-checked + 11 r3-stale cohorts are the VERDICT-mandated
-    # priority and displacing one would trade mandated evidence for new
-    # evidence. Every one passes the local gate this round and they are
-    # the FIRST rotation priorities for round 8:
-    #   export_webdataset_shards — tar-shard sink; its read-back
-    #     manifest aggregate is IDENTICAL SQL to in-window
-    #     export_jsonl_shards (same oracle text), so the manifest
-    #     arithmetic is driver-checked this round; only the tar member
-    #     framing is new, and that is byte-round-trip pytest-pinned
-    #     (tests/test_round7_queries.py).
-    #   rrf_fusion_search — both input rankings are driver-checked
-    #     (text_index search via hybrid_search_rerank in-window; dense
-    #     cosine top-k via knn_bruteforce's r6 row); the fusion
-    #     arithmetic is re-derived from the stage rankings in pytest.
-    #   corrupt_record_quarantine — the JSONL reader is in-window via
-    #     jsonl_events_hourly_stats + export_jsonl_shards; the
-    #     PERMISSIVE split/dead-letter accounting is pytest-pinned
-    #     (every input line accounted for).
-    #   txn_branch_merge_revenue — the branch/merge lifecycle over the
-    #     txn format; its read/aggregate path is in-window via
-    #     txn_datasource_revenue (same orders aggregate) and the DV
-    #     machinery via dv_delete_report's r6 row; the branch semantics
-    #     (zero-copy seed, DV inheritance, fast-forward replay, vacuum
-    #     ref-roots) are pinned by 7 dedicated tests in
-    #     tests/test_txn_branch.py.
-    #   txn_restore_revenue — RESTORE (rollback-as-new-commit); its
-    #     read/aggregate half is txn_datasource_revenue's machinery
-    #     (r6 green) over the same orders projection, the commit path is
-    #     the standard _commit used by every in-window txn query, and
-    #     the restore-specific semantics (post-target DV refusal, count
-    #     re-establishment, checkpoint replay, vacuumed-target refusal)
-    #     are pinned by 5 dedicated tests in tests/test_txn_restore.py.
-    #   streaming_txn_source_revenue — STREAM-read of the txn format
-    #     (the lakehouse CDC shape); its read machinery is the same
-    #     commit-log planner driver-checked r6 via txn_datasource_revenue
-    #     (identical cached table), the streaming fold is in-window via
-    #     streaming_enriched_event_stats, and multi-batch tailing + the
-    #     non-append abort are pinned in tests/test_txn_datasource.py.
-    #   streaming_txn_cdf_revenue — the streaming CHANGE-DATA-FEED
-    #     (readChangeFeed + startingVersion): its insert half is the
-    #     same planner/reader machinery as streaming_txn_source_revenue
-    #     over the same orders projection, its signed decimal fold is
-    #     the in-window streaming_enriched_event_stats shape, and the
-    #     CDF-specific semantics (batch read_changes agreement, DV
-    #     retraction rows, rewrite abort-or-skip, snapshot + live-delete
-    #     mode, plain startingVersion tailing) are pinned by 4 dedicated
-    #     tests in tests/test_txn_stream_cdf.py.
-    #   txn_dv_maintenance_revenue — the DV-maintenance lifecycle
-    #     (delete_where_dv -> compact -> prune_dv_sidecars -> vacuum):
-    #     its read/aggregate half is txn_datasource_revenue's machinery
-    #     (r6 green) and the DV/compact halves are dv_delete_report's
-    #     (r6 green); the prune-specific semantics (only-dead pruning,
-    #     restore interplay, stream skip, vacuum GC, merge/rebase
-    #     refusal) are pinned by 6 dedicated tests in
-    #     tests/test_txn_dv_prune.py plus the dv_prune op in the
-    #     randomized model search (tests/test_txn_model.py).
-    #   streaming_materialized_view_revenue — the Delta-Live-Tables
-    #     shape (CDF stream -> exactly-once foreachBatch fold into a
-    #     persistent txn state table): streams the SAME cached log as
-    #     streaming_txn_cdf_revenue with the same signed-decimal fold
-    #     arithmetic, lands state through the same overwrite(txn=)
-    #     watermark primitive every in-window txn query exercises, and
-    #     the composition-specific semantics (restart folds nothing,
-    #     incremental tailing, retraction fold) are pinned in
-    #     tests/test_stream_mview.py.
-    #   txn_branch_rebase_revenue — the DIVERGED-branch lifecycle
-    #     (rebase_branch: replay onto the advanced head, then
-    #     fast-forward merge): the read/aggregate half and the branch/
-    #     merge machinery are txn_branch_merge_revenue's (local-gate
-    #     green this round, r8 rotation peer), the replay commits go
-    #     through the same validated _commit as every in-window txn
-    #     query, and the rebase-specific semantics (conflict refusal
-    #     both directions, schema-evolution refusal, non-destructive
-    #     failure, watermark survival, scratch-dir GC) are pinned by 7
-    #     dedicated tests in tests/test_txn_rebase.py.
-    #   streaming_txn_sink_revenue — the native STREAMING SINK
-    #     (writeStream.format("txn"), one atomic (txnAppId, batchId)
-    #     watermarked commit per epoch): the pipe's stream-read half is
-    #     streaming_txn_source_revenue's machinery over the SAME cached
-    #     table, the read-back aggregate is txn_datasource_revenue's
-    #     (r6 green), and the sink-specific exactly-once semantics
-    #     (restart replay commits nothing, txnAppId required,
-    #     append-only) are pinned by 3 dedicated tests in
-    #     tests/test_txn_stream_sink.py.
-    #   txn_writer_roundtrip_revenue — the format("txn") WRITE path;
-    #     the read/aggregate half is the same machinery as
-    #     txn_datasource_revenue (r6 green) and the write protocol is
-    #     pinned by 4 dedicated tests in tests/test_txn_writer.py
-    #     (atomic per-save commits, overwrite swap, schema enforcement,
-    #     DV/compact interop over connector-written files).)
     "export_jsonl_shards",
     "streaming_enriched_event_stats",
-    # --- (d) 20 of the r4 cohort, one per machinery family.
     "tpch_q1_pricing_summary",
     "daily_order_report",
     "daily_category_report",

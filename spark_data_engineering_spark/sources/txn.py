@@ -1490,12 +1490,16 @@ class TxnTable:
         # data files
         # abandoned rebase scratch (.rebase-*) and swap leftovers
         # (.trash-*) under _branches/: counted as ref roots above (so an
-        # in-flight rebase loses nothing), collected once old enough —
-        # min_age_s guards them exactly as it guards staged files. A
-        # crash mid-swap leaves BOTH the old line (.trash-*) and the new
-        # one (.rebase-*) recoverable until the retention window closes.
+        # in-flight rebase loses nothing), collected once old enough.
+        # Unlike staged data files, these scratch dirs are the ONLY
+        # recovery line after a crash mid-rebase-swap (the .trash-* copy
+        # IS the old branch), so min_age_s == 0 — routine in tests and
+        # interactive cleanup of staged files — must NOT sweep them: a
+        # positive retention window is required, keeping the docstring's
+        # 'recoverable until the retention window closes' true even for
+        # vacuum(min_age_s=0) run immediately after the crash.
         bparent = os.path.join(self.table_dir, _BRANCH_DIR)
-        if os.path.isdir(bparent):
+        if os.path.isdir(bparent) and min_age_s > 0:
             for d in os.listdir(bparent):
                 path = os.path.join(bparent, d)
                 if (

@@ -252,20 +252,34 @@ class TxnStreamReader(DataSourceStreamReader):
         # contract for mid-stream schema evolution)
         self._colmap_version = self._table.version()
         self._colmap = _logical_colmap(self._table)
+        # SNAPSHOT version: the table version the initial snapshot is
+        # pinned at. For a fresh stream this is the construction-time
+        # head; for a RESTARTED stream the checkpointed offsets carry
+        # the original run's version as "snapVersion" and partitions()
+        # re-pins to it (_pin_snapshot) — the uuid-sorted live-file list
+        # and DV snapshot are only meaningful relative to the version
+        # they were built from, so indexing a checkpointed snap offset
+        # into a head-rebuilt list would silently duplicate/drop files
+        # when commits landed while the stream was down (round-7 review
+        # finding). Tailing likewise begins AFTER this version, so
+        # commits interleaved with a paced snapshot are tailed, never
+        # skipped.
+        self._snap_version = self._colmap_version
         # DV snapshot at stream start: deletion-vector positions already
         # committed when the stream begins apply to the files the stream
         # replays as its initial snapshot (batch-read parity — otherwise
         # a fresh stream over a table/branch with merge-on-read deletes
         # would resurrect the deleted rows). LATER dv commits still abort
         # (rows were already emitted) unless ignoreChanges.
-        sidecars, _ = self._table.dv_state(self._colmap_version)
+        sidecars, _ = self._table.dv_state(self._snap_version)
         self._dv_paths = tuple(
             os.path.join(self._table.dv_dir, s) for s in sidecars
         )
         # sorted => the snapshot's file order is deterministic across
-        # reader instances, so paced offsets ({"version": 0, "snap": i})
-        # mean the same prefix after a restart
-        self._snap_files = sorted(self._table.live_files(self._colmap_version))
+        # reader instances, so paced offsets ({"version": 0,
+        # "snapVersion": N, "snap": i}) mean the same prefix after a
+        # restart
+        self._snap_files = sorted(self._table.live_files(self._snap_version))
         # pacing floor: the snapshot prefix KNOWN consumed. Advances only
         # from offsets Spark hands back (partitions' start, commit's end)
         # — never from a merely-planned end, so a failed batch replays in
@@ -288,15 +302,46 @@ class TxnStreamReader(DataSourceStreamReader):
         # start (nothing consumed yet)
         if off["version"] > 0:
             return len(self._snap_files)
-        return off.get("snap", 0)
+        return min(off.get("snap", 0), len(self._snap_files))
+
+    def _pin_snapshot(self, sv: int) -> None:
+        """Re-pin the initial-snapshot state (file list, DV sidecars) to
+        table version ``sv`` — the version a checkpointed offset's snap
+        indices were minted against. A reader constructed after a
+        restart resolves the CURRENT head; if commits landed while the
+        stream was down, that head's sorted file list has shifted under
+        the checkpointed index. Rebuilding from ``sv`` restores the
+        original list, and tailing then starts at ``sv`` so the
+        interleaved commits are replayed by the tail loop instead of
+        being silently skipped.
+
+        Pins DOWNWARD only (sticky): the true snapshot version is the
+        one the original run's initialOffset minted, and every offset it
+        wrote carries it; the only way a LARGER snapVersion reaches a
+        start offset is a restart-time latestOffset minted before this
+        reader saw the checkpoint (it stamps the re-constructed head).
+        Refusing the upward pin keeps the whole run on one list —
+        indices stay contiguous because emission always interprets them
+        against the pinned list."""
+        if sv >= self._snap_version:
+            return
+        import os
+
+        self._snap_version = sv
+        sidecars, _ = self._table.dv_state(sv)
+        self._dv_paths = tuple(
+            os.path.join(self._table.dv_dir, s) for s in sidecars
+        )
+        self._snap_files = sorted(self._table.live_files(sv))
+        self._paced_next = min(self._paced_next, len(self._snap_files))
 
     def initialOffset(self) -> dict:
         if self._start_version is not None:
             # startingVersion: no initial snapshot — tail from after it
             return {"version": self._start_version}
         if self._max_files and self._snap_files:
-            return {"version": 0, "snap": 0}
-        return {"version": 0}
+            return {"version": 0, "snapVersion": self._snap_version, "snap": 0}
+        return {"version": 0, "snapVersion": self._snap_version}
 
     def latestOffset(self) -> dict:
         if (
@@ -316,7 +361,11 @@ class TxnStreamReader(DataSourceStreamReader):
                 len(self._snap_files),
                 max(self._paced_next, self._snap_floor) + self._max_files,
             )
-            return {"version": 0, "snap": self._paced_next}
+            return {
+                "version": 0,
+                "snapVersion": self._snap_version,
+                "snap": self._paced_next,
+            }
         return {"version": self._table.version()}
 
     def commit(self, end: dict) -> None:
@@ -329,8 +378,13 @@ class TxnStreamReader(DataSourceStreamReader):
 
         parts = []
         lo = start["version"]
+        if lo == 0:
+            # checkpointed snapshot offsets carry the version their snap
+            # indices were minted against — re-pin before indexing (a
+            # legacy offset without the key keeps the constructed head)
+            self._pin_snapshot(start.get("snapVersion", self._snap_version))
         self._snap_floor = max(self._snap_floor, self._snap_of(start))
-        if lo == 0 and self._colmap_version > 0 and self._start_version is None:
+        if lo == 0 and self._snap_version > 0 and self._start_version is None:
             # INITIAL SNAPSHOT (Delta semantics): a fresh stream emits
             # the table's LIVE state at stream start as batch input —
             # not a replay of the commit log — so historical rewrites
@@ -356,14 +410,14 @@ class TxnStreamReader(DataSourceStreamReader):
                     # the change feed reports the starting state as
                     # inserts at the snapshot version (Delta CDF)
                     cdf_type="insert" if self._cdf else None,
-                    cdf_version=self._colmap_version if self._cdf else None,
+                    cdf_version=self._snap_version if self._cdf else None,
                 )
                 for f in self._snap_files[lo_idx:hi_idx]
             )
             if end["version"] == 0:
                 # snapshot-phase batch only: no commits to tail yet
                 return parts or [_FilePartition("")]
-            lo = self._colmap_version
+            lo = self._snap_version
         for v in range(lo + 1, end["version"] + 1):
             c = self._table._read_commit(v)
             if c["action"] in ("rename_column", "drop_column"):
@@ -384,9 +438,36 @@ class TxnStreamReader(DataSourceStreamReader):
                     # delete set — emit those positions' rows as
                     # retractions instead of aborting. One partition per
                     # marked file; the sidecar selects (never drops).
+                    # The retraction rows are fetched from the ORIGINAL
+                    # data file: if it was later compacted away and
+                    # vacuumed (a startingVersion stream, or a live
+                    # stream lagging past retention), refuse with a
+                    # retention message instead of a mid-task
+                    # missing-file crash (mirrors restore's
+                    # vacuumed-target refusal).
                     sidecar = (
                         os.path.join(self._table.dv_dir, c["dv_add"]),
                     )
+                    marked = sorted(c.get("dv_counts", {}))
+                    gone = [
+                        f
+                        for f in marked
+                        if not os.path.exists(
+                            os.path.join(self._table.data_dir, f)
+                        )
+                    ]
+                    if gone:
+                        raise RuntimeError(
+                            f"txn stream: commit {v} ('{c['action']}') "
+                            "deletes rows from data files that have "
+                            "since been rewritten and vacuumed "
+                            f"({', '.join(gone[:3])}"
+                            f"{', ...' if len(gone) > 3 else ''}); this "
+                            "version is no longer readable as a change "
+                            "feed. Restart the change-feed stream from "
+                            "a newer startingVersion (inside the vacuum "
+                            "retention window)."
+                        )
                     parts.extend(
                         _FilePartition(
                             os.path.join(self._table.data_dir, f),
@@ -396,7 +477,7 @@ class TxnStreamReader(DataSourceStreamReader):
                             cdf_version=v,
                             cdf_select=True,
                         )
-                        for f in sorted(c.get("dv_counts", {}))
+                        for f in marked
                     )
                     continue
                 # position-delete metadata, no files added. A dv commit
@@ -454,7 +535,7 @@ class TxnStreamReader(DataSourceStreamReader):
             # dv snapshot applies only to files that existed at stream
             # start; post-start appends can't be covered by it (and
             # skipping the sidecar probe saves a scan per new file)
-            dv = self._dv_paths if v <= self._colmap_version else ()
+            dv = self._dv_paths if v <= self._snap_version else ()
             parts.extend(
                 _FilePartition(
                     os.path.join(self._table.data_dir, f),
