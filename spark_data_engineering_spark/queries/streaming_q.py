@@ -970,3 +970,156 @@ def streaming_materialized_view_revenue(spark: SparkSession, sf_dir: str) -> Dat
         "n_orders",
         F.col("rev_dec").cast("double").alias("revenue"),
     )
+
+
+def orders_cdf_merge_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached on source mtime+size+code digest) an orders
+    txn table whose history ends in a ``merge(cdf=True)`` — two appends,
+    a merge-on-read DV delete, then a MERGE that updates the %7==3 keys
+    (price+100, status 'U'), deletes the %11==6 keys via delete markers,
+    and inserts new 'N' keys for %13==5 — the MERGE-heavy lakehouse
+    shape whose change feed is only streamable through the persisted
+    update images (round 8; a diff-planned stream must abort here)."""
+    import hashlib
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+    from spark_data_engineering_spark.sources.txn import TxnTable
+    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+
+    spark.dataSource.register(TxnDataSource)
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"cdfm:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/cdfm-{digest}"
+    if not os.path.isdir(root):
+        import shutil as _sh
+
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_cdfm")
+        k = F.col("o_orderkey")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.filter(k % 2 == 0).repartition(3))
+        t.append(o.filter(k % 2 == 1).repartition(2))
+        t.delete_where_dv(spark, k % 9 == 4)
+        survivors = o.filter(~(k % 9 == 4))
+        src = (
+            survivors.filter((k % 7 == 3) & ~(k % 11 == 6))
+            .select(
+                k.alias("o_orderkey"),
+                F.lit("U").alias("o_orderstatus"),
+                (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+            )
+            .unionByName(
+                # delete markers: price<0 trips matched_delete_condition
+                survivors.filter(k % 11 == 6).select(
+                    k.alias("o_orderkey"),
+                    F.lit("X").alias("o_orderstatus"),
+                    F.lit(-1.0).alias("o_totalprice"),
+                )
+            )
+            .unionByName(
+                o.filter(k % 13 == 5).select(
+                    (k + F.lit(10_000_000)).alias("o_orderkey"),
+                    F.lit("N").alias("o_orderstatus"),
+                    F.lit(50.0).alias("o_totalprice"),
+                )
+            )
+        )
+        t.merge(
+            spark,
+            src,
+            on=["o_orderkey"],
+            matched_delete_condition=F.col("o_totalprice") < 0,
+            cdf=True,
+        )
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published first
+    return TxnTable(root, "orders_cdfm").table_dir
+
+
+@query(
+    "streaming_txn_cdf_merge_revenue",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE NOT o_orderkey % 9 = 4
+    ),
+    merged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 3 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 100
+                    ELSE o_totalprice END AS o_totalprice
+        FROM base WHERE NOT o_orderkey % 11 = 6
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', 50.0
+        FROM orders WHERE o_orderkey % 13 = 5
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def streaming_txn_cdf_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE update-images in the STREAMING change feed (round 8,
+    VERDICT r7 task 3): the table's history ends in ``merge(cdf=True)``
+    — updates, delete-markers, and inserts in one commit — and the
+    stream tails the whole log from version 0. The appends arrive as
+    inserts, the DV commit as sidecar-fetched delete rows, and the
+    MERGE as its PERSISTED change files (``update_preimage`` /
+    ``update_postimage`` / ``delete`` / ``insert`` — Delta CDF
+    granularity; without them the stream must abort, which
+    tests/test_txn_cdf_merge.py pins). A signed fold (preimage/delete:
+    -1, postimage/insert: +1, exact decimal sums) of the feed must
+    hash-match one-shot SQL that replays the merge semantics — a missed
+    image, a mis-signed retraction, or a double-read of the rewritten
+    files all break the arithmetic.
+
+    Scale: the merge's stream cost is the persisted change rows
+    (bounded by matched+inserted rows), never the rewritten files — the
+    property that makes a MERGE-heavy 100 TB table's CDF streamable at
+    all. Plan: commit-log metadata only; one partition per change file."""
+    table_dir = orders_cdf_merge_table_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.format("txn")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(table_dir)
+    )
+    sign = F.when(
+        F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
+    ).otherwise(F.lit(1))
+    agg = stream.groupBy("o_orderstatus").agg(
+        F.sum(sign).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * sign)
+        .cast("double")
+        .alias("revenue"),
+    )
+    name = "streaming_txn_cdf_merge_gate"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _txnstream_ckpt())
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("n_orders") > 0)
+        .select("o_orderstatus", "n_orders", "revenue")
+    )

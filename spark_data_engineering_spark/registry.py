@@ -85,6 +85,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_txn_sink_revenue",
     "streaming_txn_cdf_revenue",
     "streaming_materialized_view_revenue",
+    # round-8 surface, never checked (P1 by construction): MERGE
+    # update-images in the streaming change feed
+    "streaming_txn_cdf_merge_revenue",
     # --- P2: the 27-query r4-stale cohort (four rounds stale).
     "bottomk_sample_per_source",
     "scrub_boilerplate_segments",
@@ -124,7 +127,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "signup_click_purchase_funnel",
     "event_type_map_roundtrip",
-    "event_rollup_multires",
 )
 
 

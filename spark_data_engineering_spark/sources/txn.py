@@ -46,6 +46,10 @@ from pyspark.sql import functions as F
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
 _DV_DIR = "dv"
+# change-data files written at commit time by merge(cdf=True) — Delta's
+# _change_data dir: row-level pre/post-images persisted atomically with
+# the commit so the change feed is a pure scan, never a file diff
+_CDF_DIR = "cdf"
 _BRANCH_DIR = "_branches"
 _BRANCH_MARKER = "_branch_meta.json"
 _VERSION_DIGITS = 20
@@ -189,6 +193,7 @@ class TxnTable:
         self.log_dir = os.path.join(self.table_dir, _LOG_DIR)
         self.data_dir = os.path.join(self.table_dir, _DATA_DIR)
         self.dv_dir = os.path.join(self.table_dir, _DV_DIR)
+        self.cdf_dir = os.path.join(self.table_dir, _CDF_DIR)
         self.checkpoint_every = checkpoint_every
         # writer-side opt-in: stage-time per-file bloom filters over these
         # columns land in the commit stats (``__bloom_<col>``); pruning
@@ -208,6 +213,17 @@ class TxnTable:
             )
             self.dv_dir = os.path.normpath(
                 os.path.join(self.table_dir, rel["dv_dir"])
+            )
+            # pre-cdf markers lack the key: derive from the shared data
+            # dir's parent (the owner's table_dir layout is fixed)
+            self.cdf_dir = os.path.normpath(
+                os.path.join(
+                    self.table_dir,
+                    rel.get(
+                        "cdf_dir",
+                        os.path.join(rel["data_dir"], "..", _CDF_DIR),
+                    ),
+                )
             )
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
@@ -621,21 +637,25 @@ class TxnTable:
         mins["__num_rows"] = [md.num_rows, md.num_rows]
         return mins
 
-    def _stage(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
-        """Write df's files into data/ under a commit-unique prefix and
-        harvest their footer stats. Staged-but-uncommitted files are
-        invisible to readers (the log is the source of truth), so a crash
-        here leaks bytes, not rows."""
+    def _stage(
+        self, df: DataFrame, dest_dir: str | None = None
+    ) -> tuple[list[str], dict[str, dict]]:
+        """Write df's files into ``dest_dir`` (default data/) under a
+        commit-unique prefix and harvest their footer stats.
+        Staged-but-uncommitted files are invisible to readers (the log is
+        the source of truth), so a crash here leaks bytes, not rows."""
         cid = uuid.uuid4().hex
         staging = os.path.join(self.table_dir, f".staging-{cid}")
         df.write.mode("overwrite").parquet(staging)
+        out_dir = dest_dir or self.data_dir
+        os.makedirs(out_dir, exist_ok=True)
         names = []
         stats: dict[str, dict] = {}
         i = 0
         for f in sorted(os.listdir(staging)):
             if f.endswith(".parquet"):
                 name = f"{cid}-{i}.parquet"
-                dest = os.path.join(self.data_dir, name)
+                dest = os.path.join(out_dir, name)
                 os.rename(os.path.join(staging, f), dest)
                 names.append(name)
                 stats[name] = self._footer_minmax(dest)
@@ -647,21 +667,24 @@ class TxnTable:
         shutil.rmtree(staging)
         return names, stats
 
-    def _stage_nonempty(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
+    def _stage_nonempty(
+        self, df: DataFrame, dest_dir: str | None = None
+    ) -> tuple[list[str], dict[str, dict]]:
         """Stage df ONCE and drop the staging if it holds zero rows —
         replaces the limit(1).count() emptiness probe, which executed
         the whole rewrite plan a second time before _stage re-ran it
         (the dominant cost of a large merge/delete, paid twice)."""
         import pyarrow.parquet as _pq
 
-        add, stats = self._stage(df)
+        out_dir = dest_dir or self.data_dir
+        add, stats = self._stage(df, dest_dir=out_dir)
         rows = sum(
-            _pq.ParquetFile(os.path.join(self.data_dir, f)).metadata.num_rows
+            _pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
             for f in add
         )
         if rows == 0:
             for f in add:
-                os.unlink(os.path.join(self.data_dir, f))
+                os.unlink(os.path.join(out_dir, f))
             return [], {}
         return add, stats
 
@@ -907,6 +930,7 @@ class TxnTable:
         when_not_matched: str = "insert",
         matched_delete_condition=None,
         txn: tuple[str, int] | None = None,
+        cdf: bool = False,
     ) -> int:
         """MERGE INTO (upsert), copy-on-write: only files that actually
         contain a matching key are rewritten — discovered via one semi-join
@@ -932,6 +956,19 @@ class TxnTable:
         watermark into the commit (see ``_commit``); with ``txn`` set, a
         no-op merge still writes a metadata-only commit so the watermark
         always advances.
+
+        ``cdf=True`` (Delta's ``delta.enableChangeDataFeed``, per-commit):
+        the row-level change set — ``update_preimage`` /
+        ``update_postimage`` pairs for updated rows, ``delete`` for
+        delete-marker hits, ``insert`` for new keys — is persisted as
+        parquet under ``cdf/`` atomically with the commit (recorded as
+        ``cdf_add``). ``read_changes`` and the streaming change feed then
+        consume the merge as a pure scan: no file diff, no abort — the
+        only way a MERGE-heavy 100 TB table can stream its CDF, since
+        the change rows are bounded by matched+inserted rows while the
+        rewrite diff touches every row of every rewritten file. Costs one
+        extra pass over the matched rows at merge time (Delta pays the
+        same); leave off for tables nobody streams.
         """
         if when_matched not in ("update", "delete", None):
             raise ValueError(f"when_matched={when_matched!r}")
@@ -964,6 +1001,9 @@ class TxnTable:
             # evolved tables)
             schema = self._merged_schema(source)
             parts = []
+            changes = []  # (frame, change_type) when cdf=True
+            upd = None
+            t_rows = None
             if touched:
                 t_rows = self._conform(
                     self._read_files_meta(spark, touched, at_version=v0).drop(
@@ -999,6 +1039,48 @@ class TxnTable:
                         ~F.coalesce(matched_delete_condition, F.lit(False))
                     )
                 parts.append(ins)
+                if cdf:
+                    changes.append((ins, "insert"))
+            if cdf and t_rows is not None and when_matched is not None:
+                # matched target rows, split by outcome. The pre-images
+                # come from the TARGET side (old values, full target
+                # multiplicity); the post-images are exactly the rewritten
+                # ``upd`` frame, so pre and post agree row-for-row with
+                # what the data commit stages.
+                src_keys = src.select(*on).distinct()
+                matched = t_rows.join(F.broadcast(src_keys), on, "left_semi")
+                if when_matched == "delete":
+                    changes.append((matched, "delete"))
+                else:
+                    if matched_delete_condition is not None:
+                        del_keys = (
+                            src.filter(
+                                F.coalesce(
+                                    matched_delete_condition, F.lit(False)
+                                )
+                            )
+                            .select(*on)
+                            .distinct()
+                        )
+                        changes.append(
+                            (
+                                matched.join(
+                                    F.broadcast(del_keys), on, "left_semi"
+                                ),
+                                "delete",
+                            )
+                        )
+                        changes.append(
+                            (
+                                matched.join(
+                                    F.broadcast(del_keys), on, "left_anti"
+                                ),
+                                "update_preimage",
+                            )
+                        )
+                    else:
+                        changes.append((matched, "update_preimage"))
+                    changes.append((upd, "update_postimage"))
             if not parts:
                 return self.version()
             out = parts[0]
@@ -1007,8 +1089,26 @@ class TxnTable:
             add, stats = self._stage_nonempty(out)
             if not add and not touched and txn is None:
                 return self.version()
+            cdf_add: list[str] = []
+            if cdf and changes:
+                chg = changes[0][0].withColumn(
+                    "_change_type", F.lit(changes[0][1])
+                )
+                for frame, kind in changes[1:]:
+                    chg = chg.unionByName(
+                        frame.withColumn("_change_type", F.lit(kind)),
+                        allowMissingColumns=True,
+                    )
+                cdf_add, _ = self._stage_nonempty(chg, dest_dir=self.cdf_dir)
             return self._commit(
-                "merge", add, touched, stats, txn=txn, schema=schema, base_version=v0
+                "merge",
+                add,
+                touched,
+                stats,
+                txn=txn,
+                schema=schema,
+                base_version=v0,
+                extra={"cdf_add": cdf_add} if cdf_add else None,
             )
         finally:
             src.unpersist()
@@ -1552,6 +1652,32 @@ class TxnTable:
                 else:
                     _unlink(path)
                 removed.append(d)
+        # change-data files (merge(cdf=True)): a committed cdf file is
+        # referenced by its commit record for as long as that commit is
+        # in the log (the change feed reads raw commits, not snapshots),
+        # so only ORPHANS — stagings from a merge that crashed between
+        # cdf staging and commit — are garbage, guarded by min_age_s
+        # like every other staged artifact. Branch logs are walked too
+        # (a branch merge's cdf files land in the shared dir).
+        if os.path.isdir(self.cdf_dir):
+            cdf_keep: set[str] = set()
+            for tdir in [self.table_dir, *branch_dirs]:
+                log = os.path.join(tdir, _LOG_DIR)
+                if not os.path.isdir(log):
+                    continue
+                t = self if tdir == self.table_dir else TxnTable(
+                    os.path.dirname(tdir), os.path.basename(tdir)
+                )
+                for cv in t._commit_files():
+                    cdf_keep.update(t._read_commit(cv).get("cdf_add", ()))
+            for f in os.listdir(self.cdf_dir):
+                path = os.path.join(self.cdf_dir, f)
+                if (
+                    f not in cdf_keep
+                    and now - os.path.getmtime(path) >= min_age_s
+                ):
+                    _unlink(path)
+                    removed.append(f)
         return sorted(removed)
 
     def history(self) -> list[dict]:
@@ -1566,8 +1692,11 @@ class TxnTable:
         """Change-data feed over ``(from_version, to_version]`` — the
         primitive an incremental downstream pipeline consumes instead of
         re-reading the table (Delta CDF). Emits the table columns plus
-        ``_change_type`` ('insert' | 'delete'; a MERGE update appears as
-        a delete+insert pair) and ``_commit_version``.
+        ``_change_type`` and ``_commit_version``. A merge committed with
+        ``cdf=True`` reports Delta's full granularity
+        ('update_preimage' / 'update_postimage' / 'delete' / 'insert')
+        from its persisted change files; any other MERGE update appears
+        as a delete+insert pair reconstructed by file diff.
 
         Append-family commits are metadata-only to plan: the added files
         ARE the inserts. Rewrite commits (merge/delete/overwrite) diff
@@ -1602,12 +1731,27 @@ class TxnTable:
         frames = []
         for v in range(from_version + 1, to + 1):
             c = self._read_commit(v)
+            if c["action"] in ("compact", "dv-prune"):
+                continue  # net-zero row change by construction
+            if c.get("cdf_add"):
+                # merge(cdf=True): the change rows were persisted at
+                # commit time — a pure scan with full update_preimage /
+                # update_postimage granularity, and no dependence on the
+                # rewritten data files (which a later compact+vacuum may
+                # have removed; the file diff below would need them)
+                raw = spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.cdf_dir, n) for n in c["cdf_add"]]
+                )
+                frames.append(
+                    self._conform(raw, v, keep=("_change_type",)).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
+                )
+                continue
             added = rd(c.get("add", []), v, v)
             removed = rd(c.get("remove", []), v, v - 1)
             if c["action"] in ("append", "streaming-append"):
                 ins, rem = added, None
-            elif c["action"] in ("compact", "dv-prune"):
-                continue  # net-zero row change by construction
             elif c["action"] in ("delete_dv", "branch-dv"):
                 # the sidecar IS the delete set: its positions, read from
                 # the still-live data files. branch-dv (a branch's
@@ -1757,6 +1901,7 @@ class TxnTable:
         )
         b.data_dir = self.data_dir
         b.dv_dir = self.dv_dir
+        b.cdf_dir = self.cdf_dir
         # persist the shared-dir pointer so ANY later open of this path
         # (vacuum's ref walk, format("txn"), plain TxnTable(...)) resolves
         # the owner's data/dv dirs — relative, so the tree can move
@@ -1768,6 +1913,7 @@ class TxnTable:
                     {
                         "data_dir": os.path.relpath(self.data_dir, b.table_dir),
                         "dv_dir": os.path.relpath(self.dv_dir, b.table_dir),
+                        "cdf_dir": os.path.relpath(self.cdf_dir, b.table_dir),
                     },
                     fh,
                 )
@@ -2060,6 +2206,16 @@ class TxnTable:
                     **(
                         {"dv_counts_restore": rec["dv_counts_restore"]}
                         if rec.get("dv_counts_restore")
+                        else {}
+                    ),
+                    # a replayed merge(cdf=True): the change files live
+                    # in the SHARED cdf dir, so forwarding the names
+                    # keeps the parent's change feed pure-scan for the
+                    # merged-in commit (dropping them would silently
+                    # downgrade it to the abort-or-diff path)
+                    **(
+                        {"cdf_add": rec["cdf_add"]}
+                        if rec.get("cdf_add")
                         else {}
                     ),
                 },

@@ -48,6 +48,7 @@ class _FilePartition(InputPartition):
         cdf_type: str | None = None,
         cdf_version: int | None = None,
         cdf_select: bool = False,
+        cdf_from_file: bool = False,
     ) -> None:
         self.path = path
         # deletion-vector sidecar dirs whose positions must be dropped
@@ -63,10 +64,14 @@ class _FilePartition(InputPartition):
         # change-data-feed markers: rows from this partition carry
         # (_change_type=cdf_type, _commit_version=cdf_version); with
         # cdf_select the single dv_paths sidecar SELECTS the rows (the
-        # delete set) instead of dropping them
+        # delete set) instead of dropping them; with cdf_from_file the
+        # partition reads a PERSISTED change file (merge(cdf=True)) whose
+        # _change_type rides as a real column — only _commit_version is
+        # appended as a constant
         self.cdf_type = cdf_type
         self.cdf_version = cdf_version
         self.cdf_select = cdf_select
+        self.cdf_from_file = cdf_from_file
 
 
 def _arrow_to_ddl(path: str) -> str:
@@ -507,6 +512,25 @@ class TxnStreamReader(DataSourceStreamReader):
                 continue
             if self._cdf and c["action"] == "compact":
                 continue  # net-zero row change by construction
+            if self._cdf and c.get("cdf_add"):
+                # merge(cdf=True): row-level pre/post-images were
+                # persisted at commit time — stream them as a pure scan
+                # (one partition per change file; _change_type is a real
+                # column in the file, so only the version is appended).
+                # This is how a MERGE-heavy table streams its CDF at all:
+                # the change rows are bounded by matched+inserted rows,
+                # and no metadata-only diff of a rewrite commit exists.
+                parts.extend(
+                    _FilePartition(
+                        os.path.join(self._table.cdf_dir, f),
+                        (),
+                        self._colmap,
+                        cdf_version=v,
+                        cdf_from_file=True,
+                    )
+                    for f in c["cdf_add"]
+                )
+                continue
             if (
                 c["action"] not in ("append", "streaming-append", "branch")
                 and not self._ignore_changes
@@ -553,6 +577,27 @@ class TxnStreamReader(DataSourceStreamReader):
         if not partition.path:
             return iter(())
         ct = getattr(partition, "cdf_type", None)
+        if getattr(partition, "cdf_from_file", False):
+            # persisted change file (merge(cdf=True)): _change_type is a
+            # REAL column of the file — read it through the projection
+            # (the colmap has no entry for it, so it resolves to itself)
+            # and append only the version constant
+            from pyspark.sql.types import StructType as _St
+
+            with_type = _St(
+                [
+                    f
+                    for f in self._schema.fields
+                    if f.name != "_commit_version"
+                ]
+            )
+            cv = partition.cdf_version
+            return (
+                (*row, cv)
+                for row in _read_file(
+                    partition.path, with_type, (), partition.colmap
+                )
+            )
         if ct is not None:
             # change-feed rows: table columns from the file, then the
             # two metadata columns as partition-level constants (they
