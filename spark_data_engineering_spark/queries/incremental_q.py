@@ -408,6 +408,88 @@ def zorder_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_partition_pruned_revenue",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND CAST(YEAR(o_orderdate) AS INT) = 1996
+    GROUP BY 1
+    """,
+)
+def txn_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITION PRUNING end-to-end (round 8, VERDICT r7
+    task 6): orders land in a txn table declared
+    ``partition_cols=("o_orderstatus", "o_year")`` — every staged file
+    is value-pure and carries Delta-style ``partitionValues`` in the
+    commit log — and a (status, year) point query plans its scan from
+    that metadata alone: ``prune_files`` keeps EXACTLY the files of the
+    one queried partition, checked here by a pinned files-read
+    assertion (the kept set must equal the partition's recorded file
+    set, and be a strict subset of the live set) before the result is
+    computed and hash-matched against plain SQL. This is the first
+    pruning lever a 100 TB table reaches for: the scan cost tracks the
+    queried partition's bytes, not the table's, and planning touches a
+    few KB of log JSON — no listing, no footers, no data pages."""
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    from spark_data_engineering_spark.cacheutil import code_digest
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    digest = hashlib.md5(
+        f"partition:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    root = f"/tmp/spark_de_incremental/partition-{digest}"
+    table = TxnTable(
+        root, "orders_part", partition_cols=("o_orderstatus", "o_year")
+    )
+    if table.version() == 0:
+        o = (
+            load_table(spark, "orders", sf_dir)
+            .select(
+                "o_orderstatus",
+                "o_orderpriority",
+                "o_totalprice",
+                "o_orderdate",
+            )
+            .withColumn("o_year", F.year("o_orderdate"))
+        )
+        # one task per partition combo -> one file per combo; overwrite
+        # (not append) so racing builders converge (zorder pattern)
+        table.overwrite(o.repartition("o_orderstatus", "o_year"))
+    want = {"o_orderstatus": "F", "o_year": 1996}
+    pruned = table.prune_files(None, equals=want)
+    stats = table.file_stats()
+    expect = sorted(
+        name
+        for name, cols in stats.items()
+        if cols.get("partitionValues", {}).get("o_orderstatus") == "F"
+        and cols.get("partitionValues", {}).get("o_year") == "1996"
+    )
+    # the pinned files-read count: partition pruning is EXACT — the
+    # planned scan is the one queried partition, nothing more or less,
+    # and it genuinely skips the rest of the table
+    if pruned != expect or not pruned or len(pruned) >= len(stats):
+        raise AssertionError(
+            f"partition pruning not exact: kept {len(pruned)} of "
+            f"{len(stats)} files, expected {len(expect)}"
+        )
+    return (
+        table.read(spark, prune_eq=want)
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_year") == 1996))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
     "txn_snapshot_join",
     oracle="""
     SELECT c_mktsegment AS mktsegment,

@@ -85,9 +85,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_txn_sink_revenue",
     "streaming_txn_cdf_revenue",
     "streaming_materialized_view_revenue",
-    # round-8 surface, never checked (P1 by construction): MERGE
-    # update-images in the streaming change feed
+    # round-8 surfaces, never checked (P1 by construction): MERGE
+    # update-images in the streaming change feed; hive-style partition
+    # pruning with a pinned files-read assertion
     "streaming_txn_cdf_merge_revenue",
+    "txn_partition_pruned_revenue",
     # --- P2: the 27-query r4-stale cohort (four rounds stale).
     "bottomk_sample_per_source",
     "scrub_boilerplate_segments",
@@ -126,7 +128,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "asof_purchase_click",
     "sessionize_events",
     "signup_click_purchase_funnel",
-    "event_type_map_roundtrip",
 )
 
 

@@ -188,6 +188,7 @@ class TxnTable:
         name: str,
         checkpoint_every: int = 10,
         bloom_cols: tuple[str, ...] = (),
+        partition_cols: tuple[str, ...] = (),
     ) -> None:
         self.table_dir = os.path.join(root, name)
         self.log_dir = os.path.join(self.table_dir, _LOG_DIR)
@@ -199,6 +200,12 @@ class TxnTable:
         # columns land in the commit stats (``__bloom_<col>``); pruning
         # honors whatever blooms exist regardless of this setting
         self.bloom_cols = tuple(bloom_cols)
+        # hive-style table partitioning (Delta's partitionBy): declared
+        # at creation, recorded in every commit that follows, immutable
+        # once recorded (a reopen with a conflicting declaration is
+        # refused). See partition_cols() for resolution.
+        self._pcols_param = tuple(partition_cols)
+        self._pcols_cache: tuple[str, ...] | None = None
         # a BRANCH persists a marker pointing at the owner's shared
         # data/dv dirs (relative, so the tree can move) — any direct
         # open (vacuum's ref walk, format("txn") on a branch path, a
@@ -321,6 +328,36 @@ class TxnTable:
                     deleted[f] = deleted.get(f, 0) + int(n)
         return sidecars, deleted
 
+    def partition_cols(self, at_version: int | None = None) -> tuple[str, ...]:
+        """The table's declared hive-style partition columns — a LOG
+        property like the schema: recorded by every commit of a
+        partitioned table, resolved from the latest commit carrying the
+        field (so any plain reopen — vacuum's ref walk, the datasource,
+        a bare ``TxnTable(root, name)`` — partitions identically to the
+        creating handle). Immutable once recorded: re-declaring a
+        different layout on an existing table is refused instead of
+        silently mixing layouts within one data dir."""
+        head = self.version() if at_version is None else at_version
+        if at_version is None and self._pcols_cache is not None:
+            return self._pcols_cache
+        found: tuple[str, ...] = ()
+        for v in reversed(self._commit_files()):
+            if v <= head:
+                c = self._read_commit(v)
+                if "partition_cols" in c:
+                    found = tuple(c["partition_cols"])
+                    break
+        if at_version is not None:
+            return found
+        if found and self._pcols_param and self._pcols_param != found:
+            raise ValueError(
+                f"table {self.table_dir} is partitioned by {found}; "
+                f"re-declaring partition_cols={self._pcols_param} is "
+                "refused (partitioning is immutable once recorded)"
+            )
+        self._pcols_cache = found or self._pcols_param
+        return self._pcols_cache
+
     def file_stats(self, at_version: int | None = None) -> dict[str, dict]:
         """Per-live-file column min/max collected at commit time (from the
         parquet footers, no data read). The log — not the files — is the
@@ -390,7 +427,20 @@ class TxnTable:
         kept = []
         for name, cols in stats.items():
             keep = True
-            for col, (lo, hi) in (ranges or {}).items():
+            part = cols.get("partitionValues") or {}
+            for col, val in (equals or {}).items():
+                # COARSE PARTITION PRUNING first (hive/Delta
+                # partitionValues): a value-pure file either IS the
+                # queried partition or is skipped — exact, metadata-only,
+                # no bloom probe or minmax comparison needed. Files
+                # without a recorded value for the column (pre-partition
+                # commits, connector-written files) fall through to the
+                # stats checks below, conservatively.
+                if col in part:
+                    if part[col] is None or str(val) != part[col]:
+                        keep = False
+                        break
+            for col, (lo, hi) in (ranges or {}).items() if keep else ():
                 mm = cols.get(col)
                 if mm is None:
                     continue
@@ -402,6 +452,8 @@ class TxnTable:
                     keep = False
                     break
             for col, val in (equals or {}).items() if keep else ():
+                if col in part:
+                    continue  # already matched exactly above
                 mm = cols.get(col)
                 try:
                     if mm is not None and (val < mm[0] or val > mm[1]):
@@ -505,6 +557,12 @@ class TxnTable:
                                 f"vector landed on {sorted(hit)[:3]}..."
                             )
             record = {"version": head + 1, "action": action, "add": add, "remove": remove}
+            pc = self.partition_cols()
+            if pc:
+                # re-recorded on every commit of a partitioned table so
+                # resolution never walks past the most recent commits
+                # (and a branch seed / replay carries it forward)
+                record["partition_cols"] = list(pc)
             if extra:
                 # provenance fields (e.g. merged_from) — never dispatched
                 # on, so downstream action-string consumers (read_changes,
@@ -629,11 +687,12 @@ class TxnTable:
                     mins[name] = [lo, hi]
         # file row count rides along under a reserved key (footer
         # metadata, zero data read) — powers metadata-only COUNT(*)
-        if "__num_rows" in mins or "__num_rows" in bad:
-            raise ValueError(
-                "'__num_rows' is a reserved stats key; rename the column "
-                "(a real __num_rows column would corrupt pruning)"
-            )
+        for reserved in ("__num_rows", "partitionValues"):
+            if reserved in mins or reserved in bad:
+                raise ValueError(
+                    f"'{reserved}' is a reserved stats key; rename the "
+                    "column (it would corrupt pruning metadata)"
+                )
         mins["__num_rows"] = [md.num_rows, md.num_rows]
         return mins
 
@@ -643,15 +702,73 @@ class TxnTable:
         """Write df's files into ``dest_dir`` (default data/) under a
         commit-unique prefix and harvest their footer stats.
         Staged-but-uncommitted files are invisible to readers (the log is
-        the source of truth), so a crash here leaks bytes, not rows."""
+        the source of truth), so a crash here leaks bytes, not rows.
+
+        On a PARTITIONED table (``partition_cols``), data-dir staging
+        writes through ``partitionBy`` over shadow copies of the
+        partition columns (``__p_<col>``) so every staged file is
+        VALUE-PURE — one partition-value combo per file — while the
+        real columns stay in the data (no read-path changes, unlike
+        hive layout which drops them). The combo, parsed from the hive
+        dir names, is recorded per file in the commit stats as
+        ``partitionValues`` (Delta's field) — the metadata
+        ``prune_files`` matches exactly, before bloom/minmax. Files
+        land FLAT in data/; the hive dirs exist only inside the
+        staging dir."""
         cid = uuid.uuid4().hex
         staging = os.path.join(self.table_dir, f".staging-{cid}")
-        df.write.mode("overwrite").parquet(staging)
         out_dir = dest_dir or self.data_dir
-        os.makedirs(out_dir, exist_ok=True)
+        pcols = self.partition_cols() if out_dir == self.data_dir else ()
         names = []
         stats: dict[str, dict] = {}
         i = 0
+        if pcols:
+            missing = [c for c in pcols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"partitioned write is missing partition column(s) "
+                    f"{missing}; the table is partitioned by {pcols}"
+                )
+            w = df
+            for c in pcols:
+                w = w.withColumn(f"__p_{c}", F.col(c).cast("string"))
+            w.write.mode("overwrite").partitionBy(
+                *[f"__p_{c}" for c in pcols]
+            ).parquet(staging)
+            os.makedirs(out_dir, exist_ok=True)
+            from urllib.parse import unquote
+
+            for dirpath, _dirs, fnames in sorted(os.walk(staging)):
+                segs = [
+                    s
+                    for s in os.path.relpath(dirpath, staging).split(os.sep)
+                    if s.startswith("__p_")
+                ]
+                vals = {}
+                for s in segs:
+                    k, _, v = s.partition("=")
+                    vals[k[len("__p_"):]] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                    )
+                for f in sorted(fnames):
+                    if not f.endswith(".parquet"):
+                        continue
+                    name = f"{cid}-{i}.parquet"
+                    dest = os.path.join(out_dir, name)
+                    os.rename(os.path.join(dirpath, f), dest)
+                    names.append(name)
+                    st = self._footer_minmax(dest)
+                    st["partitionValues"] = {c: vals.get(c) for c in pcols}
+                    for col in self.bloom_cols:
+                        b = _file_bloom(dest, col)
+                        if b is not None:
+                            st[f"__bloom_{col}"] = b
+                    stats[name] = st
+                    i += 1
+            shutil.rmtree(staging)
+            return names, stats
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(out_dir, exist_ok=True)
         for f in sorted(os.listdir(staging)):
             if f.endswith(".parquet"):
                 name = f"{cid}-{i}.parquet"
@@ -1937,6 +2054,11 @@ class TxnTable:
         schema = self.table_schema(base_v)
         if schema:
             seed["schema"] = schema
+        pc = self.partition_cols(base_v)
+        if pc:
+            # the branch stages into the SHARED data dir: it must
+            # partition exactly like the parent
+            seed["partition_cols"] = list(pc)
         if not b._try_commit(seed):
             return  # racing creation: the winner's seed is equivalent
         sidecars, deleted = self.dv_state(base_v)

@@ -72,10 +72,25 @@ _MAXOPS = int(os.environ.get("TXN_MODEL_MAXOPS", "7"))
 
 
 @settings(max_examples=_EXAMPLES, deadline=None)
-@given(st.lists(_op, min_size=2, max_size=_MAXOPS), st.integers(0, 10**6))
-def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops, seq_id):
+@given(
+    st.lists(_op, min_size=2, max_size=_MAXOPS),
+    st.integers(0, 10**6),
+    st.booleans(),
+)
+def test_random_op_sequence_matches_model(
+    spark, tmp_path_factory, ops, seq_id, partitioned
+):
+    # half the searches run on a hive-PARTITIONED table (partition col =
+    # the value column, so every staged file is value-pure): every op
+    # interaction — append/delete/dv/compact/merge/branch/restore — then
+    # exercises the partitioned staging path and the same invariants
     root = str(tmp_path_factory.mktemp(f"txnmodel{seq_id}"))
-    table = TxnTable(root, "t", checkpoint_every=3)
+    table = TxnTable(
+        root,
+        "t",
+        checkpoint_every=3,
+        partition_cols=("val",) if partitioned else (),
+    )
     model: list[int] = []
     snapshots: dict[int, list[int]] = {}
     last_epoch = 0  # exactly-once watermark model for app "m"
@@ -201,6 +216,28 @@ def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops, seq_id):
     # every committed version time-travels to its exact snapshot
     for v, snap in snapshots.items():
         assert read_vals(at_version=v) == snap, f"time travel v{v}"
+
+    # partitioned: partition pruning is EXACT for every surviving value
+    # (pruned read == filtered model), and each kept file's recorded
+    # partitionValues is the queried value (value-purity held through
+    # every rewrite — delete/compact/merge/branch replay)
+    if partitioned and model and table.version() > 0:
+        probe = sorted(set(model))[: 3]
+        stats = table.file_stats()
+        for x in probe:
+            kept = table.prune_files(None, equals={"val": x})
+            got = sorted(
+                r.val
+                for r in table.read(spark, prune_eq={"val": x})
+                .filter(F.col("val") == x)
+                .collect()
+            )
+            assert got == [v for v in sorted(model) if v == x], f"prune {x}"
+            for f in kept:
+                pv = stats[f].get("partitionValues")
+                assert pv is not None and pv.get("val") == str(x), (
+                    f"file {f} kept for val={x} carries {pv}"
+                )
 
     # the change feed is CONSERVATIVE over any op mix: folding
     # read_changes(0) — insert +1 / delete -1 per row — must land on

@@ -118,7 +118,18 @@ def test_vacuum_collects_abandoned_rebase_scratch(spark, tmp_path):
     bdir = os.path.join(t.table_dir, "_branches")
     for d in (".rebase-dead", ".trash-dead"):
         os.makedirs(os.path.join(bdir, d, "_txn_log"), exist_ok=True)
+    # min_age_s=0 must NOT collect the scratch (round-7 ADVICE: the
+    # .trash-* copy is the only recovery line after a crash mid-swap —
+    # a routine zero-retention vacuum right after the crash would
+    # destroy it); a positive retention window still collects.
     removed = t.vacuum(min_age_s=0.0)
+    assert ".rebase-dead" not in removed and ".trash-dead" not in removed
+    import time as _time
+
+    old = _time.time() - 7200
+    for d in (".rebase-dead", ".trash-dead"):
+        os.utime(os.path.join(bdir, d), (old, old))
+    removed = t.vacuum(min_age_s=1.0)
     assert ".rebase-dead" in removed and ".trash-dead" in removed
     # the real branch survived untouched
     assert _ids(spark, t.branch("fix")) == list(range(40)) + [200, 201, 202]
