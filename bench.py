@@ -119,6 +119,11 @@ HEADLINE = (
     "rrf_fusion_search",
     "txn_branch_merge_revenue",
     "txn_writer_roundtrip_revenue",
+    # streaming CDF of a MERGE-heavy table (round-8 surface; 2.8 s
+    # steady-state at sf0.1 crosses the must-bench bar). Its sibling
+    # txn_partition_pruned_revenue stays unbenched at 0.36 s cached
+    # (under the bar; scale row in SCALE.md).
+    "streaming_txn_cdf_merge_revenue",
 )
 
 

@@ -407,31 +407,13 @@ def zorder_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "txn_partition_pruned_revenue",
-    oracle="""
-    SELECT o_orderpriority AS priority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-    FROM orders
-    WHERE o_orderstatus = 'F' AND CAST(YEAR(o_orderdate) AS INT) = 1996
-    GROUP BY 1
-    """,
-)
-def txn_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-style PARTITION PRUNING end-to-end (round 8, VERDICT r7
-    task 6): orders land in a txn table declared
-    ``partition_cols=("o_orderstatus", "o_year")`` — every staged file
-    is value-pure and carries Delta-style ``partitionValues`` in the
-    commit log — and a (status, year) point query plans its scan from
-    that metadata alone: ``prune_files`` keeps EXACTLY the files of the
-    one queried partition, checked here by a pinned files-read
-    assertion (the kept set must equal the partition's recorded file
-    set, and be a strict subset of the live set) before the result is
-    computed and hash-matched against plain SQL. This is the first
-    pruning lever a 100 TB table reaches for: the scan cost tracks the
-    queried partition's bytes, not the table's, and planning touches a
-    few KB of log JSON — no listing, no footers, no data pages."""
+def orders_partitioned_table(spark: SparkSession, sf_dir: str) -> TxnTable:
+    """Build (once, cached on source mtime+size+code digest) the orders
+    txn table partitioned by (o_orderstatus, o_year) — shared by
+    ``txn_partition_pruned_revenue`` (library-API pruning with the
+    pinned files-read assertion) and ``txn_pushdown_revenue`` (the SAME
+    pruning reached through Catalyst filter pushdown on
+    ``format("txn")``), so both gates plan over the identical log."""
     stat = os.stat(f"{sf_dir}/orders.parquet")
     from spark_data_engineering_spark.cacheutil import code_digest
     from spark_data_engineering_spark.sources import txn as _txn_mod
@@ -459,6 +441,35 @@ def txn_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one task per partition combo -> one file per combo; overwrite
         # (not append) so racing builders converge (zorder pattern)
         table.overwrite(o.repartition("o_orderstatus", "o_year"))
+    return table
+
+
+@query(
+    "txn_partition_pruned_revenue",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND CAST(YEAR(o_orderdate) AS INT) = 1996
+    GROUP BY 1
+    """,
+)
+def txn_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITION PRUNING end-to-end (round 8, VERDICT r7
+    task 6): orders land in a txn table declared
+    ``partition_cols=("o_orderstatus", "o_year")`` — every staged file
+    is value-pure and carries Delta-style ``partitionValues`` in the
+    commit log — and a (status, year) point query plans its scan from
+    that metadata alone: ``prune_files`` keeps EXACTLY the files of the
+    one queried partition, checked here by a pinned files-read
+    assertion (the kept set must equal the partition's recorded file
+    set, and be a strict subset of the live set) before the result is
+    computed and hash-matched against plain SQL. This is the first
+    pruning lever a 100 TB table reaches for: the scan cost tracks the
+    queried partition's bytes, not the table's, and planning touches a
+    few KB of log JSON — no listing, no footers, no data pages."""
+    table = orders_partitioned_table(spark, sf_dir)
     want = {"o_orderstatus": "F", "o_year": 1996}
     pruned = table.prune_files(None, equals=want)
     stats = table.file_stats()
@@ -480,6 +491,136 @@ def txn_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.read(spark, prune_eq=want)
         .filter((F.col("o_orderstatus") == "F") & (F.col("o_year") == 1996))
         .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "txn_pushdown_revenue",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND CAST(YEAR(o_orderdate) AS INT) = 1997
+    GROUP BY 1
+    """,
+)
+def txn_pushdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALYST FILTER PUSHDOWN through ``format("txn")`` (round 8,
+    Spark 4.1 ``DataSourceReader.pushFilters``): the SAME partitioned
+    table as ``txn_partition_pruned_revenue``, but the pruning lever is
+    pulled by the optimizer — a plain ``spark.read.format("txn")`` +
+    ``.filter(...)`` job (no library API in the read path) and the
+    connector prunes its planned file set to the one queried
+    (status, year) partition from commit-log partitionValues; every
+    filter is returned to Spark for exact re-application, so pruning
+    can only shrink the scan. The files-read pinning lives in
+    tests/test_txn_pushdown.py (partition-count asserts); this gate
+    pins the VALUES. This is the piece that makes the table format's
+    data skipping reachable by ANY Spark job that knows only the
+    format string — at 100 TB the difference between scanning one
+    partition and scanning the table."""
+    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+
+    spark.dataSource.register(TxnDataSource)
+    table = orders_partitioned_table(spark, sf_dir)
+    df = spark.read.format("txn").load(table.table_dir)
+    return (
+        df.filter((F.col("o_orderstatus") == "F") & (F.col("o_year") == 1997))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "txn_replace_where_revenue",
+    oracle="""
+    WITH merged AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderstatus = 'F'
+                         AND CAST(YEAR(o_orderdate) AS INT) = 1997
+                    THEN o_totalprice + 50
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def txn_replace_where_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE under the gate (round 8, Delta's
+    ``replaceWhere``): orders land partitioned by (status, year), then
+    the (F, 1997) partition is REPLACED with corrected rows (prices
+    +50) via ``overwrite(replace_where=...)`` — the idempotent
+    daily-batch pattern. The commit removes ONLY that partition's
+    files; the in-query pin asserts every other live file survived the
+    replace byte-identical (same names). The full-table aggregate must
+    hash-match SQL that applies the correction to exactly that slice —
+    a leaked row, an over-wide remove, or a double-applied correction
+    all break the hash. At 100 TB: re-running a day's load rewrites
+    the day's partition, never the table."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"rw:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/rw-{digest}"
+    if not os.path.isdir(root):
+        import shutil as _sh
+
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(
+            tmp_root, "orders_rw", partition_cols=("o_orderstatus", "o_year")
+        )
+        o = (
+            load_table(spark, "orders", sf_dir)
+            .select("o_orderstatus", "o_totalprice", "o_orderdate")
+            .withColumn("o_year", F.year("o_orderdate"))
+        )
+        t.overwrite(o.repartition("o_orderstatus", "o_year"))
+        before = set(t.live_files())
+        slice_ = o.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_year") == 1997)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(50.0))
+        t.overwrite(slice_, replace_where={"o_orderstatus": "F", "o_year": 1997})
+        # pin: the replace touched ONLY the (F, 1997) partition — every
+        # other pre-replace file is still live under the same name
+        part = {
+            n
+            for n, c in t.file_stats(1).items()
+            if c["partitionValues"]
+            == {"o_orderstatus": "F", "o_year": "1997"}
+        }
+        if not part or not (before - part) <= set(t.live_files()):
+            raise AssertionError("replace_where touched other partitions")
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published first
+    table = TxnTable(root, "orders_rw")
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))

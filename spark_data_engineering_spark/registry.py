@@ -87,9 +87,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_materialized_view_revenue",
     # round-8 surfaces, never checked (P1 by construction): MERGE
     # update-images in the streaming change feed; hive-style partition
-    # pruning with a pinned files-read assertion
+    # pruning with a pinned files-read assertion; the same pruning
+    # reached through Catalyst filter pushdown on format("txn")
     "streaming_txn_cdf_merge_revenue",
     "txn_partition_pruned_revenue",
+    "txn_pushdown_revenue",
+    "txn_replace_where_revenue",
     # --- P2: the 27-query r4-stale cohort (four rounds stale).
     "bottomk_sample_per_source",
     "scrub_boilerplate_segments",
@@ -126,8 +129,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "doc_repetition_metrics",
     "doc_pii_scrub",
     "asof_purchase_click",
-    "sessionize_events",
-    "signup_click_purchase_funnel",
 )
 
 

@@ -61,6 +61,9 @@ def get_spark(
         # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark won't
         # read natively; read as long and convert in the source adapter.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python data-source filter pushdown (Spark 4.1): lets the txn
+        # connector prune its planned file set from commit-log metadata
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -925,12 +925,80 @@ class TxnTable:
         add, stats = self._stage(df)
         return self._commit("append", add, [], stats, schema=schema)
 
-    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        replace_where: dict[str, object] | None = None,
+    ) -> int:
+        """Full-snapshot replace, or — with ``replace_where`` on a
+        partitioned table — DYNAMIC PARTITION OVERWRITE (Delta's
+        ``replaceWhere``): only the files whose recorded
+        ``partitionValues`` match every (column, value) pair are
+        replaced; every other partition survives byte-identical. This is
+        the idempotent daily-batch pattern at 100 TB — re-running a
+        day's load rewrites that day's partition, never the table.
+
+        Contract guards (both refused loudly, not silently narrowed):
+        ``replace_where`` keys must be partition columns, and every
+        incoming row must fall INSIDE the replaced partition (staged
+        files' values are checked before commit; Delta's constraint) —
+        otherwise the commit would silently leak rows into partitions it
+        did not replace."""
         # resolve the files to replace BEFORE staging; _commit re-validates
         schema = self._merged_schema(df)
-        removed = self.live_files()
-        add, stats = self._stage(df)
-        return self._commit("overwrite", add, removed, stats, txn=txn, schema=schema)
+        if replace_where is None:
+            removed = self.live_files()
+            add, stats = self._stage(df)
+            return self._commit(
+                "overwrite", add, removed, stats, txn=txn, schema=schema
+            )
+        pcols = self.partition_cols()
+        bad = [c for c in replace_where if c not in pcols]
+        if bad:
+            raise ValueError(
+                f"replace_where keys {bad} are not partition columns "
+                f"(table partitioned by {pcols or 'nothing'})"
+            )
+        want = {c: (None if v is None else str(v)) for c, v in replace_where.items()}
+        v0 = self.version()
+        fstats = self.file_stats(v0)
+        removed = sorted(
+            name
+            for name, cols in fstats.items()
+            if all(
+                cols.get("partitionValues", {}).get(c) == hv
+                for c, hv in want.items()
+            )
+        )
+        add, stats = self._stage_nonempty(df)
+        # staged rows must land inside the replaced partition: the
+        # partitioned _stage recorded each new file's values
+        leaked = [
+            (name, st["partitionValues"])
+            for name, st in stats.items()
+            if any(st["partitionValues"].get(c) != hv for c, hv in want.items())
+        ]
+        if leaked:
+            for name in stats:
+                try:
+                    os.unlink(os.path.join(self.data_dir, name))
+                except OSError:
+                    pass
+            raise ValueError(
+                "replace_where: staged data falls outside the replaced "
+                f"partition {replace_where}: {leaked[:3]} — nothing "
+                "committed (filter the frame or widen the predicate)"
+            )
+        return self._commit(
+            "overwrite",
+            add,
+            removed,
+            stats,
+            txn=txn,
+            schema=schema,
+            base_version=v0,
+        )
 
     def write_audit_publish(
         self,
@@ -1230,12 +1298,18 @@ class TxnTable:
         finally:
             src.unpersist()
 
-    def delete_where(self, spark: SparkSession, predicate) -> int:
+    def delete_where(self, spark: SparkSession, predicate, cdf: bool = False) -> int:
         """DELETE: rewrite only the files that contain matching rows
         (discovered via the ``_metadata.file_path`` column — one filtered
         scan, no full-table rewrite). Files with no matches are untouched,
         the property that makes point-deletes feasible on huge tables.
-        A no-op on an emptied table (same guard as ``compact``)."""
+        A no-op on an emptied table (same guard as ``compact``).
+
+        ``cdf=True``: the deleted rows are persisted as change files
+        (``_change_type='delete'``) atomically with the commit — same
+        machinery as ``merge(cdf=True)`` — so a DELETE-heavy table's
+        change feed is a pure scan (streamable) instead of a
+        rewritten-file diff (abort)."""
         v0 = self.version()
         if not self.live_files(v0):
             return v0
@@ -1255,14 +1329,28 @@ class TxnTable:
         # DELETE WHERE p removes rows where p is TRUE; NULL-p rows survive
         # (~NULL would silently drop them). DV-filtered read: the rewrite
         # materializes any outstanding deletion vectors on these files.
-        survivors = self._conform(
+        hit_rows = self._conform(
             self._read_files_meta(spark, hit_names, at_version=v0).drop(
                 "__file", "__ridx"
             ),
             v0,
-        ).filter(~F.coalesce(predicate, F.lit(False)))
+        )
+        survivors = hit_rows.filter(~F.coalesce(predicate, F.lit(False)))
         add, stats = self._stage_nonempty(survivors)
-        return self._commit("delete", add, hit_names, stats, base_version=v0)
+        cdf_add: list[str] = []
+        if cdf:
+            deleted = hit_rows.filter(
+                F.coalesce(predicate, F.lit(False))
+            ).withColumn("_change_type", F.lit("delete"))
+            cdf_add, _ = self._stage_nonempty(deleted, dest_dir=self.cdf_dir)
+        return self._commit(
+            "delete",
+            add,
+            hit_names,
+            stats,
+            base_version=v0,
+            extra={"cdf_add": cdf_add} if cdf_add else None,
+        )
 
     def delete_where_dv(self, spark: SparkSession, predicate) -> int:
         """DELETE via a deletion vector (merge-on-read, Delta DV
@@ -1344,6 +1432,13 @@ class TxnTable:
         physical name(s) (``prev_names``), and reads coalesce across
         them (Delta's column mapping, by name). Old snapshots keep the
         old name (schema is replayed per version)."""
+        if old in self.partition_cols():
+            raise ValueError(
+                f"rename_column: {old!r} is a partition column — the "
+                "commit log's per-file partitionValues are keyed by it "
+                "and pruning would silently stop matching; partitioning "
+                "is immutable (rewrite into a new table to re-layout)"
+            )
 
         def xf(base: list[dict]) -> list[dict]:
             base = base or self._seeded_schema(spark)
@@ -1386,6 +1481,12 @@ class TxnTable:
         (old files still hold the bytes; re-adding would resurrect
         stale values — rewrite first, as Delta requires without column
         mapping ids). Old snapshots still see the column."""
+        if name in self.partition_cols():
+            raise ValueError(
+                f"drop_column: {name!r} is a partition column — every "
+                "file's layout and the pruning metadata depend on it; "
+                "partitioning is immutable (rewrite into a new table)"
+            )
 
         def xf(base: list[dict]) -> list[dict]:
             base = base or self._seeded_schema(spark)

@@ -199,10 +199,13 @@ class TxnBatchReader(DataSourceReader):
         import os
 
         t = TxnTable(os.path.dirname(table_dir), os.path.basename(table_dir))
-        self._paths = [os.path.join(t.data_dir, f) for f in t.live_files()]
+        self._t = t
+        # pin ONE version for file set, dv snapshot, and pruning stats
+        self._v0 = t.version()
+        self._names = t.live_files(self._v0)
         # snapshot the dv sidecar set with the file set (merge-on-read
         # deletes must not resurrect through this connector either)
-        sidecars, deleted = t.dv_state()
+        sidecars, deleted = t.dv_state(self._v0)
         self._dv_paths = (
             tuple(os.path.join(t.dv_dir, s) for s in sidecars) if deleted else ()
         )
@@ -211,11 +214,91 @@ class TxnBatchReader(DataSourceReader):
         # contract, mirrored by this connector
         self._colmap = _logical_colmap(t)
         self._schema = schema
+        # filter-pushdown state (pushFilters): used ONLY to prune the
+        # planned file set from commit-log metadata
+        self._eq: dict[str, object] = {}
+        self._ranges: dict[str, list] = {}
+        self._in: dict[str, tuple] = {}
+
+    def pushFilters(self, filters):
+        """DATA SKIPPING through the connector (Spark 4.1 filter
+        pushdown): equality / range / IN predicates on top-level columns
+        shrink the planned scan to the files whose commit-log metadata —
+        hive partitionValues, footer [min,max] boxes, stage-time blooms —
+        can match, exactly the ``TxnTable.prune_files`` lever, now
+        reachable from ANY Spark job that knows only
+        ``spark.read.format("txn")``. Every filter is RETURNED (Spark
+        re-applies the exact predicates), so pruning can only shrink the
+        scan, never change an answer — the same contract as
+        ``read(prune=...)``."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr is not None and len(attr) == 1 else None
+            val = getattr(f, "value", None)
+            if col is not None and val is not None:
+                if isinstance(f, EqualTo):
+                    self._eq[col] = val
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    lo, hi = self._ranges.get(col, (None, None))
+                    # conservative under repeats: prune-by-[lo,hi] keeps
+                    # boundary files, so strict vs non-strict both safe
+                    self._ranges[col] = [
+                        val if lo is None else max(lo, val),
+                        hi,
+                    ]
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    lo, hi = self._ranges.get(col, (None, None))
+                    self._ranges[col] = [
+                        lo,
+                        val if hi is None else min(hi, val),
+                    ]
+                elif isinstance(f, In) and all(v is not None for v in val):
+                    self._in[col] = tuple(val)
+            yield f
+
+    def _pruned_names(self) -> list:
+        if not (self._eq or self._ranges or self._in):
+            return self._names
+        ranges = {c: (lo, hi) for c, (lo, hi) in self._ranges.items()}
+        kept = set(
+            self._t.prune_files(
+                ranges or None, at_version=self._v0, equals=self._eq or None
+            )
+        )
+        for col, vals in self._in.items():
+            # a file survives an IN if ANY member could be in it
+            s: set = set()
+            for v in vals:
+                s |= set(
+                    self._t.prune_files(
+                        None, at_version=self._v0, equals={col: v}
+                    )
+                )
+            kept &= s
+        return [n for n in self._names if n in kept]
 
     def partitions(self):
-        return [_FilePartition(p, self._dv_paths, self._colmap) for p in self._paths]
+        import os
+
+        return [
+            _FilePartition(
+                os.path.join(self._t.data_dir, n), self._dv_paths, self._colmap
+            )
+            for n in self._pruned_names()
+        ] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
         yield from _read_file(
             partition.path,
             self._schema,
