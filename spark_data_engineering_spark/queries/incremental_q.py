@@ -631,6 +631,82 @@ def txn_replace_where_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_update_revenue",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 2
+                    THEN o_totalprice + 25
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM upd GROUP BY o_orderstatus
+    """,
+)
+def txn_update_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET under the gate (round 8, Delta UPDATE as
+    copy-on-write): orders land in a txn table, then
+    ``update_where((status='O') & (key%5=2), o_totalprice+25,
+    cdf=True)`` rewrites ONLY the files containing matching rows —
+    carrying every other row through byte-equal — and persists
+    Delta-granularity ``update_preimage``/``update_postimage`` images
+    atomically with the commit (pinned present here, consumed by the
+    CDF tests). The full-table aggregate must hash-match SQL that
+    applies the same CASE — an over-wide rewrite, a NULL-predicate row
+    updated, or a lost non-matching row in a rewritten file all break
+    the hash. At 100 TB the rewrite cost tracks the files containing
+    matches, never the table."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"upd:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/upd-{digest}"
+    if not os.path.isdir(root):
+        import shutil as _sh
+
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_upd")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.repartition(4))
+        v = t.update_where(
+            spark,
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 5 == 2),
+            {"o_totalprice": F.col("o_totalprice") + F.lit(25.0)},
+            cdf=True,
+        )
+        if not t._read_commit(v).get("cdf_add"):
+            raise AssertionError("update_where(cdf=True) recorded no images")
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published first
+    table = TxnTable(root, "orders_upd")
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
     "txn_snapshot_join",
     oracle="""
     SELECT c_mktsegment AS mktsegment,

@@ -56,15 +56,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       order and rotates in next round under P2 by construction.
 #
 # Round-8 derivation (tools/derive_window.py against CORRECTNESS_r01-r07):
-#   P1 = the 12 round-7 surfaces with no driver row yet (txn streaming
-#        source/sink/CDF/mview, branch merge/rebase, restore, DV
-#        maintenance, writer roundtrip, webdataset, rrf, quarantine) —
-#        VERDICT r7 task 1's first cohort. (The 4 rows-only ANN configs
+#   P1 = 16 never-checked: the 12 round-7 surfaces with no driver row
+#        yet (txn streaming source/sink/CDF/mview, branch merge/rebase,
+#        restore, DV maintenance, writer roundtrip, webdataset, rrf,
+#        quarantine — VERDICT r7 task 1's first cohort) plus round 8's
+#        four new surfaces (merge-CDF stream, partition pruning,
+#        connector pushdown, replaceWhere). (The 4 rows-only ANN configs
 #        that were also never-checked are RETIRED this round — see
 #        queries/similarity.py — shrinking the rows-only list to zero.)
 #   P2 = the 27 queries whose newest row is round 4 (four rounds stale)
 #        — VERDICT r7 task 1's second cohort — then the r5 cohort.
-#   P3 = the r5 cohort (50 names) overflows the 11 remaining slots:
+#   P3 = the r5 cohort (50 names) overflows the 7 remaining slots:
 #        tpch_q21/q22's multi-correlated EXISTS / NOT-EXISTS machinery is
 #        refreshed in-window by customers_with_high_value_orders /
 #        customers_without_orders (family map); the rest cut at
@@ -93,6 +95,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "txn_partition_pruned_revenue",
     "txn_pushdown_revenue",
     "txn_replace_where_revenue",
+    "txn_update_revenue",
     # --- P2: the 27-query r4-stale cohort (four rounds stale).
     "bottomk_sample_per_source",
     "scrub_boilerplate_segments",
@@ -128,7 +131,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "corpus_curation_counts",
     "doc_repetition_metrics",
     "doc_pii_scrub",
-    "asof_purchase_click",
 )
 
 

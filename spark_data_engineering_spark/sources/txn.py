@@ -1352,6 +1352,101 @@ class TxnTable:
             extra={"cdf_add": cdf_add} if cdf_add else None,
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        set: dict[str, object],
+        cdf: bool = False,
+    ) -> int:
+        """UPDATE ... SET, copy-on-write (Delta UPDATE): only the files
+        containing matching rows are rewritten — discovered with one
+        filtered ``_metadata`` scan like ``delete_where`` — with the
+        ``set`` expressions (column name -> Column/SQL string) applied
+        to the matching rows and every other row carried through
+        byte-equal. NULL-predicate rows are NOT updated (SQL WHERE
+        semantics, same rule as DELETE). ``set`` may only assign
+        existing non-partition columns: updating a partition column
+        would move rows between value-pure files, which is a
+        remove+insert, i.e. a MERGE — refused here like Delta refuses
+        partition-column updates on value-mapped layouts.
+
+        ``cdf=True`` persists Delta-granularity change images
+        (``update_preimage`` / ``update_postimage``) atomically with
+        the commit — same machinery as ``merge(cdf=True)`` — keeping
+        an UPDATE-heavy table's change feed streamable."""
+        cols = {f["name"] for f in self.table_schema() if not f.get("dropped")}
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+        }
+        if cols:
+            unknown = [c for c in exprs if c not in cols]
+            if unknown:
+                raise ValueError(f"update_where: no such column(s) {unknown}")
+        hit_pcols = [c for c in exprs if c in self.partition_cols()]
+        if hit_pcols:
+            raise ValueError(
+                f"update_where: {hit_pcols} are partition columns — an "
+                "update that moves rows between partitions is a MERGE "
+                "(delete + insert); use merge() or delete+append"
+            )
+        v0 = self.version()
+        if not self.live_files(v0):
+            return v0
+        df = self._conform(
+            self._read_files_meta(spark, self.live_files(v0), at_version=v0),
+            v0,
+            keep=("__file", "__ridx"),
+        )
+        hit_names = sorted(
+            r["__file"]
+            for r in df.filter(predicate).select("__file").distinct().collect()
+        )
+        if not hit_names:
+            return v0
+        hit_rows = self._conform(
+            self._read_files_meta(spark, hit_names, at_version=v0).drop(
+                "__file", "__ridx"
+            ),
+            v0,
+        )
+        cond = F.coalesce(predicate, F.lit(False))
+        updated = hit_rows.select(
+            *[
+                F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in exprs
+                else F.col(c)
+                for c in hit_rows.columns
+            ]
+        )
+        add, stats = self._stage_nonempty(updated)
+        cdf_add: list[str] = []
+        if cdf:
+            pre = hit_rows.filter(cond).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = (
+                hit_rows.filter(cond)
+                .select(
+                    *[
+                        exprs[c].alias(c) if c in exprs else F.col(c)
+                        for c in hit_rows.columns
+                    ]
+                )
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+            cdf_add, _ = self._stage_nonempty(
+                pre.unionByName(post), dest_dir=self.cdf_dir
+            )
+        return self._commit(
+            "update",
+            add,
+            hit_names,
+            stats,
+            base_version=v0,
+            extra={"cdf_add": cdf_add} if cdf_add else None,
+        )
+
     def delete_where_dv(self, spark: SparkSession, predicate) -> int:
         """DELETE via a deletion vector (merge-on-read, Delta DV
         protocol): instead of rewriting every file containing a match

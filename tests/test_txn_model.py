@@ -62,6 +62,10 @@ _op = st.one_of(
     ),
     # DV maintenance: drop all-dead sidecars — visible state unchanged
     st.tuples(st.just("dv_prune")),
+    # UPDATE ... SET val = val + 100 WHERE val <= x (copy-on-write
+    # rewrite); on a PARTITIONED table the op targets the partition
+    # column and must be REFUSED as a perfect no-op
+    st.tuples(st.just("update_le"), st.integers(0, 99)),
 )
 
 # one-off deeper searches: TXN_MODEL_EXAMPLES=25 python -m pytest tests/test_txn_model.py
@@ -171,6 +175,26 @@ def test_random_op_sequence_matches_model(
             if table.version() == 0:
                 continue
             table.prune_dv_sidecars()  # never changes visible state
+        elif op[0] == "update_le":
+            if table.version() == 0:
+                continue
+            if partitioned:
+                # val IS the partition column: the update must refuse
+                # (rows would move between value-pure files) and leave
+                # the table untouched
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError, match="partition column"):
+                    table.update_where(
+                        spark,
+                        F.col("val") <= op[1],
+                        {"val": F.col("val") + 100},
+                    )
+            else:
+                table.update_where(
+                    spark, F.col("val") <= op[1], {"val": F.col("val") + 100}
+                )
+                model = [v + 100 if v <= op[1] else v for v in model]
         elif op[0] == "restore":
             if not snapshots or table.version() == 0:
                 continue
