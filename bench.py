@@ -100,10 +100,14 @@ HEADLINE = (
     #     superset benched none, but machinery is the same hash-agg as
     #     tpch_q13/q16 and the exact-NDV column_stats_report is r7
     #     driver-green).
+    # fuzzy_part_name_pairs (0.47 s steady) dropped in r8 to keep the
+    # stdout line under 1950 chars after the five must-bench additions:
+    # the stratified edit-distance join carries an r7 driver hash row
+    # and the dedup family keeps four benched rows (ngram/minhash/
+    # simhash/jaccard_prefix).
     "bootstrap_revenue_ci",
     "neardup_triangle_stats",
     "doc_hierarchy_depths",
-    "fuzzy_part_name_pairs",
     "export_jsonl_shards",
     "streaming_enriched_event_stats",
     "streaming_txn_source_revenue",

@@ -182,26 +182,40 @@ def _read_file(
         yield from zip(*cols) if cols else iter(())
 
 
-def _logical_colmap(table) -> tuple[tuple[str, tuple[str, ...]], ...]:
+def _logical_colmap(
+    table, at_version: int | None = None
+) -> tuple[tuple[str, tuple[str, ...]], ...]:
     """(logical name, candidate physical names) for every non-dropped
-    column of the table's logical schema — empty for legacy tables with
-    no recorded schema (physical names are then read as-is)."""
+    column of the table's logical schema at a version — empty for legacy
+    tables with no recorded schema (physical names are then read
+    as-is)."""
     return tuple(
         (s["name"], (s["name"], *s.get("prev_names", ())))
-        for s in table.table_schema()
+        for s in table.table_schema(at_version)
         if not s.get("dropped")
     )
 
 
 class TxnBatchReader(DataSourceReader):
-    def __init__(self, table_dir: str, schema: StructType) -> None:
+    def __init__(
+        self,
+        table_dir: str,
+        schema: StructType,
+        at_version: int | None = None,
+    ) -> None:
         from spark_data_engineering_spark.sources.txn import TxnTable
         import os
 
         t = TxnTable(os.path.dirname(table_dir), os.path.basename(table_dir))
         self._t = t
-        # pin ONE version for file set, dv snapshot, and pruning stats
-        self._v0 = t.version()
+        # pin ONE version for file set, dv snapshot, and pruning stats —
+        # the head, or option("versionAsOf", N) time travel
+        head = t.version()
+        if at_version is not None and not 1 <= at_version <= head:
+            raise ValueError(
+                f"versionAsOf {at_version} out of range (table head {head})"
+            )
+        self._v0 = head if at_version is None else at_version
         self._names = t.live_files(self._v0)
         # snapshot the dv sidecar set with the file set (merge-on-read
         # deletes must not resurrect through this connector either)
@@ -211,8 +225,8 @@ class TxnBatchReader(DataSourceReader):
         )
         # logical projection (renames coalesce to old physical names,
         # dropped columns never surface) — TxnTable.read's _conform
-        # contract, mirrored by this connector
-        self._colmap = _logical_colmap(t)
+        # contract, mirrored by this connector, at the pinned version
+        self._colmap = _logical_colmap(t, self._v0)
         self._schema = schema
         # filter-pushdown state (pushFilters): used ONLY to prune the
         # planned file set from commit-log metadata
@@ -750,7 +764,9 @@ class TxnDataSource(DataSource):
             if self._cdf_on()
             else ""
         )
-        logical = t.table_schema()
+        # time travel: the schema is the LOGICAL schema AT the pinned
+        # version (a later rename/drop must not leak into the past read)
+        logical = t.table_schema(self._version_as_of())
         if logical:
             # the LOGICAL schema (rename/drop applied), not the first
             # file's physical footer — the connector must agree with
@@ -770,6 +786,12 @@ class TxnDataSource(DataSource):
             raise ValueError(f"txn table {d} is empty; cannot infer schema")
         return _arrow_to_ddl(os.path.join(t.data_dir, live[0])) + cdf_cols
 
+    def _version_as_of(self) -> int | None:
+        v = self.options.get("versionasof")
+        if v is None:
+            v = self.options.get("versionAsOf")
+        return None if v is None else int(v)
+
     def reader(self, schema: StructType) -> TxnBatchReader:
         if self._cdf_on():
             raise ValueError(
@@ -777,7 +799,9 @@ class TxnDataSource(DataSource):
                 "for a batch change feed use TxnTable.read_changes "
                 "(silently reading would emit NULL _change_type rows)"
             )
-        return TxnBatchReader(self._table_dir(), schema)
+        return TxnBatchReader(
+            self._table_dir(), schema, at_version=self._version_as_of()
+        )
 
     def streamReader(self, schema: StructType) -> TxnStreamReader:
         mft = self.options.get("maxfilespertrigger") or self.options.get(
