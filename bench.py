@@ -38,7 +38,10 @@ HEADLINE = (
     "tpch_q7_nation_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
+    # tpch_q11_important_stock (0.46 s) dropped in r8 to fund the
+    # stream-stream join row under the ~1950-char stdout budget: the
+    # group-agg + HAVING-scalar machinery stays benched via q16/q18,
+    # and q11 keeps its r5 driver hash row.
     "tpch_q16_supplier_part_counts",
     "tpch_q20_part_promotion_suppliers",
     "wide_lineitem",
@@ -128,6 +131,10 @@ HEADLINE = (
     # txn_partition_pruned_revenue stays unbenched at 0.36 s cached
     # (under the bar; scale row in SCALE.md).
     "streaming_txn_cdf_merge_revenue",
+    # stream-stream interval join (round-8 surface; 4.2 s steady at
+    # sf0.1 — trigger scheduling + state-store commits, see the query's
+    # shuffle-width note — crosses the must-bench bar).
+    "streaming_click_purchase_join",
 )
 
 

@@ -1316,3 +1316,88 @@ def txn_dv_maintenance_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.lit(n_sidecars).cast("bigint").alias("n_sidecars"),
     )
+
+
+@query(
+    "txn_constraint_gate_revenue",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice * 2 AS o_totalprice FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM unioned GROUP BY o_orderstatus
+    """,
+)
+def txn_constraint_gate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints under the gate (round 8, Delta's ALTER TABLE
+    ADD CONSTRAINT as a log property): orders land in a txn table, a
+    ``o_totalprice > 0`` constraint is added (validated against the
+    existing rows first), then THREE write outcomes are pinned inside
+    the build — a constraint the data already violates is refused at
+    add time, a violating append (negated prices) is refused atomically
+    with its staged bytes cleaned, and a satisfying append (every order
+    again at 2x price) commits. The read-back aggregate must hash-match
+    SQL over orders UNION ALL orders@2x: a leaked violating row, a
+    dropped good batch, or a half-applied refusal all break the hash.
+    Enforcement is ONE folded aggregate job over the staged bytes per
+    write (the WAP audit discipline) — at 100 TB the cost tracks the
+    batch, never the table."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.checks import CheckError
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"cons:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/cons-{digest}"
+    if not os.path.isdir(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_cons")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.repartition(4))
+        t.add_constraint(spark, "price_pos", "o_totalprice > 0")
+        try:
+            t.add_constraint(spark, "impossible", "o_totalprice < 0")
+            raise AssertionError("add_constraint over violating data passed")
+        except CheckError:
+            pass
+        v0 = t.version()
+        try:
+            t.append(o.withColumn("o_totalprice", -F.col("o_totalprice")))
+            raise AssertionError("violating append was not refused")
+        except CheckError:
+            pass
+        if t.version() != v0:
+            raise AssertionError("refused append advanced the version")
+        t.append(
+            o.withColumn("o_totalprice", F.col("o_totalprice") * F.lit(2.0))
+        )
+        if t.constraints() != {"price_pos": "o_totalprice > 0"}:
+            raise AssertionError("constraint map desynced")
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    table = TxnTable(root, "orders_cons")
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

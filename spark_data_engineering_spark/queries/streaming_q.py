@@ -1123,3 +1123,220 @@ def streaming_txn_cdf_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("n_orders") > 0)
         .select("o_orderstatus", "n_orders", "revenue")
     )
+
+
+@query(
+    "streaming_click_purchase_join",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS click_ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS purchase_ts, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT date_trunc('day', c.click_ts) AS click_day,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR((SUM(p.value)) * 100 + 0.5) / 100 AS purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    GROUP BY date_trunc('day', c.click_ts)
+    """,
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join under the gate: the click stream and
+    the purchase stream (two independent file sources over per-topic
+    staged copies, multiple micro-batches each) are joined in Spark's
+    symmetric stateful hash join on user_id plus the time-range
+    condition ``click_ts <= purchase_ts <= click_ts + 1 hour`` —
+    click->purchase attribution, the canonical two-live-streams shape
+    the stream-static enrichment join cannot express. Matched pairs are
+    emitted append-mode exactly once regardless of which micro-batch
+    each side arrived in; the end-of-stream pair set must hash-match
+    the one-shot batch interval join SQL.
+
+    The watermark delay (45 days) exceeds the staged table's full time
+    span on purpose: the staged copy is repartitioned, so micro-batches
+    arrive in arbitrary ts order, and any smaller delay would make
+    matched-pair completeness depend on delivery order — in production
+    the delay is sized from measured disorder, and state stays bounded
+    by rate x gap x delay (the module docstring's contract). The final
+    per-day rollup happens BATCH-side over the sink table: chaining a
+    streaming aggregation after a stream-stream join needs no
+    demonstration here and would couple the gate to multi-stateful
+    watermark propagation."""
+    import hashlib
+
+    from spark_data_engineering_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    stat = os.stat(src)
+    digest = hashlib.md5(
+        f"{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:16]
+    # each stream gets its OWN staged topic (clicks / purchases, only
+    # the columns that side carries) — in production the two sides ARE
+    # separate topics; sharing one staged copy would make every trigger
+    # scan both event types twice and discard 80% of the bytes read
+    staged = f"/tmp/spark_de_stream_input/{digest}-cpjoin"
+    # _SUCCESS markers, not dir existence: a crash between the two
+    # topic writes must not leave a half-staged cache a later run
+    # trusts (overwrite mode makes the re-stage self-healing)
+    if not all(
+        os.path.exists(f"{staged}/{t}/_SUCCESS")
+        for t in ("clicks", "purchases")
+    ):
+        ev = load_table(spark, "events", sf_dir)
+        ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts")
+        ).repartition(3).write.mode("overwrite").parquet(f"{staged}/clicks")
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value_raw"),
+        ).repartition(3).write.mode("overwrite").parquet(f"{staged}/purchases")
+
+    def side(topic: str, schema: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staged}/{topic}")
+        )
+
+    clicks = side("clicks", "click_user bigint, click_ts timestamp")
+    purchases = side(
+        "purchases",
+        "purchase_user bigint, purchase_ts timestamp, purchase_value_raw double",
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        "click_user",
+        "purchase_user",
+        "click_ts",
+        "purchase_ts",
+        max_gap="1 hour",
+        watermark="45 days",
+    ).select("click_ts", "purchase_value_raw")
+    name = "streaming_click_purchase_gate"
+    # State shuffle width is a PER-QUERY knob, not the session's batch
+    # default: the symmetric join keeps left+right state per shuffle
+    # partition and the HDFS state store commits one delta file per
+    # partition per side per micro-batch — at gate volume 32 partitions
+    # is ~2x pure commit overhead (measured 8.3 s -> 4.2 s steady at
+    # sf0.1 with 8; the rest is trigger scheduling, not data or state).
+    # Production sizes this by key rate x state size;
+    # it is baked into the checkpoint at first start, which is why it
+    # must be set BEFORE .start() (fresh temp checkpoint per run here).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .groupBy(F.date_trunc("day", F.col("click_ts")).alias("click_day"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            NR.round2(F.sum("purchase_value_raw")).alias("purchase_value"),
+        )
+    )
+
+
+@query(
+    "streaming_txn_upsert_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def streaming_txn_upsert_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE upsert sink under the gate (round 8, Delta's
+    foreachBatch+MERGE): a keyed state table is seeded with HALF the
+    order keys at poison price -1, then the full orders stream (multi-
+    file source, several micro-batches) upserts through
+    ``stream_upsert_to_txn`` — seeded keys UPDATE to their real price,
+    unseeded keys INSERT, each epoch one merge commit carrying the
+    (app, epoch) watermark. Every key appears exactly once in the
+    stream, so the end state is arrival-order-independent and must
+    hash-match plain SQL over orders: a lost epoch leaves -1 poison in
+    the sum, a double-applied epoch fails MERGE's duplicate-key
+    refusal, an un-updated seed row breaks both count and sum. Build
+    pins: pre-stream count == #seeded keys, post-stream watermark
+    advanced past epoch 0. Per-epoch cost is the merge's (broadcast
+    key semi-join + copy-on-write of touched files) — state table size
+    never enters it; cached build keyed on data + code digest,
+    steady-state is the read-back."""
+    import hashlib
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+    from spark_data_engineering_spark.sources.txn import TxnTable
+    from spark_data_engineering_spark.streaming import upsert as _ups_mod
+    from spark_data_engineering_spark.streaming.upsert import stream_upsert_to_txn
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"ups:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}:{code_digest(_ups_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/ups-{digest}"
+    if not os.path.isdir(root):
+        import shutil as _sh
+
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = TxnTable(tmp_root, "orders_state")
+        seeded = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_totalprice", F.lit(-1.0)
+        )
+        t.append(seeded.repartition(2))
+        n_seed = t.count_rows()
+        staged = f"{tmp_root}/stream_in"
+        o.repartition(4).write.parquet(staged)
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staged)
+        )
+        q = stream_upsert_to_txn(stream, t, "ups-gate", on=["o_orderkey"])
+        q.awaitTermination()
+        if t.last_epoch("ups-gate") < 1:
+            raise AssertionError("upsert stream committed fewer than 2 epochs")
+        n_final = t.count_rows()
+        if not 0 < n_seed < n_final:
+            raise AssertionError(
+                f"seed/final counts off ({n_seed} / {n_final})"
+            )
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published
+    table = TxnTable(root, "orders_state")
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -56,17 +56,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       order and rotates in next round under P2 by construction.
 #
 # Round-8 derivation (tools/derive_window.py against CORRECTNESS_r01-r07):
-#   P1 = 16 never-checked: the 12 round-7 surfaces with no driver row
+#   P1 = 20 never-checked: the 12 round-7 surfaces with no driver row
 #        yet (txn streaming source/sink/CDF/mview, branch merge/rebase,
 #        restore, DV maintenance, writer roundtrip, webdataset, rrf,
 #        quarantine — VERDICT r7 task 1's first cohort) plus round 8's
-#        four new surfaces (merge-CDF stream, partition pruning,
-#        connector pushdown, replaceWhere). (The 4 rows-only ANN configs
-#        that were also never-checked are RETIRED this round — see
+#        eight new surfaces (merge-CDF stream, partition pruning,
+#        connector pushdown, replaceWhere, UPDATE, stream-stream join,
+#        CHECK constraints, streaming MERGE upsert sink). (The 4 rows-only ANN configs that were
+#        also never-checked are RETIRED this round — see
 #        queries/similarity.py — shrinking the rows-only list to zero.)
 #   P2 = the 27 queries whose newest row is round 4 (four rounds stale)
 #        — VERDICT r7 task 1's second cohort — then the r5 cohort.
-#   P3 = the r5 cohort (50 names) overflows the 7 remaining slots:
+#   P3 = the r5 cohort (50 names) overflows the remaining fill slots:
 #        tpch_q21/q22's multi-correlated EXISTS / NOT-EXISTS machinery is
 #        refreshed in-window by customers_with_high_value_orders /
 #        customers_without_orders (family map); the rest cut at
@@ -96,6 +97,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "txn_pushdown_revenue",
     "txn_replace_where_revenue",
     "txn_update_revenue",
+    "streaming_click_purchase_join",
+    "txn_constraint_gate_revenue",
+    "streaming_txn_upsert_revenue",
     # --- P2: the 27-query r4-stale cohort (four rounds stale).
     "bottomk_sample_per_source",
     "scrub_boilerplate_segments",
@@ -124,13 +128,22 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "customer_value_quartiles",
     "customer_trailing_7d_revenue",
     "token_run_lengths",
-    # --- P2/P3: r5-cohort fills at registration order (11 slots).
+    # --- P2/P3: r5-cohort fills at registration order (3 slots).
     "stratified_sample_documents",
     "train_split_counts",
     "pack_sequences",
-    "corpus_curation_counts",
-    "doc_repetition_metrics",
-    "doc_pii_scrub",
+    # corpus_curation_counts (next r5 fill) rotated back out under P1 by
+    # the round-8 streaming MERGE upsert sink query; it keeps its r5
+    # hash-green row + the end-to-end curation pytest and re-enters
+    # under P2 next round.
+    # doc_repetition_metrics (next r5 fill) rotated back out under P1 by
+    # the round-8 CHECK-constraint gate query; it keeps its r5
+    # hash-green row + the Gopher-repetition pytest and re-enters under
+    # P2 next round.
+    # doc_pii_scrub (last r5 fill) rotated back out under P1: the round-8
+    # stream-stream interval join is never-driver-checked and P1 always
+    # outranks a fill. pii keeps its r5 hash-green row + byte-exact
+    # pytest (tests/test_privacy.py) and re-enters under P2 next round.
 )
 
 

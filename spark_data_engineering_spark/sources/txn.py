@@ -257,6 +257,46 @@ class TxnTable:
         versions = self._commit_files()
         return versions[-1] if versions else 0
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """Resolve ``timestampAsOf`` time travel: the latest version
+        whose commit timestamp is <= ``ts`` (epoch seconds). Delta's
+        rules: a timestamp before the first commit or after the latest
+        is refused loudly (with the valid range in the message), never
+        silently clamped. Commit timestamps are made non-decreasing by
+        a running max while scanning (wall clocks can step backwards;
+        Delta applies the same monotonization), and commits that
+        predate the ``ts`` field fall back to the log file's mtime.
+        Metadata-only: one pass over the commit log, no data reads."""
+        versions = self._commit_files()
+        if not versions:
+            raise FileNotFoundError(f"table {self.table_dir} has no commits")
+        best = None
+        mono = float("-inf")
+        for v in versions:
+            c = self._read_commit(v)
+            cts = c.get("ts")
+            if cts is None:
+                cts = os.path.getmtime(
+                    os.path.join(self.log_dir, f"{v:0{_VERSION_DIGITS}d}.json")
+                )
+            mono = max(mono, float(cts))
+            if mono <= ts:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts} is before the table's first commit "
+                f"(earliest available: {mono})"
+            )
+        if best == versions[-1] and ts > mono:
+            raise ValueError(
+                f"timestamp {ts} is after the table's latest commit "
+                f"(latest available: {mono}); read the head directly "
+                "or pass a timestamp <= it"
+            )
+        return best
+
     def _read_commit(self, v: int) -> dict:
         with open(os.path.join(self.log_dir, f"{v:0{_VERSION_DIGITS}d}.json")) as f:
             return json.load(f)
@@ -470,7 +510,17 @@ class TxnTable:
         return sorted(kept)
 
     def _try_commit(self, record: dict) -> bool:
-        """Atomically claim version ``record['version']``. True on win."""
+        """Atomically claim version ``record['version']``. True on win.
+
+        Every commit path funnels through here (the ``_commit`` retry
+        loop, rebase's log swap, dv-prune's CAS, branch seeding), so
+        this is the single place the commit TIMESTAMP is stamped —
+        the ``ts`` field ``version_at_timestamp`` resolves
+        ``timestampAsOf`` time travel against (Delta records the same
+        in each log entry's commitInfo)."""
+        import time
+
+        record.setdefault("ts", round(time.time(), 6))
         tmp = os.path.join(self.log_dir, f".tmp.{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(record, f)
@@ -923,6 +973,7 @@ class TxnTable:
     def append(self, df: DataFrame) -> int:
         schema = self._merged_schema(df)
         add, stats = self._stage(df)
+        self._enforce_staged(df.sparkSession, add, "append")
         return self._commit("append", add, [], stats, schema=schema)
 
     def overwrite(
@@ -950,6 +1001,7 @@ class TxnTable:
         if replace_where is None:
             removed = self.live_files()
             add, stats = self._stage(df)
+            self._enforce_staged(df.sparkSession, add, "overwrite")
             return self._commit(
                 "overwrite", add, removed, stats, txn=txn, schema=schema
             )
@@ -990,6 +1042,7 @@ class TxnTable:
                 f"partition {replace_where}: {leaked[:3]} — nothing "
                 "committed (filter the frame or widen the predicate)"
             )
+        self._enforce_staged(df.sparkSession, add, "overwrite(replace_where)")
         return self._commit(
             "overwrite",
             add,
@@ -1037,6 +1090,7 @@ class TxnTable:
         schema = self._merged_schema(df)
         removed = self.live_files() if mode == "overwrite" else []
         add, stats = self._stage(df)
+        self._enforce_staged(spark, add, "write_audit_publish")
         staged = (
             spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.data_dir, f) for f in add]
@@ -1087,13 +1141,21 @@ class TxnTable:
         at_version: int | None = None,
         prune: dict[str, tuple] | None = None,
         prune_eq: dict[str, object] | None = None,
+        at_timestamp: float | None = None,
     ) -> DataFrame:
         """Snapshot read. ``prune`` maps column -> (lo, hi) and drops files
         whose footer stats cannot intersect the range — the caller still
         applies the exact filter; pruning only shrinks the scan set.
         ``prune_eq`` maps column -> value and additionally skips files
         whose stage-time bloom rules the value out (point lookups).
-        Deletion vectors at the version are applied (merge-on-read)."""
+        Deletion vectors at the version are applied (merge-on-read).
+        ``at_timestamp`` (epoch seconds) is ``timestampAsOf`` time
+        travel — resolved to a version through the commit log
+        (mutually exclusive with ``at_version``)."""
+        if at_timestamp is not None:
+            if at_version is not None:
+                raise ValueError("pass at_version OR at_timestamp, not both")
+            at_version = self.version_at_timestamp(at_timestamp)
         files = (
             self.prune_files(prune, at_version, equals=prune_eq)
             if (prune or prune_eq)
@@ -1274,6 +1336,7 @@ class TxnTable:
             add, stats = self._stage_nonempty(out)
             if not add and not touched and txn is None:
                 return self.version()
+            self._enforce_staged(spark, add, "merge")
             cdf_add: list[str] = []
             if cdf and changes:
                 chg = changes[0][0].withColumn(
@@ -1420,6 +1483,7 @@ class TxnTable:
             ]
         )
         add, stats = self._stage_nonempty(updated)
+        self._enforce_staged(spark, add, "update_where")
         cdf_add: list[str] = []
         if cdf:
             pre = hit_rows.filter(cond).withColumn(
@@ -1597,6 +1661,155 @@ class TxnTable:
             return out
 
         return self._commit("drop_column", [], [], schema_transform=xf)
+
+    # ------------------------------------------------------------------
+    # CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT): a LOG
+    # property like partition_cols/schema — the latest commit carrying a
+    # `constraints` field holds the full name->SQL-expression map at
+    # that version. SQL CHECK semantics: a row violates only when the
+    # expression evaluates to FALSE (NULL passes), and enforcement runs
+    # against the STAGED BYTES of every row-introducing write (one
+    # folded aggregate job over the just-written files, the WAP audit
+    # discipline — a lossy upstream plan can't pass on logic alone),
+    # refusing BEFORE the commit so a violation never becomes table
+    # state. Metadata-only maintenance (compact, dv ops) re-stages only
+    # rows that already passed and is not re-validated, like Delta.
+
+    def constraints(self, at_version: int | None = None) -> dict[str, str]:
+        """The table's CHECK constraints at a version (name -> SQL
+        expression), replayed from the log like ``table_schema``."""
+        head = self.version() if at_version is None else at_version
+        for v in reversed(self._commit_files()):
+            if v <= head:
+                c = self._read_commit(v)
+                if "constraints" in c:
+                    return dict(c["constraints"])
+        return {}
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """ADD CONSTRAINT name CHECK (expr). Existing rows are validated
+        first (one aggregate scan, Delta's rule): a constraint the
+        current data violates is refused, so holders of the table's
+        contract can trust every version from the constraint's commit
+        on. Linearized via compare-and-swap on the head (like dv-prune):
+        racing DDL must retry, it cannot silently drop a concurrent
+        constraint change."""
+        from spark_data_engineering_spark.checks import CheckError
+
+        for _ in range(5):
+            v0 = self.version()
+            cur = self.constraints(v0)
+            if name in cur:
+                raise ValueError(
+                    f"constraint {name!r} already exists: {cur[name]!r}"
+                )
+            if self.live_files(v0):
+                viol = self._constraint_violations(
+                    self.read(spark, v0), {name: expr}
+                )
+                if viol:
+                    raise CheckError(
+                        f"cannot add constraint {name!r}: existing data "
+                        f"violates it ({viol[name]} rows fail {expr!r})"
+                    )
+            rec = {
+                "version": v0 + 1,
+                "action": "constraint-add",
+                "add": [],
+                "remove": [],
+                "constraints": {**cur, name: expr},
+            }
+            pc = self.partition_cols()
+            if pc:
+                rec["partition_cols"] = list(pc)
+            if self._try_commit(rec):
+                return v0 + 1
+        raise ConcurrentWriteError(
+            "add_constraint: lost the commit race 5 times; retry"
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """DROP CONSTRAINT name — metadata-only, CAS-linearized."""
+        for _ in range(5):
+            v0 = self.version()
+            cur = self.constraints(v0)
+            if name not in cur:
+                raise ValueError(f"no constraint {name!r} (have {sorted(cur)})")
+            rec = {
+                "version": v0 + 1,
+                "action": "constraint-drop",
+                "add": [],
+                "remove": [],
+                "constraints": {k: e for k, e in cur.items() if k != name},
+            }
+            pc = self.partition_cols()
+            if pc:
+                rec["partition_cols"] = list(pc)
+            if self._try_commit(rec):
+                return v0 + 1
+        raise ConcurrentWriteError(
+            "drop_constraint: lost the commit race 5 times; retry"
+        )
+
+    @staticmethod
+    def _constraint_violations(
+        df: DataFrame, cons: dict[str, str]
+    ) -> dict[str, int]:
+        """Per-constraint violation counts over ``df`` in ONE folded
+        aggregate job (the checks.py discipline). NULL passes (SQL
+        CHECK): only FALSE is a violation."""
+        if not cons:
+            return {}
+        flags = df.select(
+            *[
+                F.expr(f"NOT coalesce(({e}), true)").cast("long").alias(n)
+                for n, e in cons.items()
+            ]
+        )
+        row = flags.agg(
+            *[F.coalesce(F.sum(n), F.lit(0)).alias(n) for n in cons]
+        ).first()
+        return {n: int(row[n]) for n in cons if row[n]}
+
+    def _enforce_staged(
+        self, spark: SparkSession, names: list[str], what: str
+    ) -> None:
+        """Refuse a row-introducing commit whose STAGED files violate a
+        CHECK constraint: one scan of the new bytes, staged files
+        deleted on refusal so nothing leaks (mirrors replace_where's
+        out-of-partition cleanup). Called between _stage and _commit by
+        every path that can introduce rows."""
+        from spark_data_engineering_spark.checks import CheckError
+
+        cons = self.constraints()
+        if not cons or not names:
+            return
+        try:
+            df = spark.read.parquet(
+                *[os.path.join(self.data_dir, n) for n in names]
+            )
+            viol = self._constraint_violations(df, cons)
+        except Exception:
+            # e.g. the staged batch lacks a constrained column entirely
+            # (analysis error): the write is refused either way — clean
+            # the staged bytes before surfacing it
+            for n in names:
+                try:
+                    os.unlink(os.path.join(self.data_dir, n))
+                except OSError:
+                    pass
+            raise
+        if viol:
+            for n in names:
+                try:
+                    os.unlink(os.path.join(self.data_dir, n))
+                except OSError:
+                    pass
+            raise CheckError(
+                f"{what}: CHECK constraint(s) violated by staged rows "
+                f"({ {n: f'{c} rows fail {cons[n]!r}' for n, c in viol.items()} }); "
+                "nothing was committed"
+            )
 
     @staticmethod
     def _zvalue(df: DataFrame, cols: list[str], bits: int = 8):
@@ -1817,6 +2030,9 @@ class TxnTable:
                 "dv_remove": sorted(dead_names),
                 "dv_remove_files": sorted(dead_files),
             }
+            pc = self.partition_cols()
+            if pc:
+                rec["partition_cols"] = list(pc)
             if self._try_commit(rec):
                 if (head + 1) % self.checkpoint_every == 0:
                     self._write_checkpoint(head + 1)
@@ -2044,8 +2260,14 @@ class TxnTable:
         frames = []
         for v in range(from_version + 1, to + 1):
             c = self._read_commit(v)
-            if c["action"] in ("compact", "dv-prune"):
-                continue  # net-zero row change by construction
+            if c["action"] in (
+                "compact",
+                "dv-prune",
+                "constraint-add",
+                "constraint-drop",
+            ):
+                continue  # net-zero row change by construction (the
+                # constraint DDLs are pure metadata — enforced at write)
             if c.get("cdf_add"):
                 # merge(cdf=True): the change rows were persisted at
                 # commit time — a pure scan with full update_preimage /
@@ -2148,6 +2370,7 @@ class TxnTable:
             return None  # replay of an already-committed batch
         schema = self._merged_schema(df)
         add, stats = self._stage(df)
+        self._enforce_staged(df.sparkSession, add, "append_idempotent")
         while True:
             head = self.version()
             # re-check under the current head: a racing replica of the
@@ -2169,6 +2392,14 @@ class TxnTable:
                 # winning commit must not be dropped from the log head
                 "schema": self._merge_schema_lists(self.table_schema(), schema),
             }
+            # mirrors _commit: this record CAN be the table's first —
+            # without the field, a partitioned table bootstrapped by a
+            # stream resolves as unpartitioned from every fresh handle
+            # (branch seeds, the datasource, vacuum), mixing layouts
+            # (model-search finding, round 8)
+            pc = self.partition_cols()
+            if pc:
+                record["partition_cols"] = list(pc)
             if self._try_commit(record):
                 v = head + 1
                 if v % self.checkpoint_every == 0:
@@ -2255,6 +2486,12 @@ class TxnTable:
             # the branch stages into the SHARED data dir: it must
             # partition exactly like the parent
             seed["partition_cols"] = list(pc)
+        cons = self.constraints(base_v)
+        if cons:
+            # branch writes must honor the parent's CHECK contract — a
+            # seed without the map would silently drop enforcement on
+            # the branch (constraints resolve from the branch's OWN log)
+            seed["constraints"] = cons
         if not b._try_commit(seed):
             return  # racing creation: the winner's seed is equivalent
         sidecars, deleted = self.dv_state(base_v)
@@ -2282,6 +2519,7 @@ class TxnTable:
                     "dv_add": dv_name,
                     "dv_counts": live_deleted,
                     "branch_inherited": True,
+                    **({"partition_cols": list(pc)} if pc else {}),
                 }
             )
 
@@ -2336,6 +2574,15 @@ class TxnTable:
             if not (base_v < cv <= head):
                 continue
             rec = self._read_commit(cv)
+            if rec.get("action") in ("constraint-add", "constraint-drop"):
+                raise ValueError(
+                    "rebase_branch: the parent changed CHECK constraints "
+                    "after the branch base — branch rows were never "
+                    "validated against the new contract (and this method "
+                    "has no SparkSession to re-validate with); re-apply "
+                    "the branch by hand (read + write through the "
+                    "enforced paths)"
+                )
             if rec.get("action") in ("rename_column", "drop_column"):
                 raise ConcurrentWriteError(
                     "rebase_branch: the parent evolved its schema "
@@ -2359,6 +2606,14 @@ class TxnTable:
                     "rebase_branch: branch carries a RESTORE commit — it "
                     "references branch-log versions that do not exist in "
                     "the rebased line; compact the branch first"
+                )
+            if act in ("constraint-add", "constraint-drop"):
+                raise ValueError(
+                    "rebase_branch: branch carries CHECK-constraint DDL — "
+                    "its add-time validation saw the OLD base, not the "
+                    "diverged parent's rows; drop the DDL on the branch "
+                    "and re-run add_constraint on the parent after the "
+                    "rebase (it re-validates there)"
                 )
             if act == "dv-prune":
                 raise ValueError(
@@ -2412,7 +2667,18 @@ class TxnTable:
                     dv_counts=rec.get("dv_counts"),
                     dv_base_version=v if rec.get("dv_add") else None,
                     base_version=v if rec.get("remove") else None,
-                    extra={"rebased_from": name},
+                    extra={
+                        "rebased_from": name,
+                        # a rebased merge(cdf=True): the change files
+                        # live in the SHARED cdf dir — dropping the
+                        # names would silently downgrade the rebased
+                        # line's change feed to the abort-or-diff path
+                        **(
+                            {"cdf_add": rec["cdf_add"]}
+                            if rec.get("cdf_add")
+                            else {}
+                        ),
+                    },
                 )
                 if got != v + 1:
                     raise ConcurrentWriteError(
@@ -2534,6 +2800,18 @@ class TxnTable:
                     **(
                         {"cdf_add": rec["cdf_add"]}
                         if rec.get("cdf_add")
+                        else {}
+                    ),
+                    # state-bearing like dv_counts_restore: a replayed
+                    # constraint-add/-drop (or any commit that recorded
+                    # the map) must carry the full constraints snapshot
+                    # or the parent's resolution walks past it and the
+                    # branch's CHECK contract silently vanishes on merge
+                    # (fast-forward makes the branch-time validation
+                    # hold verbatim on the parent)
+                    **(
+                        {"constraints": rec["constraints"]}
+                        if "constraints" in rec
                         else {}
                     ),
                 },

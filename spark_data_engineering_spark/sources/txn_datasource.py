@@ -196,6 +196,20 @@ def _logical_colmap(
     )
 
 
+def _parse_ts_option(raw: str) -> float:
+    """``timestampAsOf`` accepts epoch seconds or an ISO timestamp
+    ('2026-08-15' / '2026-08-15 12:00:00[.ffffff]'), like Delta's
+    string form. Naive ISO strings are LOCAL time (what a user typing
+    a wall-clock timestamp means on a single-timezone cluster)."""
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    from datetime import datetime
+
+    return datetime.fromisoformat(raw).timestamp()
+
+
 class TxnBatchReader(DataSourceReader):
     def __init__(
         self,
@@ -607,6 +621,10 @@ class TxnStreamReader(DataSourceStreamReader):
                 # DV maintenance: drops all-dead sidecars from the probe
                 # list — no visible row changes in either mode
                 continue
+            if c["action"] in ("constraint-add", "constraint-drop"):
+                # CHECK-constraint DDL: pure metadata, enforcement
+                # happens at write time — no row changes in either mode
+                continue
             if self._cdf and c["action"] == "compact":
                 continue  # net-zero row change by construction
             if self._cdf and c.get("cdf_add"):
@@ -790,6 +808,21 @@ class TxnDataSource(DataSource):
         v = self.options.get("versionasof")
         if v is None:
             v = self.options.get("versionAsOf")
+        ts = self.options.get("timestampasof")
+        if ts is None:
+            ts = self.options.get("timestampAsOf")
+        if ts is not None:
+            if v is not None:
+                raise ValueError(
+                    "pass versionAsOf OR timestampAsOf, not both"
+                )
+            import os
+
+            d = self._table_dir()
+            from spark_data_engineering_spark.sources.txn import TxnTable
+
+            t = TxnTable(os.path.dirname(d), os.path.basename(d))
+            return t.version_at_timestamp(_parse_ts_option(ts))
         return None if v is None else int(v)
 
     def reader(self, schema: StructType) -> TxnBatchReader:
@@ -819,10 +852,36 @@ class TxnDataSource(DataSource):
             starting_version=int(sv) if sv is not None else None,
         )
 
+    def _refuse_if_constrained(self, path_hint: str) -> None:
+        # CHECK constraints cannot be enforced on this path: the
+        # writer's commit hook runs in a Python worker with no live
+        # SparkSession to scan the staged bytes with, and skipping
+        # enforcement would let the connector silently bypass the
+        # table's contract. Refuse at PLAN time with the enforced
+        # alternative — the same honest-refusal discipline as
+        # merge_branch's schema-evolution guard.
+        import os
+
+        from spark_data_engineering_spark.sources.txn import TxnTable
+
+        d = self._table_dir()
+        t = TxnTable(os.path.dirname(d), os.path.basename(d))
+        cons = t.constraints()
+        if cons:
+            raise ValueError(
+                f"table has CHECK constraints {sorted(cons)} which "
+                f"{path_hint} cannot enforce (no SparkSession at commit "
+                "time on this path); write through TxnTable.append / "
+                "overwrite / append_idempotent (enforced), or drop the "
+                "constraint first"
+            )
+
     def writer(self, schema: StructType, overwrite: bool) -> "TxnArrowWriter":
+        self._refuse_if_constrained("df.write.format('txn')")
         return TxnArrowWriter(self._table_dir(), schema, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> "TxnStreamArrowWriter":
+        self._refuse_if_constrained("writeStream.format('txn')")
         if overwrite:
             raise ValueError(
                 "txn streaming sink supports append output mode only "

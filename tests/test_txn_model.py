@@ -66,6 +66,15 @@ _op = st.one_of(
     # rewrite); on a PARTITIONED table the op targets the partition
     # column and must be REFUSED as a perfect no-op
     st.tuples(st.just("update_le"), st.integers(0, 99)),
+    # CHECK constraint lifecycle: add (refused if existing data
+    # violates), a possibly-violating append (refused atomically,
+    # staged bytes cleaned), then drop — table state must match the
+    # model through every refusal
+    st.tuples(
+        st.just("constraint_cycle"),
+        st.integers(0, 99),
+        st.lists(st.integers(0, 99), max_size=4),
+    ),
 )
 
 # one-off deeper searches: TXN_MODEL_EXAMPLES=25 python -m pytest tests/test_txn_model.py
@@ -195,6 +204,29 @@ def test_random_op_sequence_matches_model(
                     spark, F.col("val") <= op[1], {"val": F.col("val") + 100}
                 )
                 model = [v + 100 if v <= op[1] else v for v in model]
+        elif op[0] == "constraint_cycle":
+            import pytest as _pytest
+
+            from spark_data_engineering_spark.checks import CheckError
+
+            k, vals = op[1], op[2]
+            if any(v > k for v in model):
+                # existing data violates: the add must refuse and leave
+                # no constraint behind
+                with _pytest.raises(CheckError, match="existing data"):
+                    table.add_constraint(spark, "le", f"val <= {k}")
+                assert "le" not in table.constraints()
+            else:
+                table.add_constraint(spark, "le", f"val <= {k}")
+                if vals and any(v > k for v in vals):
+                    # a mixed batch refuses ATOMICALLY (good rows in the
+                    # same staged batch must not land)
+                    with _pytest.raises(CheckError, match="le"):
+                        table.append(df_of(vals))
+                elif vals:
+                    table.append(df_of(vals))
+                    model.extend(vals)
+                table.drop_constraint("le")
         elif op[0] == "restore":
             if not snapshots or table.version() == 0:
                 continue

@@ -150,3 +150,21 @@ def test_missing_partition_column_refused(spark, tmp_path):
     t = TxnTable(str(tmp_path), "t", partition_cols=("cat",))
     with pytest.raises(ValueError, match="missing partition column"):
         t.append(spark.createDataFrame([(1,)], "id bigint"))
+
+
+def test_streaming_bootstrap_records_partition_cols(spark, tmp_path):
+    """Round-8 model-search finding: append_idempotent builds its commit
+    record by hand (own CAS loop), and when it is the table's FIRST
+    commit the record must still carry partition_cols — or every fresh
+    handle (branch seed, datasource, vacuum) resolves the table as
+    unpartitioned and mixes layouts in one data dir."""
+    t = TxnTable(str(tmp_path), "t", partition_cols=("cat",))
+    df = spark.createDataFrame([(1, "a")], "id bigint, cat string")
+    t.append_idempotent(df, "app", 1)
+    fresh = TxnTable(str(tmp_path), "t")
+    assert fresh.partition_cols() == ("cat",)
+    fresh.append(spark.createDataFrame([(2, "b")], "id bigint, cat string"))
+    pv = {
+        f: s.get("partitionValues") for f, s in fresh.file_stats().items()
+    }
+    assert sorted(v["cat"] for v in pv.values()) == ["a", "b"]
