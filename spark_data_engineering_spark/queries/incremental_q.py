@@ -543,6 +543,94 @@ def txn_pushdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_generated_table(spark: SparkSession, sf_dir: str) -> TxnTable:
+    """Build (once, cached on source mtime+size+code digest) an orders
+    txn table whose partition column is GENERATED: the writer supplies
+    only the base columns and the table derives
+    ``o_year = year(o_orderdate)`` itself (Delta's GENERATED ALWAYS AS
+    applied to its canonical use — partition-by-derived-date without
+    every writer having to remember the derivation)."""
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    from spark_data_engineering_spark.cacheutil import code_digest
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    digest = hashlib.md5(
+        f"gencols:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    root = f"/tmp/spark_de_incremental/gencols-{digest}"
+    table = TxnTable(
+        root,
+        "orders_gen",
+        partition_cols=("o_year",),
+        generated_cols={"o_year": "year(o_orderdate)"},
+    )
+    if table.version() == 0:
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate"
+        )
+        # NO o_year in the frame: the table generates it. One task per
+        # year -> one file per partition; overwrite (not append) so
+        # racing builders converge (zorder pattern)
+        table.overwrite(o.repartition(F.year("o_orderdate")))
+    return table
+
+
+@query(
+    "txn_generated_cols_revenue",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE CAST(YEAR(o_orderdate) AS INT) = 1998
+    GROUP BY 1, 2
+    """,
+)
+def txn_generated_cols_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS end-to-end (round 8; Delta's GENERATED ALWAYS
+    AS): orders land in a txn table declared
+    ``generated_cols={"o_year": "year(o_orderdate)"}`` with ``o_year``
+    also the partition column — the writer never supplies it, the
+    table computes it at stage time, records per-file
+    ``partitionValues``, and validates any explicitly-supplied value
+    against the expression over the staged bytes. A year point query
+    then plans its scan from commit-log metadata alone
+    (``prune_files``) with the pinned files-read assertion of the
+    partition-pruning gate, and the result — INCLUDING the generated
+    column itself — hash-matches plain SQL that re-derives
+    ``YEAR(o_orderdate)`` from the base column. That last part is the
+    point: the gate proves generation == the declared expression on
+    every row, not just that pruning picked the right files."""
+    table = orders_generated_table(spark, sf_dir)
+    want = {"o_year": 1998}
+    pruned = table.prune_files(None, equals=want)
+    stats = table.file_stats()
+    expect = sorted(
+        name
+        for name, cols in stats.items()
+        if cols.get("partitionValues", {}).get("o_year") == "1998"
+    )
+    if pruned != expect or not pruned or len(pruned) >= len(stats):
+        raise AssertionError(
+            f"generated-partition pruning not exact: kept {len(pruned)} "
+            f"of {len(stats)} files, expected {len(expect)}"
+        )
+    return (
+        table.read(spark, prune_eq=want)
+        .filter(F.col("o_year") == 1998)
+        .groupBy("o_year", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 @query(
     "txn_replace_where_revenue",
     oracle="""

@@ -100,6 +100,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_click_purchase_join",
     "txn_constraint_gate_revenue",
     "streaming_txn_upsert_revenue",
+    # generated columns (GENERATED ALWAYS AS): writer-omitted derived
+    # partition column, expression-validated supplied values, pruning +
+    # generation both inside the hash
+    "txn_generated_cols_revenue",
     # --- P2: the 27-query r4-stale cohort (four rounds stale).
     "bottomk_sample_per_source",
     "scrub_boilerplate_segments",
@@ -128,10 +132,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "customer_value_quartiles",
     "customer_trailing_7d_revenue",
     "token_run_lengths",
-    # --- P2/P3: r5-cohort fills at registration order (3 slots).
+    # --- P2/P3: r5-cohort fills at registration order (2 slots).
     "stratified_sample_documents",
     "train_split_counts",
-    "pack_sequences",
+    # pack_sequences (next r5 fill) rotated back out under P1 by the
+    # round-8 generated-columns gate query; it keeps its r5 hash-green
+    # row + the packing pytest and re-enters under P2 next round.
     # corpus_curation_counts (next r5 fill) rotated back out under P1 by
     # the round-8 streaming MERGE upsert sink query; it keeps its r5
     # hash-green row + the end-to-end curation pytest and re-enters

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -189,6 +190,7 @@ class TxnTable:
         checkpoint_every: int = 10,
         bloom_cols: tuple[str, ...] = (),
         partition_cols: tuple[str, ...] = (),
+        generated_cols: dict[str, str] | None = None,
     ) -> None:
         self.table_dir = os.path.join(root, name)
         self.log_dir = os.path.join(self.table_dir, _LOG_DIR)
@@ -206,6 +208,13 @@ class TxnTable:
         # refused). See partition_cols() for resolution.
         self._pcols_param = tuple(partition_cols)
         self._pcols_cache: tuple[str, ...] | None = None
+        # generated columns (Delta's GENERATED ALWAYS AS): name -> SQL
+        # expression, declared at creation, recorded in every commit,
+        # immutable once recorded — see generated_cols() for resolution.
+        # Missing at write -> computed; supplied at write -> validated
+        # against the expression over the STAGED bytes (_enforce_staged)
+        self._gcols_param: dict[str, str] = dict(generated_cols or {})
+        self._gcols_cache: dict[str, str] | None = None
         # a BRANCH persists a marker pointing at the owner's shared
         # data/dv dirs (relative, so the tree can move) — any direct
         # open (vacuum's ref walk, format("txn") on a branch path, a
@@ -397,6 +406,63 @@ class TxnTable:
             )
         self._pcols_cache = found or self._pcols_param
         return self._pcols_cache
+
+    def generated_cols(self, at_version: int | None = None) -> dict[str, str]:
+        """The table's generated columns (Delta's GENERATED ALWAYS AS):
+        name -> SQL expression, a LOG property resolved exactly like
+        ``partition_cols`` (latest commit carrying the field; immutable
+        once recorded; any plain reopen generates identically). A
+        generated column may be a partition column — the intended use:
+        partition by ``year(o_orderdate)`` without every writer having
+        to remember to derive it."""
+        head = self.version() if at_version is None else at_version
+        if at_version is None and self._gcols_cache is not None:
+            return self._gcols_cache
+        found: dict[str, str] = {}
+        for v in reversed(self._commit_files()):
+            if v <= head:
+                c = self._read_commit(v)
+                if "generated_cols" in c:
+                    found = dict(c["generated_cols"])
+                    break
+        if at_version is not None:
+            return found
+        if found and self._gcols_param and self._gcols_param != found:
+            raise ValueError(
+                f"table {self.table_dir} has generated columns {found}; "
+                f"re-declaring generated_cols={self._gcols_param} is "
+                "refused (generation expressions are immutable once "
+                "recorded — rewrite into a new table to change them)"
+            )
+        self._gcols_cache = found or dict(self._gcols_param)
+        return self._gcols_cache
+
+    def _stamp_props(self, record: dict, at_version: int | None = None) -> dict:
+        """Stamp the table-level LOG properties (``partition_cols``,
+        ``generated_cols``) into a commit record — the ONE place every
+        handmade record picks them up (``_commit``, the DDL/maintenance
+        CAS records, ``append_idempotent``, branch seeds), so a new
+        property cannot miss a site the way ``append_idempotent`` once
+        missed ``partition_cols`` (the round-8 model-search bug)."""
+        pc = self.partition_cols(at_version)
+        if pc:
+            record["partition_cols"] = list(pc)
+        gc = self.generated_cols(at_version)
+        if gc:
+            record["generated_cols"] = dict(gc)
+        return record
+
+    def _with_generated(self, df: DataFrame) -> DataFrame:
+        """Compute any MISSING generated columns on an incoming frame
+        (declaration order, so a later expression may reference an
+        earlier generated column). Columns the writer supplied are left
+        alone here and validated against the expression over the staged
+        bytes in ``_enforce_staged`` — Delta's rule: explicit values
+        must agree with the generation expression or the write fails."""
+        for name, expr in self.generated_cols().items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        return df
 
     def file_stats(self, at_version: int | None = None) -> dict[str, dict]:
         """Per-live-file column min/max collected at commit time (from the
@@ -607,12 +673,10 @@ class TxnTable:
                                 f"vector landed on {sorted(hit)[:3]}..."
                             )
             record = {"version": head + 1, "action": action, "add": add, "remove": remove}
-            pc = self.partition_cols()
-            if pc:
-                # re-recorded on every commit of a partitioned table so
-                # resolution never walks past the most recent commits
-                # (and a branch seed / replay carries it forward)
-                record["partition_cols"] = list(pc)
+            # table-level log properties are re-recorded on every commit
+            # so resolution never walks past the most recent commits
+            # (and a branch seed / replay carries them forward)
+            self._stamp_props(record)
             if extra:
                 # provenance fields (e.g. merged_from) — never dispatched
                 # on, so downstream action-string consumers (read_changes,
@@ -971,6 +1035,7 @@ class TxnTable:
     # ---- public operations ----------------------------------------------
 
     def append(self, df: DataFrame) -> int:
+        df = self._with_generated(df)
         schema = self._merged_schema(df)
         add, stats = self._stage(df)
         self._enforce_staged(df.sparkSession, add, "append")
@@ -997,6 +1062,7 @@ class TxnTable:
         otherwise the commit would silently leak rows into partitions it
         did not replace."""
         # resolve the files to replace BEFORE staging; _commit re-validates
+        df = self._with_generated(df)
         schema = self._merged_schema(df)
         if replace_where is None:
             removed = self.live_files()
@@ -1087,6 +1153,7 @@ class TxnTable:
             # published (or was already audited-and-published) — stage
             # nothing, publish nothing, same contract as append_idempotent
             return None
+        df = self._with_generated(df)
         schema = self._merged_schema(df)
         removed = self.live_files() if mode == "overwrite" else []
         add, stats = self._stage(df)
@@ -1221,6 +1288,10 @@ class TxnTable:
             raise ValueError(f"when_matched={when_matched!r}")
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched={when_not_matched!r}")
+        # generated columns: computed on the SOURCE frame, so updated
+        # target rows take the regenerated value and inserted rows carry
+        # one from the start (Delta regenerates on MERGE the same way)
+        source = self._with_generated(source)
         src = source.cache()
         try:
             # pin ONE snapshot for every target read in this merge: the
@@ -1453,6 +1524,31 @@ class TxnTable:
                 "update that moves rows between partitions is a MERGE "
                 "(delete + insert); use merge() or delete+append"
             )
+        gcols = self.generated_cols()
+        hit_gcols = [c for c in exprs if c in gcols]
+        if hit_gcols:
+            raise ValueError(
+                f"update_where: {hit_gcols} are generated columns "
+                "(derived, never assigned) — SET their base columns and "
+                "the generation expression recomputes them"
+            )
+        # generated columns whose expression references a SET column must
+        # be REGENERATED on the updated rows (Delta's UPDATE rule) — and
+        # if such a column is also a partition column, the update moves
+        # rows between value-pure files, which is the refused MERGE case
+        regen = {
+            g: ge
+            for g, ge in gcols.items()
+            if {*re.findall(r"[A-Za-z_][A-Za-z0-9_]*", ge)} & {*exprs}
+        }
+        regen_pcols = [g for g in regen if g in self.partition_cols()]
+        if regen_pcols:
+            raise ValueError(
+                f"update_where: {list(exprs)} drive the generated "
+                f"partition column(s) {regen_pcols} — the update would "
+                "move rows between partitions; use merge() or "
+                "delete+append"
+            )
         v0 = self.version()
         if not self.live_files(v0):
             return v0
@@ -1474,14 +1570,22 @@ class TxnTable:
             v0,
         )
         cond = F.coalesce(predicate, F.lit(False))
-        updated = hit_rows.select(
+        updated = hit_rows.withColumn("__upd", cond).select(
             *[
-                F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
+                F.when(F.col("__upd"), exprs[c]).otherwise(F.col(c)).alias(c)
                 if c in exprs
                 else F.col(c)
                 for c in hit_rows.columns
-            ]
+            ],
+            F.col("__upd"),
         )
+        for g, ge in regen.items():
+            # second projection: the expression must see the POST-update
+            # base values (Catalyst collapses this, no extra pass)
+            updated = updated.withColumn(
+                g, F.when(F.col("__upd"), F.expr(ge)).otherwise(F.col(g))
+            )
+        updated = updated.drop("__upd")
         add, stats = self._stage_nonempty(updated)
         self._enforce_staged(spark, add, "update_where")
         cdf_add: list[str] = []
@@ -1489,16 +1593,15 @@ class TxnTable:
             pre = hit_rows.filter(cond).withColumn(
                 "_change_type", F.lit("update_preimage")
             )
-            post = (
-                hit_rows.filter(cond)
-                .select(
-                    *[
-                        exprs[c].alias(c) if c in exprs else F.col(c)
-                        for c in hit_rows.columns
-                    ]
-                )
-                .withColumn("_change_type", F.lit("update_postimage"))
+            post = hit_rows.filter(cond).select(
+                *[
+                    exprs[c].alias(c) if c in exprs else F.col(c)
+                    for c in hit_rows.columns
+                ]
             )
+            for g, ge in regen.items():
+                post = post.withColumn(g, F.expr(ge))
+            post = post.withColumn("_change_type", F.lit("update_postimage"))
             cdf_add, _ = self._stage_nonempty(
                 pre.unionByName(post), dest_dir=self.cdf_dir
             )
@@ -1598,6 +1701,7 @@ class TxnTable:
                 "and pruning would silently stop matching; partitioning "
                 "is immutable (rewrite into a new table to re-layout)"
             )
+        self._refuse_contract_ref(old, "rename_column")
 
         def xf(base: list[dict]) -> list[dict]:
             base = base or self._seeded_schema(spark)
@@ -1646,6 +1750,7 @@ class TxnTable:
                 "file's layout and the pruning metadata depend on it; "
                 "partitioning is immutable (rewrite into a new table)"
             )
+        self._refuse_contract_ref(name, "drop_column")
 
         def xf(base: list[dict]) -> list[dict]:
             base = base or self._seeded_schema(spark)
@@ -1719,9 +1824,7 @@ class TxnTable:
                 "remove": [],
                 "constraints": {**cur, name: expr},
             }
-            pc = self.partition_cols()
-            if pc:
-                rec["partition_cols"] = list(pc)
+            self._stamp_props(rec)
             if self._try_commit(rec):
                 return v0 + 1
         raise ConcurrentWriteError(
@@ -1742,14 +1845,42 @@ class TxnTable:
                 "remove": [],
                 "constraints": {k: e for k, e in cur.items() if k != name},
             }
-            pc = self.partition_cols()
-            if pc:
-                rec["partition_cols"] = list(pc)
+            self._stamp_props(rec)
             if self._try_commit(rec):
                 return v0 + 1
         raise ConcurrentWriteError(
             "drop_constraint: lost the commit race 5 times; retry"
         )
+
+    def _refuse_contract_ref(self, col: str, what: str) -> None:
+        """Refuse renaming/dropping a column the table's WRITE CONTRACT
+        depends on: a generated column itself, a column a generation
+        expression reads, or a column a CHECK constraint reads. Without
+        this guard the DDL would succeed and every later write would
+        fail analysis inside ``_enforce_staged`` — a delayed, misplaced
+        error instead of an honest refusal here (Delta refuses the same
+        way). Reference matching is conservative token containment: an
+        identifier token equal to ``col`` counts, even inside a string
+        literal — over-refusing a pathological expression beats
+        under-refusing a real reference."""
+        gcols = self.generated_cols()
+        if col in gcols:
+            raise ValueError(
+                f"{what}: {col!r} is a generated column — generation "
+                "expressions are immutable once recorded (rewrite into "
+                "a new table to change them)"
+            )
+        refs = {
+            **{f"generated column {g!r}": e for g, e in gcols.items()},
+            **{f"CHECK constraint {n!r}": e for n, e in self.constraints().items()},
+        }
+        for label, e in refs.items():
+            if col in set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", e)):
+                raise ValueError(
+                    f"{what}: column {col!r} is referenced by {label} "
+                    f"({e!r}) — drop the constraint / rewrite the table "
+                    "first, or every later write would fail analysis"
+                )
 
     @staticmethod
     def _constraint_violations(
@@ -1781,7 +1912,14 @@ class TxnTable:
         every path that can introduce rows."""
         from spark_data_engineering_spark.checks import CheckError
 
-        cons = self.constraints()
+        cons = dict(self.constraints())
+        for g, ge in self.generated_cols().items():
+            # writer-supplied generated values must AGREE with the
+            # expression (Delta's rule); paths that let _with_generated
+            # compute them trivially pass. Null-safe equality — <=> is
+            # never NULL, so the NULL-passes CHECK rule can't mask a
+            # mismatch here
+            cons[f"__generated__{g}"] = f"`{g}` <=> ({ge})"
         if not cons or not names:
             return
         try:
@@ -1805,10 +1943,18 @@ class TxnTable:
                     os.unlink(os.path.join(self.data_dir, n))
                 except OSError:
                     pass
+            parts = {
+                n: (
+                    f"{c} rows disagree with generated column "
+                    f"{n[len('__generated__'):]!r}'s expression"
+                    if n.startswith("__generated__")
+                    else f"{c} rows fail {cons[n]!r}"
+                )
+                for n, c in viol.items()
+            }
             raise CheckError(
-                f"{what}: CHECK constraint(s) violated by staged rows "
-                f"({ {n: f'{c} rows fail {cons[n]!r}' for n, c in viol.items()} }); "
-                "nothing was committed"
+                f"{what}: write contract violated by staged rows "
+                f"({parts}); nothing was committed"
             )
 
     @staticmethod
@@ -2030,9 +2176,7 @@ class TxnTable:
                 "dv_remove": sorted(dead_names),
                 "dv_remove_files": sorted(dead_files),
             }
-            pc = self.partition_cols()
-            if pc:
-                rec["partition_cols"] = list(pc)
+            self._stamp_props(rec)
             if self._try_commit(rec):
                 if (head + 1) % self.checkpoint_every == 0:
                     self._write_checkpoint(head + 1)
@@ -2368,6 +2512,7 @@ class TxnTable:
         sink can't."""
         if epoch_id <= self.last_epoch(app_id):
             return None  # replay of an already-committed batch
+        df = self._with_generated(df)
         schema = self._merged_schema(df)
         add, stats = self._stage(df)
         self._enforce_staged(df.sparkSession, add, "append_idempotent")
@@ -2393,13 +2538,11 @@ class TxnTable:
                 "schema": self._merge_schema_lists(self.table_schema(), schema),
             }
             # mirrors _commit: this record CAN be the table's first —
-            # without the field, a partitioned table bootstrapped by a
+            # without the props, a partitioned table bootstrapped by a
             # stream resolves as unpartitioned from every fresh handle
             # (branch seeds, the datasource, vacuum), mixing layouts
             # (model-search finding, round 8)
-            pc = self.partition_cols()
-            if pc:
-                record["partition_cols"] = list(pc)
+            self._stamp_props(record)
             if self._try_commit(record):
                 v = head + 1
                 if v % self.checkpoint_every == 0:
@@ -2481,11 +2624,9 @@ class TxnTable:
         schema = self.table_schema(base_v)
         if schema:
             seed["schema"] = schema
-        pc = self.partition_cols(base_v)
-        if pc:
-            # the branch stages into the SHARED data dir: it must
-            # partition exactly like the parent
-            seed["partition_cols"] = list(pc)
+        # the branch stages into the SHARED data dir: it must partition
+        # (and generate) exactly like the parent at the seed version
+        self._stamp_props(seed, at_version=base_v)
         cons = self.constraints(base_v)
         if cons:
             # branch writes must honor the parent's CHECK contract — a
@@ -2511,16 +2652,18 @@ class TxnTable:
             dv_name = f"branch-{uuid.uuid4().hex}.parquet"
             _pq.write_table(merged, os.path.join(self.dv_dir, dv_name))
             b._try_commit(
-                {
-                    "version": 2,
-                    "action": "branch-dv",
-                    "add": [],
-                    "remove": [],
-                    "dv_add": dv_name,
-                    "dv_counts": live_deleted,
-                    "branch_inherited": True,
-                    **({"partition_cols": list(pc)} if pc else {}),
-                }
+                self._stamp_props(
+                    {
+                        "version": 2,
+                        "action": "branch-dv",
+                        "add": [],
+                        "remove": [],
+                        "dv_add": dv_name,
+                        "dv_counts": live_deleted,
+                        "branch_inherited": True,
+                    },
+                    at_version=base_v,
+                )
             )
 
     def rebase_branch(self, branch: "TxnTable") -> "TxnTable":

@@ -875,6 +875,18 @@ class TxnDataSource(DataSource):
                 "overwrite / append_idempotent (enforced), or drop the "
                 "constraint first"
             )
+        gcols = t.generated_cols()
+        if gcols:
+            # same honest refusal: the Arrow writer's commit hook cannot
+            # evaluate SQL generation expressions (no SparkSession), so
+            # it can neither compute missing generated columns nor
+            # validate supplied ones
+            raise ValueError(
+                f"table has generated columns {sorted(gcols)} which "
+                f"{path_hint} cannot compute or validate (no SparkSession "
+                "at commit time on this path); write through "
+                "TxnTable.append / overwrite / append_idempotent"
+            )
 
     def writer(self, schema: StructType, overwrite: bool) -> "TxnArrowWriter":
         self._refuse_if_constrained("df.write.format('txn')")
