@@ -89,20 +89,28 @@ _MAXOPS = int(os.environ.get("TXN_MODEL_MAXOPS", "7"))
     st.lists(_op, min_size=2, max_size=_MAXOPS),
     st.integers(0, 10**6),
     st.booleans(),
+    st.booleans(),
 )
 def test_random_op_sequence_matches_model(
-    spark, tmp_path_factory, ops, seq_id, partitioned
+    spark, tmp_path_factory, ops, seq_id, partitioned, generated
 ):
     # half the searches run on a hive-PARTITIONED table (partition col =
     # the value column, so every staged file is value-pure): every op
     # interaction — append/delete/dv/compact/merge/branch/restore — then
-    # exercises the partitioned staging path and the same invariants
+    # exercises the partitioned staging path and the same invariants.
+    # Orthogonally, half declare a GENERATED column g = val * 2 + 1 that
+    # no op ever supplies: every row-introducing path must compute it,
+    # every rewrite (delete/compact/merge/branch replay/update) must
+    # carry or regenerate it, and the g == 2*val+1 invariant is asserted
+    # on every read below — the classic place a rewrite path that
+    # re-stages rows without the table's write contract would surface
     root = str(tmp_path_factory.mktemp(f"txnmodel{seq_id}"))
     table = TxnTable(
         root,
         "t",
         checkpoint_every=3,
         partition_cols=("val",) if partitioned else (),
+        generated_cols={"g": "val * 2 + 1"} if generated else None,
     )
     model: list[int] = []
     snapshots: dict[int, list[int]] = {}
@@ -117,11 +125,13 @@ def test_random_op_sequence_matches_model(
         # an empty table (never written, or fully deleted) raises by
         # contract; the model maps that to the empty multiset
         try:
-            return sorted(
-                r.val for r in table.read(spark, at_version=at_version).collect()
-            )
+            rows = table.read(spark, at_version=at_version).collect()
         except FileNotFoundError:
             return []
+        if generated:
+            bad = [(r.val, r.g) for r in rows if r.g != r.val * 2 + 1]
+            assert not bad, f"generated column diverged: {bad[:5]}"
+        return sorted(r.val for r in rows)
 
     for op in ops:
         if op[0] == "append":
