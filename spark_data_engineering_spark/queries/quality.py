@@ -329,3 +329,61 @@ def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast apply, integer-exact scoring) is what transfers to a real
     corpus; the separation is a property of the data."""
     return classifier_scores(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "expectations_orders_report",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_pos,
+             CAST(SUM(CASE WHEN COALESCE(o_totalprice < 300000, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_cap,
+             CAST(SUM(CASE WHEN COALESCE(o_orderpriority LIKE '1-%', FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_urg,
+             CAST(SUM(CASE WHEN COALESCE(o_custkey % 7 <> 0, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_c7,
+             CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+                            AND COALESCE(o_totalprice < 300000, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS kept
+      FROM orders
+    )
+    SELECT 'positive_price' AS expectation, 'fail' AS action,
+           v_pos AS violations, total - v_pos AS passed FROM m
+    UNION ALL
+    SELECT 'price_cap', 'drop', v_cap, total - v_cap FROM m
+    UNION ALL
+    SELECT 'urgent_priority', 'warn', v_urg, total - v_urg FROM m
+    UNION ALL
+    SELECT 'seventh_customer', 'warn', v_c7, total - v_c7 FROM m
+    UNION ALL
+    SELECT '__kept__', 'summary', total - kept, kept FROM m
+    """,
+)
+def expectations_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT-style EXPECTATIONS over a batch (round 8;
+    pipeline/expectations.py): four named predicates with warn / drop /
+    fail policies fold into ONE aggregate job over orders — every
+    violation count plus the kept-row summary comes out of a single
+    map-side-partial scan, however many expectations are declared, and
+    NULL predicates count as violations (DLT's rule, the opposite of
+    SQL CHECK's NULL-passes). The hash pins every per-expectation count
+    AND the drop-filter's kept total against plain SQL; the split /
+    quarantine / fail-refusal halves of the module are pinned in
+    tests/test_expectations.py (side effects don't belong in the gate).
+    At 100 TB this is the shape that matters: policy evaluation rides
+    the batch scan the pipeline was already paying for — no per-rule
+    jobs, no driver row loops."""
+    from spark_data_engineering_spark.pipeline.expectations import (
+        Expectation,
+        metrics,
+    )
+
+    exps = (
+        Expectation("positive_price", "o_totalprice > 0", "fail"),
+        Expectation("price_cap", "o_totalprice < 300000", "drop"),
+        Expectation("urgent_priority", "o_orderpriority LIKE '1-%'", "warn"),
+        Expectation("seventh_customer", "o_custkey % 7 <> 0", "warn"),
+    )
+    return metrics(load_table(spark, "orders", sf_dir), exps)

@@ -104,6 +104,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # partition column, expression-validated supplied values, pruning +
     # generation both inside the hash
     "txn_generated_cols_revenue",
+    # DLT-style expectations: warn/drop/fail row policy, every count +
+    # kept summary from ONE aggregate job, NULL-as-violation rule
+    "expectations_orders_report",
     # --- P2: the 27-query r4-stale cohort (four rounds stale).
     "bottomk_sample_per_source",
     "scrub_boilerplate_segments",
@@ -132,9 +135,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "customer_value_quartiles",
     "customer_trailing_7d_revenue",
     "token_run_lengths",
-    # --- P2/P3: r5-cohort fills at registration order (2 slots).
+    # --- P2/P3: r5-cohort fill at registration order (1 slot).
     "stratified_sample_documents",
-    "train_split_counts",
+    # train_split_counts (next r5 fill) rotated back out under P1 by the
+    # round-8 expectations gate query; it keeps its r5 hash-green row +
+    # the split-determinism pytest and re-enters under P2 next round.
     # pack_sequences (next r5 fill) rotated back out under P1 by the
     # round-8 generated-columns gate query; it keeps its r5 hash-green
     # row + the packing pytest and re-enters under P2 next round.
