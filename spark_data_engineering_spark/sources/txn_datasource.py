@@ -918,10 +918,13 @@ class TxnDataSource(DataSource):
 # format's own commit discipline:
 #
 #   executor `write(RecordBatch iterator)` — each task streams its
-#     batches into ONE uniquely-named parquet file in the table's data
-#     dir and harvests the footer stats locally; the file is INVISIBLE
+#     batches into uniquely-named parquet files in the table's data
+#     dir (ONE file normally; on a PARTITIONED table one VALUE-PURE
+#     file per partition combo the task saw, split with vectorized
+#     Arrow kernels, so connector writes keep partition pruning alive)
+#     and harvests the footer stats locally; the files are INVISIBLE
 #     (the log is the source of truth), so task retries/crashes leak
-#     bytes, never rows. The commit message carries (file name, stats).
+#     bytes, never rows. The commit message carries (file names, stats).
 #   driver `commit(messages)` — one atomic log commit appends every
 #     task's file (mode=append) or swaps the previous live set out
 #     (mode=overwrite), with the logical schema folded in under the
@@ -934,8 +937,14 @@ class TxnDataSource(DataSource):
 
 
 class _TxnWriteMessage(WriterCommitMessage):
-    def __init__(self, name: str | None, stats: dict | None) -> None:
-        self.name = name
+    """One task's staged files: names + per-file footer stats. A list,
+    not a single name — on a PARTITIONED table each task stages one
+    value-pure file per partition combo it saw (mirroring the library
+    path's partitionBy staging), so pruning metadata survives writes
+    that never touch this library."""
+
+    def __init__(self, names: list[str], stats: dict[str, dict]) -> None:
+        self.names = names
         self.stats = stats
 
 
@@ -974,6 +983,49 @@ class TxnArrowWriter(DataSourceArrowWriter):
                     "incoming write; cast explicitly to change types"
                 )
         self._incoming_schema = incoming
+        # partitioned tables: each task splits its batches by partition
+        # value (write() below) so connector-staged files stay
+        # VALUE-PURE with recorded partitionValues — the same pruning
+        # metadata the library's partitionBy staging produces. The
+        # recorded string must equal Spark's cast-to-string (what the
+        # library path records via hive dir names), so only types whose
+        # Python formatting provably matches are accepted; the rest are
+        # refused with the enforced alternative, not silently staged as
+        # unprunable mixed files.
+        self._pcols = t.partition_cols()
+        if self._pcols:
+            by_incoming = {f.name: f for f in schema.fields}
+            missing = [c for c in self._pcols if c not in by_incoming]
+            if missing:
+                raise ValueError(
+                    f"partitioned write is missing partition column(s) "
+                    f"{missing}; the table is partitioned by {self._pcols}"
+                )
+            allowed = ("string", "long", "integer", "short", "byte", "boolean")
+            bad = {
+                c: by_incoming[c].dataType.typeName()
+                for c in self._pcols
+                if by_incoming[c].dataType.typeName() not in allowed
+            }
+            if bad:
+                raise ValueError(
+                    f"partition column(s) {bad} have types this write "
+                    "path cannot format identically to the library's "
+                    "partitionValues encoding (Spark cast-to-string); "
+                    "write through TxnTable.append / overwrite, or "
+                    "partition by a string/integer/boolean column"
+                )
+
+    @staticmethod
+    def _fmt_pv(v) -> "str | None":
+        """The partitionValues string for one typed value — must equal
+        Spark's cast-to-string for every type __init__ admits (bool is
+        the one Python formats differently)."""
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
 
     def write(self, iterator):  # executor-side
         import os
@@ -984,24 +1036,78 @@ class TxnArrowWriter(DataSourceArrowWriter):
 
         from spark_data_engineering_spark.sources.txn import TxnTable
 
-        name = f"{uuid.uuid4().hex}-w0.parquet"
-        path = os.path.join(self._data_dir, name)
-        writer = None
-        rows = 0
+        cid = uuid.uuid4().hex
+        if not self._pcols:
+            name = f"{cid}-w0.parquet"
+            path = os.path.join(self._data_dir, name)
+            writer = None
+            rows = 0
+            try:
+                for batch in iterator:
+                    if writer is None:
+                        writer = pq.ParquetWriter(path, batch.schema)
+                    writer.write_table(pa.Table.from_batches([batch]))
+                    rows += batch.num_rows
+            finally:
+                if writer is not None:
+                    writer.close()
+            if rows == 0:
+                if writer is not None:
+                    os.unlink(path)
+                return _TxnWriteMessage([], {})
+            return _TxnWriteMessage([name], {name: TxnTable._footer_minmax(path)})
+        # PARTITIONED: split each batch by partition-value combo with
+        # vectorized Arrow kernels (cast -> element-wise key join ->
+        # unique -> filter; no Python row loop) and stream each combo's
+        # rows into its own value-pure parquet. partitionValues are read
+        # from the first row of each combo — typed, then formatted by
+        # the same rule the library's hive staging records.
+        import pyarrow.compute as pc
+
+        writers: dict = {}  # key string -> [name, ParquetWriter, pv dict]
         try:
             for batch in iterator:
-                if writer is None:
-                    writer = pq.ParquetWriter(path, batch.schema)
-                writer.write_table(pa.Table.from_batches([batch]))
-                rows += batch.num_rows
+                if batch.num_rows == 0:
+                    continue
+                tbl = pa.Table.from_batches([batch])
+                cols = [tbl.column(c) for c in self._pcols]
+                strs = [pc.cast(c, pa.string()) for c in cols]
+                if len(strs) == 1:
+                    key = pc.fill_null(strs[0], "\x00N")
+                else:
+                    key = pc.binary_join_element_wise(
+                        *strs,
+                        "\x1f",
+                        null_handling="replace",
+                        null_replacement="\x00N",
+                    )
+                for u in pc.unique(key).to_pylist():
+                    mask = pc.equal(key, u)
+                    sub = tbl.filter(mask)
+                    ent = writers.get(u)
+                    if ent is None:
+                        name = f"{cid}-w{len(writers)}.parquet"
+                        w = pq.ParquetWriter(
+                            os.path.join(self._data_dir, name), tbl.schema
+                        )
+                        first = pc.index(mask, pa.scalar(True)).as_py()
+                        pv = {
+                            c: self._fmt_pv(col[first].as_py())
+                            for c, col in zip(self._pcols, cols)
+                        }
+                        ent = writers[u] = [name, w, pv]
+                    ent[1].write_table(sub)
         finally:
-            if writer is not None:
-                writer.close()
-        if rows == 0:
-            if writer is not None:
-                os.unlink(path)
-            return _TxnWriteMessage(None, None)
-        return _TxnWriteMessage(name, TxnTable._footer_minmax(path))
+            for _name, w, _pv in writers.values():
+                w.close()
+        names, stats = [], {}
+        for name, _w, pv in writers.values():
+            path = os.path.join(self._data_dir, name)
+            st = TxnTable._footer_minmax(path)
+            st["partitionValues"] = pv
+            names.append(name)
+            stats[name] = st
+        return _TxnWriteMessage(sorted(names), stats)
 
     def commit(self, messages):  # driver-side, once, atomic
         import os
@@ -1011,9 +1117,12 @@ class TxnArrowWriter(DataSourceArrowWriter):
         t = TxnTable(
             os.path.dirname(self._table_dir), os.path.basename(self._table_dir)
         )
-        add = [m.name for m in messages if m is not None and m.name]
+        add = [n for m in messages if m is not None for n in m.names]
         stats = {
-            m.name: m.stats for m in messages if m is not None and m.name
+            n: st
+            for m in messages
+            if m is not None
+            for n, st in m.stats.items()
         }
         # pin the snapshot version FIRST and compute the removed set AT
         # it (the repo-wide rewrite rule): reading live_files() at one
@@ -1035,9 +1144,9 @@ class TxnArrowWriter(DataSourceArrowWriter):
         import os
 
         for m in messages:
-            if m is not None and m.name:
+            for name in m.names if m is not None else ():
                 try:
-                    os.unlink(os.path.join(self._data_dir, m.name))
+                    os.unlink(os.path.join(self._data_dir, name))
                 except FileNotFoundError:
                     pass
 
@@ -1067,7 +1176,7 @@ class TxnStreamArrowWriter(TxnArrowWriter, DataSourceStreamArrowWriter):
         t = TxnTable(
             os.path.dirname(self._table_dir), os.path.basename(self._table_dir)
         )
-        staged = [m.name for m in messages if m is not None and m.name]
+        staged = [n for m in messages if m is not None for n in m.names]
         if batchId <= t.last_epoch(self._app_id):
             # crash-redelivered epoch: this batch already committed in a
             # previous run — publish nothing, and the re-staged task
@@ -1079,7 +1188,10 @@ class TxnStreamArrowWriter(TxnArrowWriter, DataSourceStreamArrowWriter):
                     pass
             return
         stats = {
-            m.name: m.stats for m in messages if m is not None and m.name
+            n: st
+            for m in messages
+            if m is not None
+            for n, st in m.stats.items()
         }
         # empty epochs still commit: the watermark must advance or a
         # redelivery of a later non-empty epoch could double-commit

@@ -90,3 +90,42 @@ def test_txn_to_txn_streaming_pipe(spark, tmp_path):
     assert sorted(r.id for r in d.read(spark).collect()) == [
         i for i in range(10) if i != 4
     ] + [50, 51, 52]
+
+
+def test_stream_sink_partitioned_value_pure(spark, tmp_path):
+    """The streaming sink inherits the batch writer's partition split:
+    every epoch's staged files are value-pure with recorded
+    partitionValues, so a table fed ONLY by writeStream still prunes."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "a"), (3, "b")], "id long, cat string"
+    ).coalesce(1).write.parquet(src)
+    t = TxnTable(str(tmp_path), "t", partition_cols=("cat",))
+    t.append(
+        spark.createDataFrame([(100, "a")], "id long, cat string").coalesce(1)
+    )
+    q = (
+        spark.readStream.schema("id long, cat string")
+        .parquet(src)
+        .writeStream.format("txn")
+        .option("txnAppId", "psink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start(t.table_dir)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stats = t.file_stats()
+    assert all(
+        set(c.get("partitionValues") or {}) == {"cat"} for c in stats.values()
+    )
+    kept = t.prune_files(None, equals={"cat": "a"})
+    assert kept and len(kept) < len(stats)
+    got = sorted(
+        r.id
+        for r in t.read(spark, prune_eq={"cat": "a"})
+        .filter(F.col("cat") == "a")
+        .collect()
+    )
+    assert got == [0, 2, 100]

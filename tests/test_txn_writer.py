@@ -107,3 +107,96 @@ def test_vacuum_collects_crashed_writer_orphans(spark, tmp_path):
     assert removed == ["deadbeef-crashed-w0.parquet"]
     assert set(t.live_files()) == committed and not os.path.exists(orphan)
     assert _ids(spark, t) == list(range(10))
+
+
+def test_writer_partitioned_value_pure_and_pruned(spark, tmp_path):
+    """Partitioned connector writes (round 8): the writer resolves
+    partition_cols from the COMMIT LOG (the one durable place — a
+    declaration that never committed lives only in the declaring
+    process), then each task splits its batches by partition value, so
+    connector-staged files are VALUE-PURE with recorded
+    partitionValues and prune_files stays exact over connector-written
+    data."""
+    d = str(tmp_path / "t")
+    t = TxnTable(str(tmp_path), "t", partition_cols=("cat",))
+    # the library's first commit records the property; from here ANY
+    # fresh handle (the connector's included) resolves it
+    t.append(
+        spark.createDataFrame([(100, "a"), (101, "b")], "id long, cat string")
+        .coalesce(1)
+    )
+    spark.range(6).withColumn(
+        "cat", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+    ).repartition(2).write.format("txn").mode("append").save(d)
+    assert TxnTable(str(tmp_path), "t").partition_cols() == ("cat",)
+    stats = t.file_stats()
+    assert len(stats) >= 4  # 2 seed + per-task-per-value connector files
+    for name, cols in stats.items():
+        pv = cols.get("partitionValues")
+        assert pv is not None and set(pv) == {"cat"}, f"{name}: {pv}"
+    kept = t.prune_files(None, equals={"cat": "a"})
+    assert kept and len(kept) < len(stats)
+    assert kept == sorted(
+        n for n, c in stats.items() if c["partitionValues"]["cat"] == "a"
+    )
+    got = sorted(
+        r.id
+        for r in t.read(spark, prune_eq={"cat": "a"})
+        .filter(F.col("cat") == "a")
+        .collect()
+    )
+    assert got == [0, 2, 4, 100]
+    # library rewrites interoperate: delete one partition's rows, the
+    # survivors stay value-pure
+    t.delete_where(spark, F.col("cat") == "b")
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 2, 4, 100]
+
+
+def test_writer_partitioned_int_and_null_values(spark, tmp_path):
+    d = str(tmp_path / "t")
+    t = TxnTable(str(tmp_path), "t", partition_cols=("y",))
+    t.append(
+        spark.createDataFrame([(0, 1994)], "id long, y int").coalesce(1)
+    )
+    seed = set(t.file_stats())
+    df = spark.createDataFrame(
+        [(1, 1995), (2, 1996), (3, None), (4, 1995)], "id long, y int"
+    ).coalesce(1)
+    df.write.format("txn").mode("append").save(d)
+    stats = t.file_stats()
+    vals = sorted(
+        str(c["partitionValues"]["y"])
+        for n, c in stats.items()
+        if n not in seed
+    )
+    # int formatting == Spark cast; NULL == hive default (None)
+    assert vals == ["1995", "1996", "None"]
+    kept = t.prune_files(None, equals={"y": 1995})
+    assert len(kept) == 1
+    got = sorted(
+        r.id
+        for r in t.read(spark, prune_eq={"y": 1995})
+        .filter(F.col("y") == 1995)
+        .collect()
+    )
+    assert got == [1, 4]
+
+
+def test_writer_partitioned_refuses_unformattable_types(spark, tmp_path):
+    d = str(tmp_path / "t")
+    t = TxnTable(str(tmp_path), "t", partition_cols=("ts",))
+    t.append(
+        spark.createDataFrame([(0, 0.5)], "id long, ts double").coalesce(1)
+    )
+    df = spark.createDataFrame([(1, 1.5)], "id long, ts double")
+    with pytest.raises(Exception, match="cannot format identically"):
+        df.write.format("txn").mode("append").save(d)
+    # and a missing partition column is refused up front too
+    u = TxnTable(str(tmp_path), "u", partition_cols=("cat",))
+    u.append(
+        spark.createDataFrame([(0, "a")], "id long, cat string").coalesce(1)
+    )
+    with pytest.raises(Exception, match="missing partition column"):
+        spark.range(3).write.format("txn").mode("append").save(
+            str(tmp_path / "u")
+        )
