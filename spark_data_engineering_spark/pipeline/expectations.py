@@ -172,3 +172,54 @@ def enforce(df: DataFrame, exps: tuple[Expectation, ...]) -> dict[str, int]:
             f"{ {n: f'{c} rows fail {by_name[n].predicate!r}' for n, c in fatal.items()} }"
         )
     return counts
+
+
+def stream_with_expectations(
+    stream: DataFrame,
+    exps: tuple[Expectation, ...],
+    main,
+    quarantine,
+    app_id: str,
+):
+    """The DLT composition: a stream flows through the expectation
+    policy per micro-batch — rows passing every drop/fail expectation
+    append to ``main``, diverted rows land in ``quarantine`` with their
+    ``failed_expectations`` reasons serialized to JSON (a plain string
+    column any reader groups on). Both tables advance their own
+    ``(app_id, epoch)`` watermark via ``append_idempotent``, so a
+    crash-redelivered epoch re-commits NEITHER half — and a crash
+    BETWEEN the two appends replays into one skip + one commit, never
+    a duplicate (each table's watermark is independent).
+
+    Per-epoch cost: one persist of the micro-batch + two map-side
+    filters of it — policy evaluation rides the batch, table sizes
+    never enter. Returns the StreamingQuery (availableNow)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        done_main = epoch_id <= main.last_epoch(app_id)
+        done_dead = epoch_id <= quarantine.last_epoch(app_id)
+        if done_main and done_dead:
+            return  # fully committed in a previous run
+        batch_df.persist()
+        try:
+            good, bad = split(batch_df, exps)
+            if not done_main:
+                main.append_idempotent(good, app_id, epoch_id)
+            if not done_dead:
+                quarantine.append_idempotent(
+                    bad.withColumn(
+                        "failed_expectations",
+                        F.to_json("failed_expectations"),
+                    ),
+                    app_id,
+                    epoch_id,
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1340,3 +1340,123 @@ def streaming_txn_upsert_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "streaming_expectations_quarantine",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderstatus, o_totalprice,
+             COALESCE(o_totalprice < 300000, FALSE) AS p_cap,
+             COALESCE(o_orderkey % 10 <> 0, FALSE) AS p_key
+      FROM orders
+    )
+    SELECT 'kept:' || o_orderstatus AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+    FROM f WHERE p_cap AND p_key GROUP BY 1
+    UNION ALL
+    SELECT 'dead:' || CASE
+             WHEN NOT p_key AND NOT p_cap THEN '["key_mod","price_cap"]'
+             WHEN NOT p_key THEN '["key_mod"]'
+             ELSE '["price_cap"]' END,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM f WHERE NOT (p_cap AND p_key) GROUP BY 1
+    """,
+)
+def streaming_expectations_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING EXPECTATIONS end-to-end (round 8; the DLT composition
+    of pipeline/expectations.py): the orders stream (multi-file source,
+    several micro-batches) flows through two drop-policy expectations
+    per epoch — passing rows append to a MAIN txn table, diverted rows
+    land in a QUARANTINE table carrying their failed_expectations
+    reasons — each table advancing its own (app, epoch) watermark, so
+    redelivery re-commits neither half. The gate hashes BOTH tables at
+    once: kept revenue by status AND quarantined counts by exact reason
+    set (including rows failing both expectations) against plain SQL
+    over orders — a dropped row that leaked into main, a lost
+    quarantine epoch, or a mis-attributed reason array each breaks the
+    hash. Per-epoch cost is one persist + two map-side filters of the
+    micro-batch; table sizes never enter it."""
+    import hashlib
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.pipeline import expectations as _exp_mod
+    from spark_data_engineering_spark.pipeline.expectations import (
+        Expectation,
+        stream_with_expectations,
+    )
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    exps = (
+        Expectation("price_cap", "o_totalprice < 300000", "drop"),
+        Expectation("key_mod", "o_orderkey % 10 <> 0", "drop"),
+    )
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"sexp:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}:{code_digest(_exp_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/sexp-{digest}"
+    if not os.path.isdir(root):
+        import shutil as _sh
+
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        staged = f"{tmp_root}/stream_in"
+        o.repartition(4).write.parquet(staged)
+        main = TxnTable(tmp_root, "orders_clean")
+        dead = TxnTable(tmp_root, "orders_dead")
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staged)
+        )
+        q = stream_with_expectations(stream, exps, main, dead, "sexp-gate")
+        q.awaitTermination()
+        if main.last_epoch("sexp-gate") < 1 or dead.last_epoch("sexp-gate") < 1:
+            raise AssertionError("expectations stream ran fewer than 2 epochs")
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published
+    main = TxnTable(root, "orders_clean")
+    dead = TxnTable(root, "orders_dead")
+    kept = (
+        main.read(spark)
+        .groupBy(
+            F.concat(F.lit("kept:"), F.col("o_orderstatus")).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("amount"),
+        )
+    )
+    diverted = (
+        dead.read(spark)
+        .groupBy(
+            F.concat(F.lit("dead:"), F.col("failed_expectations")).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("amount"),
+        )
+    )
+    return kept.unionByName(diverted)

@@ -107,6 +107,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # DLT-style expectations: warn/drop/fail row policy, every count +
     # kept summary from ONE aggregate job, NULL-as-violation rule
     "expectations_orders_report",
+    # the DLT composition: per-epoch expectations over a stream, main +
+    # quarantine tables with independent epoch watermarks, reasons and
+    # kept revenue both inside one hash
+    "streaming_expectations_quarantine",
     # --- P2: the 27-query r4-stale cohort (four rounds stale).
     "bottomk_sample_per_source",
     "scrub_boilerplate_segments",
@@ -135,8 +139,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "customer_value_quartiles",
     "customer_trailing_7d_revenue",
     "token_run_lengths",
-    # --- P2/P3: r5-cohort fill at registration order (1 slot).
-    "stratified_sample_documents",
+    # --- P2/P3: r5-cohort fills — all displaced by round-8 P1 queries.
+    # stratified_sample_documents (next r5 fill) rotated back out under
+    # P1 by the round-8 streaming-expectations gate query; it keeps its
+    # r5 hash-green row + the proportional-allocation pytest and
+    # re-enters under P2 next round.
     # train_split_counts (next r5 fill) rotated back out under P1 by the
     # round-8 expectations gate query; it keeps its r5 hash-green row +
     # the split-determinism pytest and re-enters under P2 next round.

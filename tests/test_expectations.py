@@ -119,3 +119,51 @@ def test_metrics_is_single_job_shape(spark):
     )
     assert plan.lower().count("aggregate") <= 2  # partial+final, one scan
     assert "join" not in plan.lower() and "union" not in plan.lower()
+
+
+def test_stream_with_expectations_replay_and_partial_crash(spark, tmp_path):
+    """Exactly-once across both tables: a redelivered epoch re-commits
+    neither half, and a crash BETWEEN the two appends (main committed,
+    quarantine not) replays into one skip + one commit — never a
+    duplicate row on either side."""
+    from spark_data_engineering_spark.pipeline.expectations import (
+        split as _split,
+        stream_with_expectations,
+    )
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1,), (2,), (-3,), (150,), (4,)], "v int"
+    ).coalesce(1).write.parquet(src)
+    main = TxnTable(str(tmp_path), "main")
+    dead = TxnTable(str(tmp_path), "dead")
+
+    # simulate the partial crash: epoch 0's GOOD half already committed
+    # under the stream's app id, quarantine half lost
+    batch = spark.read.parquet(src)
+    good0, _bad0 = _split(batch, EXPS)
+    main.append_idempotent(good0, "sexp-test", 0)
+    n_main = main.count_rows()
+
+    def run():
+        q = stream_with_expectations(
+            spark.readStream.schema("v int").parquet(src),
+            EXPS,
+            main,
+            dead,
+            "sexp-test",
+        )
+        q.awaitTermination()
+
+    run()
+    # main: epoch 0 skipped (no duplicates); dead: committed once
+    assert main.count_rows() == n_main
+    assert sorted(r.v for r in main.read(spark).collect()) == [1, 2, 4]
+    got = {r.v: r.failed_expectations for r in dead.read(spark).collect()}
+    assert got == {-3: '["pos"]', 150: '["small"]'}
+    # full redelivery (fresh checkpoint, same epochs): NOTHING recommits
+    v_main, v_dead = main.version(), dead.version()
+    run()
+    assert (main.version(), dead.version()) == (v_main, v_dead)
+    assert main.count_rows() == n_main and dead.count_rows() == 2
