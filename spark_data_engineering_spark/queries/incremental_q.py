@@ -1489,3 +1489,68 @@ def txn_constraint_gate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "txn_identity_rows",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS min_id,
+           CAST(COUNT(*) AS BIGINT) AS max_id,
+           CAST((COUNT(*) * (COUNT(*) + 1)) // 2 AS BIGINT) AS id_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_ids
+    FROM orders
+    """,
+)
+def txn_identity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS end-to-end (round 8; Delta's GENERATED ALWAYS
+    AS IDENTITY): orders land in a txn table declared
+    ``identity_cols={"rid": {"start": 1, "step": 1}}`` across TWO
+    appends — the writer never supplies rid; the table allocates it
+    with the two-pass partition-offset scheme (no global sort, no
+    driver row loop) from a commit-log watermark the second append
+    CONTINUES. The oracle is the algebra the contract implies and SQL
+    can state without seeing the assignment: n rows get ids exactly
+    1..n — so min=1, max=n, sum=n(n+1)/2, and n distinct values — true
+    for ANY distribution of rows to partitions, which is what makes a
+    distribution-dependent assignment hashable. A duplicated id breaks
+    n_distinct_ids AND id_sum; a skipped id breaks max AND id_sum; a
+    second append restarting at 1 breaks all three."""
+    import hashlib
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"ident:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/ident-{digest}"
+    if not os.path.isdir(root):
+        import shutil as _sh
+
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(
+            tmp_root, "orders_id", identity_cols={"rid": {"start": 1, "step": 1}}
+        )
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.append(o.filter(F.col("o_orderkey") % 2 == 0).repartition(3))
+        t.append(o.filter(F.col("o_orderkey") % 2 != 0).repartition(3))
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_id")
+    return t.read(spark).agg(
+        F.count("*").alias("n_rows"),
+        F.min("rid").alias("min_id"),
+        F.max("rid").alias("max_id"),
+        F.sum("rid").alias("id_sum"),
+        F.countDistinct("rid").alias("n_distinct_ids"),
+    )

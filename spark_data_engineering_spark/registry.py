@@ -111,7 +111,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # quarantine tables with independent epoch watermarks, reasons and
     # kept revenue both inside one hash
     "streaming_expectations_quarantine",
-    # --- P2: the 27-query r4-stale cohort (four rounds stale).
+    # identity columns (GENERATED ALWAYS AS IDENTITY): watermark-backed
+    # allocation, 1..n algebra (min/max/sum/ndv) inside the hash
+    "txn_identity_rows",
+    # --- P2: the r4-stale cohort (26 of 27 fit; the last at
+    # registration order, token_run_lengths, is cut by round 8's
+    # identity gate query under P1 — it keeps its r4 hash-green row +
+    # the run-length pytest and heads the r9 P2 queue by construction.
     "bottomk_sample_per_source",
     "scrub_boilerplate_segments",
     "orders_by_year_quarter",
@@ -138,7 +144,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "daily_revenue_anomalies",
     "customer_value_quartiles",
     "customer_trailing_7d_revenue",
-    "token_run_lengths",
     # --- P2/P3: r5-cohort fills — all displaced by round-8 P1 queries.
     # stratified_sample_documents (next r5 fill) rotated back out under
     # P1 by the round-8 streaming-expectations gate query; it keeps its

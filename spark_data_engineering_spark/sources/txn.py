@@ -191,6 +191,7 @@ class TxnTable:
         bloom_cols: tuple[str, ...] = (),
         partition_cols: tuple[str, ...] = (),
         generated_cols: dict[str, str] | None = None,
+        identity_cols: dict[str, dict] | None = None,
     ) -> None:
         self.table_dir = os.path.join(root, name)
         self.log_dir = os.path.join(self.table_dir, _LOG_DIR)
@@ -215,6 +216,21 @@ class TxnTable:
         # against the expression over the STAGED bytes (_enforce_staged)
         self._gcols_param: dict[str, str] = dict(generated_cols or {})
         self._gcols_cache: dict[str, str] | None = None
+        # identity columns (Delta's GENERATED ALWAYS AS IDENTITY):
+        # name -> {"start": int, "step": int}, declared at creation,
+        # recorded in every commit, immutable once recorded. Values are
+        # ASSIGNED by the table (a write supplying the column is
+        # refused); the high-water mark rides each allocating commit as
+        # ``identity_high`` and never regresses (restore/replay-safe).
+        # See identity_cols() / identity_high() / _with_identity().
+        self._idcols_param: dict[str, dict] = {
+            c: {"start": int(s.get("start", 1)), "step": int(s.get("step", 1))}
+            for c, s in (identity_cols or {}).items()
+        }
+        for c, s in self._idcols_param.items():
+            if s["step"] == 0:
+                raise ValueError(f"identity column {c!r}: step must be nonzero")
+        self._idcols_cache: dict[str, dict] | None = None
         # a BRANCH persists a marker pointing at the owner's shared
         # data/dv dirs (relative, so the tree can move) — any direct
         # open (vacuum's ref walk, format("txn") on a branch path, a
@@ -437,6 +453,113 @@ class TxnTable:
         self._gcols_cache = found or dict(self._gcols_param)
         return self._gcols_cache
 
+    def identity_cols(self, at_version: int | None = None) -> dict[str, dict]:
+        """The table's identity columns (Delta's GENERATED ALWAYS AS
+        IDENTITY): name -> {"start", "step"}, a LOG property resolved
+        exactly like ``generated_cols`` (latest commit carrying the
+        field; immutable once recorded)."""
+        head = self.version() if at_version is None else at_version
+        if at_version is None and self._idcols_cache is not None:
+            return self._idcols_cache
+        found: dict[str, dict] = {}
+        for v in reversed(self._commit_files()):
+            if v <= head:
+                c = self._read_commit(v)
+                if "identity_cols" in c:
+                    found = {k: dict(s) for k, s in c["identity_cols"].items()}
+                    break
+        if at_version is not None:
+            return found
+        if found and self._idcols_param and self._idcols_param != found:
+            raise ValueError(
+                f"table {self.table_dir} has identity columns {found}; "
+                f"re-declaring identity_cols={self._idcols_param} is "
+                "refused (identity specs are immutable once recorded — "
+                "rewrite into a new table to change them)"
+            )
+        self._idcols_cache = found or dict(self._idcols_param)
+        return self._idcols_cache
+
+    def identity_high(self, at_version: int | None = None) -> dict[str, int]:
+        """Per-identity-column LAST ASSIGNED value: the newest commit
+        carrying ``identity_high`` wins (allocating commits always
+        write the running max, so latest == max; a restore commit
+        carries no mark and resolution walks past it — identity values
+        are NEVER reused, Delta's rule). Columns with no allocation yet
+        map to ``start - step``."""
+        ids = self.identity_cols(at_version)
+        high = {c: s["start"] - s["step"] for c, s in ids.items()}
+        head = self.version() if at_version is None else at_version
+        for v in reversed(self._commit_files()):
+            if v > head:
+                continue
+            c = self._read_commit(v)
+            if "identity_high" in c:
+                for k, val in c["identity_high"].items():
+                    if k in high:
+                        high[k] = int(val)
+                break
+        return high
+
+    def _with_identity(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, dict[str, int] | None]:
+        """Assign identity values to an incoming frame: contiguous from
+        the current watermark, allocated with the two-pass partition-
+        offset scheme (one materialize + one tiny per-partition count
+        job — the accounting pass Delta pays at commit time; no global
+        sort, no driver row loop). A frame SUPPLYING an identity column
+        is refused (GENERATED ALWAYS AS semantics). Returns the frame
+        plus the new high-water marks to stamp into the commit."""
+        ids = self.identity_cols()
+        if not ids:
+            return df, None
+        supplied = [c for c in ids if c in df.columns]
+        if supplied:
+            raise ValueError(
+                f"{supplied} are GENERATED ALWAYS AS IDENTITY columns — "
+                "the table assigns them; remove the column(s) from the "
+                "write"
+            )
+        from spark_data_engineering_spark.materialize import materialize
+
+        from pyspark.sql.window import Window as _W
+
+        high = self.identity_high()
+        # pin the computed input once: partition ids and in-partition
+        # order must be identical across the count pass and the stage
+        # pass, which recomputation does not guarantee
+        tagged = materialize(df.withColumn("__pid", F.spark_partition_id()))
+        counts = tagged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+        offsets = counts.withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    _W.orderBy("__pid").rowsBetween(_W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).select("__pid", "__off", "__cnt")
+        total = offsets.agg(
+            F.coalesce(F.sum("__cnt"), F.lit(0)).cast("bigint")
+        ).first()[0]
+        out = tagged.join(F.broadcast(offsets.drop("__cnt")), "__pid")
+        rn = F.row_number().over(
+            _W.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+        )
+        out = out.withColumn("__ridn", (F.col("__off") + rn).cast("bigint"))
+        new_high: dict[str, int] = {}
+        for c, spec in ids.items():
+            out = out.withColumn(
+                c,
+                (
+                    F.lit(high[c])
+                    + F.col("__ridn") * F.lit(spec["step"])
+                ).cast("bigint"),
+            )
+            new_high[c] = high[c] + int(total) * spec["step"]
+        return out.drop("__pid", "__off", "__ridn"), new_high
+
     def _stamp_props(self, record: dict, at_version: int | None = None) -> dict:
         """Stamp the table-level LOG properties (``partition_cols``,
         ``generated_cols``) into a commit record — the ONE place every
@@ -450,6 +573,9 @@ class TxnTable:
         gc = self.generated_cols(at_version)
         if gc:
             record["generated_cols"] = dict(gc)
+        ic = self.identity_cols(at_version)
+        if ic:
+            record["identity_cols"] = {k: dict(s) for k, s in ic.items()}
         return record
 
     def _with_generated(self, df: DataFrame) -> DataFrame:
@@ -613,6 +739,8 @@ class TxnTable:
         schema_transform=None,
         base_version: int | None = None,
         extra: dict | None = None,
+        identity_high: dict[str, int] | None = None,
+        identity_base_version: int | None = None,
     ) -> int:
         """Commit with optimistic retry. Appends retry blindly (their
         files conflict with nothing); rewrites re-validate that every
@@ -672,7 +800,30 @@ class TxnTable:
                                 f"{action} conflicts: a concurrent deletion "
                                 f"vector landed on {sorted(hit)[:3]}..."
                             )
+            if identity_high and identity_base_version is not None:
+                # identity values were allocated from the watermark read
+                # at identity_base_version; a concurrent allocation from
+                # the same watermark produced COLLIDING ids in already-
+                # staged bytes, so this is a refusal, not a retry
+                mine_cols = set(identity_high)
+                for cv in self._commit_files():
+                    if identity_base_version < cv <= head:
+                        other = self._read_commit(cv).get("identity_high") or {}
+                        hit = mine_cols.intersection(other)
+                        if hit:
+                            raise ConcurrentWriteError(
+                                f"{action} conflicts: a concurrent write "
+                                f"allocated identity values for "
+                                f"{sorted(hit)} from the same watermark; "
+                                "re-run the write (ids must be re-assigned)"
+                            )
             record = {"version": head + 1, "action": action, "add": add, "remove": remove}
+            if identity_high:
+                # never regress the mark, whatever order replays land in
+                cur = self.identity_high()
+                record["identity_high"] = {
+                    c: max(v, cur.get(c, v)) for c, v in identity_high.items()
+                }
             # table-level log properties are re-recorded on every commit
             # so resolution never walks past the most recent commits
             # (and a branch seed / replay carries them forward)
@@ -1036,10 +1187,20 @@ class TxnTable:
 
     def append(self, df: DataFrame) -> int:
         df = self._with_generated(df)
+        v0 = self.version()
+        df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)
         add, stats = self._stage(df)
         self._enforce_staged(df.sparkSession, add, "append")
-        return self._commit("append", add, [], stats, schema=schema)
+        return self._commit(
+            "append",
+            add,
+            [],
+            stats,
+            schema=schema,
+            identity_high=id_high,
+            identity_base_version=v0 if id_high else None,
+        )
 
     def overwrite(
         self,
@@ -1063,13 +1224,22 @@ class TxnTable:
         did not replace."""
         # resolve the files to replace BEFORE staging; _commit re-validates
         df = self._with_generated(df)
+        v0id = self.version()
+        df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)
         if replace_where is None:
             removed = self.live_files()
             add, stats = self._stage(df)
             self._enforce_staged(df.sparkSession, add, "overwrite")
             return self._commit(
-                "overwrite", add, removed, stats, txn=txn, schema=schema
+                "overwrite",
+                add,
+                removed,
+                stats,
+                txn=txn,
+                schema=schema,
+                identity_high=id_high,
+                identity_base_version=v0id if id_high else None,
             )
         pcols = self.partition_cols()
         bad = [c for c in replace_where if c not in pcols]
@@ -1117,6 +1287,8 @@ class TxnTable:
             txn=txn,
             schema=schema,
             base_version=v0,
+            identity_high=id_high,
+            identity_base_version=v0id if id_high else None,
         )
 
     def write_audit_publish(
@@ -1154,6 +1326,8 @@ class TxnTable:
             # nothing, publish nothing, same contract as append_idempotent
             return None
         df = self._with_generated(df)
+        v0id = self.version()
+        df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)
         removed = self.live_files() if mode == "overwrite" else []
         add, stats = self._stage(df)
@@ -1175,7 +1349,16 @@ class TxnTable:
             raise CheckError(
                 f"write_audit_publish: audit failed, nothing published: {failures}"
             )
-        return self._commit(mode, add, removed, stats, txn=txn, schema=schema)
+        return self._commit(
+            mode,
+            add,
+            removed,
+            stats,
+            txn=txn,
+            schema=schema,
+            identity_high=id_high,
+            identity_base_version=v0id if id_high else None,
+        )
 
     def _read_files_meta(
         self, spark: SparkSession, files: list[str], at_version: int | None = None
@@ -1288,6 +1471,16 @@ class TxnTable:
             raise ValueError(f"when_matched={when_matched!r}")
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched={when_not_matched!r}")
+        if self.identity_cols():
+            # inserted rows would need fresh ids allocated mid-merge and
+            # updated rows must keep theirs — not supported yet; refuse
+            # honestly (Delta refused IDENTITY+MERGE for years for the
+            # same reason). delete/append through the enforced paths.
+            raise ValueError(
+                f"merge is not supported on a table with identity "
+                f"columns {sorted(self.identity_cols())}; use "
+                "delete_where + append (the table re-assigns ids)"
+            )
         # generated columns: computed on the SOURCE frame, so updated
         # target rows take the regenerated value and inserted rows carry
         # one from the start (Delta regenerates on MERGE the same way)
@@ -1531,6 +1724,13 @@ class TxnTable:
                 f"update_where: {hit_gcols} are generated columns "
                 "(derived, never assigned) — SET their base columns and "
                 "the generation expression recomputes them"
+            )
+        hit_idcols = [c for c in exprs if c in self.identity_cols()]
+        if hit_idcols:
+            raise ValueError(
+                f"update_where: {hit_idcols} are GENERATED ALWAYS AS "
+                "IDENTITY columns — the table assigns them, never an "
+                "UPDATE"
             )
         # generated columns whose expression references a SET column must
         # be REGENERATED on the updated rows (Delta's UPDATE rule) — and
@@ -1869,6 +2069,12 @@ class TxnTable:
                 f"{what}: {col!r} is a generated column — generation "
                 "expressions are immutable once recorded (rewrite into "
                 "a new table to change them)"
+            )
+        if col in self.identity_cols():
+            raise ValueError(
+                f"{what}: {col!r} is a GENERATED ALWAYS AS IDENTITY "
+                "column — identity specs are immutable once recorded "
+                "(rewrite into a new table to change them)"
             )
         refs = {
             **{f"generated column {g!r}": e for g, e in gcols.items()},
@@ -2513,6 +2719,8 @@ class TxnTable:
         if epoch_id <= self.last_epoch(app_id):
             return None  # replay of an already-committed batch
         df = self._with_generated(df)
+        v0id = self.version()
+        df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)
         add, stats = self._stage(df)
         self._enforce_staged(df.sparkSession, add, "append_idempotent")
@@ -2524,6 +2732,19 @@ class TxnTable:
                 for name in add:
                     os.unlink(os.path.join(self.data_dir, name))
                 return None
+            if id_high:
+                # mirrors _commit's identity conflict window: a
+                # concurrent allocation from the same watermark means
+                # the staged bytes carry colliding ids — refuse
+                for cv in self._commit_files():
+                    if v0id < cv <= head:
+                        other = self._read_commit(cv).get("identity_high") or {}
+                        if set(id_high).intersection(other):
+                            raise ConcurrentWriteError(
+                                "append_idempotent conflicts: a concurrent "
+                                "write allocated identity values from the "
+                                "same watermark; re-run the write"
+                            )
             record = {
                 "version": head + 1,
                 "action": "streaming-append",
@@ -2543,6 +2764,11 @@ class TxnTable:
             # (branch seeds, the datasource, vacuum), mixing layouts
             # (model-search finding, round 8)
             self._stamp_props(record)
+            if id_high:
+                cur = self.identity_high()
+                record["identity_high"] = {
+                    c: max(v, cur.get(c, v)) for c, v in id_high.items()
+                }
             if self._try_commit(record):
                 v = head + 1
                 if v % self.checkpoint_every == 0:
@@ -2633,6 +2859,12 @@ class TxnTable:
             # seed without the map would silently drop enforcement on
             # the branch (constraints resolve from the branch's OWN log)
             seed["constraints"] = cons
+        ih = self.identity_high(base_v)
+        if ih:
+            # the branch INHERITS the parent's identity watermark —
+            # without it, a branch append would re-allocate from start
+            # and fast-forward-merge colliding ids into the parent
+            seed["identity_high"] = ih
         if not b._try_commit(seed):
             return  # racing creation: the winner's seed is equivalent
         sidecars, deleted = self.dv_state(base_v)
@@ -2713,6 +2945,7 @@ class TxnTable:
         # rewrite / restore) and DV-touched files
         parent_removed: set[str] = set()
         parent_dv: set[str] = set()
+        parent_idalloc = False
         for cv in self._commit_files():
             if not (base_v < cv <= head):
                 continue
@@ -2735,6 +2968,7 @@ class TxnTable:
                 )
             parent_removed.update(rec.get("remove", []))
             parent_dv.update(rec.get("dv_counts") or {})
+            parent_idalloc = parent_idalloc or bool(rec.get("identity_high"))
         recs = [branch._read_commit(v) for v in commits]
         to_replay = [r for r in recs if not r.get("branch_inherited")]
         for rec in to_replay:
@@ -2764,6 +2998,13 @@ class TxnTable:
                     "commit (computed against the old base's sidecar "
                     "list); compact the branch first and re-run the "
                     "prune after the merge"
+                )
+            if rec.get("identity_high") and parent_idalloc:
+                raise ConcurrentWriteError(
+                    "rebase_branch: both lines allocated IDENTITY values "
+                    "from the shared base watermark — the branch's staged "
+                    "ids collide with the parent's; re-apply the branch "
+                    "writes by hand (the table re-assigns ids)"
                 )
             if act == "overwrite":
                 raise ValueError(
@@ -2810,6 +3051,11 @@ class TxnTable:
                     dv_counts=rec.get("dv_counts"),
                     dv_base_version=v if rec.get("dv_add") else None,
                     base_version=v if rec.get("remove") else None,
+                    # state-bearing: the rebased line's watermark must
+                    # cover the branch's allocations (max-folded in
+                    # _commit; collision with parent allocations was
+                    # refused above)
+                    identity_high=rec.get("identity_high"),
                     extra={
                         "rebased_from": name,
                         # a rebased merge(cdf=True): the change files
@@ -2925,6 +3171,10 @@ class TxnTable:
                 dv_counts=rec.get("dv_counts"),
                 dv_base_version=v if rec.get("dv_add") else None,
                 base_version=v if rec.get("remove") else None,
+                # state-bearing: the branch's identity allocations must
+                # advance the parent's watermark (fast-forward => the
+                # branch mark is the highest; max-folded in _commit)
+                identity_high=rec.get("identity_high"),
                 extra={
                     "merged_from": os.path.basename(branch.table_dir),
                     # state-bearing field of a replayed 'restore' commit:

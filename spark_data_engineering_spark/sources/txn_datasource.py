@@ -887,6 +887,17 @@ class TxnDataSource(DataSource):
                 "at commit time on this path); write through "
                 "TxnTable.append / overwrite / append_idempotent"
             )
+        idcols = t.identity_cols()
+        if idcols:
+            # same honest refusal: identity allocation needs the
+            # watermark read + conflict-checked around the commit, which
+            # the Arrow writer's executor tasks cannot coordinate
+            raise ValueError(
+                f"table has identity columns {sorted(idcols)} which "
+                f"{path_hint} cannot allocate (no watermark coordination "
+                "on this path); write through TxnTable.append / "
+                "overwrite / append_idempotent"
+            )
 
     def writer(self, schema: StructType, overwrite: bool) -> "TxnArrowWriter":
         self._refuse_if_constrained("df.write.format('txn')")

@@ -89,11 +89,13 @@ _MAXOPS = int(os.environ.get("TXN_MODEL_MAXOPS", "7"))
     st.lists(_op, min_size=2, max_size=_MAXOPS),
     st.integers(0, 10**6),
     st.booleans(),
-    st.booleans(),
+    st.sampled_from(["plain", "generated", "identity"]),
 )
 def test_random_op_sequence_matches_model(
-    spark, tmp_path_factory, ops, seq_id, partitioned, generated
+    spark, tmp_path_factory, ops, seq_id, partitioned, colmode
 ):
+    generated = colmode == "generated"
+    identity = colmode == "identity"
     # half the searches run on a hive-PARTITIONED table (partition col =
     # the value column, so every staged file is value-pure): every op
     # interaction — append/delete/dv/compact/merge/branch/restore — then
@@ -104,6 +106,11 @@ def test_random_op_sequence_matches_model(
     # carry or regenerate it, and the g == 2*val+1 invariant is asserted
     # on every read below — the classic place a rewrite path that
     # re-stages rows without the table's write contract would surface
+    # ...or an IDENTITY column rid (GENERATED ALWAYS AS IDENTITY) that
+    # no op ever supplies: row-introducing paths allocate, rewrites
+    # carry values through, and rid stays UNIQUE after every op; ops
+    # the identity contract refuses (merge, a both-sides-allocating
+    # rebase) must refuse as perfect no-ops
     root = str(tmp_path_factory.mktemp(f"txnmodel{seq_id}"))
     table = TxnTable(
         root,
@@ -111,6 +118,7 @@ def test_random_op_sequence_matches_model(
         checkpoint_every=3,
         partition_cols=("val",) if partitioned else (),
         generated_cols={"g": "val * 2 + 1"} if generated else None,
+        identity_cols={"rid": {"start": 1, "step": 1}} if identity else None,
     )
     model: list[int] = []
     snapshots: dict[int, list[int]] = {}
@@ -131,6 +139,9 @@ def test_random_op_sequence_matches_model(
         if generated:
             bad = [(r.val, r.g) for r in rows if r.g != r.val * 2 + 1]
             assert not bad, f"generated column diverged: {bad[:5]}"
+        if identity:
+            rids = [r.rid for r in rows]
+            assert len(set(rids)) == len(rids), "identity values collided"
         return sorted(r.val for r in rows)
 
     for op in ops:
@@ -162,18 +173,36 @@ def test_random_op_sequence_matches_model(
             # matched target row byte-identical (multiplicity preserved)
             # and "insert" adds one copy of each unmatched source key
             keys = sorted(set(op[1]))
-            table.merge(spark, df_of(keys), on=["val"])
-            model = model + [k for k in keys if k not in model]
+            if identity:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError, match="merge is not"):
+                    table.merge(spark, df_of(keys), on=["val"])
+            else:
+                table.merge(spark, df_of(keys), on=["val"])
+                model = model + [k for k in keys if k not in model]
         elif op[0] == "merge_delete":
             keys = sorted(set(op[1]))
-            table.merge(
-                spark,
-                df_of(keys),
-                on=["val"],
-                when_matched="delete",
-                when_not_matched=None,
-            )
-            model = [v for v in model if v not in set(keys)]
+            if identity:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError, match="merge is not"):
+                    table.merge(
+                        spark,
+                        df_of(keys),
+                        on=["val"],
+                        when_matched="delete",
+                        when_not_matched=None,
+                    )
+            else:
+                table.merge(
+                    spark,
+                    df_of(keys),
+                    on=["val"],
+                    when_matched="delete",
+                    when_not_matched=None,
+                )
+                model = [v for v in model if v not in set(keys)]
         elif op[0] == "append_epoch":
             committed = table.append_idempotent(df_of(op[2]), "m", op[1])
             if op[1] <= last_epoch:
@@ -269,10 +298,25 @@ def test_random_op_sequence_matches_model(
             b = table.branch(f"b{n_branches}")
             table.append(df_of(op[1]))  # parent DIVERGES past the base
             b.append(df_of(op[2]))
-            rb = table.rebase_branch(b)
-            table.merge_branch(rb)
-            table.drop_branch(f"b{n_branches}")
-            model = model + list(op[1]) + list(op[2])
+            if identity:
+                # BOTH lines allocated from the shared base watermark:
+                # the rebase must refuse (staged ids collide) and leave
+                # the parent exactly as its own append left it
+                from spark_data_engineering_spark.sources.txn import (
+                    ConcurrentWriteError as _CWE,
+                )
+
+                import pytest as _pytest
+
+                with _pytest.raises(_CWE, match="IDENTITY"):
+                    table.rebase_branch(b)
+                table.drop_branch(f"b{n_branches}")
+                model = model + list(op[1])
+            else:
+                rb = table.rebase_branch(b)
+                table.merge_branch(rb)
+                table.drop_branch(f"b{n_branches}")
+                model = model + list(op[1]) + list(op[2])
         else:
             table.compact(spark, target_file_bytes=1 << 20)
         if table.version() > 0:
