@@ -558,7 +558,12 @@ class TxnTable:
                 ).cast("bigint"),
             )
             new_high[c] = high[c] + int(total) * spec["step"]
-        return out.drop("__pid", "__off", "__ridn"), new_high
+        out = out.drop("__pid", "__off", "__ridn")
+        if int(total) == 0:
+            # columns exist (schema), but nothing was allocated — no
+            # watermark to stamp, no conflict window to open
+            return out, None
+        return out, new_high
 
     def _stamp_props(self, record: dict, at_version: int | None = None) -> dict:
         """Stamp the table-level LOG properties (``partition_cols``,
@@ -1471,15 +1476,14 @@ class TxnTable:
             raise ValueError(f"when_matched={when_matched!r}")
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched={when_not_matched!r}")
-        if self.identity_cols():
-            # inserted rows would need fresh ids allocated mid-merge and
-            # updated rows must keep theirs — not supported yet; refuse
-            # honestly (Delta refused IDENTITY+MERGE for years for the
-            # same reason). delete/append through the enforced paths.
+        idcols = self.identity_cols()
+        supplied_ids = [c for c in idcols if c in source.columns]
+        if supplied_ids:
             raise ValueError(
-                f"merge is not supported on a table with identity "
-                f"columns {sorted(self.identity_cols())}; use "
-                "delete_where + append (the table re-assigns ids)"
+                f"merge source supplies {supplied_ids} — GENERATED "
+                "ALWAYS AS IDENTITY columns are table-assigned: matched "
+                "rows keep the target's values, inserted rows get fresh "
+                "ones; remove the column(s) from the source"
             )
         # generated columns: computed on the SOURCE frame, so updated
         # target rows take the regenerated value and inserted rows carry
@@ -1531,14 +1535,18 @@ class TxnTable:
                     # the ≤1-row-per-key source preserves duplicate-key
                     # target multiplicity. The prior source-side semi-join
                     # collapsed [k,k] targets to one row (found by the
-                    # round-7 randomized model search).
-                    upd = t_rows.select(*on).join(F.broadcast(src), on, "inner")
+                    # round-7 randomized model search). Identity columns
+                    # ride the TARGET side — an update never re-assigns
+                    # them (the source was refused above if it tried)
+                    keep = list(on) + [c for c in idcols if c in t_rows.columns]
+                    upd = t_rows.select(*keep).join(F.broadcast(src), on, "inner")
                     if matched_delete_condition is not None:
                         upd = upd.filter(
                             ~F.coalesce(matched_delete_condition, F.lit(False))
                         )
                     parts.append(upd)
                 # "delete": matched target rows simply not re-emitted
+            id_high = None
             if when_not_matched == "insert":
                 ins = src
                 if live:
@@ -1549,6 +1557,12 @@ class TxnTable:
                     ins = ins.filter(
                         ~F.coalesce(matched_delete_condition, F.lit(False))
                     )
+                if idcols:
+                    # only the INSERT arm allocates identity values
+                    # (matched rows keep the target's, carried through
+                    # ``upd`` above); the allocation pins v0's watermark
+                    # and _commit refuses a concurrent allocation
+                    ins, id_high = self._with_identity(ins)
                 parts.append(ins)
                 if cdf:
                     changes.append((ins, "insert"))
@@ -1621,6 +1635,8 @@ class TxnTable:
                 schema=schema,
                 base_version=v0,
                 extra={"cdf_add": cdf_add} if cdf_add else None,
+                identity_high=id_high,
+                identity_base_version=v0 if id_high else None,
             )
         finally:
             src.unpersist()

@@ -79,8 +79,63 @@ def test_rewrites_preserve_ids(spark, tmp_path):
         t.update_where(spark, F.col("v") == 10, {"rid": F.lit(0)})
     with pytest.raises(ValueError, match="IDENTITY"):
         t.drop_column(spark, "rid")
-    with pytest.raises(ValueError, match="merge is not supported"):
-        t.merge(spark, _df(spark, [50]), on=["v"])
+
+
+def test_merge_keeps_target_ids_and_allocates_inserts(spark, tmp_path):
+    """MERGE on an identity table: matched rows KEEP the target's ids
+    (an update never re-assigns), inserted rows get fresh contiguous
+    ids from the watermark, and a source supplying the column is
+    refused."""
+    t = TxnTable(str(tmp_path), "t", identity_cols=IDS)
+    t.append(
+        spark.createDataFrame(
+            [(10, 1.0), (20, 2.0), (30, 3.0)], "v int, x double"
+        ).repartition(2)
+    )
+    before = {r.v: r.rid for r in t.read(spark).collect()}
+    src = spark.createDataFrame(
+        [(20, 22.0), (40, 4.0), (50, 5.0)], "v int, x double"
+    )
+    t.merge(spark, src, on=["v"])  # update 20, insert 40+50
+    rows = {r.v: (r.rid, r.x) for r in t.read(spark).collect()}
+    assert rows[20] == (before[20], 22.0)  # id kept, value updated
+    assert rows[10][0] == before[10] and rows[30][0] == before[30]
+    assert sorted(rows[v][0] for v in (40, 50)) == [4, 5]  # fresh ids
+    assert t.identity_high() == {"rid": 5}
+    # delete-only merges never allocate
+    t.merge(
+        spark,
+        spark.createDataFrame([(10,)], "v int"),
+        on=["v"],
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    assert t.identity_high() == {"rid": 5}
+    with pytest.raises(ValueError, match="table-assigned"):
+        t.merge(
+            spark,
+            src.withColumn("rid", F.lit(99).cast("bigint")),
+            on=["v"],
+        )
+    # the streaming upsert sink composes on identity tables now too
+    from spark_data_engineering_spark.streaming.upsert import (
+        stream_upsert_to_txn,
+    )
+
+    staged = str(tmp_path / "stream_in")
+    spark.createDataFrame(
+        [(20, 200.0), (60, 6.0)], "v int, x double"
+    ).coalesce(1).write.parquet(staged)
+    q = stream_upsert_to_txn(
+        spark.readStream.schema("v int, x double").parquet(staged),
+        t,
+        "ups-id",
+        on=["v"],
+    )
+    q.awaitTermination()
+    rows = {r.v: (r.rid, r.x) for r in t.read(spark).collect()}
+    assert rows[20] == (before[20], 200.0)  # still the original id
+    assert rows[60][1] == 6.0 and rows[60][0] == 6  # next watermark value
 
 
 def test_concurrent_allocation_is_refused(spark, tmp_path):

@@ -171,38 +171,23 @@ def test_random_op_sequence_matches_model(
         elif op[0] == "merge_upsert":
             # single-column rows: key == value, so "update" keeps every
             # matched target row byte-identical (multiplicity preserved)
-            # and "insert" adds one copy of each unmatched source key
+            # and "insert" adds one copy of each unmatched source key.
+            # On an identity table, matched rows must KEEP their rid and
+            # inserts get fresh ones — the read_vals uniqueness check
+            # catches either going wrong.
             keys = sorted(set(op[1]))
-            if identity:
-                import pytest as _pytest
-
-                with _pytest.raises(ValueError, match="merge is not"):
-                    table.merge(spark, df_of(keys), on=["val"])
-            else:
-                table.merge(spark, df_of(keys), on=["val"])
-                model = model + [k for k in keys if k not in model]
+            table.merge(spark, df_of(keys), on=["val"])
+            model = model + [k for k in keys if k not in model]
         elif op[0] == "merge_delete":
             keys = sorted(set(op[1]))
-            if identity:
-                import pytest as _pytest
-
-                with _pytest.raises(ValueError, match="merge is not"):
-                    table.merge(
-                        spark,
-                        df_of(keys),
-                        on=["val"],
-                        when_matched="delete",
-                        when_not_matched=None,
-                    )
-            else:
-                table.merge(
-                    spark,
-                    df_of(keys),
-                    on=["val"],
-                    when_matched="delete",
-                    when_not_matched=None,
-                )
-                model = [v for v in model if v not in set(keys)]
+            table.merge(
+                spark,
+                df_of(keys),
+                on=["val"],
+                when_matched="delete",
+                when_not_matched=None,
+            )
+            model = [v for v in model if v not in set(keys)]
         elif op[0] == "append_epoch":
             committed = table.append_idempotent(df_of(op[2]), "m", op[1])
             if op[1] <= last_epoch:
