@@ -21,120 +21,104 @@ from spark_data_engineering_spark.session import get_spark  # noqa: E402
 
 registry.load_all()
 
-# Headline set: the two reference reports, the heavy relational shapes, and
-# one representative of each extension family.
+# Headline set, two tiers (round 8 re-derivation):
+#
+# 1. MUST-BENCH TIER — every registered query whose sf0.1 STEADY-STATE
+#    wall exceeds 2 s, with no exceptions. The evidence is
+#    tools/bench_audit.py run on a quiet machine (it measures all
+#    registered queries once, re-running anything over 1.5 s so cached
+#    builds report steady state); its full 201-query output is
+#    committed per round as BENCH_AUDIT_r{N}.json, so NO query's cost
+#    is invisible even when the ~1950-char driver stdout budget caps
+#    how many rows this line can carry. The round-8 audit surfaced 16
+#    >2 s queries the old set missed (the same invisibility class
+#    VERDICT r7 flagged): the availableNow streaming demos
+#    (user_totals_tws, sessionize, distinct_users, hourly_event_stats,
+#    dedup_documents), the incremental-maintenance family (whose
+#    per-call cost IS the maintenance fold), ann_recall_report,
+#    pagerank_click_graph, approx_distinct_parts,
+#    approx_quantiles_lineitem, cdc_boilerplate_chunks, dedup_clusters,
+#    embedding_dup_clusters. All enter below.
+#
+# 2. REPRESENTATIVE TIER — the reference's two reports, a TPC-H core,
+#    and one benched row per extension family, filling the remaining
+#    stdout budget. Sub-2 s rows displaced in round 8 to fund tier 1
+#    (machinery containment in parens; every one keeps its driver hash
+#    row and pytest): daily_category_report_bucketed (plan pinned in
+#    tests; daily_category_report stays), tpch q3/q5/q7/q9/q13/q16/q20
+#    (join+agg machinery stays via q1/q2/q8/q18/q21 and the >2 s
+#    tier), ngram_jaccard_pairs (minhash/simhash/jaccard_prefix
+#    benched), media_feature_knn (knn_int8 + embedding_near_dup
+#    benched), bpe_subword_stats + doc_repetition_metrics +
+#    benchmark_contamination + doc_pii_scrub (text/quality family:
+#    bigram_fluency + doc_classifier + cms benched),
+#    winsorized_revenue_by_priority (brand_quantity_price_corr
+#    benched), export_training/shuffled/jsonl_shards
+#    (export_webdataset_shards benched; jsonl r7 driver-green).
+#    tpch_q11_important_stock was dropped in r8 earlier (q16 note now
+#    historical — q16 itself rotated out this round).
 HEADLINE = (
+    # ---- tier 1: every >2 s steady-state query (BENCH_AUDIT_r08) ----
+    "streaming_user_totals_tws",
+    "incremental_scd2_tiers",
+    "incremental_daily_revenue_merged",
+    "incremental_daily_order_report",
+    "incremental_daily_revenue",
+    "ann_recall_report",
+    "streaming_sessionize_events",
+    "streaming_distinct_users",
+    "streaming_hourly_event_stats",
+    "streaming_dedup_documents",
+    "pagerank_click_graph",
+    "approx_distinct_parts",
+    "approx_quantiles_lineitem",
+    "cdc_boilerplate_chunks",
+    "dedup_clusters",
+    "embedding_dup_clusters",
+    "bootstrap_revenue_ci",
+    "semantic_dedup_report",
+    "streaming_click_purchase_join",
+    "streaming_txn_sink_revenue",
+    "streaming_enriched_event_stats",
+    "streaming_txn_source_revenue",
+    "streaming_txn_cdf_merge_revenue",
+    "streaming_txn_cdf_revenue",
+    "streaming_materialized_view_revenue",
+    "bloom_pruned_supplier_revenue",
+    "minhash_lsh_pairs",
+    "jaccard_prefix_pairs",
+    "dedup_keep_best",
+    "neardup_triangle_stats",
+    # ---- tier 2: reports, TPC-H core, one row per family ----
     "daily_order_report",
     "daily_category_report",
-    "daily_category_report_bucketed",
+    "daily_category_report_approx",
     "pipeline_daily_order_report",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q13_customer_distribution",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
     "tpch_q18_volume_customers",
     "tpch_q21_sole_returned_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    # tpch_q11_important_stock (0.46 s) dropped in r8 to fund the
-    # stream-stream join row under the ~1950-char stdout budget: the
-    # group-agg + HAVING-scalar machinery stays benched via q16/q18,
-    # and q11 keeps its r5 driver hash row.
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_part_promotion_suppliers",
     "wide_lineitem",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
     "simhash_near_pairs",
     "embedding_near_dup",
-    "doc_repetition_metrics",
-    "doc_pii_scrub",
-    "benchmark_contamination",
     "knn_int8_quantized",
-    "media_feature_knn",
-    # round-4 additions (round-over-round totals compare on the shared set)
-    "daily_category_report_approx",
-    "bloom_pruned_supplier_revenue",
-    "semantic_dedup_report",
-    # round-5 additions
-    "txn_snapshot_join",
-    "export_training_shards",
-    "dv_delete_report",
-    "dedup_keep_best",
+    "kmv_distinct_users",
     "cms_token_frequencies",
-    "bpe_subword_stats",
     "bigram_fluency_scores",
-    "winsorized_revenue_by_priority",
-    # round-6 additions
     "brand_quantity_price_corr",
     "copurchase_part_pairs",
     "ann_index_incremental_search",
     "doc_classifier_scores",
-    "export_shuffled_shards",
     "curation_decisions",
-    "jaccard_prefix_pairs",
-    "kmv_distinct_users",
-    # round-7 additions (the must-bench rule: every registered query with
-    # sf0.1 steady-state wall > 2 s enters the bench record — round 8
-    # closed the four violations VERDICT r7 "What's wrong" #1 named:
-    # export_webdataset_shards, rrf_fusion_search,
-    # txn_branch_merge_revenue, txn_writer_roundtrip_revenue below).
-    # Dropped sub-0.5 s rows funding the set under the ~1950-char stdout
-    # budget, each with its machinery still covered: r7 dropped eight
-    # sub-0.3 s rows (stratified_sample_documents, dedup_exact,
-    # chunk_documents, tpch_q6_forecast_revenue, hourly_event_stats,
-    # top10_customers_by_revenue, brand_type_metrics,
-    # event_rollup_multires), then project_derive_filter / doc_stats /
-    # rollup_flag_status / tpch_q15_top_supplier /
-    # scrub_boilerplate_segments to fund the streaming-txn family (each
-    # with a containment note in the git history). Round 8 drops five
-    # more to fund the four must-bench rows:
-    #   latest_order_per_customer (0.25 s; row_number-dedup — the window
-    #     machinery stays benched via wide_lineitem + tpch_q2/q18);
-    #   pack_documents_greedy (0.37 s; UDTF packing, r7 driver-green);
-    #   boilerplate_chunks (0.39 s; chunk-fingerprint machinery r6/r7
-    #     driver-green via cdc_boilerplate_chunks + neardup family);
-    #   knn_bruteforce (0.43 s; exact cosine top-k stays benched via
-    #     knn_int8_quantized + ann_index_incremental_search +
-    #     embedding_near_dup);
-    #   distinct_counts (0.45 s; single-scan distinct aggregates —
-    #     superset benched none, but machinery is the same hash-agg as
-    #     tpch_q13/q16 and the exact-NDV column_stats_report is r7
-    #     driver-green).
-    # fuzzy_part_name_pairs (0.47 s steady) dropped in r8 to keep the
-    # stdout line under 1950 chars after the five must-bench additions:
-    # the stratified edit-distance join carries an r7 driver hash row
-    # and the dedup family keeps four benched rows (ngram/minhash/
-    # simhash/jaccard_prefix).
-    "bootstrap_revenue_ci",
-    "neardup_triangle_stats",
     "doc_hierarchy_depths",
-    "export_jsonl_shards",
-    "streaming_enriched_event_stats",
-    "streaming_txn_source_revenue",
-    "streaming_txn_sink_revenue",
-    "streaming_txn_cdf_revenue",
-    "streaming_materialized_view_revenue",
-    # round-8 additions: the four must-bench closures. The
-    # writer-roundtrip and branch-merge tables are cached builds, so
-    # best-of-N records their steady-state (read-back + metadata-commit)
-    # wall, per the VERDICT r7 task-2 prescription; webdataset re-tars
-    # every invocation (not cached) and rrf runs both retrieval stages.
+    "txn_snapshot_join",
+    "dv_delete_report",
+    "streaming_expectations_quarantine",
     "export_webdataset_shards",
     "rrf_fusion_search",
     "txn_branch_merge_revenue",
     "txn_writer_roundtrip_revenue",
-    # streaming CDF of a MERGE-heavy table (round-8 surface; 2.8 s
-    # steady-state at sf0.1 crosses the must-bench bar). Its sibling
-    # txn_partition_pruned_revenue stays unbenched at 0.36 s cached
-    # (under the bar; scale row in SCALE.md).
-    "streaming_txn_cdf_merge_revenue",
-    # stream-stream interval join (round-8 surface; 4.2 s steady at
-    # sf0.1 — trigger scheduling + state-store commits, see the query's
-    # shuffle-width note — crosses the must-bench bar).
-    "streaming_click_purchase_join",
 )
 
 
@@ -176,10 +160,19 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.time() - t0
 
-        samples = [one_run() for _ in range(runs)]
+        # heavy queries (first run > 3 s: availableNow streaming demos,
+        # iterative algorithms, the incremental-maintenance family) get
+        # 2 runs and no noise retries — their wall is trigger
+        # scheduling / fixed per-call work, stable in absolute terms,
+        # and a 7-run budget on a 5 s query buys nothing but wall time
+        # (the retry loop exists to rescue sub-second rows from
+        # throttle noise, where one bad sample doubles the number)
+        samples = [one_run()]
+        n_runs = runs if samples[0] < 3.0 else min(runs, 2)
+        samples += [one_run() for _ in range(n_runs - 1)]
         best = min(samples)
         for _ in range(max_retries):
-            if best <= retry_above:
+            if best <= retry_above or samples[0] >= 3.0:
                 break
             t = one_run()
             samples.append(t)
