@@ -1460,3 +1460,93 @@ def streaming_expectations_quarantine(
         )
     )
     return kept.unionByName(diverted)
+
+
+@query(
+    "txn_autocompact_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def txn_autocompact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-COMPACTION under the gate (round 8; Delta's
+    autoOptimize.autoCompact): the orders stream ingests through
+    ``stream_to_txn_table(auto_compact=True)`` — one file per task per
+    epoch, then ``compact_small`` after each committed epoch bin-packs
+    the accumulated sub-threshold files in a separate net-zero commit
+    (metadata-only check until enough accumulate; big files never
+    rewritten). The build pins the POINT of the feature with a
+    files-read assertion: the live-file count must stay bounded by the
+    compaction threshold instead of growing with epoch count — on a
+    100 TB streaming table this is the difference between scans paying
+    per-epoch file-open costs forever and a bounded manifest. The
+    read-back aggregate hash-matches plain SQL, proving the interleaved
+    compact commits never dropped or duplicated a row (exactly-once
+    epoch watermarks ride the append commits, compaction is net-zero)."""
+    import hashlib
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+    from spark_data_engineering_spark.sources.txn import TxnTable
+    from spark_data_engineering_spark.streaming import events as _ev_mod
+    from spark_data_engineering_spark.streaming.events import (
+        stream_to_txn_table,
+    )
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"acomp:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}:{code_digest(_ev_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/acomp-{digest}"
+    if not os.path.isdir(root):
+        import shutil as _sh
+
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        staged = f"{tmp_root}/stream_in"
+        o.repartition(8).write.parquet(staged)
+        t = TxnTable(tmp_root, "orders_ac")
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        q = stream_to_txn_table(stream, t, "acomp-gate", auto_compact=True)
+        q.awaitTermination()
+        if t.last_epoch("acomp-gate") < 4:
+            raise AssertionError("auto-compact stream ran fewer than 5 epochs")
+        # the pinned point: live files bounded by the compaction
+        # threshold (default min_files=8), NOT by epoch count — without
+        # auto_compact this table would hold >= 8 files (one per epoch)
+        n_live = len(t.live_files())
+        if n_live >= 8:
+            raise AssertionError(
+                f"auto-compact left {n_live} live files (epoch-count "
+                "growth — compaction never fired)"
+            )
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            _sh.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_ac")
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

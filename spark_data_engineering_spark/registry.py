@@ -114,10 +114,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # identity columns (GENERATED ALWAYS AS IDENTITY): watermark-backed
     # allocation, 1..n algebra (min/max/sum/ndv) inside the hash
     "txn_identity_rows",
-    # --- P2: the r4-stale cohort (26 of 27 fit; the last at
-    # registration order, token_run_lengths, is cut by round 8's
-    # identity gate query under P1 — it keeps its r4 hash-green row +
-    # the run-length pytest and heads the r9 P2 queue by construction.
+    # auto-compaction (Delta autoCompact): per-epoch compact_small keeps
+    # a streaming table's live-file count bounded; pinned in-build,
+    # read-back revenue inside the hash
+    "txn_autocompact_revenue",
+    # --- P2: the r4-stale cohort (25 of 27 fit; the tail at
+    # registration order — token_run_lengths, then
+    # customer_trailing_7d_revenue — is cut by round 8's identity and
+    # auto-compaction gate queries under P1; each keeps its r4
+    # hash-green row + pytest and heads the r9 P2 queue by construction.
     "bottomk_sample_per_source",
     "scrub_boilerplate_segments",
     "orders_by_year_quarter",
@@ -143,7 +148,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "daily_revenue_gapfilled",
     "daily_revenue_anomalies",
     "customer_value_quartiles",
-    "customer_trailing_7d_revenue",
     # --- P2/P3: r5-cohort fills — all displaced by round-8 P1 queries.
     # stratified_sample_documents (next r5 fill) rotated back out under
     # P1 by the round-8 streaming-expectations gate query; it keeps its

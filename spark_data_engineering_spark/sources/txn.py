@@ -2257,6 +2257,54 @@ class TxnTable:
         add, stats = self._stage(packed)
         return self._commit("compact", add, files, stats, base_version=v0)
 
+    def compact_small(
+        self,
+        spark: SparkSession,
+        small_bytes: int = 16 * 1024 * 1024,
+        min_files: int = 8,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """AUTO-COMPACTION (Delta's autoOptimize.autoCompact): bin-pack
+        only the live files SMALLER than ``small_bytes``, and only when
+        at least ``min_files`` of them have accumulated — otherwise a
+        no-op that costs one log listing, no data read, no commit. This
+        is the small-file hygiene a streaming sink needs: one file per
+        task per epoch compounds into thousands of KB-scale files whose
+        per-file open/footer cost eventually dominates scans; calling
+        this after every epoch keeps the count bounded while the
+        threshold check stays metadata-only. Big files are never
+        rewritten (unlike ``compact``, which repacks the whole table).
+
+        Follows the repo-wide rewrite rule: pins v0, reads the victims
+        through ``_read_files_meta(at_version=v0)`` (outstanding DVs
+        materialize), commits with ``base_version=v0`` so a concurrent
+        DV on a victim refuses instead of resurrecting rows."""
+        v0 = self.version()
+        live = self.live_files(v0)
+        if not live:
+            return v0
+        victims = []
+        for f in live:
+            try:
+                if os.path.getsize(os.path.join(self.data_dir, f)) < small_bytes:
+                    victims.append(f)
+            except OSError:
+                pass  # vacuumed/missing: not a victim
+        if len(victims) < min_files:
+            return v0
+        total = sum(
+            os.path.getsize(os.path.join(self.data_dir, f)) for f in victims
+        )
+        n_out = max(1, -(-total // target_file_bytes))
+        df = self._conform(
+            self._read_files_meta(spark, victims, at_version=v0).drop(
+                "__file", "__ridx"
+            ),
+            v0,
+        )
+        add, stats = self._stage(df.coalesce(n_out))
+        return self._commit("compact", add, victims, stats, base_version=v0)
+
     def restore(self, version: int) -> int:
         """RESTORE the table to an earlier ``version`` as a NEW commit
         (Delta RESTORE / Iceberg rollback): the live-file set becomes the

@@ -224,7 +224,9 @@ def stream_to_snapshot_store(
     )
 
 
-def stream_to_txn_table(events: DataFrame, table, app_id: str):
+def stream_to_txn_table(
+    events: DataFrame, table, app_id: str, auto_compact: bool = False
+):
     """Exactly-once raw ingest into a transaction-logged table: each
     micro-batch is one ``append_idempotent`` commit carrying the
     (app_id, epoch_id) watermark IN the commit record, so a replayed
@@ -242,12 +244,23 @@ def stream_to_txn_table(events: DataFrame, table, app_id: str):
     numerically, so reusing an app_id with a RESET checkpoint over a
     source that has since grown will skip the low-numbered epochs — keep
     (app_id, checkpoint) paired, or use a new app_id for a new lineage.
+
+    ``auto_compact=True`` runs ``table.compact_small`` after each
+    committed epoch (Delta's autoOptimize.autoCompact): a streaming
+    sink writes one file per task per epoch, and unchecked that
+    compounds into thousands of KB-scale files whose per-file open
+    cost eventually dominates every scan; the check itself is
+    metadata-only and no-ops until enough small files accumulate.
+    Compaction is a separate net-zero commit — replays and downstream
+    CDF/stream readers skip it by the existing action triage.
     Returns the StreamingQuery."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         table.append_idempotent(batch_df, app_id=app_id, epoch_id=epoch_id)
+        if auto_compact:
+            table.compact_small(batch_df.sparkSession)
 
     return (
         events.writeStream.outputMode("append")

@@ -1,0 +1,91 @@
+"""Auto-compaction (Delta's autoOptimize.autoCompact):
+``compact_small`` bin-packs only sub-threshold live files once enough
+accumulate — metadata-only no-op below the thresholds, big files never
+rewritten, DVs materialized, value-purity preserved on partitioned
+tables — and the streaming ingest sink keeps its file count bounded
+with ``auto_compact=True``."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources.txn import TxnTable
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v int").coalesce(1)
+
+
+def test_compact_small_thresholds_and_big_files_untouched(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    for i in range(6):
+        t.append(_df(spark, [i]))
+    v = t.version()
+    # below min_files: metadata-only no-op, no commit
+    assert t.compact_small(spark, min_files=8) == v
+    assert t.version() == v
+    for i in range(6, 9):
+        t.append(_df(spark, [i]))
+    # one genuinely BIG file (hundreds of rows vs single-row smalls)
+    t.append(_df(spark, list(range(9, 500))))
+    files_before = set(t.live_files())
+    import os
+
+    sizes = {
+        f: os.path.getsize(os.path.join(t.data_dir, f)) for f in files_before
+    }
+    big = max(sizes, key=sizes.get)
+    bar = sizes[big]  # strictly-below comparison leaves `big` alone
+    got = t.compact_small(spark, small_bytes=bar, min_files=8)
+    assert got == t.version() and got == v + 5  # one compact commit
+    after = set(t.live_files())
+    assert big in after  # the big file survived untouched
+    assert len(after) < len(files_before)
+    assert sorted(r.v for r in t.read(spark).collect()) == list(range(500))
+
+
+def test_compact_small_materializes_dvs_and_keeps_partitions(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t", partition_cols=("cat",))
+    for i in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(i, "a"), (i + 100, "b")], "v int, cat string"
+            ).coalesce(1)
+        )
+    t.delete_where_dv(spark, F.col("v") == 1)
+    t.compact_small(spark, min_files=2)
+    got = sorted(r.v for r in t.read(spark).collect())
+    assert got == [0, 2, 3, 100, 101, 102, 103]
+    stats = t.file_stats()
+    for name, cols in stats.items():
+        pv = cols.get("partitionValues")
+        assert pv is not None and pv.get("cat") in ("a", "b"), (name, pv)
+    # pruning still exact after the rewrite
+    kept = t.prune_files(None, equals={"cat": "a"})
+    assert kept and all(
+        stats[f]["partitionValues"]["cat"] == "a" for f in kept
+    )
+
+
+def test_streaming_sink_auto_compact_bounds_files(spark, tmp_path):
+    from spark_data_engineering_spark.streaming.events import (
+        stream_to_txn_table,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(24).repartition(12).write.parquet(src)
+    t = TxnTable(str(tmp_path), "t")
+    stream = (
+        spark.readStream.schema("id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_to_txn_table(stream, t, "ac-test", auto_compact=True)
+    q.awaitTermination()
+    # 12 micro-batches, each a file-per-task append; auto-compact keeps
+    # the live count bounded by the min_files threshold instead of
+    # growing with epoch count
+    assert len(t.live_files()) <= 8
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(24))
+    # exactly-once survived the interleaved compact commits
+    assert t.last_epoch("ac-test") >= 1

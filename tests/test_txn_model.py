@@ -62,6 +62,9 @@ _op = st.one_of(
     ),
     # DV maintenance: drop all-dead sidecars — visible state unchanged
     st.tuples(st.just("dv_prune")),
+    # auto-compaction: bin-pack only sub-threshold small files —
+    # visible state unchanged, DVs materialized, value-purity kept
+    st.tuples(st.just("compact_small")),
     # UPDATE ... SET val = val + 100 WHERE val <= x (copy-on-write
     # rewrite); on a PARTITIONED table the op targets the partition
     # column and must be REFUSED as a perfect no-op
@@ -208,6 +211,10 @@ def test_random_op_sequence_matches_model(
             if table.version() == 0:
                 continue
             table.prune_dv_sidecars()  # never changes visible state
+        elif op[0] == "compact_small":
+            if table.version() == 0:
+                continue
+            table.compact_small(spark, min_files=2)  # visible no-op
         elif op[0] == "update_le":
             if table.version() == 0:
                 continue
