@@ -15,6 +15,27 @@ from spark_data_engineering_spark.sources import load_table
 from spark_data_engineering_spark.streaming.events import EVENT_SCHEMA
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_shuffle(spark: SparkSession, n: int = 8):
+    """Per-query STATE shuffle width (the streaming_click_purchase_join
+    note, shared): stateful operators keep state per shuffle partition
+    and the state store commits one delta file per partition per
+    micro-batch — at gate volume 32 partitions is mostly store-commit
+    overhead (measured ~2× on the interval join and the
+    transformWithState query). Production sizes this by key rate ×
+    state size; it is baked into the checkpoint at FIRST start, which
+    is why the conf wraps .start() (fresh checkpoints per run here)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _txnstream_ckpt() -> str:
     """Fresh per-run checkpoint dir under a swept root — the txn-stream
     gate queries checkpoint once per invocation, so without sweeping the
@@ -68,14 +89,15 @@ def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), F.sum("value").alias("sum_value_raw")
     )
     name = "streaming_hourly_gate"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("w.start").alias("hour"),
         "event_type",
@@ -138,14 +160,15 @@ def streaming_enriched_event_stats(spark: SparkSession, sf_dir: str) -> DataFram
         "c_mktsegment", "event_type"
     ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value_raw"))
     name = "streaming_enriched_gate"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("c_mktsegment").alias("segment"),
         "event_type",
@@ -197,14 +220,15 @@ def streaming_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(staged)
     deduped = fingerprint_dedup_stream(stream, text_col="text", event_time_col="ts", delay="2 hours")
     name = "streaming_dedup_gate"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("fp")
 
 
@@ -261,14 +285,15 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
     ).agg(F.count("*").alias("n_events"), F.sum("value").alias("_raw"))
     name = "streaming_sessionize_gate"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         F.col("w.start").alias("session_start"),
@@ -323,10 +348,20 @@ if ensure_protobuf():
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # state shuffle width is a per-query knob (the click_purchase
+        # note): the stateful processor commits one RocksDB delta per
+        # shuffle partition per micro-batch, so 32 partitions at gate
+        # volume is mostly store-commit overhead — 8 halves the wall;
+        # baked into the checkpoint at first start (fresh per run here).
+        # 4 files/trigger keeps the cross-batch state accumulation the
+        # query exists to prove (2 micro-batches) without paying
+        # scheduling for 4.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             stream = (
                 spark.readStream.schema("user_id bigint, value double, ts timestamp")
-                .option("maxFilesPerTrigger", 2)
+                .option("maxFilesPerTrigger", 4)
                 .parquet(staged)
             )
             name = "streaming_tws_gate"
@@ -340,6 +375,7 @@ if ensure_protobuf():
             )
             q.awaitTermination()
         finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         last = F.max(F.struct("n_events", "total_value")).alias("s")
         return (
