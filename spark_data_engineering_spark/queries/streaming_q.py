@@ -83,7 +83,7 @@ def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(staged):
         load_table(spark, "events", sf_dir).repartition(8).write.mode("overwrite").parquet(staged)
     stream = (
-        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 2).parquet(staged)
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 4).parquet(staged)
     )
     agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count("*").alias("n_events"), F.sum("value").alias("sum_value_raw")
@@ -153,7 +153,7 @@ def streaming_enriched_event_stats(spark: SparkSession, sf_dir: str) -> DataFram
     )
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 4)
         .parquet(staged)
     )
     agg = enrich_with_dim_stream(stream, dim, "user_id").groupBy(
@@ -217,7 +217,7 @@ def streaming_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         full.repartition(8).write.mode("overwrite").parquet(staged)
     schema = spark.read.parquet(staged).schema
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(staged)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(staged)
     deduped = fingerprint_dedup_stream(stream, text_col="text", event_time_col="ts", delay="2 hours")
     name = "streaming_dedup_gate"
     with _state_shuffle(spark):
@@ -279,7 +279,7 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(staged)
     stream = (
-        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 2).parquet(staged)
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 4).parquet(staged)
     )
     agg = stream.groupBy(
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
@@ -671,7 +671,7 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = StreamingKMV(state_dir, "event_type", "user_id", k=_KMV_K)
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 4)
         .parquet(staged)
     )
     q = (
