@@ -1563,6 +1563,14 @@ class TxnTable:
                     # ``upd`` above); the allocation pins v0's watermark
                     # and _commit refuses a concurrent allocation
                     ins, id_high = self._with_identity(ins)
+                    # re-fold the logical schema AFTER assignment: when
+                    # this merge is the table's FIRST row-introducing
+                    # commit, the pre-insert schema (computed from the
+                    # bare source) has no identity column, and staging
+                    # it without the schema entry would make every read
+                    # silently drop the assigned ids (deep model-search
+                    # finding, round 8)
+                    schema = self._merged_schema(ins)
                 parts.append(ins)
                 if cdf:
                     changes.append((ins, "insert"))

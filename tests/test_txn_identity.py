@@ -206,3 +206,21 @@ def test_connector_writer_refuses_identity_tables(spark, tmp_path):
     t.append(_df(spark, [1]))
     with pytest.raises(Exception, match="identity columns"):
         _df(spark, [2]).write.format("txn").mode("append").save(t.table_dir)
+
+
+def test_merge_insert_as_first_commit_keeps_identity_schema(spark, tmp_path):
+    """Deep model-search finding (round 8): when a merge-INSERT is the
+    table's FIRST row-introducing commit, the logical schema must fold
+    the identity column in AFTER assignment — the pre-insert schema
+    (from the bare source) has no rid, and committing it would make
+    every read silently drop the assigned ids."""
+    t = TxnTable(str(tmp_path), "t", identity_cols=IDS)
+    t.merge(spark, _df(spark, [0]), on=["v"])  # empty table: pure insert
+    rows = t.read(spark).collect()
+    assert [(r.v, r.rid) for r in rows] == [(0, 1)]
+    assert t.identity_high() == {"rid": 1}
+    t.append(_df(spark, [5]))
+    assert sorted((r.v, r.rid) for r in t.read(spark).collect()) == [
+        (0, 1),
+        (5, 2),
+    ]
