@@ -49,8 +49,18 @@ class _FilePartition(InputPartition):
         cdf_version: int | None = None,
         cdf_select: bool = False,
         cdf_from_file: bool = False,
+        row_groups: tuple[int, ...] | None = None,
+        row_offset: int = 0,
     ) -> None:
         self.path = path
+        # row-group CHUNK of a large file (None = the whole file): scan
+        # parallelism must not be bounded by file count — a 1 GB file is
+        # ~8 default-sized row groups, and reading it as one task wastes
+        # 7 cores. row_offset is the file-global row index of the
+        # chunk's first row, the datum deletion-vector positions (file-
+        # global by contract) are rebased against executor-side.
+        self.row_groups = row_groups
+        self.row_offset = row_offset
         # deletion-vector sidecar dirs whose positions must be dropped
         # from this file (merge-on-read; resolved driver-side from the
         # snapshot's dv state, applied executor-side)
@@ -115,6 +125,8 @@ def _read_file(
     colmap: tuple[tuple[str, tuple[str, ...]], ...] = (),
     select_positions: bool = False,
     consts: tuple = (),
+    row_groups: tuple[int, ...] | None = None,
+    row_offset: int = 0,
 ):
     """Executor-side: yield ARROW RECORD BATCHES in the query schema's
     column order (the Python Data Source fast path — handing Arrow
@@ -161,7 +173,11 @@ def _read_file(
         # row-count carrier so DV filtering still applies; output is
         # all-NULL tuples
         phys_cols = [sorted(file_names)[0]]
-    table = pf.read(columns=phys_cols)
+    table = (
+        pf.read_row_groups(list(row_groups), columns=phys_cols)
+        if row_groups is not None
+        else pf.read(columns=phys_cols)
+    )
     if dv_paths:
         import numpy as np
         import pyarrow.dataset as ds
@@ -176,6 +192,9 @@ def _read_file(
                 pos.append(t.column(0).to_numpy(zero_copy_only=False))
         if pos:
             dead = np.unique(np.concatenate(pos).astype(np.int64))
+            # positions are FILE-GLOBAL; rebase to this chunk's rows
+            dead = dead - int(row_offset)
+            dead = dead[(dead >= 0) & (dead < table.num_rows)]
             if select_positions:
                 table = table.take(dead)
             else:
@@ -242,9 +261,14 @@ class TxnBatchReader(DataSourceReader):
         table_dir: str,
         schema: StructType,
         at_version: int | None = None,
+        split_bytes: int = 128 * 1024 * 1024,
     ) -> None:
         from spark_data_engineering_spark.sources.txn import TxnTable
         import os
+
+        # files larger than this split into row-group chunks at
+        # planning time (option maxPartitionBytes — Spark's own default)
+        self._split_bytes = split_bytes
 
         t = TxnTable(os.path.dirname(table_dir), os.path.basename(table_dir))
         self._t = t
@@ -341,14 +365,61 @@ class TxnBatchReader(DataSourceReader):
         return [n for n in self._names if n in kept]
 
     def partitions(self):
+        """One input partition per file — except files larger than
+        ``maxPartitionBytes``, which split into ROW-GROUP chunks so scan
+        parallelism is bounded by bytes, not file count (a 1 GB
+        compacted file is ~8 default row groups; reading it as one task
+        idles 7 cores). Planning stays metadata-only for the common
+        case: only oversized files' footers are opened, and only after
+        pruning."""
         import os
 
-        return [
-            _FilePartition(
-                os.path.join(self._t.data_dir, n), self._dv_paths, self._colmap
-            )
-            for n in self._pruned_names()
-        ] or [_FilePartition("")]
+        import pyarrow.parquet as pq
+
+        parts = []
+        for n in self._pruned_names():
+            path = os.path.join(self._t.data_dir, n)
+            try:
+                big = os.path.getsize(path) > self._split_bytes
+            except OSError:
+                big = False
+            if not big:
+                parts.append(
+                    _FilePartition(path, self._dv_paths, self._colmap)
+                )
+                continue
+            md = pq.ParquetFile(path).metadata
+            chunks: list[tuple[list[int], int]] = []  # (rg idxs, row_offset)
+            cur: list[int] = []
+            cur_bytes = 0
+            cur_offset = 0
+            offset = 0
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                if cur and cur_bytes + rg.total_byte_size > self._split_bytes:
+                    chunks.append((cur, cur_offset))
+                    cur, cur_bytes, cur_offset = [], 0, offset
+                cur.append(i)
+                cur_bytes += rg.total_byte_size
+                offset += rg.num_rows
+            if cur:
+                chunks.append((cur, cur_offset))
+            if len(chunks) == 1:
+                parts.append(
+                    _FilePartition(path, self._dv_paths, self._colmap)
+                )
+                continue
+            for rgs, row_off in chunks:
+                parts.append(
+                    _FilePartition(
+                        path,
+                        self._dv_paths,
+                        self._colmap,
+                        row_groups=tuple(rgs),
+                        row_offset=row_off,
+                    )
+                )
+        return parts or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
         if not partition.path:
@@ -358,6 +429,8 @@ class TxnBatchReader(DataSourceReader):
             self._schema,
             getattr(partition, "dv_paths", ()),
             getattr(partition, "colmap", ()),
+            row_groups=getattr(partition, "row_groups", None),
+            row_offset=getattr(partition, "row_offset", 0),
         )
 
 
@@ -839,8 +912,14 @@ class TxnDataSource(DataSource):
                 "for a batch change feed use TxnTable.read_changes "
                 "(silently reading would emit NULL _change_type rows)"
             )
+        mpb = self.options.get("maxpartitionbytes") or self.options.get(
+            "maxPartitionBytes"
+        )
         return TxnBatchReader(
-            self._table_dir(), schema, at_version=self._version_as_of()
+            self._table_dir(),
+            schema,
+            at_version=self._version_as_of(),
+            split_bytes=int(mpb) if mpb else 128 * 1024 * 1024,
         )
 
     def streamReader(self, schema: StructType) -> TxnStreamReader:

@@ -237,3 +237,56 @@ def test_restarted_stream_aborts_on_delete_landed_while_down(spark, tmp_path):
         q.stop()
     dst = TxnTable(str(tmp_path), "dst")
     assert sorted(r.id for r in dst.read(spark).collect()) == list(range(6))
+
+
+def test_reader_splits_large_files_by_row_group(spark, tmp_path):
+    """Scan parallelism is bounded by bytes, not file count: a file
+    larger than maxPartitionBytes splits into row-group chunks at
+    planning time, deletion-vector positions (file-global) rebase per
+    chunk, and the result is identical to the whole-file read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+    from spark_data_engineering_spark.sources.txn_datasource import (
+        TxnBatchReader,
+    )
+
+    t = TxnTable(str(tmp_path), "t")
+    t.append(
+        spark.range(10_000).withColumn("v", F.col("id") * 2).coalesce(1)
+    )
+    # rewrite the single data file with SMALL row groups (the staged
+    # file is one rg; real 1 GB files carry ~8) — same bytes, same name
+    import os
+
+    name = t.live_files()[0]
+    path = os.path.join(t.data_dir, name)
+    tbl = pq.read_table(path)
+    pq.write_table(tbl, path, row_group_size=1000)
+    # DV-delete a stripe spanning several row groups
+    t.delete_where_dv(spark, (F.col("id") >= 1500) & (F.col("id") < 3500))
+
+    reader = TxnBatchReader(t.table_dir, t.read(spark).schema, split_bytes=1)
+    parts = reader.partitions()
+    assert len(parts) == 10  # one per row group at split_bytes=1
+    offs = sorted(p.row_offset for p in parts)
+    assert offs == [i * 1000 for i in range(10)]
+
+    spark.dataSource.register(__import__(
+        "spark_data_engineering_spark.sources.txn_datasource",
+        fromlist=["TxnDataSource"],
+    ).TxnDataSource)
+    got = (
+        spark.read.format("txn")
+        .option("maxPartitionBytes", "1")
+        .load(t.table_dir)
+    )
+    assert got.rdd.getNumPartitions() == 10
+    ids = sorted(r.id for r in got.collect())
+    assert ids == [i for i in range(10_000) if not (1500 <= i < 3500)]
+    # and the default (no option): one partition, same answer
+    whole = sorted(
+        r.id for r in spark.read.format("txn").load(t.table_dir).collect()
+    )
+    assert whole == ids
