@@ -2631,6 +2631,55 @@ class TxnTable:
                     removed.append(f)
         return sorted(removed)
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL (Delta's utility): one metadata-only dict —
+        version, live file count/bytes, row count (commit-log
+        ``__num_rows`` stats, no data read), outstanding DV-deleted
+        rows, and every table-level log property (partition / generated
+        / identity columns, CHECK constraints, identity watermark,
+        branch list). Planning-cost facts a maintenance job keys off
+        (when to compact, whether pruning metadata exists) without
+        touching a data page."""
+        v = self.version()
+        live = self.live_files(v) if v else []
+        stats = self.file_stats(v) if v else {}
+        size = 0
+        for f in live:
+            try:
+                size += os.path.getsize(os.path.join(self.data_dir, f))
+            except OSError:
+                pass
+        _, deleted = self.dv_state(v) if v else ((), {})
+        rows = sum(
+            int(c["__num_rows"][0])
+            for c in stats.values()
+            if "__num_rows" in c
+        ) - sum(deleted.values())
+        branches = []
+        bdir = os.path.join(self.table_dir, _BRANCH_DIR)
+        if os.path.isdir(bdir):
+            branches = sorted(
+                b for b in os.listdir(bdir) if not b.startswith(".")
+            )
+        return {
+            "location": self.table_dir,
+            "version": v,
+            "num_files": len(live),
+            "size_bytes": size,
+            "num_rows": rows,
+            "dv_deleted_rows": sum(deleted.values()),
+            "partition_cols": list(self.partition_cols(v)),
+            "generated_cols": dict(self.generated_cols(v)),
+            "identity_cols": {
+                k: dict(s) for k, s in self.identity_cols(v).items()
+            },
+            "identity_high": dict(self.identity_high(v))
+            if self.identity_cols(v)
+            else {},
+            "constraints": dict(self.constraints(v)),
+            "branches": branches,
+        }
+
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self._commit_files()]
 

@@ -89,3 +89,33 @@ def test_streaming_sink_auto_compact_bounds_files(spark, tmp_path):
     assert sorted(r.id for r in t.read(spark).collect()) == list(range(24))
     # exactly-once survived the interleaved compact commits
     assert t.last_epoch("ac-test") >= 1
+
+
+def test_describe_detail_is_metadata_only(spark, tmp_path):
+    """detail(): every fact from the log + footer stats already in it —
+    version, files/bytes/rows, DV-deleted rows, and the full property
+    set — no data page read (nothing requires a SparkSession)."""
+    t = TxnTable(
+        str(tmp_path),
+        "t",
+        partition_cols=("cat",),
+        generated_cols={"cat": "CASE WHEN v % 2 = 0 THEN 'a' ELSE 'b' END"},
+    )
+    t.append(_df(spark, [0, 1, 2, 3]))
+    t.delete_where_dv(spark, F.col("v") == 0)
+    t.add_constraint(spark, "v_small", "v < 100")
+    t.branch("dev")
+    d = t.detail()
+    assert d["version"] == t.version() and d["num_files"] >= 1
+    assert d["num_rows"] == 3 and d["dv_deleted_rows"] == 1
+    assert d["partition_cols"] == ["cat"]
+    assert "cat" in d["generated_cols"]
+    assert d["constraints"] == {"v_small": "v < 100"}
+    assert d["branches"] == ["dev"] and d["size_bytes"] > 0
+    t.drop_branch("dev")
+    # identity watermark surfaces too
+    u = TxnTable(str(tmp_path), "u", identity_cols={"rid": {"start": 1, "step": 1}})
+    u.append(_df(spark, [7, 8]))
+    du = u.detail()
+    assert du["identity_cols"] == {"rid": {"start": 1, "step": 1}}
+    assert du["identity_high"] == {"rid": 2}
