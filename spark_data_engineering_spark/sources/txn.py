@@ -2801,7 +2801,24 @@ class TxnTable:
                         )
                     )
         if not frames:
-            empty = self.read(spark, at_version=to).limit(0)
+            # an empty change feed must not require a readable table:
+            # build the typed empty frame from the LOGICAL schema alone
+            # (a never-written or fully-emptied table has no files for
+            # read() and needs none — deep model-search finding, round 8:
+            # read_changes after constraint-only DDL history crashed
+            # with read()'s empty-table FileNotFoundError)
+            from pyspark.sql.types import (
+                StructField,
+                StructType,
+                _parse_datatype_json_value,
+            )
+
+            fields = [
+                StructField(f["name"], _parse_datatype_json_value(f["type"]))
+                for f in (self.table_schema(to) or [])
+                if not f.get("dropped")
+            ]
+            empty = spark.createDataFrame([], StructType(fields))
             return empty.withColumn("_change_type", F.lit("")).withColumn(
                 "_commit_version", F.lit(0)
             )

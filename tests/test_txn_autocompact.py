@@ -119,3 +119,20 @@ def test_describe_detail_is_metadata_only(spark, tmp_path):
     du = u.detail()
     assert du["identity_cols"] == {"rid": {"start": 1, "step": 1}}
     assert du["identity_high"] == {"rid": 2}
+
+
+def test_read_changes_on_dataless_history(spark, tmp_path):
+    """Deep model-search finding (round 8): read_changes on a table
+    whose history is constraint-only DDL (no data commit ever) must
+    return a typed empty feed, not crash in read()'s empty-table
+    guard; same for an emptied table queried from its head."""
+    t = TxnTable(str(tmp_path), "t")
+    t.add_constraint(spark, "pos", "v > 0")
+    t.drop_constraint("pos")
+    assert t.read_changes(spark, 0).count() == 0
+    # emptied table, window past the delete: schema-typed empty feed
+    t.append(_df(spark, [1]))
+    t.delete_where(spark, F.col("v") == 1)
+    head = t.version()
+    feed = t.read_changes(spark, head)
+    assert feed.count() == 0 and "v" in feed.columns
