@@ -201,9 +201,9 @@ def orders_ds_table(spark: SparkSession, sf_dir: str) -> TxnTable:
     by ``txn_datasource_revenue`` (batch read) and
     ``streaming_txn_source_revenue`` (stream read), so both gates see
     the identical commit log."""
-    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+    from spark_data_engineering_spark.sources.txn_datasource import register_txn
 
-    spark.dataSource.register(TxnDataSource)
+    register_txn(spark)
     stat = os.stat(f"{sf_dir}/orders.parquet")
     digest = hashlib.md5(
         f"ds:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}".encode()
@@ -576,9 +576,9 @@ def txn_pushdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     data skipping reachable by ANY Spark job that knows only the
     format string — at 100 TB the difference between scanning one
     partition and scanning the table."""
-    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+    from spark_data_engineering_spark.sources.txn_datasource import register_txn
 
-    spark.dataSource.register(TxnDataSource)
+    register_txn(spark)
     table = orders_partitioned_table(spark, sf_dir)
     df = spark.read.format("txn").load(table.table_dir)
     return (
@@ -1335,9 +1335,9 @@ def txn_writer_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
     from spark_data_engineering_spark.sources import txn as _txn_mod
     from spark_data_engineering_spark.sources import txn_datasource as _ds_mod
-    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+    from spark_data_engineering_spark.sources.txn_datasource import register_txn
 
-    spark.dataSource.register(TxnDataSource)
+    register_txn(spark)
     stat = os.stat(f"{sf_dir}/orders.parquet")
     digest = hashlib.md5(
         f"writer:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"

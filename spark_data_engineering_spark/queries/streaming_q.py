@@ -824,9 +824,9 @@ def orders_cdf_table_dir(spark: SparkSession, sf_dir: str) -> str:
     from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
     from spark_data_engineering_spark.sources import txn as _txn_mod
     from spark_data_engineering_spark.sources.txn import TxnTable
-    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+    from spark_data_engineering_spark.sources.txn_datasource import register_txn
 
-    spark.dataSource.register(TxnDataSource)
+    register_txn(spark)
     stat = os.stat(f"{sf_dir}/orders.parquet")
     digest = hashlib.md5(
         f"cdf:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
@@ -1022,9 +1022,9 @@ def orders_cdf_merge_table_dir(spark: SparkSession, sf_dir: str) -> str:
     from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
     from spark_data_engineering_spark.sources import txn as _txn_mod
     from spark_data_engineering_spark.sources.txn import TxnTable
-    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+    from spark_data_engineering_spark.sources.txn_datasource import register_txn
 
-    spark.dataSource.register(TxnDataSource)
+    register_txn(spark)
     stat = os.stat(f"{sf_dir}/orders.parquet")
     digest = hashlib.md5(
         f"cdfm:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"

@@ -2,9 +2,21 @@
 
 The txn table format (sources/txn.py) gets a first-class connector:
 
-    spark.dataSource.register(TxnDataSource)
+    register_txn(spark)                                # see below
     spark.read.format("txn").load(table_dir)           # snapshot read
     spark.readStream.format("txn").load(table_dir)     # commit-log tail
+
+ALWAYS register through ``register_txn(spark)``, not a bare
+``spark.dataSource.register(TxnDataSource)``: Spark 4.1 REFUSES to plan
+any batch read whose reader implements ``pushFilters`` while the
+runtime conf ``spark.sql.python.filterPushdown.enabled`` is false
+(DATA_SOURCE_PUSHDOWN_DISABLED, raised in the planning worker before
+the reader is ever consulted), and the conf defaults to false.
+``register_txn`` enables the conf — it is runtime-settable — at the
+moment of registration, so the connector works on ANY session, not just
+ones built by this library's session factory. For sessions where the
+conf cannot be enabled, ``.option("pushdown", "false")`` degrades
+gracefully: the reader loses file pruning but reads never crash.
 
 Batch: one input partition per live data file (the log — not a
 directory listing — defines the file set, so half-staged writer garbage
@@ -432,6 +444,44 @@ class TxnBatchReader(DataSourceReader):
             row_groups=getattr(partition, "row_groups", None),
             row_offset=getattr(partition, "row_offset", 0),
         )
+
+
+class _TxnBatchReaderNoPushdown(TxnBatchReader):
+    """``TxnBatchReader`` with filter pushdown surgically removed.
+
+    Spark's planning worker decides "does this reader implement
+    pushdown?" by IDENTITY: ``reader.pushFilters.__func__ is not
+    DataSourceReader.pushFilters`` (pyspark sql/worker/
+    plan_data_source_read.py). Re-binding the base class's function
+    makes that check see "not implemented", so this reader plans
+    cleanly even when ``spark.sql.python.filterPushdown.enabled`` is
+    false — at the cost of commit-log file pruning (Spark applies every
+    filter post-scan, so answers are identical, just slower). Selected
+    via ``.option("pushdown", "false")`` for sessions whose conf cannot
+    be enabled; ``register_txn`` makes that escape hatch rarely needed.
+    """
+
+    pushFilters = DataSourceReader.pushFilters
+
+
+def register_txn(spark) -> None:
+    """Register ``format("txn")`` on *spark*, usable from ANY session.
+
+    Single registration entry point (use this, not a bare
+    ``spark.dataSource.register``): it first enables
+    ``spark.sql.python.filterPushdown.enabled`` — required by Spark 4.1
+    for any Python data source whose reader implements ``pushFilters``,
+    default false, runtime-settable — so batch reads work on sessions
+    this library did not build (the library's own session factory also
+    sets it at build time; this covers everyone else). If the session
+    refuses runtime conf changes, registration still proceeds: batch
+    reads then need ``.option("pushdown", "false")``.
+    """
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # locked-down session: .option("pushdown","false") path
+    spark.dataSource.register(TxnDataSource)
 
 
 class TxnStreamReader(DataSourceStreamReader):
@@ -915,7 +965,18 @@ class TxnDataSource(DataSource):
         mpb = self.options.get("maxpartitionbytes") or self.options.get(
             "maxPartitionBytes"
         )
-        return TxnBatchReader(
+        pd_opt = str(
+            self.options.get("pushdown")
+            or self.options.get("filterpushdown")
+            or self.options.get("filterPushdown")
+            or "true"
+        ).lower()
+        # pushdown=false: a reader WITHOUT pushFilters, for sessions
+        # where spark.sql.python.filterPushdown.enabled can't be turned
+        # on (Spark hard-refuses pushFilters readers under conf=false —
+        # see register_txn). Same rows, no commit-log file pruning.
+        cls = TxnBatchReader if pd_opt != "false" else _TxnBatchReaderNoPushdown
+        return cls(
             self._table_dir(),
             schema,
             at_version=self._version_as_of(),

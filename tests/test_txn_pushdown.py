@@ -116,3 +116,54 @@ def test_pruned_to_nothing_returns_empty(spark, tmp_path):
     t = _mk(spark, tmp_path)
     df = spark.read.format("txn").load(t.table_dir)
     assert df.filter(F.col("cat") == "zzz").count() == 0
+
+
+def test_conf_off_crashes_then_register_txn_fixes(spark, tmp_path):
+    """The r8 driver bug: Spark 4.1 refuses a pushFilters reader when
+    spark.sql.python.filterPushdown.enabled is false (the default on
+    sessions this library didn't build). register_txn must make the
+    same read work by enabling the runtime conf at registration."""
+    from spark_data_engineering_spark.sources.txn_datasource import register_txn
+
+    t = _mk(spark, tmp_path)
+    conf = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "false")
+        with pytest.raises(Exception, match="PUSHDOWN_DISABLED|pushFilters|filterPushdown"):
+            spark.read.format("txn").load(t.table_dir).collect()
+        register_txn(spark)
+        assert spark.conf.get(conf) == "true"
+        got = sorted(r.id for r in spark.read.format("txn").load(t.table_dir).collect())
+        assert got == list(range(30))
+    finally:
+        spark.conf.set(conf, prev)
+
+
+def test_pushdown_false_option_degrades_gracefully(spark, tmp_path):
+    """.option('pushdown','false') returns a reader WITHOUT pushFilters
+    (identity-reset to the base class), so reads plan even under
+    conf=false — no pruning, identical answers."""
+    from pyspark.sql.datasource import DataSourceReader
+
+    from spark_data_engineering_spark.sources.txn_datasource import (
+        _TxnBatchReaderNoPushdown,
+    )
+
+    assert (
+        _TxnBatchReaderNoPushdown.pushFilters is DataSourceReader.pushFilters
+    )  # the exact identity Spark's planning worker checks
+    t = _mk(spark, tmp_path)
+    conf = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "false")
+        df = (
+            spark.read.format("txn")
+            .option("pushdown", "false")
+            .load(t.table_dir)
+        )
+        got = sorted(r.id for r in df.filter(F.col("cat") == "a").collect())
+        assert got == [i for i in range(30) if "abc"[i % 3] == "a"]
+    finally:
+        spark.conf.set(conf, prev)

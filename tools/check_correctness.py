@@ -47,11 +47,41 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def plain_spark():
+    """A session the library did NOT build — mirrors the driver gate.
+
+    The driver runs queries() on its own SparkSession with none of this
+    repo's session-factory confs; r8's only red rows were conf-coupling
+    bugs (pushFilters + filterPushdown.enabled=false) invisible to a
+    replica built via get_spark. Default to a plain session so that
+    class of bug is caught locally; CHECK_SESSION=library restores the
+    tuned builder for fast iteration.
+    """
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.appName("correctness-check-plain")
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("correctness-check")
+    if os.environ.get("CHECK_SESSION") == "library":
+        spark = get_spark("correctness-check")
+    else:
+        spark = plain_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

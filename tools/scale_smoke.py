@@ -45,11 +45,11 @@ def _warm_stream_worker(spark) -> None:
     from pyspark.sql import functions as F
 
     from spark_data_engineering_spark.sources.txn import TxnTable
-    from spark_data_engineering_spark.sources.txn_datasource import TxnDataSource
+    from spark_data_engineering_spark.sources.txn_datasource import register_txn
 
     root = f"/tmp/spark_de_smokewarm/{uuid.uuid4().hex}"
     try:
-        spark.dataSource.register(TxnDataSource)
+        register_txn(spark)
         t = TxnTable(root, "warm")
         t.append(spark.range(4).withColumn("v", F.col("id")).coalesce(1))
         q = (
