@@ -62,6 +62,18 @@ class Expectation:
                 f"expectation {self.name!r}: action must be one of "
                 f"{_ACTIONS}, got {self.action!r}"
             )
+        import re
+
+        # the name is interpolated into metrics()'s stack() SQL as a
+        # quoted literal — restrict it to identifier-ish characters so a
+        # quote can neither break the parse nor inject SQL (reserve the
+        # __-prefix for the summary row)
+        if not re.fullmatch(r"[A-Za-z][A-Za-z0-9_.\-]*", self.name):
+            raise ValueError(
+                f"expectation name {self.name!r} must match "
+                "[A-Za-z][A-Za-z0-9_.-]* (it is embedded in SQL "
+                "metric literals)"
+            )
 
     def passes(self) -> Column:
         """TRUE iff the row passes — NULL-as-violation folded in here,

@@ -1604,3 +1604,76 @@ def txn_identity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rid").alias("id_sum"),
         F.countDistinct("rid").alias("n_distinct_ids"),
     )
+
+
+@query(
+    "txn_detail_summary",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS version,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 13 != 0) AS BIGINT)
+               AS num_rows,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 13 = 0) AS BIGINT)
+               AS dv_deleted,
+           CAST(1 AS BIGINT) AS n_constraints,
+           CAST(1 AS BIGINT) AS n_partition_cols,
+           TRUE AS files_match,
+           TRUE AS size_positive
+    FROM orders
+    """,
+)
+def txn_detail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL under the gate (sources/txn.py::detail, Delta's
+    utility): orders land partitioned at v1, a DV delete marks every
+    13th key at v2, a CHECK constraint lands at v3 — detail() must
+    report the metadata-only facts a maintenance job keys off. The
+    cross-engine rows are ``num_rows`` / ``dv_deleted`` (detail's
+    stats-based count vs DuckDB COUNT over the source parquet — the
+    merge-on-read arithmetic, no data page read on the Spark side);
+    version / property counts pin the deterministic build; the two
+    booleans are in-query invariants (live-file agreement, positive
+    byte size). Parity: Delta DESCRIBE DETAIL. The count_rows
+    agreement contract (legacy stats fallback) is pinned in
+    tests/test_txn_autocompact.py."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"detail:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/detail-{digest}"
+    if not os.path.isdir(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_detail", partition_cols=("o_orderstatus",))
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.repartition(4, "o_orderkey"))                  # v1
+        t.delete_where_dv(spark, F.col("o_orderkey") % 13 == 0)   # v2
+        t.add_constraint(spark, "price_nonneg", "o_totalprice >= 0")  # v3
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_detail")
+    d = t.detail()
+    row = (
+        d["version"],
+        d["num_rows"],
+        d["dv_deleted_rows"],
+        len(d["constraints"]),
+        len(d["partition_cols"]),
+        d["num_files"] == len(t.live_files()) and d["num_files"] > 0,
+        d["size_bytes"] > 0,
+    )
+    return spark.createDataFrame(
+        [row],
+        "version bigint, num_rows bigint, dv_deleted bigint, "
+        "n_constraints bigint, n_partition_cols bigint, "
+        "files_match boolean, size_positive boolean",
+    )

@@ -55,27 +55,91 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       covered members); what still overflows is cut at registration
 #       order and rotates in next round under P2 by construction.
 #
-# Round-8 derivation (tools/derive_window.py against CORRECTNESS_r01-r07):
-#   P1 = 20 never-checked: the 12 round-7 surfaces with no driver row
-#        yet (txn streaming source/sink/CDF/mview, branch merge/rebase,
-#        restore, DV maintenance, writer roundtrip, webdataset, rrf,
-#        quarantine — VERDICT r7 task 1's first cohort) plus round 8's
-#        eight new surfaces (merge-CDF stream, partition pruning,
-#        connector pushdown, replaceWhere, UPDATE, stream-stream join,
-#        CHECK constraints, streaming MERGE upsert sink). (The 4 rows-only ANN configs that were
-#        also never-checked are RETIRED this round — see
-#        queries/similarity.py — shrinking the rows-only list to zero.)
-#   P2 = the 27 queries whose newest row is round 4 (four rounds stale)
-#        — VERDICT r7 task 1's second cohort — then the r5 cohort.
-#   P3 = the r5 cohort (50 names) overflows the remaining fill slots:
-#        tpch_q21/q22's multi-correlated EXISTS / NOT-EXISTS machinery is
-#        refreshed in-window by customers_with_high_value_orders /
-#        customers_without_orders (family map); the rest cut at
-#        registration order — the full displaced list with rationales is
-#        the tool's output, and those names are the head of the r9
-#        window's P2 queue by construction.
+# Round-9 derivation (tools/derive_window.py against CORRECTNESS_r01-r08):
+#   P1 = 4: the 3 rows RED in CORRECTNESS_r08 (txn_pushdown_revenue,
+#        txn_writer_roundtrip_revenue, streaming_txn_sink_revenue — one
+#        shared root cause, the pushFilters/filterPushdown.enabled conf
+#        coupling, fixed this round via register_txn; a red row counts
+#        as never-green and re-enters at the head) plus the new
+#        DESCRIBE DETAIL gate query txn_detail_summary.
+#   P2 = the 2 r4-stale names cut by round-8 P1 (token_run_lengths,
+#        customer_trailing_7d_revenue — the queue heads by
+#        construction), then the r5 cohort (50 names), oldest first.
+#   P3 = the r5 cohort overflows by 6: tpch_q8/q9/q11/q15/q16/q20 cut
+#        at registration order (family coverage for the multi-join
+#        aggregation machinery stays in-window via q5/q7/q10); they
+#        head the r10 P2 queue by construction.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # --- P1: the 12 never-driver-checked round-7 surfaces.
+    # --- P1 (round 9): the three r8 RED rows — the connector batch-read
+    # family that crashed under the driver's plain session (pushFilters +
+    # filterPushdown.enabled=false, fixed via register_txn) — kept at the
+    # head until CORRECTNESS_r9 shows them green, plus the new DESCRIBE
+    # DETAIL gate query (never driver-checked).
+    "txn_writer_roundtrip_revenue",
+    "streaming_txn_sink_revenue",
+    "txn_pushdown_revenue",
+    "txn_detail_summary",
+    # --- P2: the r4-stale tail cut by round-8 P1 (heads of the queue by
+    # construction), then the r5 cohort, oldest evidence first.
+    "customer_trailing_7d_revenue",
+    "token_run_lengths",
+    # --- P2 cont.: the r5 cohort (50 names; 44 fit the remaining slots).
+    "stratified_sample_documents",
+    "train_split_counts",
+    "pack_sequences",
+    "corpus_curation_counts",
+    "doc_repetition_metrics",
+    "doc_pii_scrub",
+    "asof_purchase_click",
+    "sessionize_events",
+    "signup_click_purchase_funnel",
+    "event_type_map_roundtrip",
+    "event_rollup_multires",
+    "txn_snapshot_join",
+    "media_decode_metadata",
+    "media_frame_samples",
+    "approx_distinct_parts",
+    "events_json_extract",
+    "sql_revenue_by_nation",
+    "signup_cohort_retention",
+    "approx_quantiles_lineitem",
+    "salted_join_brand_quantity",
+    "text_index_search",
+    "embedding_near_dup",
+    "knn_ivf_exhaustive",
+    "knn_lsh_exhaustive",
+    "semantic_dedup_report",
+    "streaming_hourly_event_stats",
+    "doc_stats",
+    "doc_quality_and_lang",
+    "heavy_hitter_tokens",
+    "tpch_q6_forecast_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_priority_exists",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_returned_supplier",
+    "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume_shipping",
+    # r5-cohort overflow, cut at registration order (tools/derive_window.py
+    # rationale: rotates in next round under P2 by construction):
+    # tpch_q8_market_share, tpch_q9_product_type_profit,
+    # tpch_q11_important_stock, tpch_q15_top_supplier,
+    # tpch_q16_supplier_part_counts, tpch_q20_part_promotion_suppliers —
+    # each keeps its r5 hash-green row + its pytest pins.
+)
+
+
+# The round-8 window, kept for the audit trail (47/50 hash-green in
+# CORRECTNESS_r08.json; the 3 red rows are this round's P1 head).
+_R8_WINDOW: tuple[str, ...] = (
     "export_webdataset_shards",
     "corrupt_record_quarantine",
     "txn_restore_revenue",
@@ -88,10 +152,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_txn_sink_revenue",
     "streaming_txn_cdf_revenue",
     "streaming_materialized_view_revenue",
-    # round-8 surfaces, never checked (P1 by construction): MERGE
-    # update-images in the streaming change feed; hive-style partition
-    # pruning with a pinned files-read assertion; the same pruning
-    # reached through Catalyst filter pushdown on format("txn")
     "streaming_txn_cdf_merge_revenue",
     "txn_partition_pruned_revenue",
     "txn_pushdown_revenue",
@@ -100,29 +160,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_click_purchase_join",
     "txn_constraint_gate_revenue",
     "streaming_txn_upsert_revenue",
-    # generated columns (GENERATED ALWAYS AS): writer-omitted derived
-    # partition column, expression-validated supplied values, pruning +
-    # generation both inside the hash
     "txn_generated_cols_revenue",
-    # DLT-style expectations: warn/drop/fail row policy, every count +
-    # kept summary from ONE aggregate job, NULL-as-violation rule
     "expectations_orders_report",
-    # the DLT composition: per-epoch expectations over a stream, main +
-    # quarantine tables with independent epoch watermarks, reasons and
-    # kept revenue both inside one hash
     "streaming_expectations_quarantine",
-    # identity columns (GENERATED ALWAYS AS IDENTITY): watermark-backed
-    # allocation, 1..n algebra (min/max/sum/ndv) inside the hash
     "txn_identity_rows",
-    # auto-compaction (Delta autoCompact): per-epoch compact_small keeps
-    # a streaming table's live-file count bounded; pinned in-build,
-    # read-back revenue inside the hash
     "txn_autocompact_revenue",
-    # --- P2: the r4-stale cohort (25 of 27 fit; the tail at
-    # registration order — token_run_lengths, then
-    # customer_trailing_7d_revenue — is cut by round 8's identity and
-    # auto-compaction gate queries under P1; each keeps its r4
-    # hash-green row + pytest and heads the r9 P2 queue by construction.
     "bottomk_sample_per_source",
     "scrub_boilerplate_segments",
     "orders_by_year_quarter",
@@ -148,31 +190,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "daily_revenue_gapfilled",
     "daily_revenue_anomalies",
     "customer_value_quartiles",
-    # --- P2/P3: r5-cohort fills — all displaced by round-8 P1 queries.
-    # stratified_sample_documents (next r5 fill) rotated back out under
-    # P1 by the round-8 streaming-expectations gate query; it keeps its
-    # r5 hash-green row + the proportional-allocation pytest and
-    # re-enters under P2 next round.
-    # train_split_counts (next r5 fill) rotated back out under P1 by the
-    # round-8 expectations gate query; it keeps its r5 hash-green row +
-    # the split-determinism pytest and re-enters under P2 next round.
-    # pack_sequences (next r5 fill) rotated back out under P1 by the
-    # round-8 generated-columns gate query; it keeps its r5 hash-green
-    # row + the packing pytest and re-enters under P2 next round.
-    # corpus_curation_counts (next r5 fill) rotated back out under P1 by
-    # the round-8 streaming MERGE upsert sink query; it keeps its r5
-    # hash-green row + the end-to-end curation pytest and re-enters
-    # under P2 next round.
-    # doc_repetition_metrics (next r5 fill) rotated back out under P1 by
-    # the round-8 CHECK-constraint gate query; it keeps its r5
-    # hash-green row + the Gopher-repetition pytest and re-enters under
-    # P2 next round.
-    # doc_pii_scrub (last r5 fill) rotated back out under P1: the round-8
-    # stream-stream interval join is never-driver-checked and P1 always
-    # outranks a fill. pii keeps its r5 hash-green row + byte-exact
-    # pytest (tests/test_privacy.py) and re-enters under P2 next round.
 )
-
 
 # The round-7 window, kept for the audit trail (every name below got
 # its newest driver row in CORRECTNESS_r07.json — 50/50 hash-green).

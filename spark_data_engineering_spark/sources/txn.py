@@ -178,6 +178,46 @@ def _bloom_might_contain(entry: list, value) -> bool:
     return all(bitmap[(h1 + i * h2) % bits] for i in range(_BLOOM_K))
 
 
+def _pv_match(val, rec: "str | None") -> bool:
+    """Does a Python query value equal a recorded partitionValues string?
+
+    ``partitionValues`` are Spark's cast-to-string renderings (parsed
+    from the staging hive dir names, or ``TxnArrowWriter._fmt_pv``).
+    Python's ``str()`` does NOT agree with that rendering for bool
+    (``'True'`` vs ``'true'``), non-canonical floats (``'1e+20'`` vs
+    ``'1.0E20'``), timestamps (fraction trimming), or Decimal
+    (``'1E+2'`` vs ``'100'``) — a string compare silently prunes every
+    matching file. So equality is decided in the VALUE domain: the
+    recorded string is parsed back to the query value's type — Spark's
+    rendering round-trips exactly for every admitted partition type —
+    and compared typed. Strings (and anything unrecognized) fall back
+    to an exact string compare. An unparseable recorded string simply
+    doesn't match (the file holds a different-typed value)."""
+    if val is None or rec is None:
+        # hive NULL partition (__HIVE_DEFAULT_PARTITION__) is recorded
+        # as None; an IS-NULL point lookup matches it and nothing else
+        return val is None and rec is None
+    import datetime
+    import decimal
+
+    try:
+        if isinstance(val, bool):  # before int: bool is an int subclass
+            return rec == ("true" if val else "false")
+        if isinstance(val, int):
+            return int(rec) == val
+        if isinstance(val, float):
+            return float(rec) == val
+        if isinstance(val, decimal.Decimal):
+            return decimal.Decimal(rec) == val
+        if isinstance(val, datetime.datetime):  # before date (subclass)
+            return datetime.datetime.fromisoformat(rec) == val
+        if isinstance(val, datetime.date):
+            return datetime.date.fromisoformat(rec) == val
+    except (ValueError, decimal.InvalidOperation):
+        return False
+    return str(val) == rec
+
+
 class ConcurrentWriteError(RuntimeError):
     """A rewrite lost the race: a file it removes was already removed."""
 
@@ -674,7 +714,11 @@ class TxnTable:
                 # commits, connector-written files) fall through to the
                 # stats checks below, conservatively.
                 if col in part:
-                    if part[col] is None or str(val) != part[col]:
+                    # value-domain compare, NOT str(val): Python's str()
+                    # disagrees with Spark's cast-to-string for bool /
+                    # float / timestamp and would silently prune every
+                    # matching file (see _pv_match)
+                    if not _pv_match(val, part[col]):
                         keep = False
                         break
             for col, (lo, hi) in (ranges or {}).items() if keep else ():
@@ -1253,15 +1297,18 @@ class TxnTable:
                 f"replace_where keys {bad} are not partition columns "
                 f"(table partitioned by {pcols or 'nothing'})"
             )
-        want = {c: (None if v is None else str(v)) for c, v in replace_where.items()}
+        # value-domain matching (_pv_match), not str(v): recorded
+        # partitionValues are Spark cast-to-string renderings, which
+        # Python str() mis-formats for bool/float/timestamp — the old
+        # string compare replaced NOTHING for a bool partition value
         v0 = self.version()
         fstats = self.file_stats(v0)
         removed = sorted(
             name
             for name, cols in fstats.items()
             if all(
-                cols.get("partitionValues", {}).get(c) == hv
-                for c, hv in want.items()
+                _pv_match(v, cols.get("partitionValues", {}).get(c))
+                for c, v in replace_where.items()
             )
         )
         add, stats = self._stage_nonempty(df)
@@ -1270,7 +1317,10 @@ class TxnTable:
         leaked = [
             (name, st["partitionValues"])
             for name, st in stats.items()
-            if any(st["partitionValues"].get(c) != hv for c, hv in want.items())
+            if any(
+                not _pv_match(v, st["partitionValues"].get(c))
+                for c, v in replace_where.items()
+            )
         ]
         if leaked:
             for name in stats:
@@ -2313,7 +2363,7 @@ class TxnTable:
         add, stats = self._stage(df.coalesce(n_out))
         return self._commit("compact", add, victims, stats, base_version=v0)
 
-    def restore(self, version: int) -> int:
+    def restore(self, version: int, spark: "SparkSession | None" = None) -> int:
         """RESTORE the table to an earlier ``version`` as a NEW commit
         (Delta RESTORE / Iceberg rollback): the live-file set becomes the
         target version's — pure metadata, no bytes move, and the
@@ -2333,6 +2383,11 @@ class TxnTable:
         ``dv_counts_restore`` re-establishing the per-file deleted
         counts that were popped when the files were removed, so
         metadata-only ``count_rows`` stays exact through a restore.
+
+        CHECK-constraint guard: a constraint added after the target
+        version never validated the files this restore re-adds (it only
+        scanned data live at its commit) — refused unless ``spark`` is
+        passed, which re-validates the restored snapshot first.
 
         Dispatcher triage (the three action-string dispatchers):
         streams abort on 'restore' unless ignoreChanges (re-added rows
@@ -2375,6 +2430,50 @@ class TxnTable:
         stats_t = self.file_stats(version)
         _, del_t = self.dv_state(version)
         add = sorted(target - current)
+        # CHECK-constraint guard (mirrors rebase_branch's): a constraint
+        # added in (target, head] validated only the data live at its
+        # commit — a re-added file that was already dead then was NEVER
+        # validated, and a metadata-only restore would silently break
+        # the documented guarantee ("every version from the constraint's
+        # commit on satisfies the contract"). Refuse — unless a
+        # SparkSession is passed, in which case the restored snapshot is
+        # re-validated (one aggregate scan, add_constraint's own rule)
+        # and the restore proceeds only if it still satisfies every
+        # such constraint.
+        cons_head = self.constraints(head)
+        risky: dict[str, str] = {}
+        if cons_head and add:
+            for v in range(version + 1, head + 1):
+                c = self._read_commit(v)
+                if c.get("action") != "constraint-add":
+                    continue
+                names = (
+                    set(c.get("constraints", {}))
+                    - set(self.constraints(v - 1))
+                ) & set(cons_head)
+                if names and set(add) - set(self.live_files(v)):
+                    for n in sorted(names):
+                        risky[n] = cons_head[n]
+        if risky:
+            if spark is None:
+                raise ValueError(
+                    f"restore: constraint(s) {sorted(risky)} were added "
+                    f"after v{version} and never validated the file(s) "
+                    "this restore re-adds; pass a SparkSession to "
+                    "re-validate the restored snapshot, or drop the "
+                    "constraint, restore, and re-add it"
+                )
+            from spark_data_engineering_spark.checks import CheckError
+
+            viol = self._constraint_violations(
+                self.read(spark, version), risky
+            )
+            if viol:
+                raise CheckError(
+                    f"restore: restored snapshot v{version} violates "
+                    f"constraint(s) {viol} added after it; the rollback "
+                    "would break the table's contract"
+                )
         counts_restore = {f: del_t[f] for f in add if del_t.get(f)}
         if counts_restore:
             # a post-target dv-prune may have dropped the sidecars whose
@@ -2650,11 +2749,11 @@ class TxnTable:
             except OSError:
                 pass
         _, deleted = self.dv_state(v) if v else ((), {})
-        rows = sum(
-            int(c["__num_rows"][0])
-            for c in stats.values()
-            if "__num_rows" in c
-        ) - sum(deleted.values())
+        # count_rows, not a bare __num_rows sum: live files from
+        # pre-stats legacy commits have no recorded count and would be
+        # silently undercounted here while count_rows footer-reads the
+        # gap — the two surfaces must report the same number
+        rows = self.count_rows(at_version=v) if v else 0
         branches = []
         bdir = os.path.join(self.table_dir, _BRANCH_DIR)
         if os.path.isdir(bdir):

@@ -167,3 +167,20 @@ def test_stream_with_expectations_replay_and_partial_crash(spark, tmp_path):
     run()
     assert (main.version(), dead.version()) == (v_main, v_dead)
     assert main.count_rows() == n_main and dead.count_rows() == 2
+
+
+def test_expectation_name_validated_not_injectable():
+    """Names are embedded in metrics()'s stack() SQL as quoted literals
+    — a quote-bearing name must be refused at construction (ADVICE r8),
+    not parse-error (or inject) at metrics time."""
+    import pytest
+
+    from spark_data_engineering_spark.pipeline.expectations import Expectation
+
+    with pytest.raises(ValueError, match="must match"):
+        Expectation("price's_cap", "price < 10")
+    with pytest.raises(ValueError, match="must match"):
+        Expectation("a, 'x', 0, 0) --", "true")
+    with pytest.raises(ValueError, match="must match"):
+        Expectation("__kept__", "true")  # reserved summary-row prefix
+    Expectation("price.cap-v2_ok", "price < 10")  # identifier-ish: fine

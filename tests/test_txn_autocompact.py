@@ -136,3 +136,27 @@ def test_read_changes_on_dataless_history(spark, tmp_path):
     head = t.version()
     feed = t.read_changes(spark, head)
     assert feed.count() == 0 and "v" in feed.columns
+
+
+def test_detail_num_rows_agrees_with_count_rows_on_legacy_stats(
+    spark, tmp_path
+):
+    """ADVICE r8 low: a live file from a pre-stats legacy commit has no
+    __num_rows entry; detail() must fall back to the same footer read
+    count_rows() does instead of silently undercounting — the two
+    surfaces report the SAME number."""
+    import json
+    import os
+
+    t = TxnTable(str(tmp_path), "t")
+    t.append(_df(spark, [1, 2, 3, 4, 5]))
+    # simulate a legacy commit: strip the recorded row counts
+    cpath = os.path.join(t.log_dir, sorted(os.listdir(t.log_dir))[0])
+    with open(cpath) as f:
+        rec = json.load(f)
+    for st in rec.get("stats", {}).values():
+        st.pop("__num_rows", None)
+    with open(cpath, "w") as f:
+        json.dump(rec, f)
+    assert t.count_rows() == 5
+    assert t.detail()["num_rows"] == 5

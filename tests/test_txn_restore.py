@@ -107,3 +107,50 @@ def test_branch_side_restore_merges_with_exact_dv_counts(spark, tmp_path):
     t.merge_branch(b)  # would raise ConcurrentWriteError without the fix
     assert _ids(spark, t) == list(range(8))
     assert t.count_rows() == 8
+
+
+def test_restore_refuses_unvalidated_constraint(spark, tmp_path):
+    """ADVICE r8 medium: delete violating rows -> add_constraint
+    (validates only CURRENT data) -> restore to the pre-delete version
+    re-adds files the validation never saw. Metadata-only restore must
+    refuse; restore(version, spark) re-validates and refuses with the
+    violation, keeping the constraint's contract intact."""
+    from spark_data_engineering_spark.checks import CheckError
+
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(10))          # v1: ids 0..9
+    t.delete_where(spark, F.col("id") >= 5)  # v2: rewrite, 0..4 live
+    t.add_constraint(spark, "small", "id < 5")  # v3: passes on 0..4
+    with pytest.raises(ValueError, match="small"):
+        t.restore(1)
+    with pytest.raises(CheckError, match="small"):
+        t.restore(1, spark)
+    assert _ids(spark, t) == list(range(5))  # refusals were no-ops
+    # drop the constraint and the restore goes through
+    t.drop_constraint("small")
+    t.restore(1)
+    assert _ids(spark, t) == list(range(10))
+
+
+def test_restore_revalidation_passes_when_contract_holds(spark, tmp_path):
+    """The re-added files were never validated but DO satisfy the
+    constraint: restore(version, spark) re-validates and proceeds."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(10))                  # v1
+    t.delete_where(spark, F.col("id") >= 5)    # v2
+    t.add_constraint(spark, "nonneg", "id >= 0")  # v3: 0..9 all satisfy
+    with pytest.raises(ValueError, match="nonneg"):
+        t.restore(1)  # metadata-only still refuses (never validated)
+    t.restore(1, spark)
+    assert _ids(spark, t) == list(range(10))
+
+
+def test_restore_constraint_guard_skips_validated_files(spark, tmp_path):
+    """A constraint added while the restored files were still live DID
+    validate them — no refusal, no session needed."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.range(10))                   # v1
+    t.add_constraint(spark, "small", "id < 100")  # v2: saw v1's files
+    t.overwrite(spark.range(20, 25))            # v3
+    t.restore(1)  # re-added files were live at the constraint's commit
+    assert _ids(spark, t) == list(range(10))
