@@ -1677,3 +1677,67 @@ def txn_detail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_constraints bigint, n_partition_cols bigint, "
         "files_match boolean, size_positive boolean",
     )
+
+
+@query(
+    "txn_properties_revenue",
+    oracle="""
+    SELECT 'tier' AS prop_key,
+           'silver' AS prop_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    """,
+)
+def txn_properties_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TBLPROPERTIES under the gate (sources/txn.py::set_properties /
+    unset_properties / properties — Delta's ALTER TABLE SET/UNSET
+    TBLPROPERTIES as CAS metadata commits): orders land at v1, then a
+    set / merge-set / unset sequence leaves exactly {tier: silver}; the
+    surviving property rides the hash next to the table's row count and
+    revenue read back THROUGH the post-DDL head — proving the three
+    metadata commits changed no data (the DDL actions are net-zero in
+    every dispatcher). Branch/merge/rebase/stream triage is pinned in
+    tests/test_txn_properties.py."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"props:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/props-{digest}"
+    if not os.path.isdir(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_props")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.append(o.repartition(4))                         # v1
+        t.set_properties({"owner": "etl", "tier": "gold"})  # v2
+        t.set_properties({"tier": "silver"})                # v3 (merge)
+        t.unset_properties(["owner"])                       # v4
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_props")
+    props = t.properties()
+    assert props == {"tier": "silver"}, props
+    agg = t.read(spark).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return agg.select(
+        F.lit("tier").alias("prop_key"),
+        F.lit(props["tier"]).alias("prop_value"),
+        "n_rows",
+        "revenue",
+    )

@@ -2126,6 +2126,81 @@ class TxnTable:
             "drop_constraint: lost the commit race 5 times; retry"
         )
 
+    # user-defined table properties (Delta TBLPROPERTIES): a LOG
+    # property like constraints — the latest commit carrying a
+    # `properties` field holds the full key->value map; pure metadata,
+    # versioned with the log, surfaced by detail(). Dispatcher triage
+    # (the new-action contract): streams and read_changes skip
+    # 'properties-set'/'properties-unset' (net-zero rows, schema
+    # unaffected); merge_branch replay forwards the snapshot verbatim
+    # (fast-forward keeps it exact); rebase refuses branch-side
+    # properties DDL (its snapshot folded the OLD base's map and would
+    # clobber parent changes) while parent-side changes are fine (the
+    # branch carries no snapshot, resolution walks to the parent's).
+
+    def properties(self, at_version: int | None = None) -> dict[str, str]:
+        """The table's user properties at a version (key -> value),
+        replayed from the log like ``constraints``."""
+        head = self.version() if at_version is None else at_version
+        for v in reversed(self._commit_files()):
+            if v <= head:
+                c = self._read_commit(v)
+                if "properties" in c:
+                    return dict(c["properties"])
+        return {}
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        """ALTER TABLE SET TBLPROPERTIES — metadata-only, CAS-linearized
+        (racing DDL retries; it cannot silently drop a concurrent
+        property change). Values are stored as strings (Delta's rule)."""
+        bad = [k for k in props if not isinstance(k, str) or not k]
+        if bad:
+            raise ValueError(f"property keys must be non-empty strings: {bad}")
+        for _ in range(5):
+            v0 = self.version()
+            rec = {
+                "version": v0 + 1,
+                "action": "properties-set",
+                "add": [],
+                "remove": [],
+                "properties": {
+                    **self.properties(v0),
+                    **{k: str(v) for k, v in props.items()},
+                },
+            }
+            self._stamp_props(rec)
+            if self._try_commit(rec):
+                return v0 + 1
+        raise ConcurrentWriteError(
+            "set_properties: lost the commit race 5 times; retry"
+        )
+
+    def unset_properties(self, keys: "list[str] | tuple[str, ...]") -> int:
+        """ALTER TABLE UNSET TBLPROPERTIES — unknown keys refused loudly
+        (Delta's IF EXISTS is the caller filtering first)."""
+        for _ in range(5):
+            v0 = self.version()
+            cur = self.properties(v0)
+            missing = [k for k in keys if k not in cur]
+            if missing:
+                raise ValueError(
+                    f"no such propert{'y' if len(missing) == 1 else 'ies'} "
+                    f"{missing} (have {sorted(cur)})"
+                )
+            rec = {
+                "version": v0 + 1,
+                "action": "properties-unset",
+                "add": [],
+                "remove": [],
+                "properties": {k: v for k, v in cur.items() if k not in keys},
+            }
+            self._stamp_props(rec)
+            if self._try_commit(rec):
+                return v0 + 1
+        raise ConcurrentWriteError(
+            "unset_properties: lost the commit race 5 times; retry"
+        )
+
     def _refuse_contract_ref(self, col: str, what: str) -> None:
         """Refuse renaming/dropping a column the table's WRITE CONTRACT
         depends on: a generated column itself, a column a generation
@@ -2363,7 +2438,12 @@ class TxnTable:
         add, stats = self._stage(df.coalesce(n_out))
         return self._commit("compact", add, victims, stats, base_version=v0)
 
-    def restore(self, version: int, spark: "SparkSession | None" = None) -> int:
+    def restore(
+        self,
+        version: int | None = None,
+        spark: "SparkSession | None" = None,
+        at_timestamp: float | None = None,
+    ) -> int:
         """RESTORE the table to an earlier ``version`` as a NEW commit
         (Delta RESTORE / Iceberg rollback): the live-file set becomes the
         target version's — pure metadata, no bytes move, and the
@@ -2394,6 +2474,12 @@ class TxnTable:
         would re-emit); read_changes diffs it row-level in the generic
         arm (exactly the net change); merge_branch replays it verbatim.
         """
+        if (version is None) == (at_timestamp is None):
+            raise ValueError("restore: pass version OR at_timestamp")
+        if at_timestamp is not None:
+            # RESTORE ... TIMESTAMP AS OF: the newest version committed
+            # at or before the timestamp (same resolution as time travel)
+            version = self.version_at_timestamp(at_timestamp)
         head = self.version()
         if not 1 <= version <= head:
             raise ValueError(f"restore: version {version} not in [1, {head}]")
@@ -2776,6 +2862,7 @@ class TxnTable:
             if self.identity_cols(v)
             else {},
             "constraints": dict(self.constraints(v)),
+            "properties": dict(self.properties(v)),
             "branches": branches,
         }
 
@@ -2835,9 +2922,11 @@ class TxnTable:
                 "dv-prune",
                 "constraint-add",
                 "constraint-drop",
+                "properties-set",
+                "properties-unset",
             ):
                 continue  # net-zero row change by construction (the
-                # constraint DDLs are pure metadata — enforced at write)
+                # constraint/property DDLs are pure metadata)
             if c.get("cdf_add"):
                 # merge(cdf=True): the change rows were persisted at
                 # commit time — a pure scan with full update_preimage /
@@ -3096,6 +3185,11 @@ class TxnTable:
             # seed without the map would silently drop enforcement on
             # the branch (constraints resolve from the branch's OWN log)
             seed["constraints"] = cons
+        props = self.properties(base_v)
+        if props:
+            # properties resolve from the branch's OWN log too — inherit
+            # the snapshot or the branch reads an empty map
+            seed["properties"] = props
         ih = self.identity_high(base_v)
         if ih:
             # the branch INHERITS the parent's identity watermark —
@@ -3220,6 +3314,13 @@ class TxnTable:
                     "rebase_branch: branch carries a RESTORE commit — it "
                     "references branch-log versions that do not exist in "
                     "the rebased line; compact the branch first"
+                )
+            if act in ("properties-set", "properties-unset"):
+                raise ValueError(
+                    "rebase_branch: branch carries TBLPROPERTIES DDL — "
+                    "its snapshot folded the OLD base's property map and "
+                    "replaying it would clobber parent property changes; "
+                    "re-run set_properties on the parent after the rebase"
                 )
             if act in ("constraint-add", "constraint-drop"):
                 raise ValueError(
@@ -3442,6 +3543,13 @@ class TxnTable:
                     **(
                         {"constraints": rec["constraints"]}
                         if "constraints" in rec
+                        else {}
+                    ),
+                    # same rule for TBLPROPERTIES snapshots: fast-forward
+                    # makes the branch-time map exact on the parent
+                    **(
+                        {"properties": rec["properties"]}
+                        if "properties" in rec
                         else {}
                     ),
                 },

@@ -770,9 +770,14 @@ class TxnStreamReader(DataSourceStreamReader):
                 # DV maintenance: drops all-dead sidecars from the probe
                 # list — no visible row changes in either mode
                 continue
-            if c["action"] in ("constraint-add", "constraint-drop"):
-                # CHECK-constraint DDL: pure metadata, enforcement
-                # happens at write time — no row changes in either mode
+            if c["action"] in (
+                "constraint-add",
+                "constraint-drop",
+                "properties-set",
+                "properties-unset",
+            ):
+                # CHECK-constraint / TBLPROPERTIES DDL: pure metadata,
+                # no row changes in either mode
                 continue
             if self._cdf and c["action"] == "compact":
                 continue  # net-zero row change by construction

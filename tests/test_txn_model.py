@@ -77,6 +77,13 @@ _op = st.one_of(
         st.just("constraint_cycle"),
         st.integers(0, 99),
         st.lists(st.integers(0, 99), max_size=4),
+        # persist flag: additionally leave a never-violated constraint
+        # (val >= 0) on the table so every LATER op runs under an
+        # active CHECK — in particular restore's r9 guard (a
+        # constraint-add whose validation never saw re-added files
+        # refuses metadata-only restore; restore(v, spark)
+        # re-validates and proceeds)
+        st.booleans(),
     ),
 )
 
@@ -258,6 +265,10 @@ def test_random_op_sequence_matches_model(
                     table.append(df_of(vals))
                     model.extend(vals)
                 table.drop_constraint("le")
+            if op[3] and "nonneg" not in table.constraints():
+                # persistent, never-violated (vals are 0..99; update
+                # adds +100): later ops run under an active CHECK
+                table.add_constraint(spark, "nonneg", "val >= 0")
         elif op[0] == "restore":
             if not snapshots or table.version() == 0:
                 continue
@@ -268,11 +279,20 @@ def test_random_op_sequence_matches_model(
             try:
                 table.restore(target)
                 model = list(snapshots[target])
-            except ValueError:
+            except ValueError as e:
                 # legal refusal (vacuumed target / post-target DV overlap
-                # with restored files): must be a perfect no-op
+                # with restored files / post-target constraint-add that
+                # never validated the re-added files): a perfect no-op
                 assert read_vals() == sorted(model), "refused restore mutated"
-                continue
+                if "constraint" in str(e):
+                    # the r9 guard: DV checks already passed (they run
+                    # first), and the persistent constraint (val >= 0)
+                    # holds on every snapshot — the spark-assisted
+                    # restore re-validates and MUST go through
+                    table.restore(target, spark)
+                    model = list(snapshots[target])
+                else:
+                    continue
         elif op[0] == "branch_cycle":
             if table.version() == 0:
                 continue
