@@ -1741,3 +1741,55 @@ def txn_properties_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "revenue",
     )
+
+
+@query(
+    "txn_convert_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_convert_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA under the gate (sources/txn.py::
+    convert_from_parquet — Delta CONVERT / Iceberg add_files): the
+    driver's orders.parquet is adopted into a txn table WITHOUT
+    rewriting a byte (hardlink, cross-device copy fallback; footer
+    stats computed at convert time), and the aggregate read back
+    through the table head must hash-match SQL over the original
+    parquet — the 100 TB onboarding path, where re-writing the corpus
+    to gain a transaction log is not an option. Stream/CDF/append/DV
+    behavior of a converted table is pinned in
+    tests/test_txn_convert.py."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"convert:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/convert-{digest}"
+    if not os.path.isdir(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        TxnTable.convert_from_parquet(
+            spark, tmp_root, "orders_conv", f"{sf_dir}/orders.parquet"
+        )
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_conv")
+    return t.read(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -56,13 +56,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       order and rotates in next round under P2 by construction.
 #
 # Round-9 derivation (tools/derive_window.py against CORRECTNESS_r01-r08):
-#   P1 = 5: the 3 rows RED in CORRECTNESS_r08 (txn_pushdown_revenue,
+#   P1 = 6: the 3 rows RED in CORRECTNESS_r08 (txn_pushdown_revenue,
 #        txn_writer_roundtrip_revenue, streaming_txn_sink_revenue — one
 #        shared root cause, the pushFilters/filterPushdown.enabled conf
 #        coupling, fixed this round via register_txn; a red row counts
-#        as never-green and re-enters at the head) plus the two new
-#        round-9 gate queries txn_detail_summary (DESCRIBE DETAIL) and
-#        txn_properties_revenue (TBLPROPERTIES).
+#        as never-green and re-enters at the head) plus the
+#        three round-9 gate queries txn_detail_summary (DESCRIBE
+#        DETAIL), txn_properties_revenue (TBLPROPERTIES), and
+#        txn_convert_revenue (CONVERT TO DELTA).
 #   P2 = the 2 r4-stale names cut by round-8 P1 (token_run_lengths,
 #        customer_trailing_7d_revenue — the queue heads by
 #        construction), then the r5 cohort (50 names), oldest first.
@@ -81,6 +82,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "txn_pushdown_revenue",
     "txn_detail_summary",
     "txn_properties_revenue",
+    "txn_convert_revenue",
     # --- P2: the r4-stale tail cut by round-8 P1 (heads of the queue by
     # construction), then the r5 cohort, oldest evidence first.
     "customer_trailing_7d_revenue",
@@ -128,7 +130,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_sole_returned_supplier",
     "tpch_q22_dormant_customers",
-    "tpch_q2_min_cost_supplier",
+    # tpch_q2_min_cost_supplier: displaced by the P1 txn_convert_revenue
+    # gate; keeps its r5 hash-green row (+ r7/r8 bench rows) and heads
+    # the r10 P2 queue with q7/q8/q9/q11/q15/q16/q20.
     # tpch_q7_nation_volume_shipping: displaced by the P1
     # txn_properties_revenue gate (P1 outranks fills); keeps its r5
     # hash-green row and heads the r10 P2 queue with q8/q9/q11/q15/q16/q20.

@@ -1234,6 +1234,92 @@ class TxnTable:
 
     # ---- public operations ----------------------------------------------
 
+    @classmethod
+    def convert_from_parquet(
+        cls,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        source: str,
+        bloom_cols: tuple[str, ...] = (),
+    ) -> "TxnTable":
+        """CONVERT TO DELTA analog: adopt an existing parquet file or
+        directory into a NEW txn table without rewriting a byte — the
+        100 TB onboarding path (Delta's ``CONVERT TO DELTA``, Iceberg's
+        ``add_files``).
+
+        - Source files are HARDLINKED into the table's data dir under
+          the table's naming scheme (``os.link``: same-filesystem
+          no-copy; cross-device falls back to a real copy). The source
+          stays intact; vacuum/GC own only the table's links. Parquet
+          immutability is assumed — rewriting a source file IN PLACE
+          would alias into the table (Delta's convert has the same
+          caveat until the files age out).
+        - Per-file footer stats (min/max + ``__num_rows``) are computed
+          at convert time, so pruning and metadata-only ``count_rows``
+          work from version 1. ``bloom_cols`` additionally builds
+          stage-time blooms (reads data pages — opt-in).
+        - The single commit is action ``'convert'``: add-only, triaged
+          as an append by streams and the change feed.
+
+        Hive-partitioned layouts are refused: hive drops the partition
+        columns from the data files, while this format keeps real
+        columns in the data (read + ``append`` through Spark instead).
+        """
+        import uuid
+
+        t = cls(root, name, bloom_cols=bloom_cols)
+        if t.version() > 0:
+            raise ValueError(
+                f"convert: table {t.table_dir} already has commits"
+            )
+        if os.path.isfile(source):
+            srcs = [source]
+        else:
+            srcs = []
+            for dirpath, dirs, files in os.walk(source):
+                hive = [d for d in dirs if "=" in d]
+                if hive:
+                    raise ValueError(
+                        f"convert: {source} is hive-partitioned "
+                        f"({hive[0]!r}); its data files do not contain "
+                        "the partition columns — read it with Spark and "
+                        "append instead"
+                    )
+                srcs.extend(
+                    os.path.join(dirpath, f)
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            srcs.sort()
+        if not srcs:
+            raise ValueError(f"convert: no parquet files under {source}")
+        schema = [
+            {"name": f.name, "type": json.loads(f.dataType.json())}
+            for f in spark.read.option("mergeSchema", "true")
+            .parquet(source)
+            .schema.fields
+        ]
+        cid = uuid.uuid4().hex
+        names: list[str] = []
+        stats: dict[str, dict] = {}
+        for i, s in enumerate(srcs):
+            nm = f"{cid}-c{i}.parquet"
+            dest = os.path.join(t.data_dir, nm)
+            try:
+                os.link(s, dest)
+            except OSError:
+                shutil.copy2(s, dest)  # cross-device: copy, still atomicized by the commit
+            st = t._footer_minmax(dest)
+            for col in t.bloom_cols:
+                b = _file_bloom(dest, col)
+                if b is not None:
+                    st[f"__bloom_{col}"] = b
+            stats[nm] = st
+            names.append(nm)
+        t._commit("convert", names, [], stats, schema=schema)
+        return t
+
     def append(self, df: DataFrame) -> int:
         df = self._with_generated(df)
         v0 = self.version()
@@ -2944,7 +3030,7 @@ class TxnTable:
                 continue
             added = rd(c.get("add", []), v, v)
             removed = rd(c.get("remove", []), v, v - 1)
-            if c["action"] in ("append", "streaming-append"):
+            if c["action"] in ("append", "streaming-append", "convert"):
                 ins, rem = added, None
             elif c["action"] in ("delete_dv", "branch-dv"):
                 # the sidecar IS the delete set: its positions, read from

@@ -801,7 +801,8 @@ class TxnStreamReader(DataSourceStreamReader):
                 )
                 continue
             if (
-                c["action"] not in ("append", "streaming-append", "branch")
+                c["action"]
+                not in ("append", "streaming-append", "branch", "convert")
                 and not self._ignore_changes
             ):
                 # "branch" is allowed: a branch's seed commit IS the
@@ -823,6 +824,7 @@ class TxnStreamReader(DataSourceStreamReader):
                 "append",
                 "streaming-append",
                 "branch",
+                "convert",
             ):
                 continue  # ignoreChanges under CDF: skip, never re-emit
             # dv snapshot applies only to files that existed at stream
