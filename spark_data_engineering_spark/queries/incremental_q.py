@@ -1793,3 +1793,130 @@ def txn_convert_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "txn_clone_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_clone_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE under the gate (sources/txn.py::clone — Delta's
+    CREATE TABLE CLONE, hardlink-independent variant): orders land at
+    v1, the 'F' slice is DV-deleted at v2, the table is CLONED, and the
+    SOURCE then deletes its 'O' slice too — the clone must still show
+    the full non-'F' snapshot (isolation both ways), hash-matched
+    against SQL over the original parquet. The clone carries the
+    source's files by hardlink (zero rewrite) and its DV positions via
+    one consolidated clone-owned sidecar; vacuum on either side can
+    never break the other (each owns its links). Lifecycle details
+    (metadata carry-over, CDF, vacuum safety, COPY ledger inheritance)
+    are pinned in tests/test_txn_clone_copy.py."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"clone:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/clone-{digest}"
+    if not os.path.isdir(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        src = TxnTable(os.path.join(tmp_root, "src"), "orders_src")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        src.append(o.repartition(4))                              # v1
+        src.delete_where_dv(spark, F.col("o_orderstatus") == "F")  # v2 (DV)
+        src.clone(os.path.join(tmp_root, "dst"), "orders_clone")
+        # mutate the SOURCE after the clone: the clone must not move
+        src.delete_where_dv(spark, F.col("o_orderstatus") == "O")
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    c = TxnTable(os.path.join(root, "dst"), "orders_clone")
+    assert c._read_commit(1)["action"] == "clone"
+    return c.read(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "txn_copy_into_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_copy_into_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO under the gate (sources/txn.py::copy_into — Databricks
+    COPY INTO): a landing zone receives the even-keyed orders, COPY
+    INTO ingests them (hardlink + footer stats, no rewrite); the odd
+    keys land next tick and ONLY they load; a third tick loads ZERO
+    files (idempotence, asserted in-query — the ledger rides the 'copy'
+    commits). The final table must hash-match SQL over ALL orders:
+    exactly-once ingestion across three runs. Concurrency (CAS-replayed
+    dedup), constraint enforcement on staged bytes, and ledger
+    inheritance through clone/branch-merge are pinned in
+    tests/test_txn_clone_copy.py."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"copyinto:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/copyinto-{digest}"
+    if not os.path.isdir(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        land = os.path.join(tmp_root, "landing")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = TxnTable(os.path.join(tmp_root, "tbl"), "orders_copy")
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(3).write.mode(
+            "append"
+        ).parquet(land)
+        r1 = t.copy_into(spark, land)
+        assert r1["files_loaded"] >= 1, r1
+        o.filter(F.col("o_orderkey") % 2 == 1).repartition(3).write.mode(
+            "append"
+        ).parquet(land)
+        r2 = t.copy_into(spark, land)
+        assert r2["files_loaded"] >= 1 and r2["files_skipped"] >= 1, r2
+        r3 = t.copy_into(spark, land)  # third tick: nothing new
+        assert r3["files_loaded"] == 0, r3
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(os.path.join(root, "tbl"), "orders_copy")
+    return t.read(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

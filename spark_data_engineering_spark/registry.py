@@ -83,6 +83,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "txn_detail_summary",
     "txn_properties_revenue",
     "txn_convert_revenue",
+    # --- P1 cont. (added mid-round-9): SHALLOW CLONE + COPY INTO gates —
+    # never driver-checked, so they enter at P1 per the rule; they
+    # displace tpch_q21/q22 (r5-green, rotate back under P2 next round).
+    "txn_clone_revenue",
+    "txn_copy_into_revenue",
     # --- P2: the r4-stale tail cut by round-8 P1 (heads of the queue by
     # construction), then the r5 cohort, oldest evidence first.
     "customer_trailing_7d_revenue",
@@ -128,8 +133,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q17_small_qty_revenue",
     "tpch_q18_volume_customers",
     "tpch_q19_disjunctive_revenue",
-    "tpch_q21_sole_returned_supplier",
-    "tpch_q22_dormant_customers",
+    # tpch_q21_sole_returned_supplier / tpch_q22_dormant_customers:
+    # displaced by the P1 txn_clone_revenue / txn_copy_into_revenue gates
+    # (added mid-round-9); both keep their r5 hash-green rows and head
+    # the r10 P2 queue with q2/q7/q8/q9/q11/q15/q16/q20.
     # tpch_q2_min_cost_supplier: displaced by the P1 txn_convert_revenue
     # gate; keeps its r5 hash-green row (+ r7/r8 bench rows) and heads
     # the r10 P2 queue with q7/q8/q9/q11/q15/q16/q20.

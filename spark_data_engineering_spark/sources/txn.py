@@ -1320,6 +1320,283 @@ class TxnTable:
         t._commit("convert", names, [], stats, schema=schema)
         return t
 
+    def clone(
+        self,
+        dest_root: str,
+        dest_name: str,
+        at_version: int | None = None,
+        at_timestamp: float | None = None,
+    ) -> "TxnTable":
+        """SHALLOW CLONE analog (Delta's ``CREATE TABLE ... CLONE src
+        [VERSION|TIMESTAMP AS OF ...]``): a NEW, fully independent table
+        whose version 1 is this table's snapshot at ``at_version`` —
+        without rewriting data. Live data files are HARDLINKED into the
+        clone's own data dir under their existing basenames (``os.link``:
+        same-filesystem no-copy; cross-device falls back to a real copy),
+        so per-file stats/blooms carry over verbatim and pruning works
+        from v1. Unlike Delta's shallow clone, the result has NO lifetime
+        coupling to the source: each side owns its links, so vacuuming
+        either can never break the other — the only sane contract when
+        100 TB maintenance jobs must not coordinate across tables.
+
+        Carried into the seed: logical schema (incl. rename/drop
+        history), partition/generated/identity column specs, the
+        identity watermark, CHECK constraints, and TBLPROPERTIES. The
+        seed commit is action ``'clone'`` — add-only, triaged as an
+        append by the stream reader and the change feed — stamped with
+        ``clone_source``/``clone_version`` provenance (DESCRIBE HISTORY
+        shows where the data came from). Outstanding deletion-vector
+        positions consolidate into ONE clone-owned sidecar in a second
+        ``'clone-dv'`` commit (the branch-seed pattern): a clone read
+        must not resurrect source-deleted rows.
+
+        The experiment/onboarding pattern this enables at 100 TB:
+        clone → mutate/backfill/validate in full isolation → point
+        consumers at the clone (or drop it) — the whole lifecycle is
+        metadata plus the clone's own new data."""
+        if at_version is not None and at_timestamp is not None:
+            raise ValueError("clone: pass at_version OR at_timestamp, not both")
+        if at_timestamp is not None:
+            at_version = self.version_at_timestamp(at_timestamp)
+        head = self.version()
+        v = head if at_version is None else at_version
+        if not 0 < v <= head:
+            raise ValueError(
+                f"clone: version {v} out of range (table at version {head})"
+            )
+        c = TxnTable(
+            dest_root,
+            dest_name,
+            checkpoint_every=self.checkpoint_every,
+            bloom_cols=self.bloom_cols,
+        )
+        if c.version() > 0:
+            raise ValueError(f"clone: table {c.table_dir} already has commits")
+        live = self.live_files(v)
+        for f in live:
+            src = os.path.join(self.data_dir, f)
+            dst = os.path.join(c.data_dir, f)
+            try:
+                os.link(src, dst)
+            except FileExistsError:
+                pass  # racing clone build into the same dest: same bytes
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device: copy
+        seed = {
+            "version": 1,
+            "action": "clone",
+            "add": live,
+            "remove": [],
+            "clone_source": self.table_dir,
+            "clone_version": v,
+        }
+        stats = self.file_stats(v)
+        if stats:
+            seed["stats"] = stats
+        schema = self.table_schema(v)
+        if schema:
+            seed["schema"] = schema
+        # the clone stages/generates/partitions exactly like the source
+        # did at the cloned version (resolved from the SOURCE log here;
+        # from the clone's own seed afterwards)
+        self._stamp_props(seed, at_version=v)
+        cons = self.constraints(v)
+        if cons:
+            seed["constraints"] = cons
+        props = self.properties(v)
+        if props:
+            seed["properties"] = props
+        ih = self.identity_high(v)
+        if ih:
+            # without the watermark a clone append would re-allocate
+            # identity values already present in the cloned files
+            seed["identity_high"] = ih
+        cl = self._copy_loaded(v)
+        if cl:
+            # the clone inherits the COPY INTO ledger: a scheduled
+            # copy_into re-pointed at the clone must not re-ingest
+            seed["copy_sources"] = sorted(cl)
+        if not c._try_commit(seed):
+            raise ConcurrentWriteError(
+                f"clone: a racing writer committed first at {c.table_dir}"
+            )
+        sidecars, deleted = self.dv_state(v)
+        live_set = set(live)
+        live_deleted = {f: n for f, n in deleted.items() if f in live_set}
+        if sidecars and live_deleted:
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+
+            tabs = [
+                _pq.read_table(os.path.join(self.dv_dir, s)) for s in sidecars
+            ]
+            merged = _pa.concat_tables(tabs)
+            merged = merged.filter(
+                _pc.is_in(merged["file"], value_set=_pa.array(sorted(live_set)))
+            )
+            dv_name = f"clone-{uuid.uuid4().hex}.parquet"
+            _pq.write_table(merged, os.path.join(c.dv_dir, dv_name))
+            c._try_commit(
+                c._stamp_props(
+                    {
+                        "version": 2,
+                        "action": "clone-dv",
+                        "add": [],
+                        "remove": [],
+                        "dv_add": dv_name,
+                        "dv_counts": live_deleted,
+                    },
+                    at_version=1,
+                )
+            )
+        return c
+
+    def _copy_loaded(self, at_version: int | None = None) -> set[str]:
+        """The COPY INTO loaded-file ledger at a version: the union of
+        every commit's ``copy_sources`` (copy commits, branch/clone
+        seeds, merge/rebase replays all carry the field). Log-only."""
+        head = self.version() if at_version is None else at_version
+        loaded: set[str] = set()
+        for cv in self._commit_files():
+            if cv <= head:
+                cs = self._read_commit(cv).get("copy_sources")
+                if cs:
+                    loaded.update(cs)
+        return loaded
+
+    def copy_into(
+        self,
+        spark: SparkSession,
+        source: str,
+        pattern: str = "*.parquet",
+        force: bool = False,
+    ) -> dict:
+        """COPY INTO analog (Databricks/Delta ``COPY INTO``): idempotently
+        load parquet files from a landing directory (or a single file)
+        into this table — each source file is ingested AT MOST ONCE
+        across any number of calls, so a scheduled re-run only picks up
+        files that arrived since the last tick. File identity is
+        (path relative to the source root, size, mtime_ns): a re-dropped
+        file with new bytes re-loads, an untouched one never does.
+        Loaded identities are recorded in the ``'copy'`` commit
+        (``copy_sources``) atomically with the adds — crash-safe dedup
+        with no side ledger, and the already-loaded check is replayed
+        inside the CAS retry loop so two concurrent COPY INTOs of the
+        same drop can never double-ingest (the loser re-resolves,
+        unlinks its staging, and skips).
+
+        Ingestion is by HARDLINK + footer stats (the
+        ``convert_from_parquet`` path — no byte rewrite; pruning and
+        metadata-only ``count_rows`` see the files immediately). CHECK
+        constraints ARE enforced (one scan of the new bytes via
+        ``_enforce_staged``). Partitioned / generated / identity-column
+        tables are refused — those writers must compute per-row values;
+        go through ``append``. ``force=True`` reloads every matched file
+        (Delta's COPY_OPTIONS force). Returns ``{'version',
+        'files_loaded', 'files_skipped'}``.
+
+        Scale note: the loaded-identity set resolves by scanning
+        ``'copy'`` commits in the log — at one COPY INTO per schedule
+        tick that walk is trivial; a production variant would fold the
+        set into checkpoints like the streaming watermarks."""
+        import fnmatch
+
+        if self.partition_cols():
+            raise ValueError(
+                "copy_into: table is partitioned; partition staging needs "
+                "per-row values — write through append/Spark instead"
+            )
+        if self.generated_cols() or self.identity_cols():
+            raise ValueError(
+                "copy_into: table declares generated/identity columns; "
+                "their values must be computed per row — write through "
+                "append instead"
+            )
+        if os.path.isfile(source):
+            src_root, srcs = os.path.dirname(source) or ".", [source]
+        else:
+            src_root, srcs = source, []
+            for dirpath, _dirs, files in os.walk(source):
+                srcs.extend(
+                    os.path.join(dirpath, f)
+                    for f in files
+                    if fnmatch.fnmatch(f, pattern)
+                )
+            srcs.sort()
+        if not srcs:
+            raise ValueError(f"copy_into: no files matching {pattern!r} under {source}")
+
+        def ident(p: str) -> str:
+            st = os.stat(p)
+            return f"{os.path.relpath(p, src_root)}:{st.st_size}:{st.st_mtime_ns}"
+
+        idents = {p: ident(p) for p in srcs}
+        staged: list[str] = []
+        while True:
+            head = self.version()
+            loaded = self._copy_loaded(head)
+            new = [p for p in srcs if force or idents[p] not in loaded]
+            if not new:
+                return {
+                    "version": head,
+                    "files_loaded": 0,
+                    "files_skipped": len(srcs),
+                }
+            if not staged:
+                schema = [
+                    {"name": f.name, "type": json.loads(f.dataType.json())}
+                    for f in spark.read.option("mergeSchema", "true")
+                    .parquet(*new)
+                    .schema.fields
+                ]
+                cid = uuid.uuid4().hex
+                stats: dict[str, dict] = {}
+                for i, s in enumerate(new):
+                    nm = f"{cid}-y{i}.parquet"
+                    dest = os.path.join(self.data_dir, nm)
+                    try:
+                        os.link(s, dest)
+                    except OSError:
+                        shutil.copy2(s, dest)
+                    st = self._footer_minmax(dest)
+                    for col in self.bloom_cols:
+                        b = _file_bloom(dest, col)
+                        if b is not None:
+                            st[f"__bloom_{col}"] = b
+                    stats[nm] = st
+                    staged.append(nm)
+                # one scan of the staged bytes; deletes them on refusal
+                self._enforce_staged(spark, staged, "copy_into")
+            record = {
+                "version": head + 1,
+                "action": "copy",
+                "add": list(staged),
+                "remove": [],
+                "stats": stats,
+                "copy_sources": [idents[p] for p in new],
+                "copy_from": src_root,
+                "schema": self._merge_schema_lists(self.table_schema(), schema),
+            }
+            self._stamp_props(record)
+            if self._try_commit(record):
+                v = head + 1
+                if v % self.checkpoint_every == 0:
+                    self._write_checkpoint(v)
+                return {
+                    "version": v,
+                    "files_loaded": len(staged),
+                    "files_skipped": len(srcs) - len(new),
+                }
+            # lost the CAS: a concurrent commit landed — maybe a COPY of
+            # the same files. Drop staging and re-resolve from the log.
+            for nm in staged:
+                try:
+                    os.unlink(os.path.join(self.data_dir, nm))
+                except FileNotFoundError:
+                    pass
+            staged = []
+
     def append(self, df: DataFrame) -> int:
         df = self._with_generated(df)
         v0 = self.version()
@@ -3030,9 +3307,15 @@ class TxnTable:
                 continue
             added = rd(c.get("add", []), v, v)
             removed = rd(c.get("remove", []), v, v - 1)
-            if c["action"] in ("append", "streaming-append", "convert"):
+            if c["action"] in (
+                "append",
+                "streaming-append",
+                "convert",
+                "clone",
+                "copy",
+            ):
                 ins, rem = added, None
-            elif c["action"] in ("delete_dv", "branch-dv"):
+            elif c["action"] in ("delete_dv", "branch-dv", "clone-dv"):
                 # the sidecar IS the delete set: its positions, read from
                 # the still-live data files. branch-dv (a branch's
                 # inherited-DV consolidation) carries the same
@@ -3282,6 +3565,11 @@ class TxnTable:
             # without it, a branch append would re-allocate from start
             # and fast-forward-merge colliding ids into the parent
             seed["identity_high"] = ih
+        cl = self._copy_loaded(base_v)
+        if cl:
+            # inherit the COPY INTO ledger: a branch-side copy_into must
+            # not re-ingest files the parent already loaded
+            seed["copy_sources"] = sorted(cl)
         if not b._try_commit(seed):
             return  # racing creation: the winner's seed is equivalent
         sidecars, deleted = self.dv_state(base_v)
@@ -3491,6 +3779,17 @@ class TxnTable:
                             if rec.get("cdf_add")
                             else {}
                         ),
+                        # a rebased COPY INTO keeps its loaded-file
+                        # ledger (same rule as merge_branch: dropping it
+                        # would let a later copy_into re-ingest)
+                        **(
+                            {
+                                "copy_sources": rec["copy_sources"],
+                                "copy_from": rec.get("copy_from", ""),
+                            }
+                            if rec.get("copy_sources")
+                            else {}
+                        ),
                     },
                 )
                 if got != v + 1:
@@ -3636,6 +3935,17 @@ class TxnTable:
                     **(
                         {"properties": rec["properties"]}
                         if "properties" in rec
+                        else {}
+                    ),
+                    # a replayed COPY INTO must forward its loaded-file
+                    # ledger or a later copy_into on the parent would
+                    # re-ingest the same source files
+                    **(
+                        {
+                            "copy_sources": rec["copy_sources"],
+                            "copy_from": rec.get("copy_from", ""),
+                        }
+                        if rec.get("copy_sources")
                         else {}
                     ),
                 },

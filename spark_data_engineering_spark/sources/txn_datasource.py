@@ -697,7 +697,7 @@ class TxnStreamReader(DataSourceStreamReader):
                         "stream to pick up the evolved schema."
                     )
                 continue
-            if c["action"] in ("delete_dv", "branch-dv"):
+            if c["action"] in ("delete_dv", "branch-dv", "clone-dv"):
                 if self._cdf:
                     # the change feed's whole point: the sidecar IS the
                     # delete set — emit those positions' rows as
@@ -802,7 +802,14 @@ class TxnStreamReader(DataSourceStreamReader):
                 continue
             if (
                 c["action"]
-                not in ("append", "streaming-append", "branch", "convert")
+                not in (
+                    "append",
+                    "streaming-append",
+                    "branch",
+                    "convert",
+                    "clone",
+                    "copy",
+                )
                 and not self._ignore_changes
             ):
                 # "branch" is allowed: a branch's seed commit IS the
@@ -825,6 +832,8 @@ class TxnStreamReader(DataSourceStreamReader):
                 "streaming-append",
                 "branch",
                 "convert",
+                "clone",
+                "copy",
             ):
                 continue  # ignoreChanges under CDF: skip, never re-emit
             # dv snapshot applies only to files that existed at stream
