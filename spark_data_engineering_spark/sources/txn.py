@@ -2676,17 +2676,56 @@ class TxnTable:
             )
 
     @staticmethod
+    def _zrank(df: DataFrame, c: str):
+        """Per-type numeric rank proxy for z-ordering — every expression
+        is a built-in JVM function, so the clustering sort stays in
+        whole-stage codegen. Strings rank by their first 6 UTF-8 bytes
+        read as a big-endian integer (48 bits — exact in a double),
+        which preserves lexicographic BYTE order: exactly the order the
+        parquet-footer string min/max that ``prune_files`` compares
+        against uses. Dates/timestamps rank as days/seconds since
+        epoch. Anything else is refused loudly — the old behavior
+        (cast-to-double → NULL → bucket 0) silently produced an
+        unclustered table while claiming ZORDER succeeded."""
+        from pyspark.sql import types as T
+
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(dt, T.StringType):
+            return F.conv(
+                F.rpad(F.substring(F.hex(F.encode(col, "UTF-8")), 1, 12), 12, "0"),
+                16,
+                10,
+            ).cast("double")
+        if isinstance(dt, T.DateType):
+            return F.datediff(col, F.lit("1970-01-01")).cast("double")
+        if isinstance(dt, (T.NumericType, T.BooleanType, T.TimestampType)) or (
+            hasattr(T, "TimestampNTZType")
+            and isinstance(dt, T.TimestampNTZType)
+        ):
+            return col.cast("double")
+        raise ValueError(
+            f"zorder_by: column {c!r} has unsupported type "
+            f"{dt.simpleString()} (numeric/string/date/timestamp only)"
+        )
+
+    @staticmethod
     def _zvalue(df: DataFrame, cols: list[str], bits: int = 8):
-        """Morton (Z-order) key over numeric columns: each column is
-        range-bucketed into 2^bits buckets between its global min/max,
-        then the bucket bits are interleaved — all with built-in JVM
-        expressions (no UDF), so the clustering sort stays in whole-stage
-        codegen. Rank-perfect bucketing doesn't matter here: files just
-        need *locality*, and min/max-scaled buckets give it."""
+        """Morton (Z-order) key over numeric/string/date/timestamp
+        columns: each column's rank proxy (``_zrank``) is range-bucketed
+        into 2^bits buckets between its global min/max, then the bucket
+        bits are interleaved — all with built-in JVM expressions (no
+        UDF), so the clustering sort stays in whole-stage codegen.
+        Rank-perfect bucketing doesn't matter here: files just need
+        *locality*, and min/max-scaled buckets give it."""
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"zorder_by: unknown columns {missing}")
         n = 1 << bits
+        ranks = {c: TxnTable._zrank(df, c) for c in cols}
         bounds = df.agg(
-            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
-            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+            *[F.min(r).alias(f"lo_{c}") for c, r in ranks.items()],
+            *[F.max(r).alias(f"hi_{c}") for c, r in ranks.items()],
         ).first()
         buckets = []
         for c in cols:
@@ -2694,7 +2733,7 @@ class TxnTable:
             if lo is None or hi is None or hi == lo:
                 buckets.append(F.lit(0).cast("long"))
             else:
-                scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo) * n
+                scaled = (ranks[c] - F.lit(lo)) / F.lit(hi - lo) * n
                 buckets.append(
                     F.coalesce(
                         F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(scaled))),
@@ -2719,12 +2758,23 @@ class TxnTable:
         """OPTIMIZE [ZORDER BY]: bin-pack the live files into ~target-sized
         files and swap them in one atomic commit. With ``zorder_by``, rows
         are range-partitioned and sorted by a Morton key over those
-        (numeric) columns first, so every output file covers a tight
-        min/max box on ALL of them — that's what makes ``prune_files``
-        skip most of the table for multi-column point/range predicates
-        (Delta's OPTIMIZE ZORDER). Readers at any version are never
-        affected — the old files stay until vacuum."""
+        columns (numeric/string/date/timestamp — ``_zrank``) first, so
+        every output file covers a tight min/max box on ALL of them —
+        that's what makes ``prune_files`` skip most of the table for
+        multi-column point/range predicates (Delta's OPTIMIZE ZORDER).
+        Readers at any version are never affected — the old files stay
+        until vacuum.
+
+        LIQUID-CLUSTERING analog: when ``zorder_by`` is not given and
+        the table carries a ``cluster_by`` TBLPROPERTY (comma-separated
+        column list), compaction clusters by those columns — clustering
+        becomes declarative table metadata that every maintenance pass
+        (including ``compact_small`` after each streaming epoch)
+        re-applies automatically, instead of a flag each OPTIMIZE
+        caller must remember."""
         v0 = self.version()
+        if zorder_by is None:
+            zorder_by = self._cluster_by()
         files = self.live_files(v0)
         if not files:
             return v0
@@ -2752,6 +2802,16 @@ class TxnTable:
             packed = df.coalesce(n_out)
         add, stats = self._stage(packed)
         return self._commit("compact", add, files, stats, base_version=v0)
+
+    def _cluster_by(self) -> list[str] | None:
+        """Clustering columns from the ``cluster_by`` TBLPROPERTY
+        (comma-separated), or None — the liquid-clustering analog's
+        declarative knob, consumed by ``compact``/``compact_small``."""
+        cb = self.properties().get("cluster_by")
+        if not cb:
+            return None
+        cols = [c.strip() for c in cb.split(",") if c.strip()]
+        return cols or None
 
     def compact_small(
         self,
@@ -2798,7 +2858,21 @@ class TxnTable:
             ),
             v0,
         )
-        add, stats = self._stage(df.coalesce(n_out))
+        cluster = self._cluster_by()
+        if cluster:
+            # liquid-clustering analog: the post-epoch hygiene pass keeps
+            # NEW data clustered too, so the table converges toward the
+            # declared layout incrementally instead of waiting for a
+            # full OPTIMIZE (only the small victims are rewritten)
+            packed = (
+                df.withColumn("__z", self._zvalue(df, cluster))
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            packed = df.coalesce(n_out)
+        add, stats = self._stage(packed)
         return self._commit("compact", add, victims, stats, base_version=v0)
 
     def restore(
