@@ -23,6 +23,26 @@ def code_digest(*modules) -> str:
     return h.hexdigest()[:12]
 
 
+def claim(root: str) -> bool:
+    """Cache-hit check that KEEPS the entry alive: True iff the
+    published root exists, with its mtime refreshed so a concurrent
+    process's ``sweep_stale`` (1h cutoff) cannot reap it between this
+    check and the read. Without the utime, two overlapping runs race:
+    run A finds a >1h-old root and skips the build, run B's sweep
+    deletes it, run A's read crashes (round-9 full-suite flake). A
+    root swept in the isdir->utime window returns False — the caller
+    rebuilds, which is always safe."""
+    import os
+
+    if not os.path.isdir(root):
+        return False
+    try:
+        os.utime(root)
+    except OSError:
+        return False  # reaped in the window: rebuild
+    return True
+
+
 def sweep_stale(parent: str, max_age_s: float = 3600.0) -> None:
     """Best-effort cleanup of fresh-build scratch dirs (the queries that
     mkdtemp a new table per call — txn_snapshot_join, dv_delete_report,

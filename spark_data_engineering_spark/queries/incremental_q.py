@@ -16,6 +16,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_data_engineering_spark.cacheutil import claim
 from spark_data_engineering_spark.functions import numeric as NR
 from spark_data_engineering_spark.pipeline.incremental import IncrementalAggregate
 from spark_data_engineering_spark.registry import query
@@ -96,7 +97,7 @@ def _run_incremental(spark: SparkSession, sf_dir: str, strategy: str) -> DataFra
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/{strategy}-{_incr_digest(sf_dir, strategy)}"
-    if not os.path.isdir(root):
+    if not claim(root):
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
         base = TxnTable(tmp_root, "orders_base")
         view = IncrementalAggregate(
@@ -173,7 +174,7 @@ def incremental_daily_order_report(spark: SparkSession, sf_dir: str) -> DataFram
             transform=lambda cdf: cdf.join(F.broadcast(customers), "o_custkey"),
         )
 
-    if not os.path.isdir(root):
+    if not claim(root):
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
         view = make_view(tmp_root)
         base = view.base
@@ -372,7 +373,7 @@ def incremental_scd2_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             base_key="o_custkey",
         )
 
-    if not os.path.isdir(root):
+    if not claim(root):
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
         view = make_view(tmp_root)
         base = view.base
@@ -474,6 +475,7 @@ def orders_partitioned_table(spark: SparkSession, sf_dir: str) -> TxnTable:
     ).hexdigest()[:16]
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     root = f"/tmp/spark_de_incremental/partition-{digest}"
+    claim(root)  # keep a concurrent sweep_stale off a live entry
     table = TxnTable(
         root, "orders_part", partition_cols=("o_orderstatus", "o_year")
     )
@@ -723,7 +725,7 @@ def txn_replace_where_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/rw-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
 
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
@@ -810,7 +812,7 @@ def txn_update_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/upd-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
 
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
@@ -1161,7 +1163,7 @@ def txn_branch_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half-built table under the digest key, and a concurrent builder
     # loses the rename and discards its copy (round-7 review finding;
     # the done-marker-after-append pattern re-entered half-built state)
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
         import uuid as _uuid
 
@@ -1261,7 +1263,7 @@ def txn_branch_rebase_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_branch", exist_ok=True)
     sweep_stale("/tmp/spark_de_branch")
     root = f"/tmp/spark_de_branch/rb-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
         import uuid as _uuid
 
@@ -1348,7 +1350,7 @@ def txn_writer_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"/tmp/spark_de_branch/w-{digest}"
     # crash/race-safe cached build (same tmp-root + atomic rename as
     # txn_branch_merge_revenue; round-7 review finding)
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
         import uuid as _uuid
 
@@ -1426,7 +1428,7 @@ def txn_dv_maintenance_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_branch", exist_ok=True)
     sweep_stale("/tmp/spark_de_branch")
     root = f"/tmp/spark_de_branch/dvm-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
 
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
@@ -1498,7 +1500,7 @@ def txn_constraint_gate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/cons-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
         t = TxnTable(tmp_root, "orders_cons")
         o = load_table(spark, "orders", sf_dir).select(
@@ -1580,7 +1582,7 @@ def txn_identity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/ident-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
 
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
@@ -1647,7 +1649,7 @@ def txn_detail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/detail-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
         t = TxnTable(tmp_root, "orders_detail", partition_cols=("o_orderstatus",))
         o = load_table(spark, "orders", sf_dir).select(
@@ -1712,7 +1714,7 @@ def txn_properties_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/props-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
         t = TxnTable(tmp_root, "orders_props")
         o = load_table(spark, "orders", sf_dir).select(
@@ -1777,7 +1779,7 @@ def txn_convert_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/convert-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
         TxnTable.convert_from_parquet(
             spark, tmp_root, "orders_conv", f"{sf_dir}/orders.parquet"
@@ -1831,7 +1833,7 @@ def txn_clone_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/clone-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
         src = TxnTable(os.path.join(tmp_root, "src"), "orders_src")
         o = load_table(spark, "orders", sf_dir).select(
@@ -1890,7 +1892,7 @@ def txn_copy_into_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/copyinto-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
         land = os.path.join(tmp_root, "landing")
         o = load_table(spark, "orders", sf_dir).select(
@@ -1919,4 +1921,178 @@ def txn_copy_into_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("revenue"),
+    )
+
+
+@query(
+    "txn_schema_evolution_revenue",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                ELSE '(pre-evolution)' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def txn_schema_evolution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution + column mapping under the gate (sources/
+    txn.py::_merged_schema / rename_column / drop_column — Delta's
+    mergeSchema append, ALTER TABLE RENAME COLUMN via prev_names
+    coalesce, ALTER TABLE DROP COLUMN via tombstones): the even-keyed
+    orders land first WITHOUT o_orderstatus (v1), the odd keys append
+    WITH it plus a scratch column (v2 — append widens the logical
+    schema, old files read the new column as NULL), then o_totalprice
+    is renamed to `price` (v3, metadata-only — reads coalesce the new
+    logical name over the old physical name, no file rewritten) and
+    the scratch column is dropped (v4, tombstone). The post-DDL head
+    must hash-match SQL over ALL orders with pre-evolution rows
+    bucketed as '(pre-evolution)' — proving evolution/rename/drop
+    changed projection only, never data. Snapshot-versioned schema
+    replay, re-add refusal, and rename collision guards are pinned in
+    tests/test_txn_rename_drop.py and tests/test_schema_evolution.py. At 100 TB this is THE schema-change
+    path: a rename or drop that rewrote the corpus would be a
+    multi-day job; here all three DDLs are one CAS commit each."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"schemaevo:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/schemaevo-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = TxnTable(tmp_root, "orders_evo")
+        t.append(                                             # v1: 2-col schema
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .repartition(3)
+        )
+        t.append(                                             # v2: +status +scratch
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .withColumn("scratch", F.lit("tmp"))
+            .repartition(3)
+        )
+        t.rename_column(spark, "o_totalprice", "price")       # v3: metadata-only
+        t.drop_column(spark, "scratch")                       # v4: tombstone
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_evo")
+    df = t.read(spark)
+    assert set(df.columns) == {"o_orderkey", "price", "o_orderstatus"}, (
+        df.columns
+    )
+    return (
+        df.select(
+            F.coalesce("o_orderstatus", F.lit("(pre-evolution)")).alias(
+                "status"
+            ),
+            "price",
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _orders_hidden_partition_table(spark: SparkSession, sf_dir: str) -> TxnTable:
+    """Orders partitioned by a GENERATED month column — Iceberg's
+    hidden partitioning (``month(o_orderdate)`` transform) composed
+    from two existing primitives: a generated column computes the
+    transform at write time (writers never supply it), and hive-style
+    partition_cols records it per file for exact metadata pruning."""
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    from spark_data_engineering_spark.cacheutil import claim, code_digest
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    digest = hashlib.md5(
+        f"hiddenpart:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    root = f"/tmp/spark_de_incremental/hiddenpart-{digest}"
+    claim(root)  # keep a concurrent sweep_stale off a live entry
+    table = TxnTable(
+        root,
+        "orders_hidden",
+        partition_cols=("o_month",),
+        generated_cols={"o_month": "date_format(o_orderdate, 'yyyy-MM')"},
+    )
+    if table.version() == 0:
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderpriority", "o_totalprice", "o_orderdate"
+        )
+        # co-locate each month in one task -> one value-pure file per
+        # month; overwrite so racing builders converge
+        table.overwrite(
+            o.repartition(F.expr("date_format(o_orderdate, 'yyyy-MM')"))
+        )
+    return table
+
+
+@query(
+    "txn_hidden_partition_revenue",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-04-01'
+    GROUP BY 1
+    """,
+)
+def txn_hidden_partition_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING under the gate (Iceberg's month() partition
+    transform, composed from sources/txn.py generated columns +
+    partition_cols): the table partitions on a GENERATED
+    ``o_month = date_format(o_orderdate, 'yyyy-MM')`` that no writer
+    ever supplies — the transform is table metadata, not pipeline code,
+    so every ingest path (append/overwrite/MERGE/COPY INTO/stream)
+    lands value-pure monthly files automatically. A one-month query
+    plans its scan from commit-log partitionValues alone (pinned
+    exact-pruning assertion, as txn_partition_pruned_revenue) and must
+    hash-match plain SQL with the equivalent DATE-RANGE predicate over
+    all orders — proving transform-partitioning changes layout, never
+    results. At 100 TB this is THE ingest-time layout contract:
+    time-range scans touch one month's bytes and the transform can't
+    drift per-writer because the table computes it."""
+    table = _orders_hidden_partition_table(spark, sf_dir)
+    want = {"o_month": "1995-03"}
+    pruned = table.prune_files(None, equals=want)
+    stats = table.file_stats()
+    expect = sorted(
+        name
+        for name, cols in stats.items()
+        if (cols.get("partitionValues") or {}).get("o_month") == "1995-03"
+    )
+    if pruned != expect or not pruned or len(pruned) >= len(stats):
+        raise AssertionError(
+            f"hidden-partition pruning not exact: kept {len(pruned)} of "
+            f"{len(stats)} files, expected {len(expect)}"
+        )
+    return (
+        table.read(spark, prune_eq=want)
+        .filter(F.col("o_month") == "1995-03")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
     )

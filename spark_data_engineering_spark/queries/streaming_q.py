@@ -9,6 +9,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_data_engineering_spark.cacheutil import claim
 from spark_data_engineering_spark.functions import numeric as NR
 from spark_data_engineering_spark.registry import query
 from spark_data_engineering_spark.sources import load_table
@@ -835,7 +836,7 @@ def orders_cdf_table_dir(spark: SparkSession, sf_dir: str) -> str:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/cdf-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
 
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
@@ -1033,7 +1034,7 @@ def orders_cdf_merge_table_dir(spark: SparkSession, sf_dir: str) -> str:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/cdfm-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
 
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
@@ -1330,7 +1331,7 @@ def streaming_txn_upsert_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/ups-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
 
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
@@ -1441,7 +1442,7 @@ def streaming_expectations_quarantine(
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/sexp-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
 
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"
@@ -1541,7 +1542,7 @@ def txn_autocompact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
     sweep_stale("/tmp/spark_de_incremental")
     root = f"/tmp/spark_de_incremental/acomp-{digest}"
-    if not os.path.isdir(root):
+    if not claim(root):
         import shutil as _sh
 
         tmp_root = f"{root}.build-{uuid.uuid4().hex}"

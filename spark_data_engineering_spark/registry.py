@@ -88,6 +88,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # displace tpch_q21/q22 (r5-green, rotate back under P2 next round).
     "txn_clone_revenue",
     "txn_copy_into_revenue",
+    # --- P1 cont. (added mid-round-9): schema evolution + column-mapping
+    # gate (mergeSchema append / RENAME COLUMN / DROP COLUMN) — never
+    # driver-checked; displaces tpch_q19 (r5-green, rotates back under
+    # P2 next round).
+    "txn_schema_evolution_revenue",
+    # --- P1 cont. (added mid-round-9): hidden-partitioning gate
+    # (Iceberg month() transform = generated column + partition_cols) —
+    # never driver-checked; displaces tpch_q18 (r5-green, rotates back
+    # under P2 next round).
+    "txn_hidden_partition_revenue",
     # --- P2: the r4-stale tail cut by round-8 P1 (heads of the queue by
     # construction), then the r5 cohort, oldest evidence first.
     "customer_trailing_7d_revenue",
@@ -131,8 +141,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
     "tpch_q17_small_qty_revenue",
-    "tpch_q18_volume_customers",
-    "tpch_q19_disjunctive_revenue",
+    # tpch_q18_volume_customers: displaced by the P1
+    # txn_hidden_partition_revenue gate (added mid-round-9); keeps its
+    # r5 hash-green row and heads the r10 P2 queue.
+    # tpch_q19_disjunctive_revenue: displaced by the P1
+    # txn_schema_evolution_revenue gate (added mid-round-9); keeps its
+    # r5 hash-green row and heads the r10 P2 queue.
     # tpch_q21_sole_returned_supplier / tpch_q22_dormant_customers:
     # displaced by the P1 txn_clone_revenue / txn_copy_into_revenue gates
     # (added mid-round-9); both keep their r5 hash-green rows and head

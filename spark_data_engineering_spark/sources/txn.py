@@ -2754,6 +2754,7 @@ class TxnTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         zorder_by: list[str] | None = None,
         zorder_bits: int = 8,
+        where: dict[str, object] | None = None,
     ) -> int:
         """OPTIMIZE [ZORDER BY]: bin-pack the live files into ~target-sized
         files and swap them in one atomic commit. With ``zorder_by``, rows
@@ -2771,11 +2772,46 @@ class TxnTable:
         becomes declarative table metadata that every maintenance pass
         (including ``compact_small`` after each streaming epoch)
         re-applies automatically, instead of a flag each OPTIMIZE
-        caller must remember."""
+        caller must remember.
+
+        ``where`` (Delta's ``OPTIMIZE tbl WHERE part = v``) scopes the
+        rewrite to the live files whose recorded ``partitionValues``
+        match every (partition column, value) pair — at 100 TB a
+        full-table OPTIMIZE is a multi-day rewrite, so maintenance
+        targets the partitions that actually churned (yesterday's
+        ingest), metadata-selected, touching nothing else. Keys must be
+        partition columns (refused otherwise, as Delta refuses
+        non-partition OPTIMIZE predicates); files with no recorded
+        value for a key (pre-partition legacy commits) are
+        conservatively INCLUDED — rewriting an extra file is a no-op
+        semantically, while skipping one would leave the target
+        partition's rows fragmented."""
         v0 = self.version()
         if zorder_by is None:
             zorder_by = self._cluster_by()
         files = self.live_files(v0)
+        if where:
+            pcols = self.partition_cols(v0)
+            bad = [c for c in where if c not in pcols]
+            if bad:
+                raise ValueError(
+                    f"compact(where=...): {bad} are not partition columns "
+                    f"(table partitioned by {list(pcols) or 'nothing'}); "
+                    "OPTIMIZE predicates must be partition-only so the "
+                    "file set is metadata-selectable"
+                )
+            stats = self.file_stats(v0)
+            files = [
+                f
+                for f in files
+                if all(
+                    c not in ((stats.get(f) or {}).get("partitionValues") or {})
+                    or _pv_match(
+                        v, (stats[f].get("partitionValues") or {}).get(c)
+                    )
+                    for c, v in where.items()
+                )
+            ]
         if not files:
             return v0
         paths = [os.path.join(self.data_dir, f) for f in files]
