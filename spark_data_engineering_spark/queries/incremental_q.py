@@ -2096,3 +2096,80 @@ def txn_hidden_partition_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "txn_fsck_report",
+    oracle="""
+    SELECT TRUE AS ok,
+           CAST(0 AS BIGINT) AS n_missing_files,
+           CAST(0 AS BIGINT) AS n_missing_dv,
+           CAST(0 AS BIGINT) AS n_row_drift,
+           CAST(0 AS BIGINT) AS n_stats_gaps,
+           CAST(0 AS BIGINT) AS n_partition_gaps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 11 = 0)
+    """,
+)
+def txn_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSCK under the gate (sources/txn.py::fsck — Delta's FSCK REPAIR
+    TABLE detection half): a partitioned table goes through the full
+    mutation lifecycle — append, merge-on-read DV delete, a
+    partition-scoped OPTIMIZE (``compact(where=...)``, round 9) that
+    materializes the scoped partition's DVs — and a DEEP fsck (every
+    live file's footer row count vs the recorded ``__num_rows``; no
+    data pages) must come back fully clean, with the surviving rows'
+    aggregate hash-matching SQL. Detection of each corruption class
+    (live file deleted behind the log, referenced DV sidecar removed,
+    in-place file replacement) is pinned in tests/test_txn_fsck.py.
+    At 100 TB fsck is the trust gate after any incident: metadata-only
+    shallow tier, footer-bounded deep tier, both parallelizable."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import claim, code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"fsck:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/fsck-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_fsck", partition_cols=("o_orderstatus",))
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.repartition(4, "o_orderkey"))                  # v1
+        t.delete_where_dv(spark, F.col("o_orderkey") % 11 == 0)   # v2 (DV)
+        t.compact(spark, where={"o_orderstatus": "F"})            # v3 scoped
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_fsck")
+    rep = t.fsck(deep=True)
+    assert rep["deep"] and rep["files_checked"] > 0, rep
+    agg = t.read(spark).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return agg.select(
+        F.lit(rep["ok"]).alias("ok"),
+        F.lit(len(rep["missing_files"])).cast("bigint").alias("n_missing_files"),
+        F.lit(len(rep["missing_dv"])).cast("bigint").alias("n_missing_dv"),
+        F.lit(len(rep["row_drift"])).cast("bigint").alias("n_row_drift"),
+        F.lit(len(rep["stats_gaps"])).cast("bigint").alias("n_stats_gaps"),
+        F.lit(len(rep["partition_gaps"]))
+        .cast("bigint")
+        .alias("n_partition_gaps"),
+        "n_rows",
+        "revenue",
+    )

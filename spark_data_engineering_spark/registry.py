@@ -98,6 +98,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # never driver-checked; displaces tpch_q18 (r5-green, rotates back
     # under P2 next round).
     "txn_hidden_partition_revenue",
+    # --- P1 cont. (added mid-round-9): FSCK gate (deep log-vs-disk
+    # integrity over the full mutation lifecycle incl. the scoped
+    # OPTIMIZE) — never driver-checked; displaces tpch_q17 (r5-green,
+    # rotates back under P2 next round).
+    "txn_fsck_report",
     # --- P2: the r4-stale tail cut by round-8 P1 (heads of the queue by
     # construction), then the r5 cohort, oldest evidence first.
     "customer_trailing_7d_revenue",
@@ -140,7 +145,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q12_priority_classes",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
-    "tpch_q17_small_qty_revenue",
+    # tpch_q17_small_qty_revenue: displaced by the P1 txn_fsck_report
+    # gate (added mid-round-9); keeps its r5 hash-green row and heads
+    # the r10 P2 queue.
     # tpch_q18_volume_customers: displaced by the P1
     # txn_hidden_partition_revenue gate (added mid-round-9); keeps its
     # r5 hash-green row and heads the r10 P2 queue.

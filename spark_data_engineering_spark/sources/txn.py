@@ -3339,6 +3339,87 @@ class TxnTable:
             "branches": branches,
         }
 
+    def fsck(self, deep: bool = False) -> dict:
+        """FSCK REPAIR TABLE's detection half (Delta's FSCK / Iceberg's
+        metadata validation): verify the commit log's promises against
+        the bytes actually on disk, WITHOUT repairing — the report an
+        operator reads before trusting a 100 TB table after an
+        incident (partial restore, manual file surgery, object-store
+        lifecycle rule gone wrong).
+
+        Metadata-only checks (no data pages): every live file exists;
+        every DV sidecar the head anti-joins against exists; every live
+        file of a partitioned table carries partitionValues for every
+        partition column (files that don't silently fall out of exact
+        pruning into conservative scans); live files with no stats
+        entry (legacy commits — readable, but metadata COUNT(*) must
+        footer-read them). ``deep=True`` additionally opens each live
+        file's FOOTER (still no data pages — at 100 TB this is the
+        bounded, parallelizable tier) and compares its row count to the
+        recorded ``__num_rows``: drift means the file was replaced
+        in-place after commit, the corruption pruning/counting would
+        otherwise propagate silently.
+
+        ``ok`` is True iff nothing is missing and nothing drifted;
+        ``stats_gaps``/``partition_gaps`` are degradations, not
+        corruption, and do not fail the check."""
+        head = self.version()
+        live = self.live_files(head) if head else []
+        stats = self.file_stats(head) if head else {}
+        missing_files = [
+            f
+            for f in live
+            if not os.path.isfile(os.path.join(self.data_dir, f))
+        ]
+        sidecars, _deleted = self.dv_state(head) if head else ((), {})
+        missing_dv = [
+            s
+            for s in sidecars
+            # a sidecar is a parquet dir (or file): gone either way is
+            # resurrection — the anti-join silently stops filtering
+            if not os.path.exists(os.path.join(self.dv_dir, s))
+        ]
+        stats_gaps = [f for f in live if f not in stats]
+        pcols = self.partition_cols(head) if head else ()
+        partition_gaps = [
+            f
+            for f in live
+            if pcols
+            and f in stats
+            and any(
+                c not in (stats[f].get("partitionValues") or {})
+                for c in pcols
+            )
+        ]
+        row_drift: list[dict] = []
+        if deep:
+            import pyarrow.parquet as pq
+
+            for f in live:
+                if f in missing_files:
+                    continue
+                rec = (stats.get(f) or {}).get("__num_rows")
+                if rec is None:
+                    continue  # legacy: no recorded count to drift from
+                actual = pq.ParquetFile(
+                    os.path.join(self.data_dir, f)
+                ).metadata.num_rows
+                if actual != rec[0]:
+                    row_drift.append(
+                        {"file": f, "recorded": rec[0], "actual": actual}
+                    )
+        return {
+            "ok": not missing_files and not missing_dv and not row_drift,
+            "version": head,
+            "files_checked": len(live),
+            "deep": deep,
+            "missing_files": sorted(missing_files),
+            "missing_dv": sorted(missing_dv),
+            "row_drift": row_drift,
+            "stats_gaps": sorted(stats_gaps),
+            "partition_gaps": sorted(partition_gaps),
+        }
+
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self._commit_files()]
 
