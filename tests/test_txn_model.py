@@ -11,6 +11,13 @@ after delete, overwrite of an empty table, consecutive compacts) that
 hand-written cases don't enumerate. Checkpoint cadence is forced low
 (checkpoint_every=3) so log-replay-from-checkpoint is exercised inside
 nearly every sequence.
+
+Round-9 dimensions: partition-scoped OPTIMIZE (``compact_where`` —
+visible no-op on a partitioned table, refused on an unpartitioned
+one) joins the op mix, and the FSCK invariant runs after EVERY op
+(shallow log-vs-disk check; one deep footer pass per sequence at the
+end) — any op that commits a reference to a file or sidecar it did
+not actually leave on disk now fails the search immediately.
 """
 
 from __future__ import annotations
@@ -62,6 +69,10 @@ _op = st.one_of(
     ),
     # DV maintenance: drop all-dead sidecars — visible state unchanged
     st.tuples(st.just("dv_prune")),
+    # partition-scoped OPTIMIZE (round 9): rewrites only the files of
+    # one partition value — visible no-op; on an UNPARTITIONED table
+    # the predicate must be refused as a perfect no-op
+    st.tuples(st.just("compact_where"), st.integers(0, 99)),
     # auto-compaction: bin-pack only sub-threshold small files —
     # visible state unchanged, DVs materialized, value-purity kept
     st.tuples(st.just("compact_small")),
@@ -222,6 +233,19 @@ def test_random_op_sequence_matches_model(
             if table.version() == 0:
                 continue
             table.compact_small(spark, min_files=2)  # visible no-op
+        elif op[0] == "compact_where":
+            if table.version() == 0:
+                continue
+            if partitioned:
+                # scoped rewrite of one partition value: visible no-op
+                table.compact(
+                    spark, target_file_bytes=1 << 20, where={"val": op[1]}
+                )
+            else:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError, match="not partition columns"):
+                    table.compact(spark, where={"val": op[1]})
         elif op[0] == "update_le":
             if table.version() == 0:
                 continue
@@ -334,6 +358,16 @@ def test_random_op_sequence_matches_model(
         if table.version() > 0:
             snapshots[table.version()] = sorted(model)
         assert read_vals() == sorted(model), f"after {op}"
+        # FSCK invariant (round 9): after EVERY op the log's promises
+        # hold on disk — no live file missing, no referenced sidecar
+        # gone. Shallow tier only (metadata + existence) so the search
+        # stays fast; one deep pass runs at the end.
+        rep = table.fsck()
+        assert rep["ok"], f"fsck after {op}: {rep}"
+
+    if table.version() > 0:
+        deep = table.fsck(deep=True)
+        assert deep["ok"], f"deep fsck at end: {deep}"
 
     # every committed version time-travels to its exact snapshot
     for v, snap in snapshots.items():
