@@ -2173,3 +2173,74 @@ def txn_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "revenue",
     )
+
+
+@query(
+    "txn_reorg_purge_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_reorg_purge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG APPLY (PURGE) under the gate (sources/txn.py::reorg_purge —
+    Delta's REORG TABLE): after a merge-on-read DV delete, purge
+    rewrites ONLY the DV-dirty files (pinned in-query: the clean files
+    must survive under their original names, and no live file carries
+    an outstanding DV row afterwards) and the surviving rows must
+    hash-match SQL. This is the GDPR-scale reclaim path: a 1% delete
+    costs ~1% of the table in rewrite bytes, where full OPTIMIZE costs
+    the corpus. Rename/drop physical purging and partitioned
+    value-purity are pinned in tests/test_txn_reorg.py."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import claim, code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"reorg:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"{'/tmp/spark_de_incremental'}/reorg-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_reorg")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        # range-clustered files so the DV delete dirties a SUBSET
+        t.append(o.repartitionByRange(6, "o_orderkey"))           # v1
+        t.delete_where_dv(
+            spark,
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") < 5000),
+        )                                                          # v2
+        t.delete_where(spark, (F.col("o_orderkey") % 7 == 0))      # v3 (rest, CoW)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_reorg")
+    before = set(t.live_files())
+    _, deleted = t.dv_state()
+    dirty = set(deleted) & before
+    v = t.reorg_purge(spark)
+    after = set(t.live_files(v))
+    # clean files survive under their original names; every DV-dirty
+    # file is gone; no live file carries an outstanding DV row
+    assert (before - dirty) <= after, "reorg rewrote a clean file"
+    assert not (dirty & after), "reorg left a DV-dirty file live"
+    _, deleted2 = t.dv_state(v)
+    assert not (set(deleted2) & after), "outstanding DV rows survive purge"
+    return t.read(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

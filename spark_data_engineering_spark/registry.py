@@ -103,6 +103,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # OPTIMIZE) — never driver-checked; displaces tpch_q17 (r5-green,
     # rotates back under P2 next round).
     "txn_fsck_report",
+    # --- P1 cont. (added mid-round-9): REORG APPLY (PURGE) gate —
+    # never driver-checked; displaces tpch_q14 (r5-green, rotates back
+    # under P2 next round).
+    "txn_reorg_purge_revenue",
     # --- P2: the r4-stale tail cut by round-8 P1 (heads of the queue by
     # construction), then the r5 cohort, oldest evidence first.
     "customer_trailing_7d_revenue",
@@ -144,7 +148,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q10_returned_items",
     "tpch_q12_priority_classes",
     "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
+    # tpch_q14_promo_effect: displaced by the P1 txn_reorg_purge_revenue
+    # gate (added mid-round-9); keeps its r5 hash-green row and heads
+    # the r10 P2 queue.
     # tpch_q17_small_qty_revenue: displaced by the P1 txn_fsck_report
     # gate (added mid-round-9); keeps its r5 hash-green row and heads
     # the r10 P2 queue.

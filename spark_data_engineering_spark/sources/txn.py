@@ -2839,6 +2839,60 @@ class TxnTable:
         add, stats = self._stage(packed)
         return self._commit("compact", add, files, stats, base_version=v0)
 
+    def reorg_purge(self, spark: SparkSession) -> int:
+        """REORG TABLE ... APPLY (PURGE) (Delta's reorg): rewrite ONLY
+        the live files carrying soft-deleted state — outstanding
+        deletion-vector rows, or physical bytes the logical schema no
+        longer projects (a dropped column's data, a renamed column's
+        old physical name) — so the reclaim cost tracks the
+        SOFT-DELETED bytes, not the table. Clean files are untouched:
+        after a 1% GDPR delete, purge rewrites ~1% of a 100 TB table
+        where a full OPTIMIZE would rewrite the corpus. Selection is
+        metadata-only for the DV tier (per-file deleted counts ride the
+        log) plus one FOOTER read per live file for the schema tier (no
+        data pages). Committed as a 'compact' action — identical
+        net-zero visible semantics, so every stream/CDF/branch/restore
+        dispatcher triages it exactly like OPTIMIZE."""
+        import pyarrow.parquet as pq
+
+        v0 = self.version()
+        live = self.live_files(v0)
+        if not live:
+            return v0
+        _, deleted = self.dv_state(v0)
+        # physical names the logical head no longer projects: dropped
+        # tombstones, and every prev_name a rename left behind
+        stale = set()
+        for ent in self.table_schema(v0) or []:
+            stale.update(ent.get("prev_names", ()))
+            if ent.get("dropped"):
+                stale.add(ent["name"])
+        dirty = []
+        for f in live:
+            if deleted.get(f):
+                dirty.append(f)
+                continue
+            if stale:
+                names = set(
+                    pq.ParquetFile(
+                        os.path.join(self.data_dir, f)
+                    ).schema_arrow.names
+                )
+                if names & stale:
+                    dirty.append(f)
+        if not dirty:
+            return v0
+        df = self._conform(
+            self._read_files_meta(spark, dirty, at_version=v0).drop(
+                "__file", "__ridx"
+            ),
+            v0,
+        )
+        add, stats = self._stage(df)
+        return self._commit(
+            "compact", add, dirty, stats, base_version=v0, extra={"reorg": True}
+        )
+
     def _cluster_by(self) -> list[str] | None:
         """Clustering columns from the ``cluster_by`` TBLPROPERTY
         (comma-separated), or None — the liquid-clustering analog's
