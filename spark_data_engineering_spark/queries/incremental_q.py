@@ -2244,3 +2244,76 @@ def txn_reorg_purge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "txn_manifest_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 5 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_manifest_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATE manifest under the gate (sources/txn.py::
+    generate_manifest — Delta's GENERATE symlink_format_manifest): the
+    snapshot is exported as newline-delimited absolute file paths and
+    read back by a reader that knows NOTHING of the commit log — plain
+    ``spark.read.parquet`` over the manifest's paths, standing in for
+    Trino/Presto/Hive SymlinkTextInputFormat — and must hash-match SQL
+    over the surviving rows. The DV-refusal contract (outstanding
+    deletion vectors would silently resurrect rows in an external
+    engine) and hive per-partition manifests are pinned in
+    tests/test_txn_manifest.py. At 100 TB this is zero-copy interop:
+    downstream engines consume pinned snapshots, the lakehouse stays
+    the single source of truth."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import claim, code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"manifest:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/manifest-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_manifest")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.append(o.repartition(4))                              # v1
+        t.delete_where(spark, F.col("o_orderkey") % 5 == 0)     # v2 (CoW)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_manifest")
+    # generated at the published location (absolute paths pin to the
+    # final table dir, not the build scratch); metadata-only, idempotent
+    mdir = t.generate_manifest()
+    paths = []
+    for dirpath, _dirs, files in os.walk(mdir):
+        for f in files:
+            if f == "manifest":
+                with open(os.path.join(dirpath, f)) as fh:
+                    paths.extend(p for p in fh.read().splitlines() if p)
+    assert paths, "manifest is empty"
+    # the log-oblivious external reader: plain parquet over the manifest
+    return (
+        spark.read.parquet(*paths)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

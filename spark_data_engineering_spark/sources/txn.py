@@ -3281,7 +3281,13 @@ class TxnTable:
             for d in os.listdir(tdir):
                 path = os.path.join(tdir, d)
                 if (
-                    d.startswith(".staging-")
+                    # crashed _stage scratch, plus generate_manifest's
+                    # staging/swap leftovers (.manifest-*, _manifest.old-*)
+                    (
+                        d.startswith(".staging-")
+                        or d.startswith(".manifest-")
+                        or d.startswith("_manifest.old-")
+                    )
                     and os.path.isdir(path)
                     and now - os.path.getmtime(path) >= min_age_s
                 ):
@@ -3392,6 +3398,69 @@ class TxnTable:
             "properties": dict(self.properties(v)),
             "branches": branches,
         }
+
+    def generate_manifest(self, at_version: int | None = None) -> str:
+        """GENERATE symlink_format_manifest (Delta's GENERATE): write
+        the live data files' ABSOLUTE paths under
+        ``<table>/_manifest/`` — one text manifest per partition on a
+        partitioned table (hive ``col=value`` dirs, so an external
+        engine's partition discovery and pruning work), one flat
+        manifest otherwise — so engines that don't speak the commit
+        log (Trino/Presto/Hive via SymlinkTextInputFormat, or any
+        newline-delimited file list consumer) can read a pinned
+        snapshot. The manifest is rebuilt atomically per call (staging
+        dir + rename) and reflects exactly ``at_version``.
+
+        REFUSED while any live file carries outstanding DV rows: an
+        external reader cannot apply deletion vectors, so the manifest
+        would resurrect soft-deleted rows — run ``reorg_purge`` (or
+        ``compact``) first to materialize them. At 100 TB this is the
+        interop contract: the lakehouse stays the single source of
+        truth and downstream engines consume snapshots without a copy."""
+        v = self.version() if at_version is None else at_version
+        live = self.live_files(v)
+        _, deleted = self.dv_state(v)
+        dirty = sorted(set(deleted) & set(live))
+        if dirty:
+            raise ValueError(
+                f"generate_manifest: {len(dirty)} live file(s) carry "
+                "outstanding deletion-vector rows an external reader "
+                "cannot apply (would resurrect soft-deleted rows); run "
+                "reorg_purge(spark) first to materialize them"
+            )
+        stats = self.file_stats(v)
+        pcols = self.partition_cols(v)
+        groups: dict[str, list[str]] = {}
+        for f in live:
+            if pcols:
+                pv = (stats.get(f) or {}).get("partitionValues") or {}
+                segs = [
+                    f"{c}={pv.get(c) if pv.get(c) is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                    for c in pcols
+                ]
+                key = os.path.join(*segs)
+            else:
+                key = ""
+            groups.setdefault(key, []).append(
+                os.path.abspath(os.path.join(self.data_dir, f))
+            )
+        final = os.path.join(self.table_dir, "_manifest")
+        staging = os.path.join(self.table_dir, f".manifest-{uuid.uuid4().hex}")
+        for key, paths in groups.items():
+            d = os.path.join(staging, key) if key else staging
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "manifest"), "w") as fh:
+                fh.write("\n".join(sorted(paths)) + "\n")
+        os.makedirs(staging, exist_ok=True)  # empty table: empty manifest dir
+        old = f"{final}.old-{uuid.uuid4().hex}"
+        try:
+            if os.path.isdir(final):
+                os.rename(final, old)
+            os.rename(staging, final)
+        finally:
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(staging, ignore_errors=True)
+        return final
 
     def fsck(self, deep: bool = False) -> dict:
         """FSCK REPAIR TABLE's detection half (Delta's FSCK / Iceberg's

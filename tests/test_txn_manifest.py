@@ -1,0 +1,75 @@
+"""GENERATE symlink_format_manifest: external engines read a pinned
+snapshot through newline-delimited absolute file paths, without the
+commit log. Outstanding DVs refuse (an external reader can't apply
+them); partitioned tables get hive col=value manifest dirs; the
+manifest swap is atomic per call."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources.txn import TxnTable
+
+
+def _paths(mdir):
+    out = []
+    for dirpath, _dirs, files in os.walk(mdir):
+        for f in files:
+            if f == "manifest":
+                with open(os.path.join(dirpath, f)) as fh:
+                    out.extend(p for p in fh.read().splitlines() if p)
+    return out
+
+
+def test_manifest_reads_back_exactly(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"), "t")
+    df = spark.range(500).withColumn("x", (F.col("id") % 7).cast("long"))
+    t.append(df.repartition(3))
+    t.delete_where(spark, F.col("id") < 50)  # copy-on-write: no DVs
+    mdir = t.generate_manifest()
+    paths = _paths(mdir)
+    assert paths and all(os.path.isabs(p) for p in paths)
+    got = spark.read.parquet(*paths)
+    assert got.count() == 450
+    assert sorted(r.id for r in got.collect()) == list(range(50, 500))
+
+
+def test_manifest_refuses_outstanding_dvs_then_purge_unblocks(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(spark.range(100).withColumn("x", F.lit(1)).coalesce(1))
+    t.delete_where_dv(spark, F.col("id") < 10)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        t.generate_manifest()
+    t.reorg_purge(spark)
+    paths = _paths(t.generate_manifest())
+    assert spark.read.parquet(*paths).count() == 90
+
+
+def test_partitioned_manifest_uses_hive_dirs(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "p"), "p", partition_cols=("s",))
+    df = spark.range(200).withColumn(
+        "s", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+    )
+    t.append(df)
+    mdir = t.generate_manifest()
+    assert os.path.isfile(os.path.join(mdir, "s=a", "manifest"))
+    assert os.path.isfile(os.path.join(mdir, "s=b", "manifest"))
+    only_a = _paths(os.path.join(mdir, "s=a"))
+    got = spark.read.parquet(*only_a)
+    assert got.filter(F.col("s") != "a").count() == 0
+    assert got.count() == 100
+
+
+def test_manifest_rebuild_tracks_versions(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(spark.range(10).withColumn("x", F.lit(1)).coalesce(1))
+    v1_paths = set(_paths(t.generate_manifest()))
+    t.append(spark.range(10, 30).withColumn("x", F.lit(1)).coalesce(1))
+    head_paths = set(_paths(t.generate_manifest()))
+    assert v1_paths < head_paths
+    # pinned older snapshot: regenerate at v1
+    old_paths = set(_paths(t.generate_manifest(at_version=1)))
+    assert old_paths == v1_paths
