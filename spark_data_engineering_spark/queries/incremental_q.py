@@ -2317,3 +2317,71 @@ def txn_manifest_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "txn_merge_sync_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 3 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_merge_sync_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE under the gate
+    (sources/txn.py::merge(when_not_matched_by_source=) — Delta 2.3's
+    by-source clause): the target is SYNCED to a source snapshot in one
+    MERGE — matched rows survive untouched (when_matched=None),
+    unmatched target rows are dropped — and must hash-match SQL with
+    the source's own predicate. The 100 TB cost shape is pinned in
+    tests/test_txn_merge.py: a live file containing zero matching keys
+    is removed as pure metadata, never read, so sync cost tracks the
+    files that contain matches (plus the wholesale metadata drops) —
+    the full-sync / SCD close-out pattern without a full-table rewrite.
+    Model-search coverage: the merge_sync op in tests/test_txn_model.py
+    interleaves syncs with every other lifecycle op."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import claim, code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"mergesync:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/mergesync-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_sync")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        # range-clustered files so part of the key space lands in files
+        # the sync source never touches (the wholesale-drop path)
+        t.append(o.repartitionByRange(6, "o_orderkey"))
+        src = o.filter(F.col("o_orderkey") % 3 != 0)
+        t.merge(
+            spark,
+            src,
+            on=["o_orderkey"],
+            when_matched=None,
+            when_not_matched=None,
+            when_not_matched_by_source="delete",
+        )
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_sync")
+    return t.read(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -112,6 +112,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # driver-checked; displaces tpch_q13 (r5-green, rotates back under
     # P2 next round).
     "txn_manifest_revenue",
+    # --- P1 cont. (added mid-round-9): WHEN NOT MATCHED BY SOURCE gate
+    # (one-merge target sync with wholesale metadata drops) — never
+    # driver-checked; displaces tpch_q12 (r5-green, rotates back under
+    # P2 next round).
+    "txn_merge_sync_revenue",
     # --- P2: the r4-stale tail cut by round-8 P1 (heads of the queue by
     # construction), then the r5 cohort, oldest evidence first.
     "customer_trailing_7d_revenue",
@@ -151,7 +156,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume",
     "tpch_q4_priority_exists",
     "tpch_q10_returned_items",
-    "tpch_q12_priority_classes",
+    # tpch_q12_priority_classes: displaced by the P1
+    # txn_merge_sync_revenue gate (added mid-round-9); keeps its r5
+    # hash-green row and heads the r10 P2 queue.
     # tpch_q13_customer_distribution: displaced by the P1
     # txn_manifest_revenue gate (added mid-round-9); keeps its r5
     # hash-green row and heads the r10 P2 queue.

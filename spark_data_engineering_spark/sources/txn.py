@@ -1846,6 +1846,7 @@ class TxnTable:
         matched_delete_condition=None,
         txn: tuple[str, int] | None = None,
         cdf: bool = False,
+        when_not_matched_by_source: str | None = None,
     ) -> int:
         """MERGE INTO (upsert), copy-on-write: only files that actually
         contain a matching key are rewritten — discovered via one semi-join
@@ -1884,11 +1885,29 @@ class TxnTable:
         rewrite diff touches every row of every rewritten file. Costs one
         extra pass over the matched rows at merge time (Delta pays the
         same); leave off for tables nobody streams.
+
+        ``when_not_matched_by_source="delete"`` (Delta 2.3's ``WHEN NOT
+        MATCHED BY SOURCE THEN DELETE``): target rows whose key has NO
+        source match are dropped — one MERGE syncs the target to the
+        source snapshot (the full-sync / SCD close-out pattern). The
+        100 TB cost shape: a live file containing ZERO matching keys is
+        removed WHOLESALE as pure metadata (never read — its every row
+        is unmatched-by-source by construction of the touched-file
+        discovery), so the data rewritten stays bounded by the files
+        that contain matches; an empty source empties the table
+        metadata-only. With ``cdf=True`` the by-source deletions emit
+        ``delete`` images too (this is the one case that must READ the
+        wholesale-removed files — bounded by the deleted rows, as in
+        Delta).
         """
         if when_matched not in ("update", "delete", None):
             raise ValueError(f"when_matched={when_matched!r}")
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched={when_not_matched!r}")
+        if when_not_matched_by_source not in ("delete", None):
+            raise ValueError(
+                f"when_not_matched_by_source={when_not_matched_by_source!r}"
+            )
         idcols = self.identity_cols()
         supplied_ids = [c for c in idcols if c in source.columns]
         if supplied_ids:
@@ -1911,7 +1930,10 @@ class TxnTable:
             # neither (lost rows, matching no serial order)
             v0 = self.version()
             live = self.live_files(v0) if v0 else []
-            if live and when_matched is not None:
+            if live and (
+                when_matched is not None
+                or when_not_matched_by_source is not None
+            ):
                 tgt = self._read_files_meta(spark, live, at_version=v0)
                 src_keys = src.select(*on).distinct()
                 touched = sorted(
@@ -1939,8 +1961,27 @@ class TxnTable:
                     ),
                     at_version=v0,
                 )
-                # unmatched target rows in rewritten files always survive
-                parts.append(t_rows.join(F.broadcast(src.select(*on).distinct()), on, "left_anti"))
+                if when_not_matched_by_source == "delete":
+                    # by-source delete: unmatched target rows are dropped
+                    # everywhere. With when_matched=None the matched rows
+                    # survive AS-IS (the sync keeps them untouched).
+                    if when_matched is None:
+                        parts.append(
+                            t_rows.join(
+                                F.broadcast(src.select(*on).distinct()),
+                                on,
+                                "left_semi",
+                            )
+                        )
+                else:
+                    # unmatched target rows in rewritten files survive
+                    parts.append(
+                        t_rows.join(
+                            F.broadcast(src.select(*on).distinct()),
+                            on,
+                            "left_anti",
+                        )
+                    )
                 if when_matched == "update":
                     # one updated row PER MATCHED TARGET ROW (ANSI/Delta
                     # UPDATE SET * updates each matched row in place):
@@ -2027,13 +2068,49 @@ class TxnTable:
                     else:
                         changes.append((matched, "update_preimage"))
                     changes.append((upd, "update_postimage"))
-            if not parts:
+            # by-source delete removes EVERY live file: matched files are
+            # rewritten (above), zero-match files drop wholesale as pure
+            # metadata — their rows are all unmatched by construction
+            removing = (
+                sorted(live)
+                if (when_not_matched_by_source == "delete" and live)
+                else touched
+            )
+            if cdf and when_not_matched_by_source == "delete" and live:
+                whole = [f for f in live if f not in set(touched)]
+                if whole:
+                    changes.append(
+                        (
+                            self._conform(
+                                self._read_files_meta(
+                                    spark, whole, at_version=v0
+                                ).drop("__file", "__ridx"),
+                                v0,
+                            ),
+                            "delete",
+                        )
+                    )
+                if touched:
+                    changes.append(
+                        (
+                            t_rows.join(
+                                F.broadcast(src.select(*on).distinct()),
+                                on,
+                                "left_anti",
+                            ),
+                            "delete",
+                        )
+                    )
+            if not parts and not removing:
                 return self.version()
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p, allowMissingColumns=True)
-            add, stats = self._stage_nonempty(out)
-            if not add and not touched and txn is None:
+            if parts:
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p, allowMissingColumns=True)
+                add, stats = self._stage_nonempty(out)
+            else:
+                add, stats = [], None
+            if not add and not removing and txn is None:
                 return self.version()
             self._enforce_staged(spark, add, "merge")
             cdf_add: list[str] = []
@@ -2050,7 +2127,7 @@ class TxnTable:
             return self._commit(
                 "merge",
                 add,
-                touched,
+                removing,
                 stats,
                 txn=txn,
                 schema=schema,

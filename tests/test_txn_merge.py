@@ -202,3 +202,103 @@ def test_merge_pins_one_snapshot_for_discovery_and_insert(spark, tmp_path):
     assert (1, "a2") in rows
     assert (99, "mine") in rows
     assert (99, "racer") in rows
+
+
+# --- WHEN NOT MATCHED BY SOURCE THEN DELETE (round 9) ---
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, "k int, v int").coalesce(1)
+
+
+def test_by_source_delete_syncs_target_to_source(spark, tmp_path):
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(i, i * 10) for i in range(1, 11)]))
+    src = _kv(spark, [(3, 333), (4, 444), (5, 555), (6, 666), (11, 111)])
+    t.merge(spark, src, on=["k"], when_not_matched_by_source="delete")
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert got == [(3, 333), (4, 444), (5, 555), (6, 666), (11, 111)]
+
+
+def test_by_source_delete_drops_zero_match_files_wholesale(spark, tmp_path):
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(i, i) for i in range(0, 50)]))       # file A
+    t.append(_kv(spark, [(i, i) for i in range(100, 150)]))    # file B
+    before = t.live_files()
+    assert len(before) == 2
+    # source matches only file A's keys: B must be REMOVED, not rewritten
+    src = _kv(spark, [(i, i + 1) for i in range(0, 50)])
+    v = t.merge(spark, src, on=["k"], when_not_matched_by_source="delete")
+    c = t._read_commit(v)
+    assert set(c["remove"]) == set(before)
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert got == [(i, i + 1) for i in range(0, 50)]
+
+
+def test_by_source_delete_empty_source_empties_table(spark, tmp_path):
+    import pytest
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(1, 1), (2, 2)]))
+    v0 = t.version()
+    src = _kv(spark, []).filter("k > 0")  # empty, schema-carrying
+    v = t.merge(spark, src, on=["k"], when_not_matched_by_source="delete")
+    assert v == v0 + 1
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)
+
+
+def test_by_source_delete_with_matched_none_keeps_matched_asis(spark, tmp_path):
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(1, 10), (2, 20), (3, 30)]))
+    src = _kv(spark, [(2, 999)])
+    t.merge(
+        spark,
+        src,
+        on=["k"],
+        when_matched=None,
+        when_not_matched=None,
+        when_not_matched_by_source="delete",
+    )
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert got == [(2, 20)]  # survived UNTOUCHED (not 999)
+
+
+def test_by_source_delete_cdf_images_fold_to_final_state(spark, tmp_path):
+    from collections import Counter
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(i, i) for i in range(0, 10)]))       # file A
+    t.append(_kv(spark, [(i, i) for i in range(100, 110)]))    # file B (no match)
+    src = _kv(spark, [(2, 22), (3, 33), (200, 2000)])
+    t.merge(spark, src, on=["k"], cdf=True, when_not_matched_by_source="delete")
+    fold: Counter = Counter()
+    for r in t.read_changes(spark, 0).collect():
+        if r._change_type in ("insert", "update_postimage"):
+            fold[(r.k, r.v)] += 1
+        elif r._change_type in ("delete", "update_preimage"):
+            fold[(r.k, r.v)] -= 1
+    folded = sorted(kv for kv, n in fold.items() for _ in range(n))
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert folded == got == [(2, 22), (3, 33), (200, 2000)]
+
+
+def test_by_source_rejects_unknown_mode(spark, tmp_path):
+    import pytest
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(1, 1)]))
+    with pytest.raises(ValueError, match="when_not_matched_by_source"):
+        t.merge(spark, _kv(spark, [(1, 2)]), on=["k"], when_not_matched_by_source="update")

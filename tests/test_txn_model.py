@@ -44,6 +44,13 @@ _op = st.one_of(
     st.tuples(
         st.just("merge_delete"), st.lists(st.integers(0, 99), min_size=1, max_size=4)
     ),
+    # WHEN NOT MATCHED BY SOURCE THEN DELETE (round 9): one merge syncs
+    # the target to the source key set — matched rows update, unmatched
+    # source keys insert, unmatched TARGET rows are dropped (an empty
+    # key list empties the table, metadata-only)
+    st.tuples(
+        st.just("merge_sync"), st.lists(st.integers(0, 99), max_size=4)
+    ),
     # epochs drawn from a tiny range so replays (epoch <= last committed)
     # occur in most sequences — the exactly-once property under test
     st.tuples(
@@ -209,6 +216,23 @@ def test_random_op_sequence_matches_model(
                 when_not_matched=None,
             )
             model = [v for v in model if v not in set(keys)]
+        elif op[0] == "merge_sync":
+            if table.version() == 0:
+                continue
+            keys = sorted(set(op[1]))
+            table.merge(
+                spark,
+                df_of(keys),
+                on=["val"],
+                when_not_matched_by_source="delete",
+            )
+            ks = set(keys)
+            # matched rows "update" to themselves (key == value) with
+            # multiplicity preserved; unmatched source keys insert;
+            # unmatched target rows are dropped by the sync
+            model = [v for v in model if v in ks] + [
+                k for k in keys if k not in model
+            ]
         elif op[0] == "append_epoch":
             committed = table.append_idempotent(df_of(op[2]), "m", op[1])
             if op[1] <= last_epoch:
