@@ -96,6 +96,10 @@ HEADLINE = (
     "jaccard_prefix_pairs",
     "dedup_keep_best",
     "neardup_triangle_stats",
+    # r9 late audit: crossed the 2 s bar (2.42 s best-of-3 on a quiet
+    # re-measure; the other 8 apparent crossings in the loaded audit
+    # run were contention — all <=1.98 s best-of-3) — tier 1 requires it
+    "concurrent_sessions",
     # ---- tier 2: reports, TPC-H core, one row per family ----
     "daily_order_report",
     "daily_category_report",
@@ -126,7 +130,11 @@ HEADLINE = (
     "streaming_expectations_quarantine",
     "export_webdataset_shards",
     "rrf_fusion_search",
-    "txn_branch_merge_revenue",
+    # txn_branch_merge_revenue (0.38 s steady) dropped r9-late to fund
+    # the concurrent_sessions tier-1 row within the stdout budget: it
+    # keeps its driver hash row + pytest pins, and the branch/commit
+    # machinery stays benched via txn_writer_roundtrip_revenue and the
+    # txn streaming rows
     "txn_writer_roundtrip_revenue",
 )
 
