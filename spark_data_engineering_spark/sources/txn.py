@@ -1847,6 +1847,7 @@ class TxnTable:
         txn: tuple[str, int] | None = None,
         cdf: bool = False,
         when_not_matched_by_source: str | None = None,
+        by_source_update_set: dict | None = None,
     ) -> int:
         """MERGE INTO (upsert), copy-on-write: only files that actually
         contain a matching key are rewritten — discovered via one semi-join
@@ -1899,15 +1900,48 @@ class TxnTable:
         ``delete`` images too (this is the one case that must READ the
         wholesale-removed files — bounded by the deleted rows, as in
         Delta).
+
+        ``when_not_matched_by_source="update"`` + ``by_source_update_set``
+        (a column->Column/SQL-str map over TARGET rows — Delta's ``WHEN
+        NOT MATCHED BY SOURCE THEN UPDATE SET``): unmatched target rows
+        are kept but updated, the SCD close-out pattern (``SET
+        is_current = false``). Unlike "delete", EVERY live file must be
+        rewritten (each may hold rows to update), so this is a
+        full-table-write op — use it when the flag matters, the sync
+        form when the rows should go. Partition/identity/generated
+        columns are refused as assignment targets (same contract as
+        ``update_where``).
         """
         if when_matched not in ("update", "delete", None):
             raise ValueError(f"when_matched={when_matched!r}")
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched={when_not_matched!r}")
-        if when_not_matched_by_source not in ("delete", None):
+        if when_not_matched_by_source not in ("delete", "update", None):
             raise ValueError(
                 f"when_not_matched_by_source={when_not_matched_by_source!r}"
             )
+        if (when_not_matched_by_source == "update") != bool(
+            by_source_update_set
+        ):
+            raise ValueError(
+                "by_source_update_set must be given exactly when "
+                "when_not_matched_by_source='update'"
+            )
+        if by_source_update_set:
+            gcols = self.generated_cols()
+            bad = [
+                c
+                for c in by_source_update_set
+                if c in self.partition_cols()
+                or c in gcols
+                or c in self.identity_cols()
+            ]
+            if bad:
+                raise ValueError(
+                    f"by_source_update_set assigns {bad} — partition / "
+                    "generated / identity columns are table-managed "
+                    "(same contract as update_where)"
+                )
         idcols = self.identity_cols()
         supplied_ids = [c for c in idcols if c in source.columns]
         if supplied_ids:
@@ -1961,10 +1995,12 @@ class TxnTable:
                     ),
                     at_version=v0,
                 )
-                if when_not_matched_by_source == "delete":
+                if when_not_matched_by_source is not None:
                     # by-source delete: unmatched target rows are dropped
-                    # everywhere. With when_matched=None the matched rows
-                    # survive AS-IS (the sync keeps them untouched).
+                    # everywhere; by-source update: they are rewritten
+                    # with the SET applied (one shared path below, with
+                    # the zero-match files' rows). Either way, with
+                    # when_matched=None the matched rows survive AS-IS.
                     if when_matched is None:
                         parts.append(
                             t_rows.join(
@@ -2068,14 +2104,73 @@ class TxnTable:
                     else:
                         changes.append((matched, "update_preimage"))
                     changes.append((upd, "update_postimage"))
-            # by-source delete removes EVERY live file: matched files are
-            # rewritten (above), zero-match files drop wholesale as pure
-            # metadata — their rows are all unmatched by construction
+            # by-source clauses remove EVERY live file: matched files are
+            # rewritten (above); for "delete", zero-match files drop
+            # wholesale as pure metadata (their rows are all unmatched by
+            # construction); for "update", every file holds rows to
+            # rewrite with the SET applied
             removing = (
                 sorted(live)
-                if (when_not_matched_by_source == "delete" and live)
+                if (when_not_matched_by_source is not None and live)
                 else touched
             )
+            if when_not_matched_by_source == "update" and live:
+                whole = [f for f in live if f not in set(touched)]
+                u_parts = []
+                if touched:
+                    u_parts.append(
+                        t_rows.join(
+                            F.broadcast(src.select(*on).distinct()),
+                            on,
+                            "left_anti",
+                        )
+                    )
+                if whole:
+                    u_parts.append(
+                        self._conform(
+                            self._read_files_meta(
+                                spark, whole, at_version=v0
+                            ).drop("__file", "__ridx"),
+                            v0,
+                        )
+                    )
+                if u_parts:
+                    u = u_parts[0]
+                    for p in u_parts[1:]:
+                        u = u.unionByName(p, allowMissingColumns=True)
+                    exprs = {
+                        c: (F.expr(e) if isinstance(e, str) else e)
+                        for c, e in by_source_update_set.items()
+                    }
+                    upd_u = u
+                    for c, e in exprs.items():
+                        upd_u = upd_u.withColumn(c, e)
+                    # generated columns referencing a SET column must be
+                    # REGENERATED on the updated rows (update_where's rule;
+                    # a generated PARTITION column driven by a SET column
+                    # would move rows between value-pure files — refused)
+                    gcols_all = self.generated_cols()
+                    regen = {
+                        g: ge
+                        for g, ge in gcols_all.items()
+                        if {*re.findall(r"[A-Za-z_][A-Za-z0-9_]*", ge)}
+                        & {*exprs}
+                    }
+                    regen_p = [
+                        g for g in regen if g in self.partition_cols()
+                    ]
+                    if regen_p:
+                        raise ValueError(
+                            f"by_source_update_set drives the generated "
+                            f"partition column(s) {regen_p} — rows would "
+                            "move between partitions; use delete+append"
+                        )
+                    for g, ge in regen.items():
+                        upd_u = upd_u.withColumn(g, F.expr(ge))
+                    parts.append(upd_u)
+                    if cdf:
+                        changes.append((u, "update_preimage"))
+                        changes.append((upd_u, "update_postimage"))
             if cdf and when_not_matched_by_source == "delete" and live:
                 whole = [f for f in live if f not in set(touched)]
                 if whole:

@@ -302,3 +302,139 @@ def test_by_source_rejects_unknown_mode(spark, tmp_path):
     t.append(_kv(spark, [(1, 1)]))
     with pytest.raises(ValueError, match="when_not_matched_by_source"):
         t.merge(spark, _kv(spark, [(1, 2)]), on=["k"], when_not_matched_by_source="update")
+
+
+# --- WHEN NOT MATCHED BY SOURCE THEN UPDATE SET (round 9) ---
+
+
+def test_by_source_update_flags_stale_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 10, True) for i in range(1, 6)], "k int, v int, live boolean"
+        ).coalesce(1)
+    )
+    src = spark.createDataFrame(
+        [(2, 222, True), (3, 333, True)], "k int, v int, live boolean"
+    ).coalesce(1)
+    t.merge(
+        spark,
+        src,
+        on=["k"],
+        when_not_matched=None,
+        when_not_matched_by_source="update",
+        by_source_update_set={"live": F.lit(False)},
+    )
+    got = sorted((r.k, r.v, r.live) for r in t.read(spark).collect())
+    # matched rows updated from source, unmatched flagged stale (SCD close-out)
+    assert got == [
+        (1, 10, False),
+        (2, 222, True),
+        (3, 333, True),
+        (4, 40, False),
+        (5, 50, False),
+    ]
+
+
+def test_by_source_update_with_matched_none_and_sql_expr(spark, tmp_path):
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(1, 10), (2, 20)]))          # file A
+    t.append(_kv(spark, [(100, 1000), (101, 1010)]))  # file B: zero matches
+    src = _kv(spark, [(2, 999)])
+    t.merge(
+        spark,
+        src,
+        on=["k"],
+        when_matched=None,
+        when_not_matched=None,
+        when_not_matched_by_source="update",
+        by_source_update_set={"v": "v + 1"},  # SQL-string form
+    )
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    # matched row untouched; every unmatched row (both files) bumped
+    assert got == [(1, 11), (2, 20), (100, 1001), (101, 1011)]
+
+
+def test_by_source_update_regenerates_dependent_generated_col(spark, tmp_path):
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(
+        str(tmp_path / "t"), "t", generated_cols={"g": "v * 2 + 1"}
+    )
+    t.append(_kv(spark, [(1, 10), (2, 20)]))
+    src = _kv(spark, [(2, 20)])
+    t.merge(
+        spark,
+        src,
+        on=["k"],
+        when_matched=None,
+        when_not_matched=None,
+        when_not_matched_by_source="update",
+        by_source_update_set={"v": "v + 100"},
+    )
+    got = sorted((r.k, r.v, r.g) for r in t.read(spark).collect())
+    assert got == [(1, 110, 221), (2, 20, 41)]
+
+
+def test_by_source_update_validation(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t", partition_cols=("k",))
+    t.append(_kv(spark, [(1, 10)]))
+    src = _kv(spark, [(1, 11)])
+    with pytest.raises(ValueError, match="exactly when"):
+        t.merge(spark, src, on=["k"], when_not_matched_by_source="update")
+    with pytest.raises(ValueError, match="exactly when"):
+        t.merge(
+            spark,
+            src,
+            on=["k"],
+            when_not_matched_by_source="delete",
+            by_source_update_set={"v": F.lit(0)},
+        )
+    with pytest.raises(ValueError, match="table-managed"):
+        t.merge(
+            spark,
+            src,
+            on=["k"],
+            when_not_matched_by_source="update",
+            by_source_update_set={"k": F.lit(0)},
+        )
+
+
+def test_by_source_update_cdf_images(spark, tmp_path):
+    from collections import Counter
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(1, 10), (2, 20), (3, 30)]))
+    src = _kv(spark, [(2, 22)])
+    t.merge(
+        spark,
+        src,
+        on=["k"],
+        cdf=True,
+        when_matched=None,
+        when_not_matched=None,
+        when_not_matched_by_source="update",
+        by_source_update_set={"v": "v + 1"},
+    )
+    fold: Counter = Counter()
+    for r in t.read_changes(spark, 0).collect():
+        if r._change_type in ("insert", "update_postimage"):
+            fold[(r.k, r.v)] += 1
+        elif r._change_type in ("delete", "update_preimage"):
+            fold[(r.k, r.v)] -= 1
+    folded = sorted(kv for kv, n in fold.items() for _ in range(n))
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert folded == got == [(1, 11), (2, 20), (3, 31)]
