@@ -1848,6 +1848,7 @@ class TxnTable:
         cdf: bool = False,
         when_not_matched_by_source: str | None = None,
         by_source_update_set: dict | None = None,
+        by_source_condition=None,
     ) -> int:
         """MERGE INTO (upsert), copy-on-write: only files that actually
         contain a matching key are rewritten — discovered via one semi-join
@@ -1911,6 +1912,18 @@ class TxnTable:
         form when the rows should go. Partition/identity/generated
         columns are refused as assignment targets (same contract as
         ``update_where``).
+
+        ``by_source_condition`` (a Column over TARGET rows — Delta's
+        ``WHEN NOT MATCHED BY SOURCE AND cond``): only unmatched rows
+        satisfying it take the clause action; the rest survive AS-IS
+        (NULL condition = survive, Delta's rule). At 100 TB this is the
+        blast-radius guard on a sync: an incomplete source snapshot
+        with an unbounded by-source DELETE silently drops everything
+        the extract missed — bounding the clause to the sync's scope
+        (``date >= extract_start``) makes that class of incident
+        impossible. With a condition, zero-match files must be READ
+        (their rows may fail the condition and survive) — the wholesale
+        metadata drop applies only to the unconditional form.
         """
         if when_matched not in ("update", "delete", None):
             raise ValueError(f"when_matched={when_matched!r}")
@@ -1926,6 +1939,10 @@ class TxnTable:
             raise ValueError(
                 "by_source_update_set must be given exactly when "
                 "when_not_matched_by_source='update'"
+            )
+        if by_source_condition is not None and when_not_matched_by_source is None:
+            raise ValueError(
+                "by_source_condition requires when_not_matched_by_source"
             )
         if by_source_update_set:
             gcols = self.generated_cols()
@@ -2114,7 +2131,19 @@ class TxnTable:
                 if (when_not_matched_by_source is not None and live)
                 else touched
             )
-            if when_not_matched_by_source == "update" and live:
+            # the unmatched-by-source target rows, materialized only when
+            # the clause needs to SEE them: always for "update"; for
+            # "delete" only when a condition splits survivors or CDF
+            # needs delete images — the unconditional no-CDF delete
+            # drops zero-match files as pure metadata, reading nothing
+            u = None
+            if live and (
+                when_not_matched_by_source == "update"
+                or (
+                    when_not_matched_by_source == "delete"
+                    and (by_source_condition is not None or cdf)
+                )
+            ):
                 whole = [f for f in live if f not in set(touched)]
                 u_parts = []
                 if touched:
@@ -2138,11 +2167,20 @@ class TxnTable:
                     u = u_parts[0]
                     for p in u_parts[1:]:
                         u = u.unionByName(p, allowMissingColumns=True)
+            if u is not None:
+                if by_source_condition is not None:
+                    # NULL condition = survive, Delta's rule
+                    hit = F.coalesce(by_source_condition, F.lit(False))
+                    u_hit = u.filter(hit)
+                    parts.append(u.filter(~hit))  # survivors, as-is
+                else:
+                    u_hit = u
+                if when_not_matched_by_source == "update":
                     exprs = {
                         c: (F.expr(e) if isinstance(e, str) else e)
                         for c, e in by_source_update_set.items()
                     }
-                    upd_u = u
+                    upd_u = u_hit
                     for c, e in exprs.items():
                         upd_u = upd_u.withColumn(c, e)
                     # generated columns referencing a SET column must be
@@ -2169,33 +2207,10 @@ class TxnTable:
                         upd_u = upd_u.withColumn(g, F.expr(ge))
                     parts.append(upd_u)
                     if cdf:
-                        changes.append((u, "update_preimage"))
+                        changes.append((u_hit, "update_preimage"))
                         changes.append((upd_u, "update_postimage"))
-            if cdf and when_not_matched_by_source == "delete" and live:
-                whole = [f for f in live if f not in set(touched)]
-                if whole:
-                    changes.append(
-                        (
-                            self._conform(
-                                self._read_files_meta(
-                                    spark, whole, at_version=v0
-                                ).drop("__file", "__ridx"),
-                                v0,
-                            ),
-                            "delete",
-                        )
-                    )
-                if touched:
-                    changes.append(
-                        (
-                            t_rows.join(
-                                F.broadcast(src.select(*on).distinct()),
-                                on,
-                                "left_anti",
-                            ),
-                            "delete",
-                        )
-                    )
+                elif cdf:  # delete: images for the rows the clause drops
+                    changes.append((u_hit, "delete"))
             if not parts and not removing:
                 return self.version()
             if parts:

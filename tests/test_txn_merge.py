@@ -438,3 +438,123 @@ def test_by_source_update_cdf_images(spark, tmp_path):
     folded = sorted(kv for kv, n in fold.items() for _ in range(n))
     got = sorted((r.k, r.v) for r in t.read(spark).collect())
     assert folded == got == [(1, 11), (2, 20), (3, 31)]
+
+
+# --- WHEN NOT MATCHED BY SOURCE AND <cond> (round 9) ---
+
+
+def test_by_source_condition_bounds_the_delete(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(1, 10), (2, 20)]))          # in-scope keys
+    t.append(_kv(spark, [(100, 1000), (101, 1010)]))  # out-of-scope file
+    # sync source covers ONLY key 1; the condition bounds deletion to k < 50
+    src = _kv(spark, [(1, 11)])
+    t.merge(
+        spark,
+        src,
+        on=["k"],
+        when_not_matched=None,
+        when_not_matched_by_source="delete",
+        by_source_condition=F.col("k") < 50,
+    )
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    # k=2 deleted (unmatched, in scope); 100/101 SURVIVE (out of scope)
+    assert got == [(1, 11), (100, 1000), (101, 1010)]
+
+
+def test_by_source_condition_null_means_survive(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "k int, v int"
+        ).coalesce(1)
+    )
+    src = _kv(spark, [(1, 10)])
+    t.merge(
+        spark,
+        src,
+        on=["k"],
+        when_matched=None,
+        when_not_matched=None,
+        when_not_matched_by_source="delete",
+        by_source_condition=F.col("v") > 15,  # NULL for k=2
+    )
+    got = sorted((r.k,) for r in t.read(spark).collect())
+    assert got == [(1,), (2,)]  # k=3 deleted; NULL-cond k=2 survives
+
+
+def test_by_source_condition_scopes_the_update(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(1, 10), (2, 20), (3, 30)]))
+    src = _kv(spark, [(1, 10)])
+    t.merge(
+        spark,
+        src,
+        on=["k"],
+        when_matched=None,
+        when_not_matched=None,
+        when_not_matched_by_source="update",
+        by_source_update_set={"v": "v + 1"},
+        by_source_condition=F.col("k") == 2,
+    )
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert got == [(1, 10), (2, 21), (3, 30)]
+
+
+def test_by_source_condition_requires_clause(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(1, 10)]))
+    with pytest.raises(ValueError, match="requires when_not_matched_by_source"):
+        t.merge(
+            spark,
+            _kv(spark, [(1, 11)]),
+            on=["k"],
+            by_source_condition=F.col("k") > 0,
+        )
+
+
+def test_by_source_condition_cdf_folds(spark, tmp_path):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from spark_data_engineering_spark.sources.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), "t")
+    t.append(_kv(spark, [(1, 10), (2, 20), (3, 30)]))
+    src = _kv(spark, [(1, 11)])
+    t.merge(
+        spark,
+        src,
+        on=["k"],
+        cdf=True,
+        when_not_matched=None,
+        when_not_matched_by_source="delete",
+        by_source_condition=F.col("k") == 2,
+    )
+    fold: Counter = Counter()
+    for r in t.read_changes(spark, 0).collect():
+        if r._change_type in ("insert", "update_postimage"):
+            fold[(r.k, r.v)] += 1
+        elif r._change_type in ("delete", "update_preimage"):
+            fold[(r.k, r.v)] -= 1
+    folded = sorted(kv for kv, n in fold.items() for _ in range(n))
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert folded == got == [(1, 11), (3, 30)]
