@@ -51,6 +51,14 @@ _op = st.one_of(
     st.tuples(
         st.just("merge_sync"), st.lists(st.integers(0, 99), max_size=4)
     ),
+    # bounded sync (round 9): WHEN NOT MATCHED BY SOURCE AND val < c
+    # THEN DELETE — unmatched rows BELOW the bound drop, unmatched rows
+    # at/above it survive as-is (the blast-radius guard)
+    st.tuples(
+        st.just("merge_sync_bounded"),
+        st.lists(st.integers(0, 99), max_size=3),
+        st.integers(0, 99),
+    ),
     # epochs drawn from a tiny range so replays (epoch <= last committed)
     # occur in most sequences — the exactly-once property under test
     st.tuples(
@@ -231,6 +239,25 @@ def test_random_op_sequence_matches_model(
             # multiplicity preserved; unmatched source keys insert;
             # unmatched target rows are dropped by the sync
             model = [v for v in model if v in ks] + [
+                k for k in keys if k not in model
+            ]
+        elif op[0] == "merge_sync_bounded":
+            if table.version() == 0:
+                continue
+            keys, bound = sorted(set(op[1])), op[2]
+            table.merge(
+                spark,
+                df_of(keys),
+                on=["val"],
+                when_matched=None,
+                when_not_matched="insert",
+                when_not_matched_by_source="delete",
+                by_source_condition=F.col("val") < bound,
+            )
+            ks = set(keys)
+            # matched rows survive AS-IS; unmatched rows below the bound
+            # drop, at/above it survive; unmatched source keys insert
+            model = [v for v in model if v in ks or v >= bound] + [
                 k for k in keys if k not in model
             ]
         elif op[0] == "append_epoch":
