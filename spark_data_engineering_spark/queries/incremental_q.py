@@ -2385,3 +2385,75 @@ def txn_merge_sync_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "txn_history_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'append',         CAST(2 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+        (CAST(2 AS BIGINT), 'delete_dv',      CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+        (CAST(3 AS BIGINT), 'properties-set', CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+        (CAST(4 AS BIGINT), 'compact',        CAST(1 AS BIGINT), CAST(2 AS BIGINT), TRUE)
+    ) AS t(version, action, n_add, n_remove, ts_monotonic)
+    """,
+)
+def txn_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY under the gate (sources/txn.py::history — Delta's
+    DESCRIBE HISTORY): a four-commit lifecycle (append -> merge-on-read
+    DV delete -> TBLPROPERTIES DDL -> OPTIMIZE) must replay from the log
+    as exactly that operation sequence, with per-commit add/remove file
+    counts pinned (append stages 2, the DV and DDL commits move ZERO
+    files, compact swaps 2-for-1) and commit timestamps monotonically
+    non-decreasing — the audit-trail surface an operator reads to
+    answer "what touched this table, when, and how much data moved".
+    Metadata-only end-to-end: the query never opens a data file."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import claim, code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"history:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/history-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_hist")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.append(o.repartition(2))                                # v1
+        t.delete_where_dv(spark, F.col("o_orderkey") % 10 == 0)   # v2
+        t.set_properties({"tier": "audit"})                       # v3
+        t.compact(spark, target_file_bytes=1 << 34)               # v4
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_hist")
+    hist = t.history()
+    ts = [c.get("ts") for c in hist]
+    mono = all(
+        a is not None and b is not None and a <= b
+        for a, b in zip(ts, ts[1:])
+    )
+    rows = [
+        (
+            c["version"],
+            c["action"],
+            len(c.get("add", ())),
+            len(c.get("remove", ())),
+            mono,
+        )
+        for c in hist
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version bigint, action string, n_add bigint, n_remove bigint, "
+        "ts_monotonic boolean",
+    )

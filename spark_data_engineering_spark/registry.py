@@ -117,6 +117,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # driver-checked; displaces tpch_q12 (r5-green, rotates back under
     # P2 next round).
     "txn_merge_sync_revenue",
+    # --- P1 cont. (added mid-round-9): DESCRIBE HISTORY gate (pinned
+    # operation sequence + per-commit file movement + ts monotonicity)
+    # — never driver-checked; displaces tpch_q10 (r5-green, rotates
+    # back under P2 next round).
+    "txn_history_audit",
     # --- P2: the r4-stale tail cut by round-8 P1 (heads of the queue by
     # construction), then the r5 cohort, oldest evidence first.
     "customer_trailing_7d_revenue",
@@ -155,7 +160,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q4_priority_exists",
-    "tpch_q10_returned_items",
+    # tpch_q10_returned_items: displaced by the P1 txn_history_audit
+    # gate (added mid-round-9); keeps its r5 hash-green row and heads
+    # the r10 P2 queue.
     # tpch_q12_priority_classes: displaced by the P1
     # txn_merge_sync_revenue gate (added mid-round-9); keeps its r5
     # hash-green row and heads the r10 P2 queue.
