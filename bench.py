@@ -177,19 +177,33 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.time() - t0
 
-        # heavy queries (first run > 3 s: availableNow streaming demos,
+        # heavy queries (BEST run >= 3 s: availableNow streaming demos,
         # iterative algorithms, the incremental-maintenance family) get
         # 2 runs and no noise retries — their wall is trigger
         # scheduling / fixed per-call work, stable in absolute terms,
         # and a 7-run budget on a 5 s query buys nothing but wall time
         # (the retry loop exists to rescue sub-second rows from
-        # throttle noise, where one bad sample doubles the number)
+        # throttle noise, where one bad sample doubles the number).
+        # Classification is by best-so-far, NOT the first sample
+        # (round 10; VERDICT r9 #4): a throttle burst on run 1 used to
+        # lock a 2.9 s-steady query into the no-retry tier and commit
+        # the 8 s noise number (embedding_dup_clusters, BENCH_r09).
         samples = [one_run()]
-        n_runs = runs if samples[0] < 3.0 else min(runs, 2)
-        samples += [one_run() for _ in range(n_runs - 1)]
+        if samples[0] >= 3.0:
+            samples.append(one_run())  # confirm: heavy, or a noise hit?
+        heavy = min(samples) >= 3.0
+        n_runs = min(runs, 2) if heavy else runs
+        while len(samples) < n_runs:
+            samples.append(one_run())
         best = min(samples)
+        if heavy and max(samples) > 1.5 * best:
+            # large spread on a heavy query: one confirmation run so a
+            # loaded-host pair doesn't stand as the committed number
+            t = one_run()
+            samples.append(t)
+            best = min(best, t)
         for _ in range(max_retries):
-            if best <= retry_above or samples[0] >= 3.0:
+            if best <= retry_above or heavy:
                 break
             t = one_run()
             samples.append(t)

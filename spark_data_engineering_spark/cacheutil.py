@@ -26,12 +26,19 @@ def code_digest(*modules) -> str:
 def claim(root: str) -> bool:
     """Cache-hit check that KEEPS the entry alive: True iff the
     published root exists, with its mtime refreshed so a concurrent
-    process's ``sweep_stale`` (1h cutoff) cannot reap it between this
-    check and the read. Without the utime, two overlapping runs race:
-    run A finds a >1h-old root and skips the build, run B's sweep
-    deletes it, run A's read crashes (round-9 full-suite flake). A
-    root swept in the isdir->utime window returns False — the caller
-    rebuilds, which is always safe."""
+    process's ``sweep_stale`` (1h cutoff) is very unlikely to reap it
+    between this check and the read. Without the utime, two
+    overlapping runs race wide open: run A finds a >1h-old root and
+    skips the build, run B's sweep deletes it, run A's read crashes
+    (round-9 full-suite flake). The sweep side cooperates (ADVICE r9):
+    it renames a stale entry to a tombstone FIRST, then re-checks the
+    tombstone's mtime — a utime that landed before the rename restores
+    the entry; one that lands after fails with ENOENT and this
+    function returns False, so the caller rebuilds (always safe). The
+    residual window is the instant between a successful utime here and
+    the sweeper's post-rename re-check — microseconds against a 1h
+    cutoff, and losing it costs a rebuild-crash only if the reader
+    opens files during the rename blip."""
     import os
 
     if not os.path.isdir(root):
@@ -39,7 +46,7 @@ def claim(root: str) -> bool:
     try:
         os.utime(root)
     except OSError:
-        return False  # reaped in the window: rebuild
+        return False  # reaped/tombstoned in the window: rebuild
     return True
 
 
@@ -49,7 +56,14 @@ def sweep_stale(parent: str, max_age_s: float = 3600.0) -> None:
     export_training_shards): entries older than ``max_age_s`` are
     removed so repeated gate/bench runs can't slowly fill /tmp. Never
     raises — a racing run's dir mid-build is simply skipped (it is
-    younger than the cutoff by construction)."""
+    younger than the cutoff by construction).
+
+    Deletion is tombstone-first (ADVICE r9): rename the stale entry
+    away, re-check its mtime, and only then rmtree — a concurrent
+    ``claim()`` whose utime landed before the rename gets the entry
+    restored; one after the rename fails fast (ENOENT) and rebuilds.
+    Orphaned tombstones (a sweeper killed mid-rmtree) are reaped on
+    sight."""
     import os
     import shutil
     import time
@@ -59,8 +73,17 @@ def sweep_stale(parent: str, max_age_s: float = 3600.0) -> None:
     cutoff = time.time() - max_age_s
     for d in os.listdir(parent):
         path = os.path.join(parent, d)
+        if ".sweeping-" in d:
+            shutil.rmtree(path, ignore_errors=True)
+            continue
+        tomb = f"{path}.sweeping-{os.getpid()}"
         try:
-            if os.path.getmtime(path) < cutoff:
-                shutil.rmtree(path, ignore_errors=True)
+            if os.path.getmtime(path) >= cutoff:
+                continue
+            os.rename(path, tomb)
+            if os.path.getmtime(tomb) >= cutoff:
+                os.rename(tomb, path)  # claimed in the window: restore
+            else:
+                shutil.rmtree(tomb, ignore_errors=True)
         except OSError:
             pass

@@ -72,61 +72,98 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #        aggregation machinery stays in-window via q5/q7/q10); they
 #        head the r10 P2 queue by construction.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # --- P1 (round 9): the three r8 RED rows — the connector batch-read
-    # family that crashed under the driver's plain session (pushFilters +
-    # filterPushdown.enabled=false, fixed via register_txn) — kept at the
-    # head until CORRECTNESS_r9 shows them green, plus the new DESCRIBE
-    # DETAIL gate query (never driver-checked).
+    # Round-10 derivation (tools/derive_window.py against
+    # CORRECTNESS_r01-r09; CORRECTNESS_r09 = 50/50 green, so the r9
+    # window's names all carry fresh r9 evidence and rotate out):
+    #   P1 = 0: no never-checked oracled queries — every registered
+    #        query has at least one green driver row.
+    #   P2 = the r5-cohort overflow cut by round-9 P1 (the 17 displaced
+    #        tpch names, heads of the queue by construction), then the
+    #        r6 cohort (50 names), oldest evidence first.
+    #   P3 = the r6 cohort overflows by 17: cut at registration order
+    #        (knn_bruteforce, ann_recall_report,
+    #        ann_index_incremental_search, ann_ivfpq_search_exhaustive,
+    #        brand_quantity_price_corr, copurchase_part_pairs,
+    #        streaming_dedup_documents, streaming_user_totals_tws,
+    #        doc_fingerprints, lang_source_profile, token_regex_stats,
+    #        vocab_top_tokens, tfidf_top_terms, label_centroids,
+    #        cms_token_frequencies, bpe_subword_stats,
+    #        bigram_fluency_scores) — each keeps its r6 hash-green row
+    #        + pytest pins and heads the r11 P2 queue by construction.
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_returned_supplier",
+    "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_part_promotion_suppliers",
+    "mixture_sample_counts",
+    "context_length_buckets",
+    "benchmark_contamination",
+    "chunk_documents",
+    "boilerplate_chunks",
+    "doc_classifier_scores",
+    "curation_decisions",
+    "export_training_shards",
+    "export_shuffled_shards",
+    "padding_efficiency_report",
+    "cdc_boilerplate_chunks",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "dedup_keep_best",
+    "containment_pairs",
+    "dedup_cluster_stats",
+    "csv_events_hourly_stats",
+    "pagerank_click_graph",
+    "incremental_daily_revenue",
+    "incremental_daily_revenue_merged",
+    "incremental_daily_order_report",
+    "txn_datasource_revenue",
+    "dv_delete_report",
+    "bloom_index_point_lookup",
+    "media_resize_profile",
+    "dp_source_counts",
+    "brand_type_metrics",
+    "salted_distinct_customers_by_status",
+    "join_skew_report",
+    "winsorized_revenue_by_priority",
+    "daily_category_report_approx",
+    "bm25_keyword_search",
+)
+
+
+# The round-9 window, kept for the audit trail (50/50 hash-green in
+# CORRECTNESS_r09.json, including the three r8 red rows fixed via
+# register_txn and the eight round-9 txn gates).
+_R9_WINDOW: tuple[str, ...] = (
     "txn_writer_roundtrip_revenue",
     "streaming_txn_sink_revenue",
     "txn_pushdown_revenue",
     "txn_detail_summary",
     "txn_properties_revenue",
     "txn_convert_revenue",
-    # --- P1 cont. (added mid-round-9): SHALLOW CLONE + COPY INTO gates —
-    # never driver-checked, so they enter at P1 per the rule; they
-    # displace tpch_q21/q22 (r5-green, rotate back under P2 next round).
     "txn_clone_revenue",
     "txn_copy_into_revenue",
-    # --- P1 cont. (added mid-round-9): schema evolution + column-mapping
-    # gate (mergeSchema append / RENAME COLUMN / DROP COLUMN) — never
-    # driver-checked; displaces tpch_q19 (r5-green, rotates back under
-    # P2 next round).
     "txn_schema_evolution_revenue",
-    # --- P1 cont. (added mid-round-9): hidden-partitioning gate
-    # (Iceberg month() transform = generated column + partition_cols) —
-    # never driver-checked; displaces tpch_q18 (r5-green, rotates back
-    # under P2 next round).
     "txn_hidden_partition_revenue",
-    # --- P1 cont. (added mid-round-9): FSCK gate (deep log-vs-disk
-    # integrity over the full mutation lifecycle incl. the scoped
-    # OPTIMIZE) — never driver-checked; displaces tpch_q17 (r5-green,
-    # rotates back under P2 next round).
     "txn_fsck_report",
-    # --- P1 cont. (added mid-round-9): REORG APPLY (PURGE) gate —
-    # never driver-checked; displaces tpch_q14 (r5-green, rotates back
-    # under P2 next round).
     "txn_reorg_purge_revenue",
-    # --- P1 cont. (added mid-round-9): GENERATE manifest gate
-    # (log-oblivious external read of a pinned snapshot) — never
-    # driver-checked; displaces tpch_q13 (r5-green, rotates back under
-    # P2 next round).
     "txn_manifest_revenue",
-    # --- P1 cont. (added mid-round-9): WHEN NOT MATCHED BY SOURCE gate
-    # (one-merge target sync with wholesale metadata drops) — never
-    # driver-checked; displaces tpch_q12 (r5-green, rotates back under
-    # P2 next round).
     "txn_merge_sync_revenue",
-    # --- P1 cont. (added mid-round-9): DESCRIBE HISTORY gate (pinned
-    # operation sequence + per-commit file movement + ts monotonicity)
-    # — never driver-checked; displaces tpch_q10 (r5-green, rotates
-    # back under P2 next round).
     "txn_history_audit",
-    # --- P2: the r4-stale tail cut by round-8 P1 (heads of the queue by
-    # construction), then the r5 cohort, oldest evidence first.
     "customer_trailing_7d_revenue",
     "token_run_lengths",
-    # --- P2 cont.: the r5 cohort (50 names; 44 fit the remaining slots).
     "stratified_sample_documents",
     "train_split_counts",
     "pack_sequences",
@@ -160,43 +197,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q4_priority_exists",
-    # tpch_q10_returned_items: displaced by the P1 txn_history_audit
-    # gate (added mid-round-9); keeps its r5 hash-green row and heads
-    # the r10 P2 queue.
-    # tpch_q12_priority_classes: displaced by the P1
-    # txn_merge_sync_revenue gate (added mid-round-9); keeps its r5
-    # hash-green row and heads the r10 P2 queue.
-    # tpch_q13_customer_distribution: displaced by the P1
-    # txn_manifest_revenue gate (added mid-round-9); keeps its r5
-    # hash-green row and heads the r10 P2 queue.
-    # tpch_q14_promo_effect: displaced by the P1 txn_reorg_purge_revenue
-    # gate (added mid-round-9); keeps its r5 hash-green row and heads
-    # the r10 P2 queue.
-    # tpch_q17_small_qty_revenue: displaced by the P1 txn_fsck_report
-    # gate (added mid-round-9); keeps its r5 hash-green row and heads
-    # the r10 P2 queue.
-    # tpch_q18_volume_customers: displaced by the P1
-    # txn_hidden_partition_revenue gate (added mid-round-9); keeps its
-    # r5 hash-green row and heads the r10 P2 queue.
-    # tpch_q19_disjunctive_revenue: displaced by the P1
-    # txn_schema_evolution_revenue gate (added mid-round-9); keeps its
-    # r5 hash-green row and heads the r10 P2 queue.
-    # tpch_q21_sole_returned_supplier / tpch_q22_dormant_customers:
-    # displaced by the P1 txn_clone_revenue / txn_copy_into_revenue gates
-    # (added mid-round-9); both keep their r5 hash-green rows and head
-    # the r10 P2 queue with q2/q7/q8/q9/q11/q15/q16/q20.
-    # tpch_q2_min_cost_supplier: displaced by the P1 txn_convert_revenue
-    # gate; keeps its r5 hash-green row (+ r7/r8 bench rows) and heads
-    # the r10 P2 queue with q7/q8/q9/q11/q15/q16/q20.
-    # tpch_q7_nation_volume_shipping: displaced by the P1
-    # txn_properties_revenue gate (P1 outranks fills); keeps its r5
-    # hash-green row and heads the r10 P2 queue with q8/q9/q11/q15/q16/q20.
-    # r5-cohort overflow, cut at registration order (tools/derive_window.py
-    # rationale: rotates in next round under P2 by construction):
-    # tpch_q8_market_share, tpch_q9_product_type_profit,
-    # tpch_q11_important_stock, tpch_q15_top_supplier,
-    # tpch_q16_supplier_part_counts, tpch_q20_part_promotion_suppliers —
-    # each keeps its r5 hash-green row + its pytest pins.
 )
 
 

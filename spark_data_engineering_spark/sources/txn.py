@@ -218,6 +218,43 @@ def _pv_match(val, rec: "str | None") -> bool:
     return str(val) == rec
 
 
+def _size_bytes(s) -> int:
+    """Parse a Spark byte-string conf value ("10485760", "10485760b",
+    "64MB", "-1") into bytes. Bare numbers are bytes; unknown forms
+    parse as -1 (treated as "broadcast disabled" by the caller)."""
+    m = re.match(r"^\s*(-?\d+)\s*([kmgt]?b?)\s*$", str(s).lower())
+    if not m:
+        return -1
+    mult = {
+        "": 1, "b": 1,
+        "k": 1024, "kb": 1024,
+        "m": 1024**2, "mb": 1024**2,
+        "g": 1024**3, "gb": 1024**3,
+        "t": 1024**4, "tb": 1024**4,
+    }[m.group(2)]
+    return int(m.group(1)) * mult
+
+
+_EST_TYPE_BYTES = {
+    "boolean": 1, "byte": 1, "short": 2,
+    "integer": 4, "float": 4, "date": 4,
+    "long": 8, "double": 8, "timestamp": 8, "timestamp_ntz": 8,
+    "decimal": 16, "string": 20,
+}
+
+
+def _est_row_bytes(schema) -> int:
+    """Rough per-row width from a schema, in the spirit of Catalyst's
+    per-type defaultSize: fixed-width types exact, strings a flat 20,
+    nested/binary a flat 32. The broadcast gate below only needs
+    order-of-magnitude accuracy."""
+    total = 0
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        total += _EST_TYPE_BYTES.get(t, 32)
+    return max(total, 8)
+
+
 class ConcurrentWriteError(RuntimeError):
     """A rewrite lost the race: a file it removes was already removed."""
 
@@ -1836,6 +1873,41 @@ class TxnTable:
         df = self._read_files_meta(spark, files, at_version).drop("__file", "__ridx")
         return self._conform(df, at_version)
 
+    @staticmethod
+    def _merge_src_hint(spark: SparkSession, src: DataFrame, n_rows: int):
+        """The MERGE source-side broadcast gate. Returns a frame wrapper:
+        ``F.broadcast`` when the source's estimated size (rows × schema
+        width) fits under the threshold, identity otherwise.
+
+        Threshold resolution: ``spark.spark_graft.merge.broadcastThreshold``
+        if set, else the session's ``spark.sql.autoBroadcastJoinThreshold``.
+        A non-positive threshold disables the hint entirely (mirrors
+        Spark's own ``-1`` convention), so a locked-down session that
+        forbade broadcasts never sees one from MERGE either.
+
+        Why a gate at all: a CDC micro-batch source (streaming/upsert.py)
+        wants the broadcast — touched-file discovery, survivor semi/anti
+        joins, and the update arm each become one shuffle-free pass over
+        the target files. A ``when_not_matched_by_source`` snapshot-sync
+        source is table-sized by definition; broadcasting it at 100 TB
+        fails the build or OOMs executors. All gated joins are plain
+        equi-joins, so dropping the hint changes only the physical plan
+        (AQE picks shuffle-hash / sort-merge), never the answer.
+        """
+        raw = spark.conf.get(
+            "spark.spark_graft.merge.broadcastThreshold", None
+        )
+        if raw is None:
+            raw = spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760b"
+            )
+        limit = _size_bytes(raw)
+        if limit <= 0:
+            return lambda df: df
+        if n_rows * _est_row_bytes(src.schema) <= limit:
+            return F.broadcast
+        return lambda df: df
+
     def merge(
         self,
         spark: SparkSession,
@@ -1959,6 +2031,19 @@ class TxnTable:
                     "generated / identity columns are table-managed "
                     "(same contract as update_where)"
                 )
+            # same contract as update_where's unknown-column check: a
+            # typo'd SET key would be withColumn'd into staged files but
+            # absent from the logical schema, so the close-out flag
+            # silently never applies (ADVICE r9)
+            cols = {
+                f["name"] for f in self.table_schema() if not f.get("dropped")
+            }
+            if cols:
+                unknown = [c for c in by_source_update_set if c not in cols]
+                if unknown:
+                    raise ValueError(
+                        f"by_source_update_set: no such column(s) {unknown}"
+                    )
         idcols = self.identity_cols()
         supplied_ids = [c for c in idcols if c in source.columns]
         if supplied_ids:
@@ -1974,6 +2059,17 @@ class TxnTable:
         source = self._with_generated(source)
         src = source.cache()
         try:
+            # Size-gate the source-side broadcast (round 10; VERDICT r9
+            # #1): every join below hints F.broadcast on a frame derived
+            # from ``src`` — right for CDC micro-batches (one
+            # shuffle-free pass per file, the plan streaming/upsert.py
+            # relies on), impossible for the snapshot-sync merges
+            # (when_not_matched_by_source) whose source is by definition
+            # comparable to the table. The count materializes the cache
+            # once (every pass below reuses it); above the threshold the
+            # hint degrades to identity, the equi-joins ship as plain
+            # shuffle joins, and AQE picks the physical strategy.
+            bhint = self._merge_src_hint(spark, src, src.count())
             # pin ONE snapshot for every target read in this merge: the
             # touched-file discovery and the insert anti-join must see
             # the same version, or a concurrent append landing between
@@ -1989,7 +2085,7 @@ class TxnTable:
                 src_keys = src.select(*on).distinct()
                 touched = sorted(
                     r["__file"]
-                    for r in tgt.join(F.broadcast(src_keys), on, "left_semi")
+                    for r in tgt.join(bhint(src_keys), on, "left_semi")
                     .select("__file")
                     .distinct()
                     .collect()
@@ -2021,7 +2117,7 @@ class TxnTable:
                     if when_matched is None:
                         parts.append(
                             t_rows.join(
-                                F.broadcast(src.select(*on).distinct()),
+                                bhint(src.select(*on).distinct()),
                                 on,
                                 "left_semi",
                             )
@@ -2030,7 +2126,7 @@ class TxnTable:
                     # unmatched target rows in rewritten files survive
                     parts.append(
                         t_rows.join(
-                            F.broadcast(src.select(*on).distinct()),
+                            bhint(src.select(*on).distinct()),
                             on,
                             "left_anti",
                         )
@@ -2046,7 +2142,7 @@ class TxnTable:
                     # ride the TARGET side — an update never re-assigns
                     # them (the source was refused above if it tried)
                     keep = list(on) + [c for c in idcols if c in t_rows.columns]
-                    upd = t_rows.select(*keep).join(F.broadcast(src), on, "inner")
+                    upd = t_rows.select(*keep).join(bhint(src), on, "inner")
                     if matched_delete_condition is not None:
                         upd = upd.filter(
                             ~F.coalesce(matched_delete_condition, F.lit(False))
@@ -2088,7 +2184,7 @@ class TxnTable:
                 # ``upd`` frame, so pre and post agree row-for-row with
                 # what the data commit stages.
                 src_keys = src.select(*on).distinct()
-                matched = t_rows.join(F.broadcast(src_keys), on, "left_semi")
+                matched = t_rows.join(bhint(src_keys), on, "left_semi")
                 if when_matched == "delete":
                     changes.append((matched, "delete"))
                 else:
@@ -2105,7 +2201,7 @@ class TxnTable:
                         changes.append(
                             (
                                 matched.join(
-                                    F.broadcast(del_keys), on, "left_semi"
+                                    bhint(del_keys), on, "left_semi"
                                 ),
                                 "delete",
                             )
@@ -2113,7 +2209,7 @@ class TxnTable:
                         changes.append(
                             (
                                 matched.join(
-                                    F.broadcast(del_keys), on, "left_anti"
+                                    bhint(del_keys), on, "left_anti"
                                 ),
                                 "update_preimage",
                             )
@@ -2121,14 +2217,35 @@ class TxnTable:
                     else:
                         changes.append((matched, "update_preimage"))
                     changes.append((upd, "update_postimage"))
-            # by-source clauses remove EVERY live file: matched files are
-            # rewritten (above); for "delete", zero-match files drop
-            # wholesale as pure metadata (their rows are all unmatched by
-            # construction); for "update", every file holds rows to
-            # rewrite with the SET applied
-            removing = (
-                sorted(live)
+            # by-source clauses remove live files beyond the touched set:
+            # for the UNCONDITIONAL forms, every one — "delete" drops
+            # zero-match files wholesale as pure metadata (their rows
+            # are all unmatched by construction), "update" must rewrite
+            # every file (each may hold rows to update). With a
+            # ``by_source_condition``, only zero-match files actually
+            # CONTAINING a condition-hit row are rewritten — discovered
+            # with one more filtered scan (ADVICE r9) — so the bounded
+            # sync bounds the REWRITE too, not just the data loss: a
+            # date-scoped close-out on a 100 TB table rewrites the
+            # scoped files, the rest survive byte-identical.
+            whole = (
+                [f for f in live if f not in set(touched)]
                 if (when_not_matched_by_source is not None and live)
+                else []
+            )
+            if whole and by_source_condition is not None:
+                w_hit = self._conform(
+                    self._read_files_meta(spark, whole, at_version=v0),
+                    v0,
+                    keep=("__file",),
+                ).filter(F.coalesce(by_source_condition, F.lit(False)))
+                whole = sorted(
+                    r["__file"]
+                    for r in w_hit.select("__file").distinct().collect()
+                )
+            removing = (
+                sorted({*touched, *whole})
+                if when_not_matched_by_source is not None
                 else touched
             )
             # the unmatched-by-source target rows, materialized only when
@@ -2144,12 +2261,11 @@ class TxnTable:
                     and (by_source_condition is not None or cdf)
                 )
             ):
-                whole = [f for f in live if f not in set(touched)]
                 u_parts = []
                 if touched:
                     u_parts.append(
                         t_rows.join(
-                            F.broadcast(src.select(*on).distinct()),
+                            bhint(src.select(*on).distinct()),
                             on,
                             "left_anti",
                         )
@@ -3601,9 +3717,19 @@ class TxnTable:
         REFUSED while any live file carries outstanding DV rows: an
         external reader cannot apply deletion vectors, so the manifest
         would resurrect soft-deleted rows — run ``reorg_purge`` (or
-        ``compact``) first to materialize them. At 100 TB this is the
+        ``compact``) first to materialize them. Symmetrically REFUSED
+        while any live file's physical layout predates a column
+        rename/drop (its footer still carries prev_names or dropped
+        bytes that our reads coalesce/project away): a log-oblivious
+        manifest consumer would see the old column names and the
+        dropped column resurrected — Delta refuses symlink manifests
+        on column-mapping tables for the same reason. Detection reuses
+        reorg_purge's tier: one footer read per live file, only when a
+        rename/drop exists, no data pages. At 100 TB this is the
         interop contract: the lakehouse stays the single source of
         truth and downstream engines consume snapshots without a copy."""
+        import pyarrow.parquet as pq
+
         v = self.version() if at_version is None else at_version
         live = self.live_files(v)
         _, deleted = self.dv_state(v)
@@ -3615,6 +3741,30 @@ class TxnTable:
                 "cannot apply (would resurrect soft-deleted rows); run "
                 "reorg_purge(spark) first to materialize them"
             )
+        stale = set()
+        for ent in self.table_schema(v) or []:
+            stale.update(ent.get("prev_names", ()))
+            if ent.get("dropped"):
+                stale.add(ent["name"])
+        if stale:
+            mapped = [
+                f
+                for f in live
+                if set(
+                    pq.ParquetFile(
+                        os.path.join(self.data_dir, f)
+                    ).schema_arrow.names
+                )
+                & stale
+            ]
+            if mapped:
+                raise ValueError(
+                    f"generate_manifest: {len(mapped)} live file(s) "
+                    "physically predate a column rename/drop (old "
+                    "column names / dropped-column bytes a log-"
+                    "oblivious external reader would surface); run "
+                    "reorg_purge(spark) first to rewrite them"
+                )
         stats = self.file_stats(v)
         pcols = self.partition_cols(v)
         groups: dict[str, list[str]] = {}
@@ -3640,13 +3790,27 @@ class TxnTable:
                 fh.write("\n".join(sorted(paths)) + "\n")
         os.makedirs(staging, exist_ok=True)  # empty table: empty manifest dir
         old = f"{final}.old-{uuid.uuid4().hex}"
+        moved = False
+        if os.path.isdir(final):
+            os.rename(final, old)
+            moved = True
         try:
-            if os.path.isdir(final):
-                os.rename(final, old)
             os.rename(staging, final)
-        finally:
-            shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            # a failed swap (e.g. a concurrent regeneration recreated
+            # _manifest between the rename-away and rename-in) must not
+            # leave the table with NO manifest: restore the saved one
+            # before re-raising (ADVICE r9)
+            if moved:
+                try:
+                    os.rename(old, final)
+                except OSError:
+                    pass
             shutil.rmtree(staging, ignore_errors=True)
+            raise
+        # discard the old manifest only after the new one landed
+        if moved:
+            shutil.rmtree(old, ignore_errors=True)
         return final
 
     def fsck(self, deep: bool = False) -> dict:
