@@ -1798,6 +1798,73 @@ def txn_convert_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_hive_convert_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_hive_convert_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned CONVERT TO DELTA under the gate (round 10;
+    sources/txn.py::convert_from_parquet on a ``col=value`` layout —
+    Delta's ``CONVERT TO DELTA ... PARTITIONED BY``): orders are first
+    written out hive-partitioned by o_orderstatus (so the data files
+    DROP the partition column, hive's defining quirk), then adopted by
+    hardlink with per-file partitionValues parsed from the directory
+    names. The aggregate grouped ON THE PROJECTED PARTITION COLUMN
+    must hash-match SQL over the original parquet — proving the
+    read-time projection (one broadcast join on __file) reconstructs
+    the column exactly. Pruning exactness is pinned inline: the
+    partition-value prune must select a strict file subset that is
+    value-pure for the probed status. Lifecycle (mixed appends, merge,
+    compact, clone, time travel, fsck) is pinned in
+    tests/test_txn_hive_partitioned.py."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"hiveconvert:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/hiveconvert-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        corpus = os.path.join(tmp_root, "corpus")
+        load_table(spark, "orders", sf_dir).write.partitionBy(
+            "o_orderstatus"
+        ).parquet(corpus)
+        TxnTable.convert_from_parquet(spark, tmp_root, "orders_hive", corpus)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_hive")
+    assert t.partition_cols() == ("o_orderstatus",) and t.hive_origin()
+    # pruning exactness, metadata-only: the probe selects a strict,
+    # value-pure subset of the live set
+    live = t.live_files()
+    pruned = t.prune_files(None, equals={"o_orderstatus": "F"})
+    stats = t.file_stats()
+    assert 0 < len(pruned) < len(live) and all(
+        stats[f]["partitionValues"] == {"o_orderstatus": "F"} for f in pruned
+    ), "hive partition prune must be exact"
+    return t.read(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
     "txn_clone_revenue",
     oracle="""
     SELECT o_orderstatus,

@@ -90,6 +90,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #        cms_token_frequencies, bpe_subword_stats,
     #        bigram_fluency_scores) — each keeps its r6 hash-green row
     #        + pytest pins and heads the r11 P2 queue by construction.
+    #   P1 late-add: txn_hive_convert_revenue (hive-partitioned
+    #        CONVERT gate, never driver-checked) enters at the head,
+    #        displacing bm25_keyword_search (r6-green; rotates back
+    #        under P2 next round).
+    "txn_hive_convert_revenue",
     "tpch_q10_returned_items",
     "tpch_q12_priority_classes",
     "tpch_q13_customer_distribution",
@@ -139,7 +144,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "join_skew_report",
     "winsorized_revenue_by_priority",
     "daily_category_report_approx",
-    "bm25_keyword_search",
 )
 
 

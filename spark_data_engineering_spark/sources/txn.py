@@ -286,6 +286,10 @@ class TxnTable:
         # refused). See partition_cols() for resolution.
         self._pcols_param = tuple(partition_cols)
         self._pcols_cache: tuple[str, ...] | None = None
+        # True once a hive-partitioned CONVERT adopted files that lack
+        # the partition columns physically — reads then project them
+        # from the per-file partitionValues (see _read_files_meta).
+        self._hive_cache: bool | None = None
         # generated columns (Delta's GENERATED ALWAYS AS): name -> SQL
         # expression, declared at creation, recorded in every commit,
         # immutable once recorded — see generated_cols() for resolution.
@@ -500,6 +504,35 @@ class TxnTable:
         self._pcols_cache = found or self._pcols_param
         return self._pcols_cache
 
+    def hive_origin(self, at_version: int | None = None) -> bool:
+        """True iff the table (at the version) has ever adopted
+        hive-partitioned files (``convert_from_parquet`` on a
+        ``col=value`` layout) — such files do NOT physically contain
+        the partition columns, so every read projects them from the
+        commit log's per-file ``partitionValues`` (one broadcast join
+        on ``__file``; see ``_read_files_meta``). A LOG property
+        resolved like ``partition_cols`` (latest commit carrying the
+        field) and re-stamped by ``_stamp_props`` so checkpoint
+        compaction can never lose it. Sticky by design: rewrites
+        (compact/reorg/merge) re-stage through ``_stage`` and
+        materialize real columns, but proving no hive-origin file
+        remains live would cost a footer walk — the projection is a
+        correct no-op over materialized files (coalesce of a non-null
+        column), so it simply stays on."""
+        head = self.version() if at_version is None else at_version
+        if at_version is None and self._hive_cache is not None:
+            return self._hive_cache
+        found = False
+        for v in reversed(self._commit_files()):
+            if v <= head:
+                c = self._read_commit(v)
+                if "hive_origin" in c:
+                    found = bool(c["hive_origin"])
+                    break
+        if at_version is None:
+            self._hive_cache = found
+        return found
+
     def generated_cols(self, at_version: int | None = None) -> dict[str, str]:
         """The table's generated columns (Delta's GENERATED ALWAYS AS):
         name -> SQL expression, a LOG property resolved exactly like
@@ -658,6 +691,8 @@ class TxnTable:
         ic = self.identity_cols(at_version)
         if ic:
             record["identity_cols"] = {k: dict(s) for k, s in ic.items()}
+        if self.hive_origin(at_version):
+            record["hive_origin"] = True
         return record
 
     def _with_generated(self, df: DataFrame) -> DataFrame:
@@ -1279,6 +1314,7 @@ class TxnTable:
         name: str,
         source: str,
         bloom_cols: tuple[str, ...] = (),
+        partition_schema: dict[str, str] | None = None,
     ) -> "TxnTable":
         """CONVERT TO DELTA analog: adopt an existing parquet file or
         directory into a NEW txn table without rewriting a byte — the
@@ -1299,44 +1335,111 @@ class TxnTable:
         - The single commit is action ``'convert'``: add-only, triaged
           as an append by streams and the change feed.
 
-        Hive-partitioned layouts are refused: hive drops the partition
-        columns from the data files, while this format keeps real
-        columns in the data (read + ``append`` through Spark instead).
+        HIVE-PARTITIONED layouts (``col=value`` dirs) are adopted too
+        (Delta's ``CONVERT TO DELTA ... PARTITIONED BY``): the data
+        files are hardlinked flat, each file's partition-value combo is
+        parsed from its directory path and recorded as the commit's
+        ``partitionValues`` (so exact partition pruning works from
+        v1), and the table is declared partitioned by those columns.
+        Hive drops the partition columns from the data files, so every
+        read projects them back per-file from the logged values -- one
+        broadcast join on ``__file`` (see ``_read_files_meta``), never
+        a rewrite; later appends/rewrites stage real columns and are
+        read unchanged. Partition column TYPES default to Spark's
+        partition-discovery inference over the source; pass
+        ``partition_schema`` (col -> Spark SQL type string, Delta's
+        CONVERT partition-schema argument) to pin them instead.
         """
         import uuid
+        from urllib.parse import unquote
 
         t = cls(root, name, bloom_cols=bloom_cols)
         if t.version() > 0:
             raise ValueError(
                 f"convert: table {t.table_dir} already has commits"
             )
+        hive_pvals: dict[str, dict] = {}
+        pcols: tuple[str, ...] = ()
         if os.path.isfile(source):
             srcs = [source]
         else:
             srcs = []
-            for dirpath, dirs, files in os.walk(source):
-                hive = [d for d in dirs if "=" in d]
-                if hive:
-                    raise ValueError(
-                        f"convert: {source} is hive-partitioned "
-                        f"({hive[0]!r}); its data files do not contain "
-                        "the partition columns — read it with Spark and "
-                        "append instead"
+            for dirpath, _dirs, files in os.walk(source):
+                fs = [f for f in files if f.endswith(".parquet")]
+                if not fs:
+                    continue
+                segs = [
+                    seg
+                    for seg in os.path.relpath(dirpath, source).split(os.sep)
+                    if "=" in seg
+                ]
+                vals: dict = {}
+                for seg in segs:
+                    k, _, v = seg.partition("=")
+                    vals[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(v)
                     )
-                srcs.extend(
-                    os.path.join(dirpath, f)
-                    for f in files
-                    if f.endswith(".parquet")
-                )
+                if vals and not pcols:
+                    pcols = tuple(vals)
+                if tuple(vals) != pcols:
+                    raise ValueError(
+                        f"convert: inconsistent hive partitioning under "
+                        f"{source}: {tuple(vals)} vs {pcols}"
+                    )
+                for f in fs:
+                    path = os.path.join(dirpath, f)
+                    srcs.append(path)
+                    if pcols:
+                        hive_pvals[path] = vals
             srcs.sort()
+            if pcols:
+                # files walked before the first col=value dir (e.g. at
+                # the source root) dodge the in-loop check — a mixed
+                # layout is refused, not half-adopted
+                bad = [
+                    s
+                    for s in srcs
+                    if s not in hive_pvals
+                    or tuple(hive_pvals[s]) != pcols
+                ]
+                if bad:
+                    raise ValueError(
+                        f"convert: inconsistent hive partitioning under "
+                        f"{source}: "
+                        f"{os.path.relpath(bad[0], source)!r} lacks "
+                        f"{pcols}"
+                    )
         if not srcs:
             raise ValueError(f"convert: no parquet files under {source}")
-        schema = [
-            {"name": f.name, "type": json.loads(f.dataType.json())}
-            for f in spark.read.option("mergeSchema", "true")
-            .parquet(source)
-            .schema.fields
-        ]
+        if partition_schema is not None and set(partition_schema) != set(
+            pcols
+        ):
+            raise ValueError(
+                f"convert: partition_schema names "
+                f"{sorted(partition_schema)} != discovered hive "
+                f"partition columns {sorted(pcols)}"
+            )
+        # schema via Spark's own reader: on a hive layout the partition
+        # discovery contributes typed partition columns (overridable
+        # via partition_schema); on a flat layout it is the merged file
+        # schema alone
+        inferred = (
+            spark.read.option("mergeSchema", "true").parquet(source).schema
+        )
+        schema = []
+        for f in inferred.fields:
+            ty = json.loads(f.dataType.json())
+            if partition_schema and f.name in partition_schema:
+                ty = json.loads(
+                    spark.createDataFrame(
+                        [], f"x {partition_schema[f.name]}"
+                    )
+                    .schema.fields[0]
+                    .dataType.json()
+                )
+            schema.append({"name": f.name, "type": ty})
         cid = uuid.uuid4().hex
         names: list[str] = []
         stats: dict[str, dict] = {}
@@ -1348,12 +1451,19 @@ class TxnTable:
             except OSError:
                 shutil.copy2(s, dest)  # cross-device: copy, still atomicized by the commit
             st = t._footer_minmax(dest)
+            if pcols:
+                st["partitionValues"] = {
+                    c: hive_pvals[s].get(c) for c in pcols
+                }
             for col in t.bloom_cols:
                 b = _file_bloom(dest, col)
                 if b is not None:
                     st[f"__bloom_{col}"] = b
             stats[nm] = st
             names.append(nm)
+        if pcols:
+            t._pcols_param = pcols  # declared by the layout itself
+            t._hive_cache = True
         t._commit("convert", names, [], stats, schema=schema)
         return t
 
@@ -1527,11 +1637,17 @@ class TxnTable:
         ``convert_from_parquet`` path — no byte rewrite; pruning and
         metadata-only ``count_rows`` see the files immediately). CHECK
         constraints ARE enforced (one scan of the new bytes via
-        ``_enforce_staged``). Partitioned / generated / identity-column
-        tables are refused — those writers must compute per-row values;
-        go through ``append``. ``force=True`` reloads every matched file
-        (Delta's COPY_OPTIONS force). Returns ``{'version',
-        'files_loaded', 'files_skipped'}``.
+        ``_enforce_staged``). On a PARTITIONED table the new files are
+        instead READ and re-staged through the value-pure partition
+        path ``append`` uses (``_stage`` + ``partitionBy``) — landing
+        files may mix partition values, and a value-impure file would
+        break exact pruning, so this is the one COPY INTO tier that
+        rewrites bytes (Databricks' COPY INTO always does); the
+        at-most-once source ledger is unchanged. Generated /
+        identity-column tables are refused — those writers must
+        compute per-row values; go through ``append``. ``force=True``
+        reloads every matched file (Delta's COPY_OPTIONS force).
+        Returns ``{'version', 'files_loaded', 'files_skipped'}``.
 
         Scale note: the loaded-identity set resolves by scanning
         ``'copy'`` commits in the log — at one COPY INTO per schedule
@@ -1539,11 +1655,6 @@ class TxnTable:
         set into checkpoints like the streaming watermarks."""
         import fnmatch
 
-        if self.partition_cols():
-            raise ValueError(
-                "copy_into: table is partitioned; partition staging needs "
-                "per-row values — write through append/Spark instead"
-            )
         if self.generated_cols() or self.identity_cols():
             raise ValueError(
                 "copy_into: table declares generated/identity columns; "
@@ -1587,22 +1698,31 @@ class TxnTable:
                     .parquet(*new)
                     .schema.fields
                 ]
-                cid = uuid.uuid4().hex
-                stats: dict[str, dict] = {}
-                for i, s in enumerate(new):
-                    nm = f"{cid}-y{i}.parquet"
-                    dest = os.path.join(self.data_dir, nm)
-                    try:
-                        os.link(s, dest)
-                    except OSError:
-                        shutil.copy2(s, dest)
-                    st = self._footer_minmax(dest)
-                    for col in self.bloom_cols:
-                        b = _file_bloom(dest, col)
-                        if b is not None:
-                            st[f"__bloom_{col}"] = b
-                    stats[nm] = st
-                    staged.append(nm)
+                if self.partition_cols():
+                    # partitioned target: read + re-stage value-pure
+                    # (landing files may mix partition values); stats
+                    # incl. partitionValues come from _stage
+                    add, stats = self._stage(
+                        spark.read.option("mergeSchema", "true").parquet(*new)
+                    )
+                    staged.extend(add)
+                else:
+                    cid = uuid.uuid4().hex
+                    stats = {}
+                    for i, s in enumerate(new):
+                        nm = f"{cid}-y{i}.parquet"
+                        dest = os.path.join(self.data_dir, nm)
+                        try:
+                            os.link(s, dest)
+                        except OSError:
+                            shutil.copy2(s, dest)
+                        st = self._footer_minmax(dest)
+                        for col in self.bloom_cols:
+                            b = _file_bloom(dest, col)
+                            if b is not None:
+                                st[f"__bloom_{col}"] = b
+                        stats[nm] = st
+                        staged.append(nm)
                 # one scan of the staged bytes; deletes them on refusal
                 self._enforce_staged(spark, staged, "copy_into")
             record = {
@@ -1622,7 +1742,9 @@ class TxnTable:
                     self._write_checkpoint(v)
                 return {
                     "version": v,
-                    "files_loaded": len(staged),
+                    # SOURCE files ingested (on a partitioned target the
+                    # staged value-pure file count can differ)
+                    "files_loaded": len(new),
                     "files_skipped": len(srcs) - len(new),
                 }
             # lost the CAS: a concurrent commit landed — maybe a COPY of
@@ -1838,7 +1960,61 @@ class TxnTable:
                 *[os.path.join(self.dv_dir, s) for s in sidecars]
             ).select(F.col("file").alias("__file"), F.col("row_index").alias("__ridx"))
             df = df.join(dv, ["__file", "__ridx"], "left_anti")
+        pcols = self.partition_cols(at_version)
+        if pcols and self.hive_origin(at_version):
+            # hive-converted files don't physically contain the
+            # partition columns (hive layout drops them): project each
+            # file's logged partitionValues back in via ONE broadcast
+            # join on __file — the Spark-native way to give every row
+            # its partition value without rewriting a byte. The map is
+            # file-count-sized (broadcastable at any data scale; 1M
+            # files ≈ tens of MB), built from the commit log — no
+            # listing, no footers. Files that DO carry the columns
+            # (appends, rewrites) win via coalesce, so mixed tables
+            # read correctly and the join is a no-op over them.
+            df = self._project_partition_values(spark, df, files, at_version)
         return df
+
+    def _project_partition_values(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        files: list[str],
+        at_version: int | None,
+    ) -> DataFrame:
+        """Coalesce each partition column with its per-file logged
+        partitionValue (cast to the declared logical type). See the
+        hive-convert note in ``_read_files_meta``."""
+        from pyspark.sql.types import _parse_datatype_json_value
+
+        pcols = self.partition_cols(at_version)
+        stats = self.file_stats(at_version)
+        types = {
+            s["name"]: _parse_datatype_json_value(s["type"])
+            for s in (self.table_schema(at_version) or [])
+        }
+        rows = [
+            tuple(
+                [f]
+                + [
+                    ((stats.get(f) or {}).get("partitionValues") or {}).get(c)
+                    for c in pcols
+                ]
+            )
+            for f in files
+        ]
+        pv_names = [f"__pv_{i}" for i in range(len(pcols))]
+        pv_map = spark.createDataFrame(
+            rows,
+            schema="__file string, " + ", ".join(f"{n} string" for n in pv_names),
+        )
+        df = df.join(F.broadcast(pv_map), "__file", "left")
+        for i, c in enumerate(pcols):
+            mapped = F.col(pv_names[i]).cast(types.get(c, "string"))
+            df = df.withColumn(
+                c, F.coalesce(F.col(c), mapped) if c in df.columns else mapped
+            )
+        return df.drop(*pv_names)
 
     def read(
         self,

@@ -180,12 +180,17 @@ def test_copy_into_enforces_constraints(spark, tmp_path):
     assert t.count_rows() == 10
 
 
-def test_copy_into_refuses_partitioned_and_generated(spark, tmp_path):
+def test_copy_into_refuses_generated(spark, tmp_path):
+    # partitioned targets are supported as of round 10 (value-pure
+    # re-staging; tests/test_txn_hive_partitioned.py); generated /
+    # identity columns still refuse
     land = str(tmp_path / "landing")
     _drop(spark, land, 0, 10)
-    tp = TxnTable(str(tmp_path / "tp"), "tp", partition_cols=("v",))
-    with pytest.raises(ValueError, match="partitioned"):
-        tp.copy_into(spark, land)
+    tg = TxnTable(
+        str(tmp_path / "tg"), "tg", generated_cols={"v2": "v * 2"}
+    )
+    with pytest.raises(ValueError, match="generated"):
+        tg.copy_into(spark, land)
 
 
 def test_copy_into_ledger_survives_clone(spark, tmp_path):

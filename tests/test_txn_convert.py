@@ -78,13 +78,6 @@ def test_convert_refusals(spark, tmp_path, source_dir):
     t.append(spark.range(3))
     with pytest.raises(ValueError, match="already has commits"):
         TxnTable.convert_from_parquet(spark, str(tmp_path), "t", source_dir)
-    # hive-partitioned layout
-    hive = str(tmp_path / "hive")
-    spark.range(10).withColumn("p", F.col("id") % 2).write.partitionBy(
-        "p"
-    ).parquet(hive)
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        TxnTable.convert_from_parquet(spark, str(tmp_path), "h", hive)
     # empty source
     empty = str(tmp_path / "empty")
     os.makedirs(empty)

@@ -1,0 +1,209 @@
+"""Round-10 surfaces: hive-partitioned CONVERT TO DELTA and COPY INTO
+on partitioned targets (VERDICT r9 tasks 5 & 6).
+
+Hive layouts drop the partition columns from the data files; the
+convert adopts them by hardlink anyway, records each file's
+partition-value combo from its ``col=value`` path, and every read
+projects the columns back via one broadcast join on ``__file``
+(``TxnTable._read_files_meta`` / ``hive_origin``). COPY INTO on a
+partitioned target re-stages landing files through the value-pure
+partition path ``append`` uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources.txn import TxnTable
+
+
+@pytest.fixture()
+def hive_src(spark, tmp_path):
+    """A hive-partitioned corpus: 10 rows over parts a(5)/b(5)."""
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", part=("a" if i < 5 else "b")) for i in range(10)]
+    ).write.partitionBy("part").parquet(src)
+    return src
+
+
+def test_hive_convert_adopts_and_reads_back(spark, tmp_path, hive_src):
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    assert t.partition_cols() == ("part",)
+    assert t.hive_origin()
+    got = {(r.k, r.v, r.part) for r in t.read(spark).collect()}
+    want = {
+        (i, f"v{i}", "a" if i < 5 else "b") for i in range(10)
+    }
+    assert got == want
+    # hardlinked, not copied
+    for f in t.live_files():
+        assert os.stat(os.path.join(t.data_dir, f)).st_nlink >= 2
+    assert t.count_rows() == 10  # metadata-only
+
+
+def test_hive_convert_partition_pruning_exact(spark, tmp_path, hive_src):
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    live = t.live_files()
+    pruned = t.prune_files(None, equals={"part": "a"})
+    assert 0 < len(pruned) < len(live)
+    # every pruned-in file really is part=a (value purity from the
+    # hive layout itself)
+    stats = t.file_stats()
+    for f in pruned:
+        assert stats[f]["partitionValues"] == {"part": "a"}
+    assert t.read(spark, prune_eq={"part": "a"}).count() == 5
+
+
+def test_hive_convert_typed_partition_inference(spark, tmp_path):
+    src = str(tmp_path / "nums")
+    spark.createDataFrame(
+        [Row(k=i, bucket=i % 3) for i in range(9)]
+    ).write.partitionBy("bucket").parquet(src)
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", src)
+    # Spark's partition discovery inferred an integer type; the
+    # projection casts the dir-name strings back to it
+    [bt] = [
+        f.dataType.simpleString()
+        for f in t.read(spark).schema.fields
+        if f.name == "bucket"
+    ]
+    assert bt in ("int", "bigint")
+    assert t.read(spark).groupBy("bucket").count().count() == 3
+
+
+def test_hive_convert_partition_schema_override(spark, tmp_path):
+    src = str(tmp_path / "nums")
+    spark.createDataFrame(
+        [Row(k=i, bucket=i % 3) for i in range(9)]
+    ).write.partitionBy("bucket").parquet(src)
+    t = TxnTable.convert_from_parquet(
+        spark, str(tmp_path), "t", src, partition_schema={"bucket": "string"}
+    )
+    [bt] = [
+        f.dataType.simpleString()
+        for f in t.read(spark).schema.fields
+        if f.name == "bucket"
+    ]
+    assert bt == "string"
+    with pytest.raises(ValueError, match="partition_schema names"):
+        TxnTable.convert_from_parquet(
+            spark, str(tmp_path), "t2", src, partition_schema={"wrong": "int"}
+        )
+
+
+def test_hive_table_mixed_appends_and_merge(spark, tmp_path, hive_src):
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    # appends stage REAL columns; reads of the mixed table coalesce
+    t.append(spark.createDataFrame([Row(k=100, v="x", part="c")]))
+    assert sorted(
+        r.part for r in t.read(spark).select("part").distinct().collect()
+    ) == ["a", "b", "c"]
+    # MERGE rewrites a hive-origin file: the rewritten rows carry the
+    # projected value into real columns
+    t.merge(
+        spark, spark.createDataFrame([Row(k=1, v="UPD", part="a")]), on=["k"]
+    )
+    assert {(r.k, r.v, r.part) for r in t.read(spark).filter("k = 1").collect()} == {
+        (1, "UPD", "a")
+    }
+    assert t.read(spark).count() == 11
+
+
+def test_hive_origin_survives_reopen_compact_and_clone(
+    spark, tmp_path, hive_src
+):
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    # a bare reopen resolves hive_origin from the log
+    t2 = TxnTable(str(tmp_path), "t")
+    assert t2.hive_origin()
+    assert t2.read(spark).count() == 10
+    # compact materializes real columns; reads stay correct (the
+    # projection is a no-op coalesce over them)
+    t2.compact(spark)
+    assert {r.part for r in t2.read(spark).collect()} == {"a", "b"}
+    # clone carries the flag and the partitionValues
+    c = t2.clone(str(tmp_path / "clones"), "c")
+    assert c.hive_origin()
+    assert c.read(spark).count() == 10
+
+
+def test_hive_convert_time_travel(spark, tmp_path, hive_src):
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    t.delete_where(spark, F.col("part") == "a")
+    assert t.read(spark).count() == 5
+    assert t.read(spark, at_version=1).count() == 10
+    assert {
+        r.part for r in t.read(spark, at_version=1).select("part").distinct().collect()
+    } == {"a", "b"}
+
+
+def test_hive_convert_fsck_clean(spark, tmp_path, hive_src):
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    rep = t.fsck(deep=True)
+    assert rep["ok"], rep
+
+
+def test_hive_convert_inconsistent_layout_refused(spark, tmp_path):
+    src = str(tmp_path / "bad")
+    spark.createDataFrame([Row(k=1, p="a")]).write.partitionBy("p").parquet(
+        src
+    )
+    # sneak an unpartitioned file into the root
+    spark.createDataFrame([Row(k=2)]).coalesce(1).write.parquet(
+        str(tmp_path / "flat")
+    )
+    import shutil
+
+    for f in os.listdir(str(tmp_path / "flat")):
+        if f.endswith(".parquet"):
+            shutil.copy2(
+                os.path.join(str(tmp_path / "flat"), f), os.path.join(src, f)
+            )
+    with pytest.raises(ValueError, match="inconsistent hive partitioning"):
+        TxnTable.convert_from_parquet(spark, str(tmp_path), "t", src)
+
+
+# ------------------------------------------------- partitioned COPY INTO
+
+
+def test_copy_into_partitioned_value_pure(spark, tmp_path):
+    land = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 == 0 else "b")) for i in range(10)]
+    ).coalesce(1).write.parquet(land)  # ONE value-impure landing file
+    t = TxnTable(str(tmp_path), "t", partition_cols=("part",))
+    r = t.copy_into(spark, land)
+    assert r["files_loaded"] == 1
+    assert t.count_rows() == 10
+    # every staged file is value-pure with recorded partitionValues
+    stats = t.file_stats()
+    assert len(stats) >= 2
+    for f, st in stats.items():
+        pv = st["partitionValues"]["part"]
+        assert pv in ("a", "b")
+    assert t.read(spark, prune_eq={"part": "a"}).count() == 5
+
+
+def test_copy_into_partitioned_ledger_idempotent(spark, tmp_path):
+    land = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [Row(k=i, part="a") for i in range(5)]
+    ).coalesce(1).write.parquet(land)
+    t = TxnTable(str(tmp_path), "t", partition_cols=("part",))
+    r1 = t.copy_into(spark, land)
+    r2 = t.copy_into(spark, land)
+    assert r1["files_loaded"] == 1
+    assert r2 == {
+        "version": t.version(),
+        "files_loaded": 0,
+        "files_skipped": 1,
+    }
+    assert t.count_rows() == 5
+    r3 = t.copy_into(spark, land, force=True)
+    assert r3["files_loaded"] == 1
+    assert t.count_rows() == 10
