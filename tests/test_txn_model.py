@@ -18,6 +18,27 @@ one) joins the op mix, and the FSCK invariant runs after EVERY op
 (shallow log-vs-disk check; one deep footer pass per sequence at the
 end) — any op that commits a reference to a file or sidecar it did
 not actually leave on disk now fails the search immediately.
+
+Round-10 dimensions (VERDICT r9 task 7): the round-9 maintenance
+surfaces join the mix so ledger inheritance, property snapshots, and
+clone isolation interact with the full lifecycle under
+FSCK-after-every-op:
+  - ``set_props``: TBLPROPERTIES set/unset cycles — a property-model
+    dict is asserted equal after every op (CAS metadata commits must
+    be data no-ops AND property merges must fold exactly);
+  - ``clone_cycle``: SHALLOW CLONE at head — the clone must read the
+    model exactly, mutating the clone must not leak into the parent,
+    and the clone's own fsck must pass;
+  - ``copy_into_cycle``: landing-zone ingest + immediate replay — the
+    replay must load 0 files (at-most-once ledger) at any point in
+    the lifecycle; on generated/identity tables the op must REFUSE as
+    a perfect no-op; on partitioned tables it exercises the round-10
+    value-pure re-staging path;
+  - ``convert_seed``: when the table has no commits yet, seed it via
+    CONVERT TO DELTA instead of append — on a partitioned run the
+    corpus is written hive-partitioned (round-10 adoption path), so
+    EVERY subsequent op in the sequence runs against a hive-origin
+    table whose reads project partition values from the log.
 """
 
 from __future__ import annotations
@@ -99,6 +120,28 @@ _op = st.one_of(
     # violates), a possibly-violating append (refused atomically,
     # staged bytes cleaned), then drop — table state must match the
     # model through every refusal
+    # TBLPROPERTIES set/unset (round 10): pure-metadata CAS commits —
+    # data must be untouched, the property model must fold exactly
+    st.tuples(st.just("set_props"), st.integers(0, 99)),
+    # SHALLOW CLONE at head (round 10): clone == model, clone mutation
+    # never leaks into the parent, clone fsck passes
+    st.tuples(
+        st.just("clone_cycle"), st.lists(st.integers(0, 99), max_size=3)
+    ),
+    # COPY INTO + immediate replay (round 10): at-most-once ledger at
+    # any lifecycle point; refused (perfect no-op) on generated /
+    # identity tables; value-pure re-staging on partitioned ones
+    st.tuples(
+        st.just("copy_into_cycle"),
+        st.lists(st.integers(0, 99), min_size=1, max_size=4),
+    ),
+    # CONVERT TO DELTA seed (round 10): only fires while the table has
+    # no commits — on partitioned runs the corpus is hive-partitioned,
+    # making the whole remaining sequence run hive-origin
+    st.tuples(
+        st.just("convert_seed"),
+        st.lists(st.integers(0, 99), min_size=1, max_size=4),
+    ),
     st.tuples(
         st.just("constraint_cycle"),
         st.integers(0, 99),
@@ -161,6 +204,8 @@ def test_random_op_sequence_matches_model(
     last_epoch = 0  # exactly-once watermark model for app "m"
     vacuumed = False  # read_changes(0) needs every historical file
     n_branches = 0
+    prop_model: dict[str, str] = {}  # TBLPROPERTIES model (round 10)
+    n_side = 0  # landing/clone/corpus dir counter (round 10)
 
     def df_of(vals):
         return spark.createDataFrame([(v,) for v in vals], "val int").coalesce(1)
@@ -344,6 +389,67 @@ def test_random_op_sequence_matches_model(
                 # persistent, never-violated (vals are 0..99; update
                 # adds +100): later ops run under an active CHECK
                 table.add_constraint(spark, "nonneg", "val >= 0")
+        elif op[0] == "set_props":
+            # pure-metadata CAS commit; every 3rd draw unsets instead.
+            # The prop_model equality below (after every op) pins that
+            # merges fold exactly and nothing else disturbs them.
+            k = f"k{op[1] % 3}"
+            if op[1] % 3 == 2 and k in prop_model:
+                table.unset_properties([k])
+                prop_model.pop(k, None)
+            else:
+                table.set_properties({k: str(op[1])})
+                prop_model[k] = str(op[1])
+        elif op[0] == "clone_cycle":
+            if table.version() == 0:
+                continue
+            n_side += 1
+            c = table.clone(os.path.join(root, "clones"), f"c{n_side}")
+            got = sorted(r.val for r in c.read(spark).collect())
+            assert got == sorted(model), "clone != parent snapshot"
+            assert c.properties() == prop_model, "clone props diverged"
+            if op[1]:
+                c.append(df_of(op[1]))  # must NOT leak into the parent
+            assert c.fsck()["ok"], "clone fsck"
+        elif op[0] == "copy_into_cycle":
+            n_side += 1
+            land = os.path.join(root, f"landing{n_side}")
+            df_of(op[1]).write.parquet(land)
+            if generated or identity:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError, match="generated"):
+                    table.copy_into(spark, land)
+            else:
+                r1 = table.copy_into(spark, land)
+                assert r1["files_loaded"] >= 1
+                model.extend(op[1])
+                # immediate replay: the at-most-once ledger must hold
+                # at ANY point in the lifecycle
+                r2 = table.copy_into(spark, land)
+                assert r2["files_loaded"] == 0, "COPY INTO replayed"
+        elif op[0] == "convert_seed":
+            # only meaningful as the table's FIRST commit, and convert
+            # declares no generated/identity columns
+            if table.version() != 0 or generated or identity:
+                continue
+            n_side += 1
+            corpus = os.path.join(root, f"corpus{n_side}")
+            if partitioned:
+                # hive layout (round 10): data files DROP val; every
+                # later op runs against a hive-origin table whose reads
+                # project it from the log. A pad column keeps Spark's
+                # all-columns-partitioning refusal away; appends lack
+                # it and read NULL (never asserted on).
+                df_of(op[1]).withColumn(
+                    "pad", F.col("val") * 10
+                ).write.partitionBy("val").parquet(corpus)
+            else:
+                df_of(op[1]).write.parquet(corpus)
+            TxnTable.convert_from_parquet(spark, root, "t", corpus)
+            model.extend(op[1])
+            if partitioned:
+                assert table.hive_origin(), "hive origin not recorded"
         elif op[0] == "restore":
             if not snapshots or table.version() == 0:
                 continue
@@ -409,6 +515,9 @@ def test_random_op_sequence_matches_model(
         if table.version() > 0:
             snapshots[table.version()] = sorted(model)
         assert read_vals() == sorted(model), f"after {op}"
+        # TBLPROPERTIES model (round 10): metadata commits fold exactly
+        # and no data op disturbs them
+        assert table.properties() == prop_model, f"props after {op}"
         # FSCK invariant (round 9): after EVERY op the log's promises
         # hold on disk — no live file missing, no referenced sidecar
         # gone. Shallow tier only (metadata + existence) so the search

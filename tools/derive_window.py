@@ -111,6 +111,32 @@ def derive() -> tuple[list[str], dict[str, str]]:
 
 def main() -> int:
     window, rationales = derive()
+    if "--staleness" in sys.argv:
+        # one-line evidence-staleness report (VERDICT r9 task 8): per-
+        # round cohort sizes over every oracled query, the oldest
+        # cohort, and how much of it the current window refreshes.
+        from spark_data_engineering_spark import registry
+
+        registry.load_all()
+        names = list(registry.QUERIES)
+        evidence = newest_green()
+        never = [n for n in names if n not in evidence]
+        hist: dict[int, int] = {}
+        for n in names:
+            if n in evidence:
+                hist[evidence[n]] = hist.get(evidence[n], 0) + 1
+        oldest = min(hist) if hist else None
+        in_window = sum(
+            1 for n in window if evidence.get(n) == oldest
+        )
+        cohorts = " ".join(f"r{r}={hist[r]}" for r in sorted(hist))
+        print(
+            f"staleness: {len(names)} oracled, never-checked={len(never)}, "
+            f"cohorts[{cohorts}], oldest=r{oldest} "
+            f"({hist.get(oldest, 0)} queries, {in_window} in the current "
+            "window)"
+        )
+        return 0
     if "--check" in sys.argv:
         from spark_data_engineering_spark.registry import CHECK_PRIORITY
 
