@@ -1798,6 +1798,90 @@ def txn_convert_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_analyze_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    """,
+)
+def txn_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE under the gate (round 10; sources/txn.py::analyze
+    — Spark/Delta's COMPUTE STATISTICS FOR COLUMNS): orders are
+    adopted into a txn table, analyzed in ONE aggregate pass (exact
+    COUNT DISTINCT here so DuckDB can oracle it; the 100 TB tier is
+    ``approx=True`` HLL), and the committed metadata payload — read
+    back via ``column_stats()`` with NO data scan — must hash-match
+    SQL computed directly over the parquet. This is the property that
+    makes stats trustworthy for a cost-based planner: the log carries
+    exactly what a full recompute would say, pinned per column
+    (null count, NDV, min, max as strings)."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"analyze:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/analyze-{digest}"
+    cols = ("o_custkey", "o_orderstatus", "o_orderpriority")
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable.convert_from_parquet(
+            spark, tmp_root, "orders_an", f"{sf_dir}/orders.parquet"
+        )
+        t.analyze(spark, columns=cols)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_an")
+    cs = t.column_stats()  # metadata-only read-back
+    assert cs and set(cs["columns"]) == set(cols), cs
+    rows = [
+        (
+            c,
+            int(cs["rows"]),
+            int(cs["columns"][c]["num_nulls"]),
+            int(cs["columns"][c]["distinct_count"]),
+            cs["columns"][c]["min"],
+            cs["columns"][c]["max"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_rows bigint, n_nulls bigint, ndv bigint, "
+        "min_val string, max_val string",
+    )
+
+
+@query(
     "txn_hive_convert_revenue",
     oracle="""
     SELECT o_orderstatus,

@@ -2277,19 +2277,24 @@ class TxnTable:
         # target rows take the regenerated value and inserted rows carry
         # one from the start (Delta regenerates on MERGE the same way)
         source = self._with_generated(source)
-        src = source.cache()
+        # Size-gate the source side (round 10; VERDICT r9 #1): every
+        # join below hints F.broadcast on a frame derived from ``src``
+        # — right for CDC micro-batches (one shuffle-free pass per
+        # file, the plan streaming/upsert.py relies on), impossible for
+        # the snapshot-sync merges (when_not_matched_by_source) whose
+        # source is by definition comparable to the table. Above the
+        # threshold the hint degrades to identity (equi-joins ship as
+        # plain shuffle joins, AQE picks the strategy) AND the source
+        # is NOT cached — persisting a table-sized frame to executor
+        # storage is its own scale-killer. Multi-pass consistency for
+        # big sources comes from plan pinning instead: txn reads embed
+        # a version's file list at plan time and parquet scans pin
+        # their file index, so re-evaluation sees the same rows (a
+        # genuinely non-deterministic big source is the caller's bug).
+        n_src = source.count()
+        bhint = self._merge_src_hint(spark, source, n_src)
+        src = source if bhint is not F.broadcast else source.cache()
         try:
-            # Size-gate the source-side broadcast (round 10; VERDICT r9
-            # #1): every join below hints F.broadcast on a frame derived
-            # from ``src`` — right for CDC micro-batches (one
-            # shuffle-free pass per file, the plan streaming/upsert.py
-            # relies on), impossible for the snapshot-sync merges
-            # (when_not_matched_by_source) whose source is by definition
-            # comparable to the table. The count materializes the cache
-            # once (every pass below reuses it); above the threshold the
-            # hint degrades to identity, the equi-joins ship as plain
-            # shuffle joins, and AQE picks the physical strategy.
-            bhint = self._merge_src_hint(spark, src, src.count())
             # pin ONE snapshot for every target read in this merge: the
             # touched-file discovery and the insert anti-join must see
             # the same version, or a concurrent append landing between
@@ -3060,6 +3065,87 @@ class TxnTable:
         raise ConcurrentWriteError(
             "set_properties: lost the commit race 5 times; retry"
         )
+
+    def analyze(
+        self,
+        spark: SparkSession,
+        columns: "list[str] | tuple[str, ...] | None" = None,
+        approx: bool = False,
+    ) -> dict:
+        """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS analog:
+        one pass over the snapshot computes per-column ``num_nulls``,
+        ``distinct_count``, ``min``/``max`` (as strings, Delta's
+        rendering) plus the row count, and commits them as a
+        metadata-only ``'analyze'`` record — net-zero for every
+        dispatcher (CDF, streams, restore), resolved by
+        ``column_stats()`` like TBLPROPERTIES. The payload a
+        cost-based planner or an operator dashboard reads without
+        touching data.
+
+        ``approx=True`` swaps exact COUNT(DISTINCT) for HyperLogLog
+        ``approx_count_distinct`` (rsd 1%) — the 100 TB tier: exact
+        multi-column distincts explode into one expand-shuffle per
+        column, HLL folds map-side into one pass. min/max/null counts
+        are exact either way. The analyzed snapshot version rides the
+        record (``analyze_snapshot``) so staleness is measurable."""
+        v_snap = self.version()
+        df = self.read(spark, at_version=v_snap)
+        cols = list(columns) if columns else list(df.columns)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"analyze: no such column(s) {missing}")
+        ndv = F.approx_count_distinct if approx else F.count_distinct
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(cols):
+            aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+            aggs.append(ndv(F.col(c)).alias(f"__ndv_{i}"))
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{i}"))
+        row = df.agg(*aggs).collect()[0]
+        stats = {
+            c: {
+                "num_nulls": int(row["__n"]) - int(row[f"__nn_{i}"]),
+                "distinct_count": int(row[f"__ndv_{i}"]),
+                "min": row[f"__min_{i}"],
+                "max": row[f"__max_{i}"],
+            }
+            for i, c in enumerate(cols)
+        }
+        for _ in range(5):
+            v0 = self.version()
+            rec = {
+                "version": v0 + 1,
+                "action": "analyze",
+                "add": [],
+                "remove": [],
+                "column_stats": stats,
+                "analyze_rows": int(row["__n"]),
+                "analyze_snapshot": v_snap,
+                "analyze_approx": bool(approx),
+            }
+            self._stamp_props(rec)
+            if self._try_commit(rec):
+                return stats
+        raise ConcurrentWriteError("analyze: lost the commit race 5 times")
+
+    def column_stats(self, at_version: int | None = None) -> dict:
+        """The newest ANALYZE payload at a version: ``{"columns":
+        {col: {num_nulls, distinct_count, min, max}}, "rows": n,
+        "snapshot": v, "approx": bool}`` — or ``{}`` if the table was
+        never analyzed. Resolution mirrors ``properties`` (latest
+        commit carrying the field wins)."""
+        head = self.version() if at_version is None else at_version
+        for v in reversed(self._commit_files()):
+            if v <= head:
+                c = self._read_commit(v)
+                if "column_stats" in c:
+                    return {
+                        "columns": dict(c["column_stats"]),
+                        "rows": c.get("analyze_rows"),
+                        "snapshot": c.get("analyze_snapshot"),
+                        "approx": c.get("analyze_approx", False),
+                    }
+        return {}
 
     def unset_properties(self, keys: "list[str] | tuple[str, ...]") -> int:
         """ALTER TABLE UNSET TBLPROPERTIES — unknown keys refused loudly
@@ -4172,9 +4258,10 @@ class TxnTable:
                 "constraint-drop",
                 "properties-set",
                 "properties-unset",
+                "analyze",
             ):
                 continue  # net-zero row change by construction (the
-                # constraint/property DDLs are pure metadata)
+                # constraint/property/ANALYZE DDLs are pure metadata)
             if c.get("cdf_add"):
                 # merge(cdf=True): the change rows were persisted at
                 # commit time — a pure scan with full update_preimage /
@@ -4209,17 +4296,24 @@ class TxnTable:
                 # and never deleted, so a CDF fold over the branch would
                 # diverge from the branch read. (The "branch" seed itself
                 # lands in the generic diff arm below: pure inserts.)
+                dv_files = sorted(c.get("dv_counts", {}))
                 raw = (
                     spark.read.option("mergeSchema", "true")
                     .parquet(
-                        *[
-                            os.path.join(self.data_dir, n)
-                            for n in sorted(c.get("dv_counts", {}))
-                        ]
+                        *[os.path.join(self.data_dir, n) for n in dv_files]
                     )
                     .withColumn("__file", F.col("_metadata.file_name"))
                     .withColumn("__ridx", F.col("_metadata.row_index"))
                 )
+                if self.partition_cols(v) and self.hive_origin(v):
+                    # hive-origin files lack the partition columns
+                    # physically — without the projection the delete
+                    # images would carry NULLs there and a CDF fold
+                    # would diverge (round-10 model-search find:
+                    # convert_seed -> branch DV delete)
+                    raw = self._project_partition_values(
+                        spark, raw, dv_files, v
+                    )
                 sc = spark.read.parquet(
                     os.path.join(self.dv_dir, c["dv_add"])
                 ).select(

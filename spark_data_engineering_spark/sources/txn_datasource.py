@@ -775,6 +775,7 @@ class TxnStreamReader(DataSourceStreamReader):
                 "constraint-drop",
                 "properties-set",
                 "properties-unset",
+                "analyze",
             ):
                 # CHECK-constraint / TBLPROPERTIES DDL: pure metadata,
                 # no row changes in either mode

@@ -1,0 +1,73 @@
+"""ANALYZE TABLE (round 10): one-pass column statistics committed as a
+metadata-only 'analyze' record, read back via column_stats() with no
+data scan; net-zero for CDF and streams."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources.txn import TxnTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(
+        spark.createDataFrame(
+            [Row(k=i, s=("x" if i % 3 == 0 else None)) for i in range(30)]
+        )
+    )
+    return t
+
+
+def test_analyze_exact_stats(spark, table):
+    stats = table.analyze(spark)
+    assert stats["k"] == {
+        "num_nulls": 0,
+        "distinct_count": 30,
+        "min": "0",
+        "max": "29",
+    }
+    assert stats["s"]["num_nulls"] == 20
+    assert stats["s"]["distinct_count"] == 1
+    # metadata read-back without a scan
+    cs = table.column_stats()
+    assert cs["columns"] == stats
+    assert cs["rows"] == 30 and cs["approx"] is False
+    assert cs["snapshot"] == 1
+
+
+def test_analyze_approx_tier(spark, table):
+    stats = table.analyze(spark, columns=["k"], approx=True)
+    # HLL at rsd 1%: exact at this cardinality, and flagged approx
+    assert abs(stats["k"]["distinct_count"] - 30) <= 1
+    assert table.column_stats()["approx"] is True
+
+
+def test_analyze_unknown_column_refused(spark, table):
+    with pytest.raises(ValueError, match="no such column"):
+        table.analyze(spark, columns=["nope"])
+
+
+def test_analyze_is_net_zero_for_cdf_and_resolution(spark, table):
+    v_before = table.version()
+    table.analyze(spark, columns=["k"])
+    assert table.version() == v_before + 1
+    # CDF across the analyze commit: no row changes
+    assert table.read_changes(spark, v_before, table.version()).count() == 0
+    # newest analyze wins; survives later data commits
+    table.append(spark.createDataFrame([Row(k=100, s="y")]))
+    cs = table.column_stats()
+    assert cs["columns"]["k"]["max"] == "29"  # stats are a snapshot
+    assert cs["snapshot"] == v_before
+    # re-analyze folds the new data
+    table.analyze(spark, columns=["k"])
+    assert table.column_stats()["columns"]["k"]["max"] == "100"
+
+
+def test_analyze_empty_table_raises_by_read_contract(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    with pytest.raises(FileNotFoundError):
+        t.analyze(spark)

@@ -168,6 +168,30 @@ def test_hive_convert_inconsistent_layout_refused(spark, tmp_path):
         TxnTable.convert_from_parquet(spark, str(tmp_path), "t", src)
 
 
+def test_hive_dv_delete_cdf_images_carry_partition_values(
+    spark, tmp_path, hive_src
+):
+    """Round-10 model-search find: the delete_dv arm of read_changes
+    read data files RAW (bypassing the partition-value projection), so
+    DV-delete images on hive-origin files carried NULL partition
+    columns and a CDF fold diverged. Pinned: fold(read_changes) ==
+    final state through a DV delete keyed on data AND grouped by the
+    projected partition column."""
+    from collections import Counter
+
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    t.delete_where_dv(spark, F.col("k") < 3)
+    fold: Counter = Counter()
+    for r in t.read_changes(spark, 0).collect():
+        assert r.part is not None, "change image lost its partition value"
+        fold[(r.k, r.part)] += 1 if r._change_type == "insert" else -1
+    folded = sorted(k for k, n in fold.items() for _ in range(n))
+    want = sorted(
+        (r.k, r.part) for r in t.read(spark).collect()
+    )
+    assert folded == want
+
+
 # ------------------------------------------------- partitioned COPY INTO
 
 
