@@ -4006,6 +4006,13 @@ class TxnTable:
             "constraints": dict(self.constraints(v)),
             "properties": dict(self.properties(v)),
             "branches": branches,
+            # round 10: hive-adopted files present (reads project
+            # partition values), and the newest ANALYZE snapshot
+            # version (None = never analyzed) for staleness checks
+            "hive_origin": self.hive_origin(v) if v else False,
+            "analyzed_snapshot": (self.column_stats(v) or {}).get(
+                "snapshot"
+            ),
         }
 
     def generate_manifest(self, at_version: int | None = None) -> str:
