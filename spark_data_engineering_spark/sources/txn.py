@@ -2094,10 +2094,22 @@ class TxnTable:
         return self._conform(df, at_version)
 
     @staticmethod
-    def _merge_src_hint(spark: SparkSession, src: DataFrame, n_rows: int):
+    def _merge_src_hint(
+        spark: SparkSession, src: DataFrame, n_rows: "int | None" = None
+    ):
         """The MERGE source-side broadcast gate. Returns a frame wrapper:
-        ``F.broadcast`` when the source's estimated size (rows × schema
-        width) fits under the threshold, identity otherwise.
+        ``F.broadcast`` when the source's estimated size fits under the
+        threshold, identity otherwise.
+
+        Two estimate tiers so the CDC hot path never pays a job:
+        Catalyst's ``optimizedPlan().stats().sizeInBytes`` is read
+        first — instant, exact for local relations and file-size-based
+        for parquet scans, and it only ever OVER-estimates (no
+        filter-selectivity credit), so a below-threshold answer is
+        safe to broadcast on immediately. Only when that estimate is
+        unavailable or above the threshold does the gate fall back to
+        a row-count probe (``n_rows``, counted lazily by the caller)
+        × schema width.
 
         Threshold resolution: ``spark.spark_graft.merge.broadcastThreshold``
         if set, else the session's ``spark.sql.autoBroadcastJoinThreshold``.
@@ -2124,6 +2136,21 @@ class TxnTable:
         limit = _size_bytes(raw)
         if limit <= 0:
             return lambda df: df
+        try:
+            est = int(
+                str(
+                    src._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            est = None
+        if est is not None and est <= limit:
+            return F.broadcast  # plan stats say small — no job needed
+        if n_rows is None:
+            n_rows = src.count()
         if n_rows * _est_row_bytes(src.schema) <= limit:
             return F.broadcast
         return lambda df: df
@@ -2291,8 +2318,7 @@ class TxnTable:
         # a version's file list at plan time and parquet scans pin
         # their file index, so re-evaluation sees the same rows (a
         # genuinely non-deterministic big source is the caller's bug).
-        n_src = source.count()
-        bhint = self._merge_src_hint(spark, source, n_src)
+        bhint = self._merge_src_hint(spark, source)
         src = source if bhint is not F.broadcast else source.cache()
         try:
             # pin ONE snapshot for every target read in this merge: the
