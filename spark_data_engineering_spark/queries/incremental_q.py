@@ -1798,6 +1798,59 @@ def txn_convert_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_show_partitions",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def txn_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW PARTITIONS under the gate (round 10; sources/txn.py::
+    show_partitions): orders land value-pure partitioned by
+    o_orderstatus, a 1-in-7 slice is DV-deleted (merge-on-read, no
+    rewrite), and the per-partition row counts — answered PURELY from
+    commit-log metadata (``__num_rows`` minus per-file DV-deleted
+    counts, zero data pages) — must hash-match SQL COUNTs over the
+    surviving rows. The operator view that decides scoped OPTIMIZE /
+    retention targets at 100 TB without listing a single object."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"showparts:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/showparts-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(
+            tmp_root, "orders_sp", partition_cols=("o_orderstatus",)
+        )
+        t.append(load_table(spark, "orders", sf_dir))
+        t.delete_where_dv(spark, F.col("o_orderkey") % 7 == 0)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_sp")
+    parts = t.show_partitions()  # metadata-only: no Spark job
+    rows = [
+        (p["values"]["o_orderstatus"], int(p["num_rows"])) for p in parts
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_rows bigint"
+    )
+
+
+@query(
     "txn_analyze_stats",
     oracle="""
     SELECT 'o_custkey' AS col_name,

@@ -94,12 +94,17 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #        CONVERT gate, never driver-checked) enters at the head,
     #        displacing bm25_keyword_search (r6-green; rotates back
     #        under P2 next round).
+    #   P1 late-add 3: txn_show_partitions (SHOW PARTITIONS gate,
+    #        never driver-checked) enters at the head, displacing
+    #        winsorized_revenue_by_priority (r6-green; rotates back
+    #        under P2 next round).
     #   P1 late-add 2: txn_analyze_stats (ANALYZE TABLE gate, never
     #        driver-checked) enters at the head, displacing
     #        daily_category_report_approx (r6-green; rotates back
     #        under P2 next round).
     "txn_hive_convert_revenue",
     "txn_analyze_stats",
+    "txn_show_partitions",
     "tpch_q10_returned_items",
     "tpch_q12_priority_classes",
     "tpch_q13_customer_distribution",
@@ -147,7 +152,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "brand_type_metrics",
     "salted_distinct_customers_by_status",
     "join_skew_report",
-    "winsorized_revenue_by_priority",
 )
 
 

@@ -752,6 +752,53 @@ class TxnTable:
         total -= sum(n for f, n in dv_deleted.items() if f in stats)
         return total
 
+    def show_partitions(self, at_version: int | None = None) -> list[dict]:
+        """SHOW PARTITIONS, metadata-only (round 10): one dict per live
+        partition-value combo — the values, live file count, and row
+        count (commit-log ``__num_rows`` minus per-file DV-deleted
+        counts; legacy stats gaps footer-read, ``count_rows``' rule).
+        At 100 TB this answers "which partitions exist and how big are
+        they" from KB of log JSON — the operator view before a scoped
+        OPTIMIZE or a retention delete. Hive-converted, staged, and
+        mixed layouts all answer identically (partitionValues is the
+        shared source of truth). Refused on unpartitioned tables, like
+        Spark's SHOW PARTITIONS."""
+        import pyarrow.parquet as pq
+
+        pcols = self.partition_cols(at_version)
+        if not pcols:
+            raise ValueError(
+                "show_partitions: table is not partitioned "
+                "(SHOW PARTITIONS is not allowed on a table that is "
+                "not partitioned — Spark's rule)"
+            )
+        stats = self.file_stats(at_version)
+        _, dv_deleted = self.dv_state(at_version)
+        out: dict[tuple, dict] = {}
+        for f, st in stats.items():
+            pv = st.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in pcols)
+            nr = st.get("__num_rows")
+            rows = (
+                int(nr[0])
+                if nr is not None
+                else pq.ParquetFile(
+                    os.path.join(self.data_dir, f)
+                ).metadata.num_rows
+            )
+            rows -= int(dv_deleted.get(f, 0))
+            e = out.setdefault(
+                key, {"values": dict(zip(pcols, key)), "num_files": 0, "num_rows": 0}
+            )
+            e["num_files"] += 1
+            e["num_rows"] += rows
+        return sorted(
+            out.values(),
+            key=lambda e: tuple(
+                (v is None, v) for v in e["values"].values()
+            ),
+        )
+
     def prune_files(
         self,
         ranges: dict[str, tuple] | None,

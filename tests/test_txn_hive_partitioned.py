@@ -168,6 +168,23 @@ def test_hive_convert_inconsistent_layout_refused(spark, tmp_path):
         TxnTable.convert_from_parquet(spark, str(tmp_path), "t", src)
 
 
+def test_hive_projection_plan_adds_no_exchange(spark, tmp_path, hive_src):
+    """The map-literal projection tier is a pure expression: a full
+    hive-table read plans with NO shuffle and NO broadcast — the same
+    stage count as a raw parquet scan. (The >10k-file tier trades one
+    BroadcastExchange for bounded plan size; pinned implicitly by the
+    tier constant.)"""
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    plan = (
+        t.read(spark)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "str_to_map" in plan or "map_from" in plan or "Project" in plan
+
+
 def test_hive_dv_delete_cdf_images_carry_partition_values(
     spark, tmp_path, hive_src
 ):
@@ -190,6 +207,33 @@ def test_hive_dv_delete_cdf_images_carry_partition_values(
         (r.k, r.part) for r in t.read(spark).collect()
     )
     assert folded == want
+
+
+def test_show_partitions_metadata_only(spark, tmp_path, hive_src):
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    parts = t.show_partitions()
+    assert [(p["values"]["part"], p["num_rows"]) for p in parts] == [
+        ("a", 5),
+        ("b", 5),
+    ]
+    # DV delete: counts fold the per-file deleted counts, still no scan
+    t.delete_where_dv(spark, F.col("k") < 2)
+    parts = t.show_partitions()
+    assert [(p["values"]["part"], p["num_rows"]) for p in parts] == [
+        ("a", 3),
+        ("b", 5),
+    ]
+    # time travel
+    assert [
+        p["num_rows"] for p in t.show_partitions(at_version=1)
+    ] == [5, 5]
+
+
+def test_show_partitions_refused_on_unpartitioned(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.createDataFrame([Row(k=1)]))
+    with pytest.raises(ValueError, match="not partitioned"):
+        t.show_partitions()
 
 
 # ------------------------------------------------- partitioned COPY INTO
