@@ -65,6 +65,10 @@ class _FilePartition(InputPartition):
         row_offset: int = 0,
     ) -> None:
         self.path = path
+        # per-file constant columns (hive-origin partition values,
+        # projected from the commit log at planning time — see
+        # _attach_pv_consts); merged into _read_file's consts
+        self.consts: tuple = ()
         # row-group CHUNK of a large file (None = the whole file): scan
         # parallelism must not be bounded by file count — a 1 GB file is
         # ~8 default-sized row groups, and reading it as one task wastes
@@ -253,6 +257,42 @@ def _logical_colmap(
     )
 
 
+def _attach_pv_consts(parts, table, at_version, schema, data_dir) -> None:
+    """Attach each planned file's logged partitionValues as per-file
+    constant columns (round 10): hive-adopted files do not physically
+    contain the partition columns, so without this every connector read
+    of a hive-origin table would emit NULLs there (the same gap the
+    batch reader's _project_partition_values closes JVM-side). Only
+    fires on hive-origin partitioned tables; files without a recorded
+    entry (and non-data paths: CDF files, sentinels) are left to the
+    physical-column path. Value-pure staging makes the constant equal
+    to the real column wherever both exist, so serving the constant
+    also skips reading that column."""
+    import os
+
+    pcols = table.partition_cols(at_version)
+    if not pcols or not table.hive_origin(at_version):
+        return
+    want = [c for c in pcols if any(f.name == c for f in schema.fields)]
+    if not want:
+        return
+    stats = None
+    for part in parts:
+        if not part.path or getattr(part, "cdf_from_file", False):
+            continue
+        if os.path.dirname(part.path) != data_dir:
+            continue
+        if stats is None:
+            stats = table.file_stats(at_version)
+        pv = (stats.get(os.path.basename(part.path)) or {}).get(
+            "partitionValues"
+        )
+        if pv:
+            part.consts = tuple(part.consts) + tuple(
+                (c, pv.get(c)) for c in want
+            )
+
+
 def _parse_ts_option(raw: str) -> float:
     """``timestampAsOf`` accepts epoch seconds or an ISO timestamp
     ('2026-08-15' / '2026-08-15 12:00:00[.ffffff]'), like Delta's
@@ -431,6 +471,9 @@ class TxnBatchReader(DataSourceReader):
                         row_offset=row_off,
                     )
                 )
+        _attach_pv_consts(
+            parts, self._t, self._v0, self._schema, self._t.data_dir
+        )
         return parts or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
@@ -443,6 +486,7 @@ class TxnBatchReader(DataSourceReader):
             getattr(partition, "colmap", ()),
             row_groups=getattr(partition, "row_groups", None),
             row_offset=getattr(partition, "row_offset", 0),
+            consts=getattr(partition, "consts", ()),
         )
 
 
@@ -852,6 +896,13 @@ class TxnStreamReader(DataSourceStreamReader):
                 for f in c.get("add", ())
             )
         # a batch may legitimately cover only rowless commits (compact)
+        _attach_pv_consts(
+            parts,
+            self._table,
+            end["version"] or self._snap_version,
+            self._schema,
+            self._table.data_dir,
+        )
         return parts or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
@@ -882,13 +933,15 @@ class TxnStreamReader(DataSourceStreamReader):
                 consts=(
                     ("_change_type", ct),
                     ("_commit_version", partition.cdf_version),
-                ),
+                )
+                + tuple(getattr(partition, "consts", ())),
             )
         return _read_file(
             partition.path,
             self._schema,
             getattr(partition, "dv_paths", ()),
             getattr(partition, "colmap", ()),
+            consts=getattr(partition, "consts", ()),
         )
 
     def stop(self) -> None:

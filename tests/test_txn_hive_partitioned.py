@@ -209,6 +209,55 @@ def test_hive_dv_delete_cdf_images_carry_partition_values(
     assert folded == want
 
 
+def test_connector_projects_hive_partition_values(spark, tmp_path, hive_src):
+    """The format('txn') connector reads files per-file with pyarrow
+    (absent columns -> NULL), so hive-origin tables need the logged
+    partitionValues attached as per-file constants at planning time
+    (_attach_pv_consts) — batch, pushdown-pruned, streaming, and CDF
+    retraction reads all project them (round 10)."""
+    from spark_data_engineering_spark.sources.txn_datasource import (
+        register_txn,
+    )
+
+    register_txn(spark)
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    path = t.table_dir
+    df = spark.read.format("txn").load(path)
+    assert sorted({r.part for r in df.collect()}) == ["a", "b"]
+    assert df.filter("part = 'a'").count() == 5  # pushdown-pruned scan
+    # mixed table: appended files carry real columns, consts win equal
+    t.append(spark.createDataFrame([Row(k=100, v="x", part="c")]))
+    assert (
+        spark.read.format("txn").load(path).filter("part = 'c'").count() == 1
+    )
+    # CDF stream, one live query: the snapshot phase's insert images
+    # must carry the projected part, and a LIVE DV delete's retraction
+    # rows (fetched from the original hive files) must too
+    import uuid as _uuid
+
+    name = f"hive_cdf_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("txn")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        t.delete_where_dv(spark, F.col("k") < 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert rows and all(r.part is not None for r in rows)
+    deletes = [(r.k, r.part) for r in rows if r._change_type == "delete"]
+    assert sorted(deletes) == [(0, "a"), (1, "a")]
+
+
 def test_show_partitions_metadata_only(spark, tmp_path, hive_src):
     t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
     parts = t.show_partitions()
