@@ -2007,8 +2007,12 @@ class TxnTable:
                 *[os.path.join(self.dv_dir, s) for s in sidecars]
             ).select(F.col("file").alias("__file"), F.col("row_index").alias("__ridx"))
             df = df.join(dv, ["__file", "__ridx"], "left_anti")
-        pcols = self.partition_cols(at_version)
-        if pcols and self.hive_origin(at_version):
+        # head-cached resolution on purpose: both properties are
+        # immutable-from-v1 (convert/clone seed them or nothing does),
+        # so the head answers for every version — and the cached call
+        # avoids a full log scan per read on the tables that never
+        # declared them (every pre-round-10 table)
+        if self.partition_cols() and self.hive_origin():
             # hive-converted files don't physically contain the
             # partition columns (hive layout drops them): project each
             # file's logged partitionValues back in via ONE broadcast
