@@ -65,8 +65,13 @@ HEADLINE = (
     # ---- tier 1: every >2 s steady-state query (BENCH_AUDIT_r08) ----
     "streaming_user_totals_tws",
     "incremental_scd2_tiers",
-    "incremental_daily_revenue_merged",
+    # incremental_daily_revenue_merged (0.15 s steady, BENCH_AUDIT_r10)
+    # dropped r10 to fund the dedup_cluster_stats tier-1 row within the
+    # stdout budget: the cached-lifecycle machinery stays benched via
+    # incremental_scd2_tiers / incremental_daily_order_report
     "incremental_daily_order_report",
+    # r10 audit: crossed the 2 s bar (2.07 s steady) — tier 1 requires it
+    "dedup_cluster_stats",
     # incremental_daily_revenue (0.14 s) dropped r9 to fund the
     # pipeline_daily_category_report tier-1 row within the stdout
     # budget: the cached-lifecycle read-back machinery stays benched
