@@ -1798,6 +1798,71 @@ def txn_convert_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_add_column_default_revenue",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'web'
+                WHEN o_orderkey % 10 >= 5 THEN 'store'
+                ELSE 'none' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def txn_add_column_default_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN DEFAULT under the gate (round 10;
+    sources/txn.py::add_column). All three value paths in one hash,
+    Delta/SQL semantics exactly: keys %10 in 1-4 land BEFORE the add
+    (their files lack the column → read NULL, folded to 'none'), the
+    column is added as ONE metadata commit with DEFAULT 'store', keys
+    %10 in 5-9 land after WITHOUT the column (the default is
+    MATERIALIZED into their staged files — SQL INSERT-default rule),
+    and keys %10 = 0 land with an explicit 'web'. The grouped
+    aggregate must hash-match SQL reconstructing the same channel with
+    a CASE over the original parquet — pre-add NULLs, write-time
+    defaults, and explicit values all agree row-for-row."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"addcol:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/addcol-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_ac")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % 10
+        t.append(o.filter(m.between(1, 4)))                  # v1: pre-add
+        t.add_column(spark, "channel", "string", default="store")  # v2: DDL
+        t.append(o.filter(m >= 5))                           # v3: default fills
+        t.append(                                            # v4: explicit
+            o.filter(m == 0).withColumn("channel", F.lit("web"))
+        )
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_ac")
+    return t.read(spark).groupBy(
+        F.coalesce(F.col("channel"), F.lit("none")).alias("channel")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
     "txn_show_partitions",
     oracle="""
     SELECT o_orderstatus,

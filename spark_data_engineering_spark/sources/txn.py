@@ -707,6 +707,28 @@ class TxnTable:
                 df = df.withColumn(name, F.expr(expr))
         return df
 
+    def _with_defaults(self, df: DataFrame) -> DataFrame:
+        """Materialize ADD COLUMN DEFAULT literals into an incoming
+        frame that omits them (SQL INSERT-default semantics, applied at
+        WRITE time so the staged bytes physically carry the value —
+        Delta's future-inserts rule; rows from before the add read NULL
+        via _conform). Writers that supply the column keep their values,
+        explicit NULLs included."""
+        from pyspark.sql.types import _parse_datatype_json_value
+
+        types = {
+            t["name"]: t["type"] for t in (self.table_schema() or [])
+        }
+        for name, dflt in self.column_defaults().items():
+            if name not in df.columns:
+                df = df.withColumn(
+                    name,
+                    F.lit(dflt).cast(
+                        _parse_datatype_json_value(types[name])
+                    ),
+                )
+        return df
+
     def file_stats(self, at_version: int | None = None) -> dict[str, dict]:
         """Per-live-file column min/max collected at commit time (from the
         parquet footers, no data read). The log — not the files — is the
@@ -1347,6 +1369,12 @@ class TxnTable:
             elif present:
                 cols.append(F.coalesce(*[F.col(c) for c in present]).alias(s["name"]))
             else:
+                # files that predate an ADD COLUMN read NULL (Delta's
+                # rule); defaults are materialized at WRITE time by
+                # _with_defaults, never projected at read time — a
+                # merged scan cannot tell a file-lacks-column NULL from
+                # an explicit one, so read-time defaulting would
+                # overwrite legitimately-NULL rows
                 cols.append(F.lit(None).cast(dt).alias(s["name"]))
         cols.extend(F.col(c) for c in keep if c in df.columns)
         return df.select(*cols)
@@ -1804,7 +1832,7 @@ class TxnTable:
             staged = []
 
     def append(self, df: DataFrame) -> int:
-        df = self._with_generated(df)
+        df = self._with_defaults(self._with_generated(df))
         v0 = self.version()
         df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)
@@ -1841,7 +1869,7 @@ class TxnTable:
         otherwise the commit would silently leak rows into partitions it
         did not replace."""
         # resolve the files to replace BEFORE staging; _commit re-validates
-        df = self._with_generated(df)
+        df = self._with_defaults(self._with_generated(df))
         v0id = self.version()
         df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)
@@ -1949,7 +1977,7 @@ class TxnTable:
             # published (or was already audited-and-published) — stage
             # nothing, publish nothing, same contract as append_idempotent
             return None
-        df = self._with_generated(df)
+        df = self._with_defaults(self._with_generated(df))
         v0id = self.version()
         df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)
@@ -2354,7 +2382,9 @@ class TxnTable:
         # generated columns: computed on the SOURCE frame, so updated
         # target rows take the regenerated value and inserted rows carry
         # one from the start (Delta regenerates on MERGE the same way)
-        source = self._with_generated(source)
+        # defaults before generation: a generation expression may read
+        # a defaulted column the source omitted
+        source = self._with_generated(self._with_defaults(source))
         # Size-gate the source side (round 10; VERDICT r9 #1): every
         # join below hints F.broadcast on a frame derived from ``src``
         # — right for CDC micro-batches (one shuffle-free pass per
@@ -3008,6 +3038,75 @@ class TxnTable:
             return out
 
         return self._commit("drop_column", [], [], schema_transform=xf)
+
+    def add_column(
+        self,
+        spark: SparkSession,
+        name: str,
+        type_str: str,
+        default=None,
+    ) -> int:
+        """ALTER TABLE ADD COLUMN [DEFAULT <literal>], metadata-only
+        (round 10): one schema commit, no file touched. Delta/SQL
+        semantics exactly: rows that existed BEFORE the add read NULL
+        (their files lack the column; ``_conform`` and the connector
+        NULL-fill), while writes AFTER the add that OMIT the column
+        get the default MATERIALIZED into their staged files
+        (``_with_defaults`` — SQL INSERT-default rule, Delta's ALTER
+        COLUMN SET DEFAULT for future writes). Write-time
+        materialization is what makes the rule exact: a read-time
+        default cannot distinguish a file-lacks-column NULL from an
+        explicit one in a merged scan, and would silently overwrite
+        legitimately-NULL rows.
+
+        ``default`` must be a plain literal (int/float/str/bool) so
+        the log entry and the staged bytes agree byte-for-byte — an
+        expression default would re-evaluate per writer. A name owned
+        by any physical identity (live column, dropped tombstone, a
+        rename's prev_name) is refused — old files still hold bytes
+        under it and the projection would resurrect them."""
+        if default is not None and not isinstance(
+            default, (int, float, str, bool)
+        ):
+            raise ValueError(
+                f"add_column: default must be a literal "
+                f"(int/float/str/bool), got {type(default).__name__}"
+            )
+        # validate + normalize the type through Spark's own DDL parser
+        ty = json.loads(
+            spark.createDataFrame([], f"x {type_str}")
+            .schema.fields[0]
+            .dataType.json()
+        )
+
+        def xf(base: list[dict]) -> list[dict]:
+            base = base or self._seeded_schema(spark)
+            taken = {f["name"] for f in base} | {
+                p for f in base for p in f.get("prev_names", ())
+            }
+            if name in taken:
+                raise ValueError(
+                    f"add_column: {name!r} already exists (as a live "
+                    "column, a dropped column's tombstone, or a prior "
+                    "rename's physical name) — old files still hold "
+                    "bytes under that name; rewrite (compact) first or "
+                    "pick a new name"
+                )
+            ent: dict = {"name": name, "type": ty}
+            if default is not None:
+                ent["default"] = default
+            return [*base, ent]
+
+        return self._commit("add_column", [], [], schema_transform=xf)
+
+    def column_defaults(self, at_version: int | None = None) -> dict:
+        """name -> literal default for every live column declaring one
+        (``add_column(default=...)``); empty for most tables."""
+        return {
+            s["name"]: s["default"]
+            for s in (self.table_schema(at_version) or [])
+            if not s.get("dropped") and s.get("default") is not None
+        }
 
     # ------------------------------------------------------------------
     # CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT): a LOG
@@ -4476,7 +4575,7 @@ class TxnTable:
         sink can't."""
         if epoch_id <= self.last_epoch(app_id):
             return None  # replay of an already-committed batch
-        df = self._with_generated(df)
+        df = self._with_defaults(self._with_generated(df))
         v0id = self.version()
         df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)
@@ -4727,7 +4826,11 @@ class TxnTable:
                     "the branch by hand (read + write through the "
                     "enforced paths)"
                 )
-            if rec.get("action") in ("rename_column", "drop_column"):
+            if rec.get("action") in (
+                "rename_column",
+                "drop_column",
+                "add_column",
+            ):
                 raise ConcurrentWriteError(
                     "rebase_branch: the parent evolved its schema "
                     f"({rec['action']}) after the branch base — branch "
@@ -4741,7 +4844,7 @@ class TxnTable:
         to_replay = [r for r in recs if not r.get("branch_inherited")]
         for rec in to_replay:
             act = rec.get("action")
-            if act in ("rename_column", "drop_column"):
+            if act in ("rename_column", "drop_column", "add_column"):
                 raise ValueError(
                     "rebase_branch: branch carries schema-evolution "
                     f"commits ({act}); compact the branch first"
@@ -4915,7 +5018,11 @@ class TxnTable:
         recs = [branch._read_commit(v) for v in commits]
         to_replay = [r for r in recs if not r.get("branch_inherited")]
         for rec in to_replay:
-            if rec.get("action") in ("rename_column", "drop_column"):
+            if rec.get("action") in (
+                "rename_column",
+                "drop_column",
+                "add_column",
+            ):
                 raise ValueError(
                     "merge_branch: branch carries schema-evolution commits "
                     f"({rec['action']}); compact the branch first"

@@ -67,7 +67,7 @@ class _FilePartition(InputPartition):
         self.path = path
         # per-file constant columns (hive-origin partition values,
         # projected from the commit log at planning time — see
-        # _attach_pv_consts); merged into _read_file's consts
+        # _attach_read_extras); merged into _read_file's consts
         self.consts: tuple = ()
         # row-group CHUNK of a large file (None = the whole file): scan
         # parallelism must not be bounded by file count — a 1 GB file is
@@ -235,6 +235,10 @@ def _read_file(
             continue
         src = resolve[f.name]
         if src is None:
+            # absent column -> NULL (matches _conform; ADD COLUMN
+            # DEFAULTs are materialized at write time, so a file that
+            # lacks the column either predates the add or was written
+            # without it — both read NULL, Delta's rule)
             arrays.append(pa.nulls(n, type=t))
             continue
         col = table.column(src)
@@ -257,7 +261,7 @@ def _logical_colmap(
     )
 
 
-def _attach_pv_consts(parts, table, at_version, schema, data_dir) -> None:
+def _attach_read_extras(parts, table, at_version, schema, data_dir) -> None:
     """Attach each planned file's logged partitionValues as per-file
     constant columns (round 10): hive-adopted files do not physically
     contain the partition columns, so without this every connector read
@@ -270,10 +274,11 @@ def _attach_pv_consts(parts, table, at_version, schema, data_dir) -> None:
     also skips reading that column."""
     import os
 
+    sch_names = {f.name for f in schema.fields}
     pcols = table.partition_cols(at_version)
     if not pcols or not table.hive_origin(at_version):
         return
-    want = [c for c in pcols if any(f.name == c for f in schema.fields)]
+    want = [c for c in pcols if c in sch_names]
     if not want:
         return
     stats = None
@@ -471,7 +476,7 @@ class TxnBatchReader(DataSourceReader):
                         row_offset=row_off,
                     )
                 )
-        _attach_pv_consts(
+        _attach_read_extras(
             parts, self._t, self._v0, self._schema, self._t.data_dir
         )
         return parts or [_FilePartition("")]
@@ -729,7 +734,7 @@ class TxnStreamReader(DataSourceStreamReader):
             lo = self._snap_version
         for v in range(lo + 1, end["version"] + 1):
             c = self._table._read_commit(v)
-            if c["action"] in ("rename_column", "drop_column"):
+            if c["action"] in ("rename_column", "drop_column", "add_column"):
                 # metadata-only: moves no data. Already reflected in the
                 # stream's resolved column map -> nothing to do; newer ->
                 # the mapping is stale and silently reading would emit
@@ -896,7 +901,7 @@ class TxnStreamReader(DataSourceStreamReader):
                 for f in c.get("add", ())
             )
         # a batch may legitimately cover only rowless commits (compact)
-        _attach_pv_consts(
+        _attach_read_extras(
             parts,
             self._table,
             end["version"] or self._snap_version,

@@ -213,7 +213,7 @@ def test_connector_projects_hive_partition_values(spark, tmp_path, hive_src):
     """The format('txn') connector reads files per-file with pyarrow
     (absent columns -> NULL), so hive-origin tables need the logged
     partitionValues attached as per-file constants at planning time
-    (_attach_pv_consts) — batch, pushdown-pruned, streaming, and CDF
+    (_attach_read_extras) — batch, pushdown-pruned, streaming, and CDF
     retraction reads all project them (round 10)."""
     from spark_data_engineering_spark.sources.txn_datasource import (
         register_txn,
