@@ -38,7 +38,14 @@ FSCK-after-every-op:
     CONVERT TO DELTA instead of append — on a partitioned run the
     corpus is written hive-partitioned (round-10 adoption path), so
     EVERY subsequent op in the sequence runs against a hive-origin
-    table whose reads project partition values from the log.
+    table whose reads project partition values from the log;
+  - ``analyze``: metadata-only ANALYZE — visible state untouched and
+    the committed stats payload must equal a recompute over the model
+    (rows / NDV / min / max of val);
+  - ``add_column``: ADD COLUMN DEFAULT once per sequence — every row
+    thereafter reads NULL (pre-add file) or the default, never
+    garbage, re-asserted after EVERY subsequent op (rewrites must
+    carry the column without inventing values).
 
 Round-10 find (first deep run, 25 examples): ``convert_seed`` +
 ``branch_cycle`` falsified the CDF fold — read_changes' delete_dv arm
@@ -131,6 +138,14 @@ _op = st.one_of(
     # TBLPROPERTIES set/unset (round 10): pure-metadata CAS commits —
     # data must be untouched, the property model must fold exactly
     st.tuples(st.just("set_props"), st.integers(0, 99)),
+    # ANALYZE TABLE (round 10): metadata-only stats commit — visible
+    # state untouched, and the committed payload must equal what a
+    # recompute over the model says (rows / min / max / NDV of val)
+    st.tuples(st.just("analyze")),
+    # ADD COLUMN DEFAULT (round 10): one metadata commit; every row
+    # thereafter reads NULL (pre-add file) or the default (post-add
+    # default-omitting write) — never garbage — through every rewrite
+    st.tuples(st.just("add_column")),
     # SHALLOW CLONE at head (round 10): clone == model, clone mutation
     # never leaks into the parent, clone fsck passes
     st.tuples(
@@ -228,6 +243,11 @@ def test_random_op_sequence_matches_model(
         if generated:
             bad = [(r.val, r.g) for r in rows if r.g != r.val * 2 + 1]
             assert not bad, f"generated column diverged: {bad[:5]}"
+        if rows and hasattr(rows[0], "extra"):
+            # ADD COLUMN DEFAULT invariant (round 10): NULL (pre-add
+            # file) or the default — never garbage — after every op
+            badx = [r.val for r in rows if r.extra not in (None, 7)]
+            assert not badx, f"extra column corrupted: {badx[:5]}"
         if identity:
             rids = [r.rid for r in rows]
             assert len(set(rids)) == len(rids), "identity values collided"
@@ -397,6 +417,33 @@ def test_random_op_sequence_matches_model(
                 # persistent, never-violated (vals are 0..99; update
                 # adds +100): later ops run under an active CHECK
                 table.add_constraint(spark, "nonneg", "val >= 0")
+        elif op[0] == "analyze":
+            if table.version() == 0 or not model:
+                continue
+            stats = table.analyze(spark, columns=["val"])
+            assert stats["val"]["num_nulls"] == 0
+            assert stats["val"]["distinct_count"] == len(set(model))
+            assert int(stats["val"]["min"]) == min(model)
+            assert int(stats["val"]["max"]) == max(model)
+            cs = table.column_stats()
+            assert cs["rows"] == len(model) and cs["columns"] == stats
+        elif op[0] == "add_column":
+            # once per sequence: later ops must carry the column through
+            # every rewrite without inventing values
+            sch = table.table_schema() or []
+            # needs a recorded schema to extend (a props-only commit at
+            # v1 has none — _seeded_schema raises by contract, found by
+            # the search itself); once per sequence
+            if not sch or "extra" in {f["name"] for f in sch}:
+                continue
+            table.add_column(spark, "extra", "int", default=7)
+            # pre-add rows read NULL; every later default-omitting write
+            # (all of this model's writes) materializes 7 — checked via
+            # the read below and the value-domain assertion here
+            vals = {
+                r.extra for r in table.read(spark).select("extra").collect()
+            }
+            assert vals <= {None, 7}, vals
         elif op[0] == "set_props":
             # pure-metadata CAS commit; every 3rd draw unsets instead.
             # The prop_model equality below (after every op) pins that
