@@ -1863,6 +1863,59 @@ def txn_add_column_default_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "txn_analyze_histogram",
+    oracle="""
+    SELECT CAST(((o_custkey - b.mn) * 8) // (b.mx - b.mn + 1) AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders,
+         (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders) b
+    GROUP BY 1
+    """,
+)
+def txn_analyze_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE histogram tier under the gate (round 10;
+    sources/txn.py::analyze(histogram_bins=8)): the committed 8-bucket
+    equi-width histogram of o_custkey — read back from the log with NO
+    data scan — must hash-match DuckDB recomputing the identical
+    integer bucket formula ``((x - min) * 8) div (max - min + 1)``
+    over the parquet. Integer arithmetic is the point: bucket
+    boundaries cannot drift by a half-ulp between engines, so the CBO
+    input in the log is bit-trustworthy, not approximately right."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"analyzehist:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/analyzehist-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable.convert_from_parquet(
+            spark, tmp_root, "orders_ah", f"{sf_dir}/orders.parquet"
+        )
+        t.analyze(spark, columns=["o_custkey"], histogram_bins=8)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_ah")
+    cs = t.column_stats()  # metadata-only read-back
+    h = cs["columns"]["o_custkey"]["histogram"]
+    assert h["bins"] == 8 and sum(h["counts"]) == cs["rows"], h
+    rows = [
+        (b, int(n)) for b, n in enumerate(h["counts"]) if n > 0
+    ]
+    return spark.createDataFrame(rows, "bucket bigint, n_orders bigint")
+
+
+@query(
     "txn_show_partitions",
     oracle="""
     SELECT o_orderstatus,

@@ -94,6 +94,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #        CONVERT gate, never driver-checked) enters at the head,
     #        displacing bm25_keyword_search (r6-green; rotates back
     #        under P2 next round).
+    #   P1 late-add 5: txn_analyze_histogram (ANALYZE histogram
+    #        tier gate, never driver-checked) enters at the head,
+    #        displacing the next r6 tail name (rotates back under
+    #        P2 next round).
     #   P1 late-add 4: txn_add_column_default_revenue (ADD COLUMN
     #        DEFAULT gate, never driver-checked) enters at the head,
     #        displacing join_skew_report (r6-green; rotates back
@@ -110,6 +114,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "txn_analyze_stats",
     "txn_show_partitions",
     "txn_add_column_default_revenue",
+    "txn_analyze_histogram",
     "tpch_q10_returned_items",
     "tpch_q12_priority_classes",
     "tpch_q13_customer_distribution",
@@ -155,7 +160,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "media_resize_profile",
     "dp_source_counts",
     "brand_type_metrics",
-    "salted_distinct_customers_by_status",
 )
 
 

@@ -3247,6 +3247,7 @@ class TxnTable:
         spark: SparkSession,
         columns: "list[str] | tuple[str, ...] | None" = None,
         approx: bool = False,
+        histogram_bins: int | None = None,
     ) -> dict:
         """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS analog:
         one pass over the snapshot computes per-column ``num_nulls``,
@@ -3263,7 +3264,15 @@ class TxnTable:
         multi-column distincts explode into one expand-shuffle per
         column, HLL folds map-side into one pass. min/max/null counts
         are exact either way. The analyzed snapshot version rides the
-        record (``analyze_snapshot``) so staleness is measurable."""
+        record (``analyze_snapshot``) so staleness is measurable.
+
+        ``histogram_bins=N`` additionally computes an equi-width
+        N-bucket histogram per numeric column (Spark's ``ANALYZE ...
+        COMPUTE STATISTICS`` histogram tier — the CBO's
+        range-selectivity input), one extra pass per column, stored as
+        ``{"histogram": {"bins": N, "counts": [...]}}`` in the entry.
+        Integral columns use pure integer bucket arithmetic so a
+        recompute on any engine reproduces identical counts."""
         v_snap = self.version()
         df = self.read(spark, at_version=v_snap)
         cols = list(columns) if columns else list(df.columns)
@@ -3287,6 +3296,49 @@ class TxnTable:
             }
             for i, c in enumerate(cols)
         }
+        if histogram_bins:
+            # equi-width histogram tier (Spark's ANALYZE ... histogram,
+            # the CBO range-selectivity input): one more pass, buckets
+            # from pass-1 min/max. Integral columns use PURE INTEGER
+            # bucket arithmetic — ((x - lo) * bins) div (hi - lo + 1) —
+            # so any engine recomputing the formula lands on identical
+            # counts (no float-boundary half-ulp flips); fractional
+            # columns use float floor with a top-edge clamp (exact per
+            # engine, boundary values may differ across engines).
+            int_types = {"byte", "short", "integer", "long"}
+            field_types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+            for c in cols:
+                st = stats[c]
+                if st["min"] is None or st["max"] is None:
+                    continue
+                if field_types.get(c) in int_types:
+                    lo, hi = int(st["min"]), int(st["max"])
+                    expr = (
+                        f"(( `{c}` - {lo}L ) * {int(histogram_bins)}L) "
+                        f"div ({hi}L - {lo}L + 1L)"
+                    )
+                elif field_types.get(c) in ("double", "float", "decimal"):
+                    lo_f, hi_f = float(st["min"]), float(st["max"])
+                    w = (hi_f - lo_f) / histogram_bins or 1.0
+                    expr = (
+                        f"least(cast(floor((`{c}` - {lo_f!r}) / {w!r}) "
+                        f"as bigint), {int(histogram_bins) - 1}L)"
+                    )
+                else:
+                    continue  # histogram only for numeric columns
+                counts = {
+                    int(r["__b"]): int(r["__n"])
+                    for r in df.filter(F.col(c).isNotNull())
+                    .groupBy(F.expr(expr).alias("__b"))
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .collect()  # bounded: <= histogram_bins rows
+                }
+                st["histogram"] = {
+                    "bins": int(histogram_bins),
+                    "counts": [
+                        counts.get(b, 0) for b in range(histogram_bins)
+                    ],
+                }
         for _ in range(5):
             v0 = self.version()
             rec = {

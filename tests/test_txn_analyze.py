@@ -67,6 +67,34 @@ def test_analyze_is_net_zero_for_cdf_and_resolution(spark, table):
     assert table.column_stats()["columns"]["k"]["max"] == "100"
 
 
+def test_analyze_histogram_integer_exact(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.createDataFrame([Row(k=i) for i in range(100)]))
+    stats = t.analyze(spark, columns=["k"], histogram_bins=4)
+    h = stats["k"]["histogram"]
+    # ((k - 0) * 4) div 100: exactly 25 per bucket
+    assert h == {"bins": 4, "counts": [25, 25, 25, 25]}
+    # committed and read back without a scan
+    assert (
+        t.column_stats()["columns"]["k"]["histogram"]["counts"]
+        == [25, 25, 25, 25]
+    )
+
+
+def test_analyze_histogram_double_and_skip_strings(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(
+        spark.createDataFrame(
+            [Row(x=float(i), s=str(i)) for i in range(10)]
+        )
+    )
+    stats = t.analyze(spark, histogram_bins=5)
+    h = stats["x"]["histogram"]
+    assert sum(h["counts"]) == 10 and len(h["counts"]) == 5
+    assert h["counts"][-1] >= 2  # top edge clamped into the last bin
+    assert "histogram" not in stats["s"]  # strings: no histogram
+
+
 def test_analyze_empty_table_raises_by_read_contract(spark, tmp_path):
     t = TxnTable(str(tmp_path), "t")
     with pytest.raises(FileNotFoundError):
