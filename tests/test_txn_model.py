@@ -439,10 +439,15 @@ def test_random_op_sequence_matches_model(
             table.add_column(spark, "extra", "int", default=7)
             # pre-add rows read NULL; every later default-omitting write
             # (all of this model's writes) materializes 7 — checked via
-            # the read below and the value-domain assertion here
-            vals = {
-                r.extra for r in table.read(spark).select("extra").collect()
-            }
+            # the read below and the value-domain assertion here (an
+            # emptied table reads by raising, its own contract)
+            try:
+                vals = {
+                    r.extra
+                    for r in table.read(spark).select("extra").collect()
+                }
+            except FileNotFoundError:
+                vals = set()
             assert vals <= {None, 7}, vals
         elif op[0] == "set_props":
             # pure-metadata CAS commit; every 3rd draw unsets instead.
