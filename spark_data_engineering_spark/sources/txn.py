@@ -2400,7 +2400,8 @@ class TxnTable:
         # their file index, so re-evaluation sees the same rows (a
         # genuinely non-deterministic big source is the caller's bug).
         bhint = self._merge_src_hint(spark, source)
-        src = source if bhint is not F.broadcast else source.cache()
+        cached = bhint is F.broadcast
+        src = source.cache() if cached else source
         try:
             # pin ONE snapshot for every target read in this merge: the
             # touched-file discovery and the insert anti-join must see
@@ -2695,7 +2696,11 @@ class TxnTable:
                 identity_base_version=v0 if id_high else None,
             )
         finally:
-            src.unpersist()
+            # only drop OUR cache: in the big-source (uncached) regime
+            # ``src`` IS the caller's frame, and unpersisting it would
+            # silently evict a cache the caller owns
+            if cached:
+                src.unpersist()
 
     def delete_where(self, spark: SparkSession, predicate, cdf: bool = False) -> int:
         """DELETE: rewrite only the files that contain matching rows
