@@ -73,3 +73,37 @@ def test_manifest_rebuild_tracks_versions(spark, tmp_path):
     # pinned older snapshot: regenerate at v1
     old_paths = set(_paths(t.generate_manifest(at_version=1)))
     assert old_paths == v1_paths
+
+
+def test_manifest_readable_by_external_engine(spark, tmp_path):
+    """True cross-engine interop (round 10): DuckDB — a log-oblivious
+    reader that knows nothing about the commit protocol — consumes the
+    symlink manifest's file list directly and must reproduce the exact
+    snapshot Spark reads through the log, including through a rewrite
+    (the manifest pins the files, not the table)."""
+    import os
+
+    import duckdb
+
+    from pyspark.sql import Row
+
+    t = TxnTable(str(tmp_path), "t")
+    t.append(
+        spark.createDataFrame([Row(k=i, v=i * 2.0) for i in range(50)])
+    )
+    t.delete_where(spark, F.col("k") >= 40)  # rewrite: 40..49 gone
+    path = t.generate_manifest()
+    files = [
+        ln
+        for ln in open(os.path.join(path, "manifest")).read().splitlines()
+        if ln
+    ]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT k, v FROM read_parquet($1) ORDER BY k", [files]
+    ).fetchall()
+    want = sorted(
+        (r.k, r.v) for r in t.read(spark).collect()
+    )
+    assert got == [tuple(r) for r in want]
+    assert len(got) == 40
