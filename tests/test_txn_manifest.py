@@ -107,3 +107,40 @@ def test_manifest_readable_by_external_engine(spark, tmp_path):
     )
     assert got == [tuple(r) for r in want]
     assert len(got) == 40
+
+
+def test_hive_origin_partitioned_manifest_external_read(spark, tmp_path):
+    """A hive-origin table's data files LACK the partition columns, and
+    that is fine for symlink-manifest consumers BY DESIGN: the manifest
+    is laid out as hive ``col=value`` dirs, so an external engine
+    derives the partition value from the manifest path — the same
+    discovery it runs on any hive layout. Pinned with DuckDB playing
+    the external engine."""
+    import os
+
+    import duckdb
+
+    from pyspark.sql import Row
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [Row(k=i, part=("a" if i % 2 == 0 else "b")) for i in range(20)]
+    ).write.partitionBy("part").parquet(corpus)
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", corpus)
+    root = t.generate_manifest()
+    con = duckdb.connect()
+    got = []
+    for d in sorted(os.listdir(root)):
+        mf = os.path.join(root, d, "manifest")
+        if not os.path.isfile(mf):
+            continue
+        pv = d.split("=", 1)[1]  # external partition discovery
+        files = [ln for ln in open(mf).read().splitlines() if ln]
+        got += [
+            (k, pv)
+            for (k,) in con.execute(
+                "SELECT k FROM read_parquet($1)", [files]
+            ).fetchall()
+        ]
+    want = sorted((r.k, r.part) for r in t.read(spark).collect())
+    assert sorted(got) == want
