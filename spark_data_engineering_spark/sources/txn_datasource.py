@@ -289,9 +289,16 @@ def _attach_read_extras(parts, table, at_version, schema, data_dir) -> None:
             continue
         if stats is None:
             stats = table.file_stats(at_version)
-        pv = (stats.get(os.path.basename(part.path)) or {}).get(
-            "partitionValues"
-        )
+        fname = os.path.basename(part.path)
+        pv = (stats.get(fname) or {}).get("partitionValues")
+        if pv is None and getattr(part, "cdf_version", None):
+            # a CDF retraction partition may reference a file already
+            # removed by ``at_version`` (rewritten after its DV delete,
+            # within the same planned range) — its partitionValues are
+            # still in the log at the partition's own commit version
+            pv = (
+                table.file_stats(part.cdf_version).get(fname) or {}
+            ).get("partitionValues")
         if pv:
             part.consts = tuple(part.consts) + tuple(
                 (c, pv.get(c)) for c in want

@@ -258,6 +258,45 @@ def test_connector_projects_hive_partition_values(spark, tmp_path, hive_src):
     assert sorted(deletes) == [(0, "a"), (1, "a")]
 
 
+def test_cdf_retraction_pv_survives_post_delete_compact(
+    spark, tmp_path, hive_src
+):
+    """A DV delete followed by a compact in the SAME planned CDF range:
+    the retraction partition references a file the range's end version
+    no longer lists — its partitionValues resolve at the partition's
+    own commit version (the _attach_read_extras fallback)."""
+    import uuid as _uuid
+
+    from spark_data_engineering_spark.sources.txn_datasource import (
+        register_txn,
+    )
+
+    register_txn(spark)
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    name = f"hive_cdf2_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("txn")
+        .option("readChangeFeed", "true")
+        .load(t.table_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        t.delete_where_dv(spark, F.col("k") < 2)
+        t.compact(spark)  # removes the DV'd files from the live set
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    deletes = [(r.k, r.part) for r in rows if r._change_type == "delete"]
+    assert sorted(deletes) == [(0, "a"), (1, "a")]
+    assert all(r.part is not None for r in rows)
+
+
 def test_show_partitions_metadata_only(spark, tmp_path, hive_src):
     t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
     parts = t.show_partitions()
