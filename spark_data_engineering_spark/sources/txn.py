@@ -3104,6 +3104,62 @@ class TxnTable:
 
         return self._commit("add_column", [], [], schema_transform=xf)
 
+    def set_column_default(
+        self, spark: SparkSession, name: str, default
+    ) -> int:
+        """ALTER TABLE ALTER COLUMN ... SET DEFAULT (round 10): change
+        (or introduce) the write-time default of an existing column —
+        one metadata commit. Purely prospective, like ``add_column``'s
+        rule: rows already written keep whatever their files carry;
+        only LATER default-omitting writes materialize the new literal.
+        Literal-only, same contract as ``add_column``."""
+        if default is not None and not isinstance(
+            default, (int, float, str, bool)
+        ):
+            raise ValueError(
+                f"set_column_default: default must be a literal "
+                f"(int/float/str/bool), got {type(default).__name__}"
+            )
+
+        def xf(base: list[dict]) -> list[dict]:
+            base = base or self._seeded_schema(spark)
+            live = {f["name"] for f in base if not f.get("dropped")}
+            if name not in live:
+                raise ValueError(
+                    f"set_column_default: no such column {name!r}"
+                )
+            out = []
+            for f in base:
+                f = dict(f)
+                if f["name"] == name and not f.get("dropped"):
+                    f["default"] = default
+                out.append(f)
+            return out
+
+        return self._commit("add_column", [], [], schema_transform=xf)
+
+    def drop_column_default(self, spark: SparkSession, name: str) -> int:
+        """ALTER TABLE ALTER COLUMN ... DROP DEFAULT: later
+        default-omitting writes go back to NULL; existing bytes are
+        untouched. Refused if the column has no default (loud, like
+        ``unset_properties``)."""
+        if name not in self.column_defaults():
+            raise ValueError(
+                f"drop_column_default: column {name!r} has no default "
+                f"(have {sorted(self.column_defaults())})"
+            )
+
+        def xf(base: list[dict]) -> list[dict]:
+            out = []
+            for f in base or []:
+                f = dict(f)
+                if f["name"] == name and not f.get("dropped"):
+                    f.pop("default", None)
+                out.append(f)
+            return out
+
+        return self._commit("add_column", [], [], schema_transform=xf)
+
     def column_defaults(self, at_version: int | None = None) -> dict:
         """name -> literal default for every live column declaring one
         (``add_column(default=...)``); empty for most tables."""

@@ -142,3 +142,28 @@ def test_add_column_cdf_and_branch_triage(spark, table):
     with pytest.raises(ValueError, match="schema-evolution"):
         table.merge_branch(b)
     table.drop_branch("b1")
+
+
+def test_set_and_drop_column_default(spark, table):
+    table.add_column(spark, "channel", "string", default="store")
+    table.append(spark.createDataFrame([Row(k=3, v="c")]))   # -> store
+    table.set_column_default(spark, "channel", "web")
+    table.append(spark.createDataFrame([Row(k=4, v="d")]))   # -> web
+    table.drop_column_default(spark, "channel")
+    table.append(spark.createDataFrame([Row(k=5, v="e")]))   # -> NULL
+    got = {r.k: r.channel for r in table.read(spark).collect()}
+    assert got == {1: None, 2: None, 3: "store", 4: "web", 5: None}
+    # purely prospective: earlier rows kept their physical values
+    with pytest.raises(ValueError, match="no default"):
+        table.drop_column_default(spark, "channel")
+
+
+def test_set_default_introduces_one_on_plain_column(spark, table):
+    # SET DEFAULT on a column that never had one (Delta allows this)
+    table.set_column_default(spark, "v", "filler")
+    table.append(spark.createDataFrame([Row(k=6)], "k bigint"))
+    assert (
+        table.read(spark).filter("k = 6").collect()[0].v == "filler"
+    )
+    with pytest.raises(ValueError, match="no such column"):
+        table.set_column_default(spark, "nope", 1)
