@@ -72,44 +72,82 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #        aggregation machinery stays in-window via q5/q7/q10); they
 #        head the r10 P2 queue by construction.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # Round-10 derivation (tools/derive_window.py against
-    # CORRECTNESS_r01-r09; CORRECTNESS_r09 = 50/50 green, so the r9
-    # window's names all carry fresh r9 evidence and rotate out):
+    # Round-11 derivation (tools/derive_window.py against
+    # CORRECTNESS_r01-r10; CORRECTNESS_r10 = 50/50 green, so the r10
+    # window's names all carry fresh r10 evidence and rotate out):
     #   P1 = 0: no never-checked oracled queries — every registered
     #        query has at least one green driver row.
-    #   P2 = the r5-cohort overflow cut by round-9 P1 (the 17 displaced
-    #        tpch names, heads of the queue by construction), then the
-    #        r6 cohort (50 names), oldest evidence first.
-    #   P3 = the r6 cohort overflows by 17: cut at registration order
-    #        (knn_bruteforce, ann_recall_report,
-    #        ann_index_incremental_search, ann_ivfpq_search_exhaustive,
-    #        brand_quantity_price_corr, copurchase_part_pairs,
-    #        streaming_dedup_documents, streaming_user_totals_tws,
-    #        doc_fingerprints, lang_source_profile, token_regex_stats,
-    #        vocab_top_tokens, tfidf_top_terms, label_centroids,
-    #        cms_token_frequencies, bpe_subword_stats,
-    #        bigram_fluency_scores) — each keeps its r6 hash-green row
-    #        + pytest pins and heads the r11 P2 queue by construction.
-    #   P1 late-add: txn_hive_convert_revenue (hive-partitioned
-    #        CONVERT gate, never driver-checked) enters at the head,
-    #        displacing bm25_keyword_search (r6-green; rotates back
-    #        under P2 next round).
-    #   P1 late-add 5: txn_analyze_histogram (ANALYZE histogram
-    #        tier gate, never driver-checked) enters at the head,
-    #        displacing the next r6 tail name (rotates back under
-    #        P2 next round).
-    #   P1 late-add 4: txn_add_column_default_revenue (ADD COLUMN
-    #        DEFAULT gate, never driver-checked) enters at the head,
-    #        displacing join_skew_report (r6-green; rotates back
-    #        under P2 next round).
-    #   P1 late-add 3: txn_show_partitions (SHOW PARTITIONS gate,
-    #        never driver-checked) enters at the head, displacing
-    #        winsorized_revenue_by_priority (r6-green; rotates back
-    #        under P2 next round).
-    #   P1 late-add 2: txn_analyze_stats (ANALYZE TABLE gate, never
-    #        driver-checked) enters at the head, displacing
-    #        daily_category_report_approx (r6-green; rotates back
-    #        under P2 next round).
+    #   P2 = the r6 cohort (22 names, the oldest evidence:
+    #        salted_distinct_customers_by_status .. bigram_fluency_scores
+    #        including the 17 r10-P3-displaced heads), then the r7
+    #        cohort (50 names), oldest evidence first.
+    #   P3 = the r7 cohort overflows by 22: cut at registration order
+    #        (bloom_pruned_supplier_revenue, fuzzy_part_name_pairs,
+    #        doc_hierarchy_depths, k_anonymity_report, daily_order_report,
+    #        daily_category_report, daily_category_report_bucketed,
+    #        hybrid_search_rerank, scd2_customer_tiers, scd2_pit_revenue,
+    #        embedding_dup_clusters, knn_int8_quantized,
+    #        ann_index_search_exhaustive, hard_negative_pairs,
+    #        ab_test_report, bootstrap_revenue_ci, streaming_enriched/
+    #        sessionize/neardup/heavy_hitters/distinct_users,
+    #        tpch_q1_pricing_summary) — each keeps its r7 hash-green row
+    #        + pytest pins and heads the r12 P2 queue by construction.
+    "salted_distinct_customers_by_status",
+    "join_skew_report",
+    "winsorized_revenue_by_priority",
+    "daily_category_report_approx",
+    "bm25_keyword_search",
+    "knn_bruteforce",
+    "ann_recall_report",
+    "ann_index_incremental_search",
+    "ann_ivfpq_search_exhaustive",
+    "brand_quantity_price_corr",
+    "copurchase_part_pairs",
+    "streaming_dedup_documents",
+    "streaming_user_totals_tws",
+    "doc_fingerprints",
+    "lang_source_profile",
+    "token_regex_stats",
+    "vocab_top_tokens",
+    "tfidf_top_terms",
+    "label_centroids",
+    "cms_token_frequencies",
+    "bpe_subword_stats",
+    "bigram_fluency_scores",
+    "pack_documents_greedy",
+    "export_jsonl_shards",
+    "jaccard_prefix_pairs",
+    "simhash_near_pairs",
+    "dedup_clusters",
+    "concurrent_sessions",
+    "kmv_distinct_users",
+    "kmv_audience_overlap",
+    "jsonl_events_hourly_stats",
+    "orc_events_hourly_stats",
+    "xml_events_hourly_stats",
+    "neardup_triangle_stats",
+    "incremental_scd2_tiers",
+    "zorder_pruned_revenue",
+    "txn_maintenance_report",
+    "media_exact_dedup",
+    "media_audio_segments",
+    "pipeline_daily_order_report",
+    "pipeline_daily_category_report",
+    "global_row_ids",
+    "column_stats_report",
+    "corpus_snapshot_diff",
+    "dim_customer",
+    "wide_lineitem",
+    "latest_order_per_customer",
+    "rollup_flag_status",
+    "hourly_event_stats",
+    "customer_rank_suite",
+)
+
+
+# The round-10 window, kept for the audit trail (50/50 hash-green in
+# CORRECTNESS_r10.json, including the five round-10 txn gates).
+_R10_WINDOW: tuple[str, ...] = (
     "txn_hive_convert_revenue",
     "txn_analyze_stats",
     "txn_show_partitions",
