@@ -62,8 +62,9 @@ def sweep_stale(parent: str, max_age_s: float = 3600.0) -> None:
     away, re-check its mtime, and only then rmtree — a concurrent
     ``claim()`` whose utime landed before the rename gets the entry
     restored; one after the rename fails fast (ENOENT) and rebuilds.
-    Orphaned tombstones (a sweeper killed mid-rmtree) are reaped on
-    sight."""
+    Orphaned tombstones (a sweeper killed mid-rmtree) are reaped only
+    once older than the cutoff — a fresh tombstone is a live sweeper's
+    pending restore-or-delete decision and must be left to it."""
     import os
     import shutil
     import time
@@ -74,7 +75,20 @@ def sweep_stale(parent: str, max_age_s: float = 3600.0) -> None:
     for d in os.listdir(parent):
         path = os.path.join(parent, d)
         if ".sweeping-" in d:
-            shutil.rmtree(path, ignore_errors=True)
+            # orphaned tombstone (a sweeper killed mid-rmtree). Reap
+            # only ones older than the cutoff: a FRESH tombstone (its
+            # mtime refreshed by a claim() that landed before the
+            # rename) belongs to a live sweeper whose restore re-check
+            # is still pending — reaping it on sight would delete an
+            # entry whose claim already returned True and crash the
+            # reader (round-10 advice: that race was wider than the
+            # microseconds the old docstring assumed). A stale
+            # tombstone is one its owner would rmtree anyway.
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
             continue
         tomb = f"{path}.sweeping-{os.getpid()}"
         try:

@@ -1865,7 +1865,7 @@ def txn_add_column_default_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 @query(
     "txn_analyze_histogram",
     oracle="""
-    SELECT CAST(((o_custkey - b.mn) * 8) // (b.mx - b.mn + 1) AS BIGINT)
+    SELECT CAST((o_custkey - b.mn) // ((b.mx - b.mn) // 8 + 1) AS BIGINT)
              AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders,
@@ -1878,10 +1878,12 @@ def txn_analyze_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources/txn.py::analyze(histogram_bins=8)): the committed 8-bucket
     equi-width histogram of o_custkey — read back from the log with NO
     data scan — must hash-match DuckDB recomputing the identical
-    integer bucket formula ``((x - min) * 8) div (max - min + 1)``
-    over the parquet. Integer arithmetic is the point: bucket
-    boundaries cannot drift by a half-ulp between engines, so the CBO
-    input in the log is bit-trustworthy, not approximately right."""
+    integer bucket formula ``(x - min) div w, w = (max - min) div 8
+    + 1`` over the parquet (width-first, no multiply: the multiply
+    form wraps bigint silently on near-int64 ranges — round-10
+    advice). Integer arithmetic is the point: bucket boundaries
+    cannot drift by a half-ulp between engines, so the CBO input in
+    the log is bit-trustworthy, not approximately right."""
     import uuid
 
     from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale

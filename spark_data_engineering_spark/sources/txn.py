@@ -1832,7 +1832,10 @@ class TxnTable:
             staged = []
 
     def append(self, df: DataFrame) -> int:
-        df = self._with_defaults(self._with_generated(df))
+        # defaults before generation (merge's ordering, all write
+        # sites): a generation expression may read a defaulted column
+        # the writer omitted
+        df = self._with_generated(self._with_defaults(df))
         v0 = self.version()
         df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)
@@ -1869,7 +1872,7 @@ class TxnTable:
         otherwise the commit would silently leak rows into partitions it
         did not replace."""
         # resolve the files to replace BEFORE staging; _commit re-validates
-        df = self._with_defaults(self._with_generated(df))
+        df = self._with_generated(self._with_defaults(df))
         v0id = self.version()
         df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)
@@ -1977,7 +1980,7 @@ class TxnTable:
             # published (or was already audited-and-published) — stage
             # nothing, publish nothing, same contract as append_idempotent
             return None
-        df = self._with_defaults(self._with_generated(df))
+        df = self._with_generated(self._with_defaults(df))
         v0id = self.version()
         df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)
@@ -3361,9 +3364,10 @@ class TxnTable:
             # equi-width histogram tier (Spark's ANALYZE ... histogram,
             # the CBO range-selectivity input): one more pass, buckets
             # from pass-1 min/max. Integral columns use PURE INTEGER
-            # bucket arithmetic — ((x - lo) * bins) div (hi - lo + 1) —
-            # so any engine recomputing the formula lands on identical
-            # counts (no float-boundary half-ulp flips); fractional
+            # bucket arithmetic — (x - lo) div w with w = (hi - lo)
+            # div bins + 1 — so any engine recomputing the formula
+            # lands on identical counts (no float-boundary half-ulp
+            # flips, no bigint wrap on full-int64 ranges); fractional
             # columns use float floor with a top-edge clamp (exact per
             # engine, boundary values may differ across engines).
             int_types = {"byte", "short", "integer", "long"}
@@ -3373,10 +3377,20 @@ class TxnTable:
                 if st["min"] is None or st["max"] is None:
                     continue
                 if field_types.get(c) in int_types:
+                    # overflow-safe pure-integer buckets (round-10
+                    # advice): the multiply form ((x-lo)*N) div (hi-lo+1)
+                    # wraps bigint silently when the column range is
+                    # near int64 (64-bit hash/id columns). Width-first
+                    # has no multiply — w = (hi-lo) div N + 1, bucket =
+                    # (x-lo) div w, provably in [0, N-1] — and the
+                    # subtraction routes through decimal(38,0) so even a
+                    # full-int64 range cannot wrap. Any engine replaying
+                    # the same formula lands on identical counts.
                     lo, hi = int(st["min"]), int(st["max"])
+                    w = (hi - lo) // int(histogram_bins) + 1
                     expr = (
-                        f"(( `{c}` - {lo}L ) * {int(histogram_bins)}L) "
-                        f"div ({hi}L - {lo}L + 1L)"
+                        f"cast((cast(`{c}` as decimal(38,0)) - ({lo})) "
+                        f"div {w} as bigint)"
                     )
                 elif field_types.get(c) in ("double", "float", "decimal"):
                     lo_f, hi_f = float(st["min"]), float(st["max"])
@@ -4688,7 +4702,7 @@ class TxnTable:
         sink can't."""
         if epoch_id <= self.last_epoch(app_id):
             return None  # replay of an already-committed batch
-        df = self._with_defaults(self._with_generated(df))
+        df = self._with_generated(self._with_defaults(df))
         v0id = self.version()
         df, id_high = self._with_identity(df)
         schema = self._merged_schema(df)

@@ -63,6 +63,7 @@ class _FilePartition(InputPartition):
         cdf_from_file: bool = False,
         row_groups: tuple[int, ...] | None = None,
         row_offset: int = 0,
+        stats_version: int | None = None,
     ) -> None:
         self.path = path
         # per-file constant columns (hive-origin partition values,
@@ -98,6 +99,13 @@ class _FilePartition(InputPartition):
         self.cdf_version = cdf_version
         self.cdf_select = cdf_select
         self.cdf_from_file = cdf_from_file
+        # the commit version whose log recorded THIS file as live —
+        # streaming planners stamp it on every data partition (not just
+        # CDF ones) so _attach_read_extras can resolve partitionValues
+        # for a file added and then removed (compact + ignoreChanges)
+        # within one planned batch range, where the range-end file_stats
+        # no longer lists it
+        self.stats_version = stats_version
 
 
 def _arrow_to_ddl(path: str) -> str:
@@ -291,13 +299,18 @@ def _attach_read_extras(parts, table, at_version, schema, data_dir) -> None:
             stats = table.file_stats(at_version)
         fname = os.path.basename(part.path)
         pv = (stats.get(fname) or {}).get("partitionValues")
-        if pv is None and getattr(part, "cdf_version", None):
-            # a CDF retraction partition may reference a file already
-            # removed by ``at_version`` (rewritten after its DV delete,
-            # within the same planned range) — its partitionValues are
-            # still in the log at the partition's own commit version
+        fallback_v = getattr(part, "cdf_version", None) or getattr(
+            part, "stats_version", None
+        )
+        if pv is None and fallback_v:
+            # the partition may reference a file already removed by
+            # ``at_version`` — a CDF retraction rewritten after its DV
+            # delete, or a non-CDF file added then compacted away
+            # (ignoreChanges) within the same planned range — its
+            # partitionValues are still in the log at the version the
+            # planner recorded for this partition
             pv = (
-                table.file_stats(part.cdf_version).get(fname) or {}
+                table.file_stats(fallback_v).get(fname) or {}
             ).get("partitionValues")
         if pv:
             part.consts = tuple(part.consts) + tuple(
@@ -732,6 +745,7 @@ class TxnStreamReader(DataSourceStreamReader):
                     # inserts at the snapshot version (Delta CDF)
                     cdf_type="insert" if self._cdf else None,
                     cdf_version=self._snap_version if self._cdf else None,
+                    stats_version=self._snap_version,
                 )
                 for f in self._snap_files[lo_idx:hi_idx]
             )
@@ -904,6 +918,7 @@ class TxnStreamReader(DataSourceStreamReader):
                     self._colmap,
                     cdf_type="insert" if self._cdf else None,
                     cdf_version=v if self._cdf else None,
+                    stats_version=v,
                 )
                 for f in c.get("add", ())
             )

@@ -178,11 +178,17 @@ def test_sweep_stale_tombstone_behavior(tmp_path):
     os.makedirs(os.path.join(parent, "stale"))
     os.makedirs(os.path.join(parent, "fresh"))
     os.makedirs(os.path.join(parent, "orphan.sweeping-123"))
+    os.makedirs(os.path.join(parent, "live.sweeping-456"))
     old = time.time() - 7200
     os.utime(os.path.join(parent, "stale"), (old, old))
+    os.utime(os.path.join(parent, "orphan.sweeping-123"), (old, old))
     cacheutil.sweep_stale(parent, max_age_s=3600)
     left = set(os.listdir(parent))
-    assert left == {"fresh"}
+    # stale entry reaped; STALE orphaned tombstone reaped; a FRESH
+    # tombstone (round-10 advice) is a live concurrent sweeper's
+    # pending restore-or-delete — left alone so a claim() that already
+    # returned True cannot lose its entry to a second sweeper
+    assert left == {"fresh", "live.sweeping-456"}
 
 
 def test_claim_refreshes_and_saves_from_sweep(tmp_path):

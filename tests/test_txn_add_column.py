@@ -167,3 +167,24 @@ def test_set_default_introduces_one_on_plain_column(spark, table):
     )
     with pytest.raises(ValueError, match="no such column"):
         table.set_column_default(spark, "nope", 1)
+
+
+def test_generated_column_may_read_defaulted_column_on_append(spark, tmp_path):
+    """Regression (round-10 advice): append/overwrite/streaming applied
+    _with_generated BEFORE _with_defaults while merge deliberately
+    applied defaults first — so a generation expression referencing a
+    column given a default via set_column_default resolved on merge but
+    raised on append. All write sites now use merge's ordering."""
+    t = TxnTable(
+        str(tmp_path),
+        "t",
+        generated_cols={"tag": "concat(channel, '-', cast(k as string))"},
+    )
+    t.append(
+        spark.createDataFrame([Row(k=1, channel="web")])
+    )  # generated from an explicit value
+    t.set_column_default(spark, "channel", "store")
+    # writer omits the defaulted column: generation must see the default
+    t.append(spark.createDataFrame([Row(k=2)]))
+    got = {(r.k, r.channel, r.tag) for r in t.read(spark).collect()}
+    assert got == {(1, "web", "web-1"), (2, "store", "store-2")}, got

@@ -72,13 +72,37 @@ def test_analyze_histogram_integer_exact(spark, tmp_path):
     t.append(spark.createDataFrame([Row(k=i) for i in range(100)]))
     stats = t.analyze(spark, columns=["k"], histogram_bins=4)
     h = stats["k"]["histogram"]
-    # ((k - 0) * 4) div 100: exactly 25 per bucket
+    # (k - 0) div 25 (w = 99 div 4 + 1): exactly 25 per bucket
     assert h == {"bins": 4, "counts": [25, 25, 25, 25]}
     # committed and read back without a scan
     assert (
         t.column_stats()["columns"]["k"]["histogram"]["counts"]
         == [25, 25, 25, 25]
     )
+
+
+def test_analyze_histogram_near_int64_range_no_overflow(spark, tmp_path):
+    """Regression (round-10 advice): the multiply-form bucket
+    expression ((x - lo) * N) div (hi - lo + 1) wraps bigint silently
+    (ANSI off) when the column range is near int64 — 64-bit hash/id
+    columns — producing negative bucket keys that zero-fill, so the
+    committed histogram summed to fewer than the row count. The
+    width-first formula routes the subtraction through decimal(38,0)
+    and never multiplies."""
+    vals = [-(2**63), -(2**61), 0, 2**61, 2**62, 2**63 - 1]
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.createDataFrame([Row(k=v) for v in vals]))
+    stats = t.analyze(spark, columns=["k"], histogram_bins=8)
+    h = stats["k"]["histogram"]
+    assert sum(h["counts"]) == len(vals), h  # every row landed in a bucket
+    assert len(h["counts"]) == 8
+    # replay the formula driver-side (python ints are exact)
+    lo, hi = -(2**63), 2**63 - 1
+    w = (hi - lo) // 8 + 1
+    want = [0] * 8
+    for v in vals:
+        want[(v - lo) // w] += 1
+    assert h["counts"] == want, (h["counts"], want)
 
 
 def test_analyze_histogram_double_and_skip_strings(spark, tmp_path):

@@ -363,3 +363,46 @@ def test_copy_into_partitioned_ledger_idempotent(spark, tmp_path):
     r3 = t.copy_into(spark, land, force=True)
     assert r3["files_loaded"] == 1
     assert t.count_rows() == 10
+
+
+def test_hive_stream_partition_values_survive_compact_in_one_batch(
+    spark, tmp_path, hive_src
+):
+    """Regression (round-10 advice): a NON-CDF stream partition carried
+    no commit version, so when a hive-origin file (physically missing
+    its partition columns) was planned and then compacted away within
+    ONE planned batch range, the range-end ``file_stats`` no longer
+    listed it, the partition-value fallback never fired, and its
+    partition columns streamed as NULL. Every stream partition now
+    records its commit version (``stats_version``) and resolves
+    partitionValues there. Repro: startingVersion=0 tails the convert
+    commit (the hive files) and the compact that removed them in one
+    batch."""
+    from spark_data_engineering_spark.sources.txn_datasource import (
+        TxnDataSource,
+    )
+
+    spark.dataSource.register(TxnDataSource)
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", hive_src)
+    t.compact(spark)  # removes the hive files from the log (bytes stay)
+    q = (
+        spark.readStream.format("txn")
+        .option("startingVersion", "0")
+        .option("ignoreChanges", "true")
+        .load(t.table_dir)
+        .writeStream.format("memory")
+        .queryName("hive_stream_pv")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("hive_stream_pv").collect()
+    # the convert commit's hive files stream with their REAL partition
+    # values (each row appears twice — the compact rewrite re-emits
+    # under ignoreChanges, documented)
+    got = {(r.k, r.part) for r in rows}
+    assert got == {(i, "a" if i < 5 else "b") for i in range(10)}, got
+    assert all(r.part is not None for r in rows)
