@@ -1863,6 +1863,78 @@ def txn_add_column_default_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "txn_set_drop_default_revenue",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'web'
+                WHEN o_orderkey % 10 BETWEEN 3 AND 5 THEN 'store'
+                WHEN o_orderkey % 10 BETWEEN 6 AND 7 THEN 'kiosk'
+                ELSE 'none' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def txn_set_drop_default_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN SET/DROP DEFAULT lifecycle under the gate (round 11;
+    VERDICT r10 task 2 — the surface landed in round 10's final commit
+    pytest-only). FIVE write regimes in one hash, each purely
+    prospective (existing bytes untouched, the SQL rule): keys %10 = 0
+    land with an explicit 'web'; %10 in 1-2 land while the column has
+    NO default (read NULL, folded to 'none'); SET DEFAULT 'store', %10
+    in 3-5 land omitting the column (the literal is MATERIALIZED into
+    their staged files); SET DEFAULT 'kiosk' re-points the default and
+    %10 in 6-7 take the NEW literal; DROP DEFAULT, %10 in 8-9 go back
+    to NULL. The grouped aggregate must hash-match SQL reconstructing
+    the same channel with a CASE over the original parquet —
+    set-then-write, re-set-then-write, and drop-then-write all agree
+    row-for-row with the declared semantics."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"setdropdflt:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/setdropdflt-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_sd")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % 10
+        t.append(                                            # v1: explicit
+            o.filter(m == 0).withColumn("channel", F.lit("web"))
+        )
+        t.append(o.filter(m.between(1, 2)))                  # v2: no default
+        t.set_column_default(spark, "channel", "store")      # v3: DDL
+        t.append(o.filter(m.between(3, 5)))                  # v4: 'store'
+        t.set_column_default(spark, "channel", "kiosk")      # v5: re-point
+        t.append(o.filter(m.between(6, 7)))                  # v6: 'kiosk'
+        t.drop_column_default(spark, "channel")              # v7: DDL
+        t.append(o.filter(m >= 8))                           # v8: NULL again
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_sd")
+    return t.read(spark).groupBy(
+        F.coalesce(F.col("channel"), F.lit("none")).alias("channel")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
     "txn_analyze_histogram",
     oracle="""
     SELECT CAST((o_custkey - b.mn) // ((b.mx - b.mn) // 8 + 1) AS BIGINT)
@@ -1915,6 +1987,76 @@ def txn_analyze_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (b, int(n)) for b, n in enumerate(h["counts"]) if n > 0
     ]
     return spark.createDataFrame(rows, "bucket bigint, n_orders bigint")
+
+
+@query(
+    "txn_analyze_equiheight",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey,
+               ROW_NUMBER() OVER (ORDER BY o_custkey) - 1 AS q,
+               COUNT(*) OVER () AS n
+        FROM orders
+    )
+    SELECT CAST((q * 8) // n AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_custkey) AS BIGINT) AS lo_key,
+           CAST(MAX(o_custkey) AS BIGINT) AS hi_key,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_keys
+    FROM r
+    GROUP BY 1
+    """,
+)
+def txn_analyze_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE equi-HEIGHT histogram tier under the gate (round 11;
+    VERDICT r10 task 7 — the bin shape Spark's CBO actually stores):
+    the committed 8-bucket histogram of o_custkey — per-bucket count,
+    lo/hi bound, and NDV, read back from the log with NO data scan —
+    must hash-match DuckDB assigning each sorted row's 0-based rank q
+    to bucket ``(q * 8) div n`` and aggregating. Rank-keyed integer
+    math is the point (no ntile, no percentile interpolation): ties
+    occupy consecutive ranks, so per-bucket aggregates are
+    deterministic on any engine. The engine side never builds the
+    per-row global sort — ranks derive from per-distinct-value counts
+    (one NDV-sized shuffle) with a bins-bounded interval explode."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"analyzeeh:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/analyzeeh-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable.convert_from_parquet(
+            spark, tmp_root, "orders_eh", f"{sf_dir}/orders.parquet"
+        )
+        t.analyze(spark, columns=["o_custkey"], equi_height_bins=8)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_eh")
+    cs = t.column_stats()  # metadata-only read-back
+    eh = cs["columns"]["o_custkey"]["histogram_eh"]
+    assert eh["bins"] == 8 and sum(b["count"] for b in eh["buckets"]) == (
+        cs["rows"] - cs["columns"]["o_custkey"]["num_nulls"]
+    ), eh
+    rows = [
+        (bk["bucket"], bk["count"], int(bk["lo"]), int(bk["hi"]), bk["ndv"])
+        for bk in eh["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bucket bigint, n_orders bigint, lo_key bigint, hi_key bigint, "
+        "ndv_keys bigint",
+    )
 
 
 @query(

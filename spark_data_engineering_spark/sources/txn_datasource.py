@@ -846,9 +846,10 @@ class TxnStreamReader(DataSourceStreamReader):
                 "properties-set",
                 "properties-unset",
                 "analyze",
+                "repair-stats",
             ):
-                # CHECK-constraint / TBLPROPERTIES DDL: pure metadata,
-                # no row changes in either mode
+                # CHECK-constraint / TBLPROPERTIES / stats-backfill DDL:
+                # pure metadata, no row changes in either mode
                 continue
             if self._cdf and c["action"] == "compact":
                 continue  # net-zero row change by construction

@@ -123,3 +123,59 @@ def test_analyze_empty_table_raises_by_read_contract(spark, tmp_path):
     t = TxnTable(str(tmp_path), "t")
     with pytest.raises(FileNotFoundError):
         t.analyze(spark)
+
+
+def test_analyze_equiheight_exact_ranks_and_ties(spark, tmp_path):
+    """Equi-height tier (VERDICT r10 task 7): rank-keyed buckets —
+    0-based rank q lands in bucket (q*bins) div n — replayed here
+    driver-side over the sorted multiset, ties included."""
+    vals = [1, 1, 1, 1, 5, 5, 7, 8, 9, 9, 9, 12]  # n=12, ties across edges
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.createDataFrame([Row(k=v) for v in vals]))
+    stats = t.analyze(spark, columns=["k"], equi_height_bins=4)
+    eh = stats["k"]["histogram_eh"]
+    assert eh["bins"] == 4
+    # driver-side replay (python ints exact)
+    svals = sorted(vals)
+    want = {}
+    for q, v in enumerate(svals):
+        b = (q * 4) // len(svals)
+        e = want.setdefault(b, {"bucket": b, "count": 0, "lo": v, "hi": v, "ndv": set()})
+        e["count"] += 1
+        e["hi"] = max(e["hi"], v)
+        e["lo"] = min(e["lo"], v)
+        e["ndv"].add(v)
+    expect = [
+        {"bucket": b, "count": e["count"], "lo": str(e["lo"]),
+         "hi": str(e["hi"]), "ndv": len(e["ndv"])}
+        for b, e in sorted(want.items())
+    ]
+    assert eh["buckets"] == expect, (eh["buckets"], expect)
+    # committed + read back without a scan
+    assert t.column_stats()["columns"]["k"]["histogram_eh"] == eh
+
+
+def test_analyze_equiheight_sparse_when_rows_lt_bins(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.createDataFrame([Row(k=10), Row(k=20)]))
+    eh = t.analyze(spark, columns=["k"], equi_height_bins=8)["k"][
+        "histogram_eh"
+    ]
+    # ids are sparse: q=0 -> bucket 0, q=1 -> bucket 4
+    assert [b["bucket"] for b in eh["buckets"]] == [0, 4]
+    assert all(b["count"] == 1 for b in eh["buckets"])
+
+
+def test_analyze_equiheight_skips_strings_and_keeps_widths_separate(
+    spark, tmp_path
+):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(
+        spark.createDataFrame([Row(x=float(i), s=str(i)) for i in range(10)])
+    )
+    stats = t.analyze(spark, histogram_bins=5, equi_height_bins=5)
+    assert "histogram_eh" not in stats["s"]
+    assert "histogram" in stats["x"] and "histogram_eh" in stats["x"]
+    assert [b["count"] for b in stats["x"]["histogram_eh"]["buckets"]] == [
+        2, 2, 2, 2, 2,
+    ]
