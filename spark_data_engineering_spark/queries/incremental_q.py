@@ -1990,6 +1990,133 @@ def txn_analyze_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_partition_evolution_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def txn_partition_evolution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution under the gate (round 11; VERDICT r10 task 6
+    — Iceberg spec-v2 semantics, sources/txn.py::set_partitioning):
+    odd keys land partitioned by o_orderstatus, ONE metadata commit
+    re-declares the layout to o_orderpriority, even keys land under the
+    new scheme — no rewrite, files keep their own recorded
+    partitionValues, and reads prune each file against its own scheme
+    (the per-scheme union pinned exactly in
+    tests/test_txn_partition_evolution.py). The grouped aggregate over
+    the MIXED-layout table must hash-match SQL over the original
+    parquet — both cohorts, both schemes, one answer."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"partevo:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/partevo-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(
+            tmp_root, "orders_pe", partition_cols=("o_orderstatus",)
+        )
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+        t.set_partitioning(spark, ("o_orderpriority",))
+        t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_pe")
+    return t.read(spark).groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "txn_merge_evolution_revenue",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'web' ELSE 'none' END
+             AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def txn_merge_evolution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE schema evolution under the gate (round 11; VERDICT r10
+    task 5 — Delta ``withSchemaEvolution()``): a CDC batch carrying a
+    column the target has never seen (``channel``) merges with
+    ``schema_evolution=True`` — the new column is declared in the
+    merge's own commit, the matched rows (keys %7 = 0) take the
+    updated price AND the new value, and every pre-existing untouched
+    row reads NULL for it (add_column's prospective rule). The grouped
+    aggregate over the evolved table must hash-match SQL
+    reconstructing the same channel and updated prices with CASEs over
+    the original parquet — update arm, evolution arm, and NULL history
+    agree row-for-row. Doubling a double is exact in binary, so the
+    DECIMAL(18,2) revenue hash cannot drift."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"mergeevo:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/mergeevo-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_me")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.append(o)
+        cdc = (
+            o.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("channel", F.lit("web"))
+        )
+        t.merge(spark, cdc, on=["o_orderkey"], schema_evolution=True)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_me")
+    return t.read(spark).groupBy(
+        F.coalesce(F.col("channel"), F.lit("none")).alias("channel")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
     "txn_analyze_equiheight",
     oracle="""
     WITH r AS (

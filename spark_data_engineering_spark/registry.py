@@ -75,16 +75,22 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # Round-11 derivation (tools/derive_window.py against
     # CORRECTNESS_r01-r10; CORRECTNESS_r10 = 50/50 green, so the r10
     # window's names all carry fresh r10 evidence and rotate out):
-    #   P1 = 0: no never-checked oracled queries — every registered
-    #        query has at least one green driver row.
+    #   P1 = 4: the round-11 gate queries, never driver-checked —
+    #        txn_set_drop_default_revenue (SET/DROP DEFAULT lifecycle),
+    #        txn_partition_evolution_revenue (Iceberg-v2 partition
+    #        evolution), txn_merge_evolution_revenue (Delta
+    #        withSchemaEvolution MERGE), txn_analyze_equiheight (the
+    #        CBO's equi-height histogram tier).
     #   P2 = the r6 cohort (22 names, the oldest evidence:
     #        salted_distinct_customers_by_status .. bigram_fluency_scores
     #        including the 17 r10-P3-displaced heads), then the r7
     #        cohort (50 names), oldest evidence first.
-    #   P3 = the r7 cohort overflows by 22: cut at registration order
-    #        (bloom_pruned_supplier_revenue, fuzzy_part_name_pairs,
-    #        doc_hierarchy_depths, k_anonymity_report, daily_order_report,
-    #        daily_category_report, daily_category_report_bucketed,
+    #   P3 = the r7 cohort overflows by 26: cut at registration order
+    #        (latest_order_per_customer, rollup_flag_status,
+    #        hourly_event_stats, customer_rank_suite,
+    #        bloom_pruned_supplier_revenue, fuzzy_part_name_pairs,
+    #        doc_hierarchy_depths, k_anonymity_report,
+    #        daily_order_report, daily_category_report[_bucketed],
     #        hybrid_search_rerank, scd2_customer_tiers, scd2_pit_revenue,
     #        embedding_dup_clusters, knn_int8_quantized,
     #        ann_index_search_exhaustive, hard_negative_pairs,
@@ -92,6 +98,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #        sessionize/neardup/heavy_hitters/distinct_users,
     #        tpch_q1_pricing_summary) — each keeps its r7 hash-green row
     #        + pytest pins and heads the r12 P2 queue by construction.
+    "txn_set_drop_default_revenue",
+    "txn_partition_evolution_revenue",
+    "txn_merge_evolution_revenue",
+    "txn_analyze_equiheight",
     "salted_distinct_customers_by_status",
     "join_skew_report",
     "winsorized_revenue_by_priority",
@@ -138,10 +148,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "corpus_snapshot_diff",
     "dim_customer",
     "wide_lineitem",
-    "latest_order_per_customer",
-    "rollup_flag_status",
-    "hourly_event_stats",
-    "customer_rank_suite",
 )
 
 

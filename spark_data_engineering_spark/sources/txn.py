@@ -1906,6 +1906,26 @@ class TxnTable:
         # string compare replaced NOTHING for a bool partition value
         v0 = self.version()
         fstats = self.file_stats(v0)
+        predate = sorted(
+            name
+            for name, cols in fstats.items()
+            if any(
+                c not in (cols.get("partitionValues") or {})
+                for c in replace_where
+            )
+        )
+        if predate:
+            # partition evolution (round 11): a live file that never
+            # recorded a queried column is not value-pure on it — it
+            # could hold matching rows, and silently not replacing them
+            # would leak duplicates next to the new batch. Loud refusal;
+            # compact rewrites everything into the current scheme.
+            raise ValueError(
+                f"replace_where: {len(predate)} live file(s) predate "
+                f"partitioning by {sorted(replace_where)} (e.g. "
+                f"{predate[0]}) and are not value-pure on it; run "
+                "compact() to migrate the layout first"
+            )
         removed = sorted(
             name
             for name, cols in fstats.items()
@@ -2085,7 +2105,6 @@ class TxnTable:
         bounded, still never per-row Python."""
         from pyspark.sql.types import _parse_datatype_json_value
 
-        pcols = self.partition_cols(at_version)
         stats = self.file_stats(at_version)
         types = {
             s["name"]: _parse_datatype_json_value(s["type"])
@@ -2094,6 +2113,21 @@ class TxnTable:
 
         def pv_of(f: str, c: str):
             return ((stats.get(f) or {}).get("partitionValues") or {}).get(c)
+
+        # project the UNION of columns any planned file recorded (not
+        # the current scheme): under partition evolution an old-scheme
+        # hive file still needs ITS recorded column served, even after
+        # the scheme moved on (round 11) — each file's own log entry is
+        # the source of truth, per-column misses coalesce to NULL
+        pcols = [
+            s["name"]
+            for s in (self.table_schema(at_version) or [])  # schema order
+            if not s.get("dropped")
+            and any(
+                s["name"] in ((stats.get(f) or {}).get("partitionValues") or {})
+                for f in files
+            )
+        ]
 
         # \x01/\x02 pack the map into ONE string literal (4 py4j calls
         # per column instead of 2-per-file Column objects — the naive
@@ -2285,6 +2319,7 @@ class TxnTable:
         when_not_matched_by_source: str | None = None,
         by_source_update_set: dict | None = None,
         by_source_condition=None,
+        schema_evolution: bool = False,
     ) -> int:
         """MERGE INTO (upsert), copy-on-write: only files that actually
         contain a matching key are rewritten — discovered via one semi-join
@@ -2298,9 +2333,12 @@ class TxnTable:
                               source row; "delete" drops it; None keeps it.
           - when_not_matched: "insert" appends source rows with no target
                               match; None drops them.
-        Source must carry the target schema and at most one row per key
-        (multiple source matches per target row are ambiguous — Delta
-        errors; here the caller pre-aggregates).
+        Source must carry exactly the target schema (Delta's rule;
+        pass ``schema_evolution=True`` for ``withSchemaEvolution()``
+        semantics — extra source columns evolve the table, missing
+        ones keep target values on updates / NULL on inserts) and at
+        most one row per key (multiple source matches per target row
+        are ambiguous — Delta errors; here the caller pre-aggregates).
 
         ``matched_delete_condition`` (a Column over SOURCE rows) makes the
         update conditional, Delta's ``WHEN MATCHED AND cond THEN DELETE``:
@@ -2428,6 +2466,35 @@ class TxnTable:
         source = self._with_generated(self._with_defaults(source))
         if src_crumb is not None:
             source._spark_graft_read_src = src_crumb
+        # Schema contract (Delta's MERGE rule, r10 task 5): WITHOUT
+        # ``schema_evolution`` the source must carry exactly the
+        # target's live columns (after defaults/generated fill; order
+        # free; identity columns excluded — they are table-assigned).
+        # WITH it, Delta ``withSchemaEvolution()`` semantics: extra
+        # source columns evolve the schema in this merge's own commit
+        # (pre-existing rows read NULL — add_column's prospective
+        # rule); source-MISSING target columns are PRESERVED on
+        # updated rows and NULL on inserted ones. Type conflicts are
+        # refused either way (_merged_schema / _enforce_staged).
+        tgt_cols = {
+            f["name"] for f in self.table_schema() if not f.get("dropped")
+        }
+        preserved: list[str] = []
+        if tgt_cols:
+            extra = sorted(set(source.columns) - tgt_cols)
+            missing = sorted(
+                tgt_cols - set(source.columns) - set(self.identity_cols())
+            )
+            if (extra or missing) and not schema_evolution:
+                raise ValueError(
+                    "merge: source schema does not match the target "
+                    f"(extra columns {extra}, missing columns {missing}); "
+                    "pass schema_evolution=True to evolve the target "
+                    "(Delta's withSchemaEvolution) — extra columns are "
+                    "declared with NULL history, missing ones keep the "
+                    "target's values on updated rows"
+                )
+            preserved = missing
         # Size-gate the source side (round 10; VERDICT r9 #1): every
         # join below hints F.broadcast on a frame derived from ``src``
         # — right for CDC micro-batches (one shuffle-free pass per
@@ -2524,8 +2591,16 @@ class TxnTable:
                     # collapsed [k,k] targets to one row (found by the
                     # round-7 randomized model search). Identity columns
                     # ride the TARGET side — an update never re-assigns
-                    # them (the source was refused above if it tried)
-                    keep = list(on) + [c for c in idcols if c in t_rows.columns]
+                    # them (the source was refused above if it tried) —
+                    # and so do source-missing columns under schema
+                    # evolution (Delta's updateAll rule: only source
+                    # columns are SET, the rest keep the target's values)
+                    keep = list(on) + [
+                        c
+                        for c in t_rows.columns
+                        if c not in on
+                        and (c in idcols or c in preserved)
+                    ]
                     upd = t_rows.select(*keep).join(bhint(src), on, "inner")
                     if matched_delete_condition is not None:
                         upd = upd.filter(
@@ -3220,6 +3295,73 @@ class TxnTable:
             if not s.get("dropped") and s.get("default") is not None
         }
 
+    def set_partitioning(
+        self, spark: SparkSession, cols: "tuple[str, ...] | list[str]"
+    ) -> int:
+        """Partition evolution (round 11; Iceberg spec-v2 semantics —
+        Delta has no equivalent): ONE metadata commit re-declares
+        ``partition_cols`` from this version forward. Existing files
+        keep the ``partitionValues`` their own commits recorded — no
+        rewrite — so the table holds MIXED layouts: reads prune each
+        file against its own recorded values (files that never
+        recorded a queried column fall through to min/max stats,
+        conservatively — the per-scheme prunes union by construction),
+        hive-origin projection serves every file's own recorded
+        columns, and only NEW writes stage under the new scheme.
+        Hidden-partitioning transforms (a generated column named here)
+        recompute only for new writes — generation expressions are
+        immutable and write-time by contract.
+
+        ``cols=()`` removes partitioning (later writes stage unsplit;
+        ``show_partitions`` then refuses at head, Spark's rule).
+        Old-scheme files surface in ``show_partitions`` with NULL for
+        columns they never recorded. ``overwrite(replace_where=...)``
+        REFUSES while any live file predates the queried column's
+        scheme (a non-value-pure file could hold matching rows —
+        silently not replacing them would leak duplicates); ``compact``
+        rewrites everything into the current scheme and unblocks it.
+        Same-scheme re-declaration is refused loudly (a no-op DDL is a
+        caller bug)."""
+        cols = tuple(cols)
+        cur = self.partition_cols()
+        if cols == cur:
+            raise ValueError(
+                f"set_partitioning: table is already partitioned by "
+                f"{cur or '()'} — nothing to evolve"
+            )
+        live_cols = {
+            f["name"] for f in (self.table_schema() or []) if not f.get("dropped")
+        }
+        unknown = [c for c in cols if live_cols and c not in live_cols]
+        if unknown:
+            raise ValueError(
+                f"set_partitioning: no such column(s) {unknown} "
+                f"(have {sorted(live_cols)})"
+            )
+        for _ in range(5):
+            v0 = self.version()
+            rec = {
+                "version": v0 + 1,
+                "action": "partition-evolve",
+                "add": [],
+                "remove": [],
+            }
+            self._stamp_props(rec)
+            # the evolved scheme OVERRIDES the stamped current one; []
+            # is recorded explicitly so resolution never falls through
+            # to an older scheme
+            rec["partition_cols"] = list(cols)
+            if self._try_commit(rec):
+                # this handle's caches and its construction-time param
+                # now describe the new scheme (the param guard otherwise
+                # refuses the very evolution it just performed)
+                self._pcols_cache = cols
+                self._pcols_param = cols
+                return v0 + 1
+        raise ConcurrentWriteError(
+            "set_partitioning: lost the commit race 5 times; retry"
+        )
+
     # ------------------------------------------------------------------
     # CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT): a LOG
     # property like partition_cols/schema — the latest commit carrying a
@@ -3607,6 +3749,7 @@ class TxnTable:
             "constraint-drop",
             "dv-prune",
             "repair-stats",
+            "partition-evolve",
             "rename_column",
             "add_column",
             "drop_column",
@@ -4662,15 +4805,18 @@ class TxnTable:
         ]
         stats_gaps = [f for f in live if f not in stats]
         pcols = self.partition_cols(head) if head else ()
+        # partition evolution (round 11): a file's scheme is whatever
+        # its own commit recorded — an old-scheme file is NOT a gap (it
+        # prunes exactly against its own values and conservatively
+        # against the new scheme). A gap is a file on a partitioned
+        # table with NO recorded partitionValues at all: it falls out
+        # of exact pruning entirely.
         partition_gaps = [
             f
             for f in live
             if pcols
             and f in stats
-            and any(
-                c not in (stats[f].get("partitionValues") or {})
-                for c in pcols
-            )
+            and not (stats[f].get("partitionValues") or {})
         ]
         row_drift: list[dict] = []
         if deep:
@@ -4806,6 +4952,7 @@ class TxnTable:
                 "properties-unset",
                 "analyze",
                 "repair-stats",
+                "partition-evolve",
             ):
                 continue  # net-zero row change by construction (the
                 # constraint/property/ANALYZE DDLs are pure metadata)
@@ -5233,6 +5380,14 @@ class TxnTable:
                     "diverged parent's rows; drop the DDL on the branch "
                     "and re-run add_constraint on the parent after the "
                     "rebase (it re-validates there)"
+                )
+            if act == "partition-evolve":
+                raise ValueError(
+                    "rebase_branch: branch carries a partition-evolve "
+                    "DDL — its scheme change was declared against the "
+                    "old base's layout; compact the branch first and "
+                    "re-run set_partitioning on the parent after the "
+                    "merge"
                 )
             if act == "dv-prune":
                 raise ValueError(

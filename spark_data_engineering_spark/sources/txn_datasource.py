@@ -283,12 +283,12 @@ def _attach_read_extras(parts, table, at_version, schema, data_dir) -> None:
     import os
 
     sch_names = {f.name for f in schema.fields}
-    pcols = table.partition_cols(at_version)
-    if not pcols or not table.hive_origin(at_version):
+    if not table.hive_origin(at_version):
         return
-    want = [c for c in pcols if c in sch_names]
-    if not want:
-        return
+    # serve each file's OWN recorded columns (not the current scheme):
+    # under partition evolution an old-scheme hive file still carries
+    # its original partitionValues and nothing else (round 11)
+    want = sch_names
     stats = None
     for part in parts:
         if not part.path or getattr(part, "cdf_from_file", False):
@@ -314,7 +314,7 @@ def _attach_read_extras(parts, table, at_version, schema, data_dir) -> None:
             ).get("partitionValues")
         if pv:
             part.consts = tuple(part.consts) + tuple(
-                (c, pv.get(c)) for c in want
+                (c, pv[c]) for c in pv if c in want
             )
 
 
@@ -847,6 +847,7 @@ class TxnStreamReader(DataSourceStreamReader):
                 "properties-unset",
                 "analyze",
                 "repair-stats",
+                "partition-evolve",
             ):
                 # CHECK-constraint / TBLPROPERTIES / stats-backfill DDL:
                 # pure metadata, no row changes in either mode

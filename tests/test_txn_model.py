@@ -47,6 +47,25 @@ FSCK-after-every-op:
     garbage, re-asserted after EVERY subsequent op (rewrites must
     carry the column without inventing values).
 
+Round-11 dimensions (VERDICT r10 tasks 5 & 8):
+  - ``hive`` joins plain/generated/identity as a FOURTH first-class
+    table mode: the whole sequence is seeded via CONVERT TO DELTA
+    before the first op (hive-partitioned corpus when the run is
+    partitioned, so data files physically DROP the partition column
+    and every read/CDF/stream projection runs hive-origin), with the
+    default-DDL and merge-evolution ops mixed in — round 10's one
+    real bug lived exactly in this interaction class;
+  - ``set_default``: ALTER COLUMN SET/DROP DEFAULT mid-lifecycle —
+    the 'extra' value domain tracks every default that was ever
+    active ({None, 7..9}), asserted after every op;
+  - ``merge_evolve``: MERGE schema evolution (Delta
+    withSchemaEvolution) — the source declares mcol = val*3; later
+    single-column merges are MISSING it and opt into evolution
+    (Delta's strict rule would refuse them), updated rows must KEEP
+    their mcol (updateAll preserves unSET columns), inserts read
+    NULL, and the mcol domain {NULL, val*3} is asserted after every
+    rewrite.
+
 Round-10 find (first deep run, 25 examples): ``convert_seed`` +
 ``branch_cycle`` falsified the CDF fold — read_changes' delete_dv arm
 read data files RAW (bypassing the partition-value projection), so DV
@@ -146,6 +165,26 @@ _op = st.one_of(
     # thereafter reads NULL (pre-add file) or the default (post-add
     # default-omitting write) — never garbage — through every rewrite
     st.tuples(st.just("add_column")),
+    # ALTER COLUMN SET/DROP DEFAULT (round 11): re-point or drop the
+    # 'extra' default mid-lifecycle — the value domain of later
+    # default-omitting writes must track the change exactly, and
+    # existing bytes must never move
+    st.tuples(st.just("set_default"), st.integers(0, 99)),
+    # MERGE schema evolution (round 11, Delta withSchemaEvolution):
+    # the source introduces a brand-new column mcol = val * 3 — the
+    # merge's own commit declares it, matched/inserted rows carry it,
+    # pre-existing untouched rows read NULL, and every later rewrite
+    # must preserve the mcol in (NULL, val*3) domain
+    st.tuples(
+        st.just("merge_evolve"),
+        st.lists(st.integers(0, 99), min_size=1, max_size=4),
+    ),
+    # partition evolution (round 11, Iceberg v2): toggle the layout
+    # between ("val",) and () mid-lifecycle — a pure-metadata commit;
+    # old files keep their recorded values, later writes stage under
+    # the new scheme, and every subsequent op must hold the model on
+    # the MIXED layout
+    st.tuples(st.just("partition_evolve")),
     # SHALLOW CLONE at head (round 10): clone == model, clone mutation
     # never leaks into the parent, clone fsck passes
     st.tuples(
@@ -191,13 +230,14 @@ _MAXOPS = int(os.environ.get("TXN_MODEL_MAXOPS", "7"))
     st.lists(_op, min_size=2, max_size=_MAXOPS),
     st.integers(0, 10**6),
     st.booleans(),
-    st.sampled_from(["plain", "generated", "identity"]),
+    st.sampled_from(["plain", "generated", "identity", "hive"]),
 )
 def test_random_op_sequence_matches_model(
     spark, tmp_path_factory, ops, seq_id, partitioned, colmode
 ):
     generated = colmode == "generated"
     identity = colmode == "identity"
+    hive = colmode == "hive"
     # half the searches run on a hive-PARTITIONED table (partition col =
     # the value column, so every staged file is value-pure): every op
     # interaction — append/delete/dv/compact/merge/branch/restore — then
@@ -223,11 +263,35 @@ def test_random_op_sequence_matches_model(
         identity_cols={"rid": {"start": 1, "step": 1}} if identity else None,
     )
     model: list[int] = []
+    if hive:
+        # fourth first-class mode (round 11, VERDICT r10 task 8): the
+        # WHOLE sequence runs against a hive-origin table — seeded via
+        # CONVERT before the first op, hive-partitioned when the run
+        # is partitioned (data files DROP val; every read projects it
+        # from the log) — with the default-DDL and merge-evolution ops
+        # in the mix. Round 10's one real bug lived exactly in this
+        # interaction class.
+        corpus0 = os.path.join(root, "corpus0")
+        seed = [1, 2, 3]
+        seed_df = spark.createDataFrame(
+            [(v,) for v in seed], "val int"
+        ).coalesce(1)
+        if partitioned:
+            seed_df.withColumn("pad", F.col("val") * 10).write.partitionBy(
+                "val"
+            ).parquet(corpus0)
+        else:
+            seed_df.write.parquet(corpus0)
+        TxnTable.convert_from_parquet(spark, root, "t", corpus0)
+        model.extend(seed)
+        if partitioned:
+            assert table.hive_origin(), "hive origin not recorded"
     snapshots: dict[int, list[int]] = {}
     last_epoch = 0  # exactly-once watermark model for app "m"
     vacuumed = False  # read_changes(0) needs every historical file
     n_branches = 0
     prop_model: dict[str, str] = {}  # TBLPROPERTIES model (round 10)
+    extra_domain = {None, 7}  # legal 'extra' values (round-11 set_default)
     n_side = 0  # landing/clone/corpus dir counter (round 10)
 
     def df_of(vals):
@@ -244,14 +308,38 @@ def test_random_op_sequence_matches_model(
             bad = [(r.val, r.g) for r in rows if r.g != r.val * 2 + 1]
             assert not bad, f"generated column diverged: {bad[:5]}"
         if rows and hasattr(rows[0], "extra"):
-            # ADD COLUMN DEFAULT invariant (round 10): NULL (pre-add
-            # file) or the default — never garbage — after every op
-            badx = [r.val for r in rows if r.extra not in (None, 7)]
+            # ADD/SET/DROP COLUMN DEFAULT invariant (rounds 10-11):
+            # NULL (pre-add file or post-drop write) or a default that
+            # was ACTIVE at some write — never garbage — after every op
+            badx = [
+                (r.val, r.extra)
+                for r in rows
+                if r.extra not in extra_domain
+            ]
             assert not badx, f"extra column corrupted: {badx[:5]}"
+        if rows and hasattr(rows[0], "mcol"):
+            # MERGE schema evolution invariant (round 11): the evolved
+            # column is val*3 where a merge wrote it, NULL everywhere
+            # else (pre-evolution files, evolution-less inserts) —
+            # through every rewrite
+            badm = [
+                (r.val, r.mcol)
+                for r in rows
+                if r.mcol not in (None, r.val * 3)
+            ]
+            assert not badm, f"mcol corrupted: {badm[:5]}"
         if identity:
             rids = [r.rid for r in rows]
             assert len(set(rids)) == len(rids), "identity values collided"
         return sorted(r.val for r in rows)
+
+    def evolve_kw():
+        # once merge_evolve declared mcol, later single-column merge
+        # sources are MISSING it — Delta's strict rule refuses them, so
+        # the model (like a real CDC caller after an upstream column
+        # add) opts into evolution; before that, the strict path runs
+        sch = {f["name"] for f in (table.table_schema() or [])}
+        return {"schema_evolution": True} if "mcol" in sch else {}
 
     for op in ops:
         if op[0] == "append":
@@ -285,7 +373,7 @@ def test_random_op_sequence_matches_model(
             # inserts get fresh ones — the read_vals uniqueness check
             # catches either going wrong.
             keys = sorted(set(op[1]))
-            table.merge(spark, df_of(keys), on=["val"])
+            table.merge(spark, df_of(keys), on=["val"], **evolve_kw())
             model = model + [k for k in keys if k not in model]
         elif op[0] == "merge_delete":
             keys = sorted(set(op[1]))
@@ -295,6 +383,7 @@ def test_random_op_sequence_matches_model(
                 on=["val"],
                 when_matched="delete",
                 when_not_matched=None,
+                **evolve_kw(),
             )
             model = [v for v in model if v not in set(keys)]
         elif op[0] == "merge_sync":
@@ -306,6 +395,7 @@ def test_random_op_sequence_matches_model(
                 df_of(keys),
                 on=["val"],
                 when_not_matched_by_source="delete",
+                **evolve_kw(),
             )
             ks = set(keys)
             # matched rows "update" to themselves (key == value) with
@@ -326,6 +416,7 @@ def test_random_op_sequence_matches_model(
                 when_not_matched="insert",
                 when_not_matched_by_source="delete",
                 by_source_condition=F.col("val") < bound,
+                **evolve_kw(),
             )
             ks = set(keys)
             # matched rows survive AS-IS; unmatched rows below the bound
@@ -449,6 +540,36 @@ def test_random_op_sequence_matches_model(
             except FileNotFoundError:
                 vals = set()
             assert vals <= {None, 7}, vals
+        elif op[0] == "set_default":
+            sch = {f["name"] for f in (table.table_schema() or [])}
+            if "extra" not in sch:
+                continue
+            if op[1] % 4 == 3:
+                # DROP DEFAULT (refused loudly when none is active —
+                # that refusal must be a perfect no-op)
+                if "extra" in table.column_defaults():
+                    table.drop_column_default(spark, "extra")
+                else:
+                    import pytest as _pytest
+
+                    with _pytest.raises(ValueError, match="no default"):
+                        table.drop_column_default(spark, "extra")
+            else:
+                d = 7 + (op[1] % 3)  # 7..9
+                table.set_column_default(spark, "extra", d)
+                extra_domain.add(d)
+        elif op[0] == "partition_evolve":
+            if table.version() == 0:
+                continue
+            cur = table.partition_cols()
+            table.set_partitioning(spark, () if cur else ("val",))
+        elif op[0] == "merge_evolve":
+            keys = sorted(set(op[1]))
+            src = spark.createDataFrame(
+                [(v, v * 3) for v in keys], "val int, mcol int"
+            ).coalesce(1)
+            table.merge(spark, src, on=["val"], schema_evolution=True)
+            model = model + [k for k in keys if k not in model]
         elif op[0] == "set_props":
             # pure-metadata CAS commit; every 3rd draw unsets instead.
             # The prop_model equality below (after every op) pins that

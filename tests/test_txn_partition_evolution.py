@@ -1,0 +1,160 @@
+"""Partition evolution (VERDICT r10 task 6 — Iceberg spec-v2
+semantics): ``set_partitioning`` re-declares the layout at vN as ONE
+metadata commit; files keep the partitionValues their own commits
+recorded, reads prune each file against its own scheme (the per-scheme
+prunes union), hive projection serves per-file recorded columns, FSCK
+understands both schemes, and only new writes stage under the new one.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources.txn import TxnTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, p string, q string"
+    ).coalesce(1)
+
+
+@pytest.fixture()
+def evolved(spark, tmp_path):
+    """v1: two appends under scheme (p); v2: evolve to (q); v3: append
+    under (q). Distinct value domains so pruning assertions are exact:
+    old rows have q='zz', new rows have p='mm'."""
+    t = TxnTable(str(tmp_path), "t", partition_cols=("p",))
+    t.append(_df(spark, [(1, "a", "zz"), (2, "b", "zz")]))
+    t.set_partitioning(spark, ("q",))
+    t.append(_df(spark, [(3, "mm", "x"), (4, "mm", "y")]))
+    return t
+
+
+def test_evolution_lifecycle_and_time_travel(spark, evolved):
+    t = evolved
+    assert t.partition_cols() == ("q",)
+    assert t.partition_cols(at_version=1) == ("p",)  # old scheme at v1
+    got = {(r.k, r.p, r.q) for r in t.read(spark).collect()}
+    assert got == {
+        (1, "a", "zz"),
+        (2, "b", "zz"),
+        (3, "mm", "x"),
+        (4, "mm", "y"),
+    }
+    # a reopened bare handle resolves the evolved scheme from the log
+    t2 = TxnTable(t.table_dir.rsplit("/", 1)[0], "t")
+    assert t2.partition_cols() == ("q",)
+    # files keep their OWN recorded values
+    pv = {
+        f: st.get("partitionValues")
+        for f, st in t.file_stats().items()
+    }
+    schemes = {tuple(sorted(v)) for v in pv.values()}
+    assert schemes == {("p",), ("q",)}
+
+
+def test_per_scheme_exact_pruning_unions(spark, evolved):
+    t = evolved
+    old_files = {
+        f
+        for f, st in t.file_stats().items()
+        if "p" in (st.get("partitionValues") or {})
+    }
+    new_files = {
+        f
+        for f, st in t.file_stats().items()
+        if "q" in (st.get("partitionValues") or {})
+    }
+    # prune on the OLD scheme column: old files prune exactly by value
+    # (p='a' keeps one of two); new files are all p='mm', so min/max
+    # stats exclude them too — exact per-scheme union
+    kept = set(t.prune_files(None, equals={"p": "a"}))
+    assert kept & old_files == {
+        f
+        for f in old_files
+        if (t.file_stats()[f]["partitionValues"]).get("p") == "a"
+    }
+    assert not kept & new_files
+    # prune on the NEW scheme column: new files prune exactly by value,
+    # old files are all q='zz' and excluded by stats
+    kept_q = set(t.prune_files(None, equals={"q": "x"}))
+    assert kept_q & new_files == {
+        f
+        for f in new_files
+        if (t.file_stats()[f]["partitionValues"]).get("q") == "x"
+    }
+    assert not kept_q & old_files
+    # read-through equivalence
+    assert {r.k for r in t.read(spark, prune_eq={"p": "a"}).collect()} == {1}
+    assert {r.k for r in t.read(spark, prune_eq={"q": "x"}).collect()} == {3}
+
+
+def test_fsck_understands_both_schemes(spark, evolved):
+    rep = evolved.fsck(deep=True)
+    assert rep["ok"], rep
+    assert rep["partition_gaps"] == []  # old-scheme files are NOT gaps
+
+
+def test_replace_where_refuses_mixed_then_compact_unblocks(spark, evolved):
+    t = evolved
+    with pytest.raises(ValueError, match="predate partitioning"):
+        t.overwrite(
+            _df(spark, [(9, "mm", "x")]), replace_where={"q": "x"}
+        )
+    t.compact(spark)  # migrates every file into the current scheme
+    t.overwrite(_df(spark, [(9, "mm", "x")]), replace_where={"q": "x"})
+    got = {(r.k, r.q) for r in t.read(spark).collect()}
+    assert got == {(1, "zz"), (2, "zz"), (4, "y"), (9, "x")}
+
+
+def test_refusals_and_unpartition(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t", partition_cols=("p",))
+    t.append(_df(spark, [(1, "a", "z")]))
+    with pytest.raises(ValueError, match="already partitioned"):
+        t.set_partitioning(spark, ("p",))
+    with pytest.raises(ValueError, match="no such column"):
+        t.set_partitioning(spark, ("nope",))
+    t.set_partitioning(spark, ())  # remove partitioning
+    assert t.partition_cols() == ()
+    t.append(_df(spark, [(2, "b", "y")]))
+    with pytest.raises(ValueError, match="not partitioned"):
+        t.show_partitions()
+    # evolution is row-neutral: streams/CDF dispatchers accept it
+    ch = t.read_changes(spark, from_version=0)
+    assert sorted(r.k for r in ch.collect()) == [1, 2]
+
+
+def test_hive_origin_files_keep_projecting_after_evolution(
+    spark, tmp_path
+):
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [Row(k=i, q=f"q{i}", p="a" if i < 2 else "b") for i in range(4)]
+    ).write.partitionBy("p").parquet(src)
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", src)
+    assert t.hive_origin()
+    t.set_partitioning(spark, ("q",))
+    t.append(
+        spark.createDataFrame([Row(k=9, q="qq", p="c")]).coalesce(1)
+    )
+    # the hive files physically LACK p; after evolving away from p they
+    # must still project it from their own recorded values
+    got = {(r.k, r.p, r.q) for r in t.read(spark).collect()}
+    assert got == {
+        (0, "a", "q0"),
+        (1, "a", "q1"),
+        (2, "b", "q2"),
+        (3, "b", "q3"),
+        (9, "c", "qq"),
+    }
+    # connector parity
+    from spark_data_engineering_spark.sources.txn_datasource import (
+        TxnDataSource,
+    )
+
+    spark.dataSource.register(TxnDataSource)
+    via = spark.read.format("txn").load(t.table_dir)
+    assert {(r.k, r.p, r.q) for r in via.collect()} == got
