@@ -134,3 +134,80 @@ def join_size_advisor(
                     )
         out.append(rec)
     return out
+
+
+def estimate_range_rows(
+    table: TxnTable,
+    col: str,
+    lo=None,
+    hi=None,
+    at_version: "int | None" = None,
+) -> "dict | None":
+    """CBO-style range-cardinality estimate for ``col BETWEEN lo AND
+    hi`` (either bound None = open) from the committed ANALYZE payload
+    alone — zero Spark jobs, commit-log JSON only. This is what the
+    equi-height histogram tier exists FOR: Spark's own CBO consumes
+    equi-height bins for exactly this arithmetic.
+
+    Tiers, best evidence first:
+      1. equi-height buckets (``histogram_eh``): fully-covered buckets
+         count whole, edge buckets interpolate linearly within [bucket
+         lo, bucket hi] — the standard CBO assumption;
+      2. equi-width counts (``histogram``): same arithmetic over the
+         derived bucket bounds;
+      3. min/max only: uniform interpolation over the column range.
+
+    Returns ``{"rows": float, "selectivity": float, "tier": str,
+    "analyzed_rows": int}`` or None when the column was never analyzed
+    (the honest answer — never guesses without evidence). Estimates
+    are advisory: committed counts are exact per bucket, interpolation
+    inside a bucket is the uniform assumption."""
+    cs = table.column_stats(at_version)
+    st = (cs.get("columns") or {}).get(col)
+    if not st or st.get("min") is None:
+        return None
+    n_rows = (cs.get("rows") or 0) - int(st.get("num_nulls", 0))
+
+    def _f(x):
+        return float(x) if x is not None else None
+
+    lo_f, hi_f = _f(lo), _f(hi)
+
+    def overlap(b_lo: float, b_hi: float, count: int) -> float:
+        """Rows of a [b_lo, b_hi] bucket falling inside the query range,
+        linear interpolation (point buckets count all-or-nothing)."""
+        q_lo = b_lo if lo_f is None else max(b_lo, lo_f)
+        q_hi = b_hi if hi_f is None else min(b_hi, hi_f)
+        if q_lo > q_hi:
+            return 0.0
+        if b_hi == b_lo:
+            return float(count)
+        return count * (q_hi - q_lo) / (b_hi - b_lo)
+
+    eh = st.get("histogram_eh")
+    if eh:
+        est = sum(
+            overlap(float(b["lo"]), float(b["hi"]), b["count"])
+            for b in eh["buckets"]
+        )
+        tier = "equi_height"
+    elif st.get("histogram"):
+        h = st["histogram"]
+        cmin, cmax = float(st["min"]), float(st["max"])
+        # reconstruct the width-first integer bucket bounds the engine
+        # committed (txn.analyze): w = (hi-lo) div bins + 1
+        w = (int(st["max"]) - int(st["min"])) // h["bins"] + 1
+        est = sum(
+            overlap(cmin + b * w, min(cmin + (b + 1) * w - 1, cmax), c)
+            for b, c in enumerate(h["counts"])
+        )
+        tier = "equi_width"
+    else:
+        est = overlap(float(st["min"]), float(st["max"]), n_rows)
+        tier = "min_max_uniform"
+    return {
+        "rows": est,
+        "selectivity": est / n_rows if n_rows else 0.0,
+        "tier": tier,
+        "analyzed_rows": n_rows,
+    }

@@ -203,3 +203,52 @@ def test_join_size_advisor_metadata_only(spark, tmp_path, no_count):
     assert (
         join_size_advisor({"dim": dim}, threshold=-1)[0]["broadcast"] is False
     )
+
+
+def test_estimate_range_rows_tiers(spark, tmp_path, no_count):
+    from spark_data_engineering_spark.plans.advisor import (
+        estimate_range_rows,
+    )
+
+    t = TxnTable(str(tmp_path), "t")
+    t.append(
+        spark.createDataFrame([Row(k=i) for i in range(100)]).coalesce(1)
+    )
+    assert estimate_range_rows(t, "k", 0, 10) is None  # never analyzed
+    t.analyze(
+        spark, columns=["k"], histogram_bins=4, equi_height_bins=4
+    )
+    # equi-height tier preferred; uniform data -> near-exact estimates
+    full = estimate_range_rows(t, "k")
+    assert full["tier"] == "equi_height"
+    assert full["rows"] == pytest.approx(100, abs=1)
+    assert full["selectivity"] == pytest.approx(1.0, abs=0.01)
+    half = estimate_range_rows(t, "k", 0, 49)
+    assert half["rows"] == pytest.approx(50, abs=3)
+    point = estimate_range_rows(t, "k", 200, 300)  # outside the range
+    assert point["rows"] == 0.0
+    # equi-width fallback when no equi-height tier was committed
+    t2 = TxnTable(str(tmp_path), "t2")
+    t2.append(
+        spark.createDataFrame([Row(k=i) for i in range(100)]).coalesce(1)
+    )
+    t2.analyze(spark, columns=["k"], histogram_bins=4)
+    ew = estimate_range_rows(t2, "k", 0, 49)
+    assert ew["tier"] == "equi_width"
+    assert ew["rows"] == pytest.approx(50, abs=5)
+    # min/max-only fallback
+    t3 = TxnTable(str(tmp_path), "t3")
+    t3.append(
+        spark.createDataFrame([Row(k=i) for i in range(100)]).coalesce(1)
+    )
+    t3.analyze(spark, columns=["k"])
+    mm = estimate_range_rows(t3, "k", 0, 49)
+    assert mm["tier"] == "min_max_uniform"
+    assert mm["rows"] == pytest.approx(50, abs=5)
+    # SKEWED data: equi-height tracks the mass, min/max-uniform cannot
+    t4 = TxnTable(str(tmp_path), "t4")
+    vals = [0] * 90 + list(range(1, 11))
+    t4.append(spark.createDataFrame([Row(k=v) for v in vals]).coalesce(1))
+    t4.analyze(spark, columns=["k"], equi_height_bins=5)
+    sk = estimate_range_rows(t4, "k", 0, 0)
+    assert sk["rows"] >= 60  # most buckets are the point bucket [0, 0]
