@@ -2479,8 +2479,14 @@ class TxnTable:
         tgt_cols = {
             f["name"] for f in self.table_schema() if not f.get("dropped")
         }
+        # per-CLAUSE enforcement, Delta's rule: only UPDATE SET * /
+        # INSERT * consume source VALUES — a delete-only merge (or a
+        # pure by-source sync with when_matched=None) touches key
+        # columns alone, needs no schema match, and must never evolve
+        # the schema as a side effect of stray source columns
+        consumes_source = when_matched == "update" or when_not_matched == "insert"
         preserved: list[str] = []
-        if tgt_cols:
+        if tgt_cols and consumes_source:
             extra = sorted(set(source.columns) - tgt_cols)
             missing = sorted(
                 tgt_cols - set(source.columns) - set(self.identity_cols())
@@ -2544,10 +2550,14 @@ class TxnTable:
             else:
                 touched = []
             # MERGE evolves schema like append: new source columns are
-            # declared, and touched pre-evolution files conform to the
-            # logical schema before the union (else unionByName fails on
-            # evolved tables)
-            schema = self._merged_schema(source)
+            # declared (the contract above gated them), and touched
+            # pre-evolution files conform to the logical schema before
+            # the union (else unionByName fails on evolved tables). A
+            # merge that consumes no source values evolves NOTHING —
+            # only its key columns are type-checked
+            schema = self._merged_schema(
+                source if consumes_source else source.select(*on)
+            )
             parts = []
             changes = []  # (frame, change_type) when cdf=True
             upd = None

@@ -70,6 +70,12 @@ def stream_upsert_to_txn(
             on=on,
             txn=(app_id, epoch_id),
             cdf=cdf,
+            # CDC streams routinely grow columns upstream; this sink
+            # opts into evolution by design (Delta users pair the same
+            # foreachBatch-merge with schema.autoMerge) — extra batch
+            # columns evolve the state table, missing ones keep the
+            # target's values on updated rows
+            schema_evolution=True,
         )
 
     return (

@@ -100,13 +100,18 @@ def test_catalog_store_evolves_declared_schema(spark):
 
 def test_txn_merge_on_evolved_table(spark, tmp_path):
     """MERGE against a table whose matched keys live in pre-evolution
-    files must conform those files and declare source-added columns."""
+    files must conform those files and declare source-added columns —
+    under the opt-in (round 11, Delta's withSchemaEvolution rule:
+    without the flag a source-added column is a loud refusal, not an
+    implicit evolution)."""
     t = TxnTable(str(tmp_path), "m_evolve")
     t.append(_v1(spark))  # (k, v)
     src = spark.createDataFrame(
         [(1, "A", 9.5), (9, "new", 0.5)], "k int, v string, score double"
     )
-    t.merge(spark, src, on=["k"])
+    with pytest.raises(ValueError, match="schema_evolution"):
+        t.merge(spark, src, on=["k"])  # strict by default (Delta)
+    t.merge(spark, src, on=["k"], schema_evolution=True)
     out = {(r.k, r.v, r.score) for r in t.read(spark).collect()}
     assert out == {(1, "A", 9.5), (2, "b", None), (9, "new", 0.5)}
 
