@@ -2119,14 +2119,13 @@ class TxnTable:
         # hive file still needs ITS recorded column served, even after
         # the scheme moved on (round 11) — each file's own log entry is
         # the source of truth, per-column misses coalesce to NULL
+        recorded: set = set()
+        for f in files:  # one pass, O(files + schema), driver-side
+            recorded.update((stats.get(f) or {}).get("partitionValues") or {})
         pcols = [
             s["name"]
             for s in (self.table_schema(at_version) or [])  # schema order
-            if not s.get("dropped")
-            and any(
-                s["name"] in ((stats.get(f) or {}).get("partitionValues") or {})
-                for f in files
-            )
+            if not s.get("dropped") and s["name"] in recorded
         ]
 
         # \x01/\x02 pack the map into ONE string literal (4 py4j calls
@@ -3649,6 +3648,59 @@ class TxnTable:
                     continue
                 n_nonnull = int(row[f"__nn_{ci}"])
                 if n_nonnull == 0:
+                    continue
+                if approx:
+                    # the 100 TB tier (near-unique keys make the exact
+                    # path's NDV frame table-sized): bucket BOUNDS from
+                    # Greenwald-Khanna approxQuantile (no sort, no NDV
+                    # frame, driver gets bins-1 numbers), then ONE
+                    # exact grouped pass for per-bucket count/lo/hi and
+                    # an HLL NDV. Counts are exact for the chosen
+                    # bounds; only the bounds are approximate — the
+                    # same contract Spark's own ANALYZE histogram tier
+                    # ships. Not oracle-replayable by design (bounds
+                    # depend on the sketch), hence committed with the
+                    # payload's approx flag.
+                    from functools import reduce as _reduce
+
+                    nn_df = df.filter(F.col(c).isNotNull())
+                    bounds = nn_df.stat.approxQuantile(
+                        c,
+                        [i / nbk for i in range(1, nbk)],
+                        0.001,
+                    )
+                    bexpr = _reduce(
+                        lambda acc, b: acc
+                        + F.when(F.col(c) > F.lit(b), 1).otherwise(0),
+                        bounds,
+                        F.lit(0),
+                    )
+                    agg = (
+                        nn_df.groupBy(bexpr.alias("__b"))
+                        .agg(
+                            F.count(F.lit(1)).alias("__n"),
+                            F.min(c).cast("string").alias("__lo"),
+                            F.max(c).cast("string").alias("__hi"),
+                            F.approx_count_distinct(c).alias("__ndv"),
+                        )
+                        .collect()  # bounded: <= bins rows
+                    )
+                    buckets = [
+                        {
+                            "bucket": int(r["__b"]),
+                            "count": int(r["__n"]),
+                            "lo": r["__lo"],
+                            "hi": r["__hi"],
+                            "ndv": int(r["__ndv"]),
+                        }
+                        for r in sorted(agg, key=lambda r: int(r["__b"]))
+                    ]
+                    assert sum(b["count"] for b in buckets) == n_nonnull
+                    stats[c]["histogram_eh"] = {
+                        "bins": nbk,
+                        "buckets": buckets,
+                        "approx": True,
+                    }
                     continue
                 pv = (
                     df.filter(F.col(c).isNotNull())

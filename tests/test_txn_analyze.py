@@ -179,3 +179,26 @@ def test_analyze_equiheight_skips_strings_and_keeps_widths_separate(
     assert [b["count"] for b in stats["x"]["histogram_eh"]["buckets"]] == [
         2, 2, 2, 2, 2,
     ]
+
+
+def test_analyze_equiheight_approx_tier(spark, tmp_path):
+    """approx=True + equi_height_bins: bounds from approxQuantile (no
+    NDV frame, no sort — the 100 TB tier for near-unique keys), counts
+    EXACT for the chosen bounds, payload flagged approx."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(spark.createDataFrame([Row(k=i) for i in range(1000)]))
+    eh = t.analyze(
+        spark, columns=["k"], approx=True, equi_height_bins=4
+    )["k"]["histogram_eh"]
+    assert eh["approx"] is True and eh["bins"] == 4
+    assert sum(b["count"] for b in eh["buckets"]) == 1000
+    # near-uniform data + 0.1% error: every bucket holds ~250
+    for b in eh["buckets"]:
+        assert 200 <= b["count"] <= 300, eh["buckets"]
+    # per-bucket lo/hi bound the bucket's actual values
+    for b in eh["buckets"]:
+        assert int(b["lo"]) <= int(b["hi"])
+    # the exact tier stays the default (no approx flag)
+    t.analyze(spark, columns=["k"], equi_height_bins=4)
+    eh2 = t.column_stats()["columns"]["k"]["histogram_eh"]
+    assert "approx" not in eh2
