@@ -1169,3 +1169,77 @@ def cdc_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "preference_pairs",
+    oracle="""
+    WITH scored AS (
+        SELECT lang, source, doc_id,
+               LENGTH(text) - 2 * ABS(LENGTH(text) - 400) AS score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, source, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY score DESC, doc_id ASC) AS rc,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY score ASC, doc_id DESC) AS rr,
+               COUNT(*) OVER (PARTITION BY lang, source) AS n
+        FROM scored
+    )
+    SELECT c.lang, c.source,
+           CAST(c.doc_id AS BIGINT) AS chosen_id,
+           CAST(r.doc_id AS BIGINT) AS rejected_id,
+           CAST(c.score - r.score AS BIGINT) AS margin
+    FROM ranked c
+    JOIN ranked r ON c.lang = r.lang AND c.source = r.source
+    WHERE c.rc = 1 AND r.rr = 1 AND c.n >= 2 AND c.doc_id <> r.doc_id
+    """,
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (round 11) — the RLHF/DPO data
+    shape: within each (lang, source) cohort, emit ONE (chosen,
+    rejected) document pair — the best- and worst-scoring docs under a
+    deterministic integer quality proxy (closeness to a 400-char
+    target: ``len - 2*|len - 400|``), ties broken by doc_id so the
+    pair is engine-reproducible, plus the score margin (the DPO
+    training weight). Pure window arithmetic — two ROW_NUMBERs over
+    the cohort key, no UDFs, one shuffle on the cohort key — so the
+    construction scales as a single pass and DuckDB replays it
+    row-identically. Cohorts with fewer than two documents emit
+    nothing (no self-pairs)."""
+    d = load_table(spark, "documents", sf_dir)
+    score = (
+        F.length("text") - 2 * F.abs(F.length("text") - F.lit(400))
+    ).alias("score")
+    scored = d.select("lang", "source", "doc_id", score)
+    kw = ["lang", "source"]
+    wc = W.partitionBy(*kw).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    wr = W.partitionBy(*kw).orderBy(
+        F.col("score").asc(), F.col("doc_id").desc()
+    )
+    ranked = scored.select(
+        *kw,
+        "doc_id",
+        "score",
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(wr).alias("rr"),
+        F.count(F.lit(1)).over(W.partitionBy(*kw)).alias("n"),
+    )
+    c = ranked.filter((F.col("rc") == 1) & (F.col("n") >= 2)).alias("c")
+    r = ranked.filter(F.col("rr") == 1).alias("r")
+    return (
+        c.join(r, kw)
+        .filter(F.col("c.doc_id") != F.col("r.doc_id"))
+        .select(
+            *kw,
+            F.col("c.doc_id").cast("bigint").alias("chosen_id"),
+            F.col("r.doc_id").cast("bigint").alias("rejected_id"),
+            (F.col("c.score") - F.col("r.score"))
+            .cast("bigint")
+            .alias("margin"),
+        )
+    )

@@ -75,17 +75,18 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # Round-11 derivation (tools/derive_window.py against
     # CORRECTNESS_r01-r10; CORRECTNESS_r10 = 50/50 green, so the r10
     # window's names all carry fresh r10 evidence and rotate out):
-    #   P1 = 4: the round-11 gate queries, never driver-checked —
+    #   P1 = 5: the round-11 gate queries, never driver-checked —
     #        txn_set_drop_default_revenue (SET/DROP DEFAULT lifecycle),
     #        txn_partition_evolution_revenue (Iceberg-v2 partition
     #        evolution), txn_merge_evolution_revenue (Delta
     #        withSchemaEvolution MERGE), txn_analyze_equiheight (the
-    #        CBO's equi-height histogram tier).
+    #        CBO's equi-height histogram tier), preference_pairs (RLHF
+    #        pair construction).
     #   P2 = the r6 cohort (22 names, the oldest evidence:
     #        salted_distinct_customers_by_status .. bigram_fluency_scores
     #        including the 17 r10-P3-displaced heads), then the r7
     #        cohort (50 names), oldest evidence first.
-    #   P3 = the r7 cohort overflows by 26: cut at registration order
+    #   P3 = the r7 cohort overflows by 27: cut at registration order
     #        (latest_order_per_customer, rollup_flag_status,
     #        hourly_event_stats, customer_rank_suite,
     #        bloom_pruned_supplier_revenue, fuzzy_part_name_pairs,
@@ -102,6 +103,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "txn_partition_evolution_revenue",
     "txn_merge_evolution_revenue",
     "txn_analyze_equiheight",
+    "preference_pairs",
     "salted_distinct_customers_by_status",
     "join_skew_report",
     "winsorized_revenue_by_priority",
@@ -147,7 +149,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "column_stats_report",
     "corpus_snapshot_diff",
     "dim_customer",
-    "wide_lineitem",
 )
 
 
