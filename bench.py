@@ -64,12 +64,19 @@ registry.load_all()
 HEADLINE = (
     # ---- tier 1: every >2 s steady-state query (BENCH_AUDIT_r08) ----
     "streaming_user_totals_tws",
-    "incremental_scd2_tiers",
+    # r11 audit: ngram_jaccard_pairs (2.57) and containment_pairs
+    # (2.43) crossed the 2 s steady bar (BENCH_AUDIT_r11) — tier 1
+    # requires them; funded within the ~1950-char driver stdout budget
+    # by dropping incremental_scd2_tiers (0.22 s steady) and
+    # incremental_daily_order_report (0.29 s) — the cached-lifecycle
+    # machinery both exercise stays driver-hash-checked and pytest-
+    # pinned, and every incremental query keeps its audit row
+    "ngram_jaccard_pairs",
+    "containment_pairs",
     # incremental_daily_revenue_merged (0.15 s steady, BENCH_AUDIT_r10)
-    # dropped r10 to fund the dedup_cluster_stats tier-1 row within the
-    # stdout budget: the cached-lifecycle machinery stays benched via
-    # incremental_scd2_tiers / incremental_daily_order_report
-    "incremental_daily_order_report",
+    # dropped r10, incremental_scd2_tiers / incremental_daily_order
+    # _report dropped r11 (0.22/0.29 s steady), all to fund tier-1
+    # rows within the stdout budget
     # r10 audit: crossed the 2 s bar (2.07 s steady) — tier 1 requires it
     "dedup_cluster_stats",
     # incremental_daily_revenue (0.14 s) dropped r9 to fund the
