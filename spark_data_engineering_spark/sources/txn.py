@@ -4712,6 +4712,20 @@ class TxnTable:
             "analyzed_snapshot": (self.column_stats(v) or {}).get(
                 "snapshot"
             ),
+            # round 11: is the newest ANALYZE still decision-grade
+            # (analyzed_rows' row-neutral walk — what the merge gate
+            # and join_size_advisor consume), and has the partition
+            # layout ever evolved (a partition-evolve commit exists at
+            # or below this version — mixed layouts possible, see
+            # set_partitioning)
+            "analyze_fresh": self.analyzed_rows(v) is not None,
+            "partition_evolved": any(
+                self._read_commit(cv).get("action") == "partition-evolve"
+                for cv in self._commit_files()
+                if cv <= v
+            )
+            if v
+            else False,
         }
 
     def generate_manifest(self, at_version: int | None = None) -> str:

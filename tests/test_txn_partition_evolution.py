@@ -158,3 +158,14 @@ def test_hive_origin_files_keep_projecting_after_evolution(
     spark.dataSource.register(TxnDataSource)
     via = spark.read.format("txn").load(t.table_dir)
     assert {(r.k, r.p, r.q) for r in via.collect()} == got
+
+
+def test_detail_reports_evolution_and_stats_freshness(spark, evolved):
+    d = evolved.detail()
+    assert d["partition_evolved"] is True
+    assert d["partition_cols"] == ["q"]  # the CURRENT scheme
+    assert d["analyze_fresh"] is False  # never analyzed
+    evolved.analyze(spark, columns=["k"])
+    d2 = evolved.detail()
+    assert d2["analyze_fresh"] is True
+    assert d2["analyzed_snapshot"] is not None
