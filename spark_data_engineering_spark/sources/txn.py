@@ -2061,12 +2061,18 @@ class TxnTable:
                 *[os.path.join(self.dv_dir, s) for s in sidecars]
             ).select(F.col("file").alias("__file"), F.col("row_index").alias("__ridx"))
             df = df.join(dv, ["__file", "__ridx"], "left_anti")
-        # head-cached resolution on purpose: both properties are
-        # immutable-from-v1 (convert/clone seed them or nothing does),
-        # so the head answers for every version — and the cached call
-        # avoids a full log scan per read on the tables that never
-        # declared them (every pre-round-10 table)
-        if self.partition_cols() and self.hive_origin():
+        # head-cached resolution on purpose: hive_origin is sticky
+        # (convert/clone seed it or nothing does), so the head answers
+        # for every version — and the cached call avoids a full log
+        # scan per read on the tables that never declared it (every
+        # pre-round-10 table). Gated on hive_origin ALONE: under
+        # partition evolution the CURRENT scheme may be different (or
+        # empty), but the adopted files still physically lack their
+        # original columns — the projection serves each file's own
+        # recorded values and is a no-op when none exist (round-11
+        # model-search find: convert_seed -> set_partitioning(()) ->
+        # read returned NULL for the adopted files' val column)
+        if self.hive_origin():
             # hive-converted files don't physically contain the
             # partition columns (hive layout drops them): project each
             # file's logged partitionValues back in via ONE broadcast
@@ -5075,12 +5081,15 @@ class TxnTable:
                     .withColumn("__file", F.col("_metadata.file_name"))
                     .withColumn("__ridx", F.col("_metadata.row_index"))
                 )
-                if self.partition_cols(v) and self.hive_origin(v):
+                if self.hive_origin(v):
                     # hive-origin files lack the partition columns
                     # physically — without the projection the delete
                     # images would carry NULLs there and a CDF fold
                     # would diverge (round-10 model-search find:
-                    # convert_seed -> branch DV delete)
+                    # convert_seed -> branch DV delete). hive_origin
+                    # alone gates it: the scheme may have evolved away
+                    # (round 11), the files' own recorded values still
+                    # need serving
                     raw = self._project_partition_values(
                         spark, raw, dv_files, v
                     )

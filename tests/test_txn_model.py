@@ -718,9 +718,13 @@ def test_random_op_sequence_matches_model(
         assert read_vals(at_version=v) == snap, f"time travel v{v}"
 
     # partitioned: partition pruning is EXACT for every surviving value
-    # (pruned read == filtered model), and each kept file's recorded
-    # partitionValues is the queried value (value-purity held through
-    # every rewrite — delete/compact/merge/branch replay)
+    # (pruned read == filtered model), and each kept file that RECORDED
+    # a val partition value carries the queried one (value-purity held
+    # through every rewrite — delete/compact/merge/branch replay).
+    # Under partition evolution (round 11) a kept file may carry NO
+    # recorded val at all — written while the layout was evolved away —
+    # and the conservative keep is the contract; a file recording a
+    # DIFFERENT val would still be a pruning bug
     if partitioned and model and table.version() > 0:
         probe = sorted(set(model))[: 3]
         stats = table.file_stats()
@@ -734,8 +738,8 @@ def test_random_op_sequence_matches_model(
             )
             assert got == [v for v in sorted(model) if v == x], f"prune {x}"
             for f in kept:
-                pv = stats[f].get("partitionValues")
-                assert pv is not None and pv.get("val") == str(x), (
+                pv = stats[f].get("partitionValues") or {}
+                assert "val" not in pv or pv["val"] == str(x), (
                     f"file {f} kept for val={x} carries {pv}"
                 )
 

@@ -169,3 +169,25 @@ def test_detail_reports_evolution_and_stats_freshness(spark, evolved):
     d2 = evolved.detail()
     assert d2["analyze_fresh"] is True
     assert d2["analyzed_snapshot"] is not None
+
+
+def test_hive_projection_survives_unpartitioning(spark, tmp_path):
+    """Regression (round-11 model-search find, 40-example deep run):
+    the JVM read and CDF gates required partition_cols() to be
+    NON-EMPTY before projecting hive-origin partition values — so
+    evolving a hive-converted table to UNPARTITIONED (()) made every
+    adopted file read NULL for its original partition column. The
+    gates now key on hive_origin alone; the projection serves each
+    file's own recorded values regardless of the current scheme."""
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [Row(k=i, pad=i * 10, val="a" if i < 2 else "b") for i in range(4)]
+    ).write.partitionBy("val").parquet(src)
+    t = TxnTable.convert_from_parquet(spark, str(tmp_path), "t", src)
+    t.set_partitioning(spark, ())  # remove partitioning entirely
+    t.append(spark.createDataFrame([Row(k=9, pad=90, val="c")]).coalesce(1))
+    got = {(r.k, r.val) for r in t.read(spark).collect()}
+    assert got == {(0, "a"), (1, "a"), (2, "b"), (3, "b"), (9, "c")}, got
+    # CDF fold sees the same values
+    ch = t.read_changes(spark, from_version=0)
+    assert {(r.k, r.val) for r in ch.collect()} == got
