@@ -66,6 +66,15 @@ Round-11 dimensions (VERDICT r10 tasks 5 & 8):
     NULL, and the mcol domain {NULL, val*3} is asserted after every
     rewrite.
 
+Round-11 find (40-example deep run): ``convert_seed`` (hive mode) ->
+``partition_evolve`` to UNPARTITIONED -> read returned NULL for the
+adopted files' partition column — the JVM read and CDF gates required
+a non-empty CURRENT partition_cols() before projecting hive-origin
+partition values. Fixed (both gates key on hive_origin alone); pinned
+in tests/test_txn_partition_evolution.py::
+test_hive_projection_survives_unpartitioning. A 40-example re-run is
+clean.
+
 Round-10 find (first deep run, 25 examples): ``convert_seed`` +
 ``branch_cycle`` falsified the CDF fold — read_changes' delete_dv arm
 read data files RAW (bypassing the partition-value projection), so DV
@@ -334,12 +343,24 @@ def test_random_op_sequence_matches_model(
         return sorted(r.val for r in rows)
 
     def evolve_kw():
-        # once merge_evolve declared mcol, later single-column merge
-        # sources are MISSING it — Delta's strict rule refuses them, so
-        # the model (like a real CDC caller after an upstream column
-        # add) opts into evolution; before that, the strict path runs
-        sch = {f["name"] for f in (table.table_schema() or [])}
-        return {"schema_evolution": True} if "mcol" in sch else {}
+        # the model's merge sources are always val-only; whenever the
+        # live target schema carries MORE than defaults/generation/
+        # identity will fill (mcol from merge_evolve, the hive seed's
+        # pad column), Delta's strict rule refuses them — so the model
+        # (like a real CDC caller after an upstream column add) opts
+        # into evolution; otherwise the strict path runs
+        live = {
+            f["name"]
+            for f in (table.table_schema() or [])
+            if not f.get("dropped")
+        }
+        filled = (
+            {"val"}
+            | set(table.generated_cols())
+            | set(table.identity_cols())
+            | set(table.column_defaults())
+        )
+        return {"schema_evolution": True} if live - filled else {}
 
     for op in ops:
         if op[0] == "append":
@@ -451,7 +472,9 @@ def test_random_op_sequence_matches_model(
         elif op[0] == "compact_where":
             if table.version() == 0:
                 continue
-            if partitioned:
+            # branch on the CURRENT scheme, not the run flag —
+            # partition_evolve toggles the layout mid-sequence (r11)
+            if table.partition_cols() == ("val",):
                 # scoped rewrite of one partition value: visible no-op
                 table.compact(
                     spark, target_file_bytes=1 << 20, where={"val": op[1]}
@@ -464,7 +487,7 @@ def test_random_op_sequence_matches_model(
         elif op[0] == "update_le":
             if table.version() == 0:
                 continue
-            if partitioned:
+            if table.partition_cols() == ("val",):
                 # val IS the partition column: the update must refuse
                 # (rows would move between value-pure files) and leave
                 # the table untouched
