@@ -286,10 +286,12 @@ class TxnTable:
         # refused). See partition_cols() for resolution.
         self._pcols_param = tuple(partition_cols)
         self._pcols_cache: tuple[str, ...] | None = None
+        self._pcols_cache_v: int = -1  # head the cache was resolved at
         # True once a hive-partitioned CONVERT adopted files that lack
         # the partition columns physically — reads then project them
         # from the per-file partitionValues (see _read_files_meta).
         self._hive_cache: bool | None = None
+        self._hive_cache_v: int = -1
         # generated columns (Delta's GENERATED ALWAYS AS): name -> SQL
         # expression, declared at creation, recorded in every commit,
         # immutable once recorded — see generated_cols() for resolution.
@@ -480,11 +482,29 @@ class TxnTable:
         partitioned table, resolved from the latest commit carrying the
         field (so any plain reopen — vacuum's ref walk, the datasource,
         a bare ``TxnTable(root, name)`` — partitions identically to the
-        creating handle). Immutable once recorded: re-declaring a
-        different layout on an existing table is refused instead of
-        silently mixing layouts within one data dir."""
+        creating handle). Re-declaring a different layout via the
+        CONSTRUCTOR is refused; ``set_partitioning`` (round 11) is the
+        one sanctioned way to change it. The head cache is VERSION-
+        KEYED and refreshed incrementally: under partition evolution
+        another handle or process may evolve the scheme, and a stale
+        cache here would make this handle's next commit re-STAMP the
+        old scheme (a lost DDL — the commit record's partition_cols
+        would out-resolve the evolve). Only commits newer than the
+        cached head can change the answer, so the refresh reads just
+        that range."""
         head = self.version() if at_version is None else at_version
         if at_version is None and self._pcols_cache is not None:
+            if head == self._pcols_cache_v:
+                return self._pcols_cache
+            for v in reversed(self._commit_files()):
+                if v <= self._pcols_cache_v:
+                    break
+                if v <= head:
+                    c = self._read_commit(v)
+                    if "partition_cols" in c:
+                        self._pcols_cache = tuple(c["partition_cols"])
+                        break
+            self._pcols_cache_v = head
             return self._pcols_cache
         found: tuple[str, ...] = ()
         for v in reversed(self._commit_files()):
@@ -502,6 +522,7 @@ class TxnTable:
                 "refused (partitioning is immutable once recorded)"
             )
         self._pcols_cache = found or self._pcols_param
+        self._pcols_cache_v = head
         return self._pcols_cache
 
     def hive_origin(self, at_version: int | None = None) -> bool:
@@ -521,6 +542,21 @@ class TxnTable:
         column), so it simply stays on."""
         head = self.version() if at_version is None else at_version
         if at_version is None and self._hive_cache is not None:
+            # version-keyed incremental refresh (round 11, same race as
+            # partition_cols): a handle that cached False before another
+            # process's CONVERT seeded the table would skip the
+            # partition-value projection forever
+            if head == self._hive_cache_v:
+                return self._hive_cache
+            for v in reversed(self._commit_files()):
+                if v <= self._hive_cache_v:
+                    break
+                if v <= head:
+                    c = self._read_commit(v)
+                    if "hive_origin" in c:
+                        self._hive_cache = bool(c["hive_origin"])
+                        break
+            self._hive_cache_v = head
             return self._hive_cache
         found = False
         for v in reversed(self._commit_files()):
@@ -531,6 +567,7 @@ class TxnTable:
                     break
         if at_version is None:
             self._hive_cache = found
+            self._hive_cache_v = head
         return found
 
     def generated_cols(self, at_version: int | None = None) -> dict[str, str]:
@@ -1542,6 +1579,7 @@ class TxnTable:
         if pcols:
             t._pcols_param = pcols  # declared by the layout itself
             t._hive_cache = True
+            t._hive_cache_v = 1  # the convert commit below
         t._commit("convert", names, [], stats, schema=schema)
         return t
 
@@ -3371,6 +3409,7 @@ class TxnTable:
                 # now describe the new scheme (the param guard otherwise
                 # refuses the very evolution it just performed)
                 self._pcols_cache = cols
+                self._pcols_cache_v = v0 + 1
                 self._pcols_param = cols
                 return v0 + 1
         raise ConcurrentWriteError(

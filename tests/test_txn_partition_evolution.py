@@ -191,3 +191,31 @@ def test_hive_projection_survives_unpartitioning(spark, tmp_path):
     # CDF fold sees the same values
     ch = t.read_changes(spark, from_version=0)
     assert {(r.k, r.val) for r in ch.collect()} == got
+
+
+def test_stale_handle_commit_does_not_revert_evolution(spark, tmp_path):
+    """Lost-DDL race (round 11): the head caches for partition_cols /
+    hive_origin assumed immutability, so a handle that resolved the
+    scheme BEFORE another handle's set_partitioning would re-STAMP the
+    old scheme into its next commit record — and latest-commit
+    resolution would silently revert the evolution. The caches are now
+    version-keyed and refresh incrementally from the commits that
+    landed since."""
+    a = TxnTable(str(tmp_path), "t", partition_cols=("p",))
+    a.append(_df(spark, [(1, "a", "z")]))
+    assert a.partition_cols() == ("p",)  # a's cache is now filled
+    b = TxnTable(str(tmp_path), "t")  # a second handle (other process)
+    b.set_partitioning(spark, ("q",))
+    # the STALE handle commits next: its record must stamp the evolved
+    # scheme, not re-assert the cached old one
+    a.append(_df(spark, [(2, "mm", "y")]))
+    fresh = TxnTable(str(tmp_path), "t")
+    assert fresh.partition_cols() == ("q",), "evolution was reverted"
+    assert a.partition_cols() == ("q",)
+    # and the stale handle even STAGED under the new scheme (it
+    # re-resolves before partitioning the write)
+    pv = {
+        f: st.get("partitionValues", {})
+        for f, st in fresh.file_stats().items()
+    }
+    assert any(v.get("q") == "y" for v in pv.values()), pv
