@@ -72,33 +72,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #        aggregation machinery stays in-window via q5/q7/q10); they
 #        head the r10 P2 queue by construction.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # Round-11 derivation (tools/derive_window.py against
-    # CORRECTNESS_r01-r10; CORRECTNESS_r10 = 50/50 green, so the r10
-    # window's names all carry fresh r10 evidence and rotate out):
-    #   P1 = 5: the round-11 gate queries, never driver-checked —
-    #        txn_set_drop_default_revenue (SET/DROP DEFAULT lifecycle),
-    #        txn_partition_evolution_revenue (Iceberg-v2 partition
-    #        evolution), txn_merge_evolution_revenue (Delta
-    #        withSchemaEvolution MERGE), txn_analyze_equiheight (the
-    #        CBO's equi-height histogram tier), preference_pairs (RLHF
-    #        pair construction).
-    #   P2 = the r6 cohort (22 names, the oldest evidence:
-    #        salted_distinct_customers_by_status .. bigram_fluency_scores
-    #        including the 17 r10-P3-displaced heads), then the r7
-    #        cohort (50 names), oldest evidence first.
-    #   P3 = the r7 cohort overflows by 27: cut at registration order
-    #        (latest_order_per_customer, rollup_flag_status,
-    #        hourly_event_stats, customer_rank_suite,
-    #        bloom_pruned_supplier_revenue, fuzzy_part_name_pairs,
-    #        doc_hierarchy_depths, k_anonymity_report,
-    #        daily_order_report, daily_category_report[_bucketed],
-    #        hybrid_search_rerank, scd2_customer_tiers, scd2_pit_revenue,
-    #        embedding_dup_clusters, knn_int8_quantized,
-    #        ann_index_search_exhaustive, hard_negative_pairs,
-    #        ab_test_report, bootstrap_revenue_ci, streaming_enriched/
-    #        sessionize/neardup/heavy_hitters/distinct_users,
-    #        tpch_q1_pricing_summary) — each keeps its r7 hash-green row
-    #        + pytest pins and heads the r12 P2 queue by construction.
+    # Round-12 derivation (tools/derive_window.py against
+    # CORRECTNESS_r01-r11; CORRECTNESS_r11 = 50/50 green, so the r11
+    # window's names all carry fresh r11 evidence and rotate out):
+    #   P1 = 0 at round open (new round-12 gate queries enter here as
+    #        they land; re-run tools/derive_window.py --check after each
+    #        registration and re-rotate).
+    #   P2 = the r7 cohort (27 names, the oldest evidence — exactly the
+    #        round-11 P3 cut: wide_lineitem, latest_order_per_customer,
+    #        ... tpch_q1_pricing_summary), then the r8 cohort, oldest
+    #        evidence first.
+    #   P3 = the r8 cohort overflows by 24: cut at registration order
+    #        (global_maxima, customer_running_revenue,
+    #        top10_customers_by_revenue, the semi/anti pair, set-ops,
+    #        pivot/cube/grouping-sets, gapfill/anomalies, quartiles,
+    #        rrf_fusion_search, the r8 streaming-txn cohort,
+    #        txn_autocompact_revenue) — each keeps its r8 hash-green row
+    #        + pytest pins and heads the r13 P2 queue by construction.
+    "wide_lineitem",
+    "latest_order_per_customer",
+    "rollup_flag_status",
+    "hourly_event_stats",
+    "customer_rank_suite",
+    "bloom_pruned_supplier_revenue",
+    "fuzzy_part_name_pairs",
+    "doc_hierarchy_depths",
+    "k_anonymity_report",
+    "daily_order_report",
+    "daily_category_report",
+    "daily_category_report_bucketed",
+    "hybrid_search_rerank",
+    "scd2_customer_tiers",
+    "scd2_pit_revenue",
+    "embedding_dup_clusters",
+    "knn_int8_quantized",
+    "ann_index_search_exhaustive",
+    "hard_negative_pairs",
+    "ab_test_report",
+    "bootstrap_revenue_ci",
+    "streaming_enriched_event_stats",
+    "streaming_sessionize_events",
+    "streaming_neardup_survivors",
+    "streaming_heavy_hitters",
+    "streaming_distinct_users",
+    "tpch_q1_pricing_summary",
+    "bottomk_sample_per_source",
+    "expectations_orders_report",
+    "scrub_boilerplate_segments",
+    "export_webdataset_shards",
+    "orders_by_year_quarter",
+    "part_name_analysis",
+    "customer_tiers",
+    "unpivot_brand_metrics",
+    "corrupt_record_quarantine",
+    "txn_restore_revenue",
+    "txn_partition_pruned_revenue",
+    "txn_generated_cols_revenue",
+    "txn_replace_where_revenue",
+    "txn_update_revenue",
+    "txn_branch_merge_revenue",
+    "txn_branch_rebase_revenue",
+    "txn_dv_maintenance_revenue",
+    "txn_constraint_gate_revenue",
+    "txn_identity_rows",
+    "media_format_profile",
+    "media_feature_knn",
+    "project_derive_filter",
+    "collect_explode_roundtrip",
+)
+
+
+# The round-11 window, kept for the audit trail.
+_R11_WINDOW: tuple[str, ...] = (
     "txn_set_drop_default_revenue",
     "txn_partition_evolution_revenue",
     "txn_merge_evolution_revenue",
