@@ -185,20 +185,36 @@ def estimate_range_rows(
         return count * (q_hi - q_lo) / (b_hi - b_lo)
 
     eh = st.get("histogram_eh")
+    h = st.get("histogram")
+    # only reconstruct equi-width bounds with the SAME formula that
+    # binned the counts — the payload's formula marker (ADVICE r11).
+    # Unmarked payloads (committed by pre-marker code) fall through to
+    # the min/max tier rather than risk misbinned estimates.
+    h_formula = (h or {}).get("formula")
     if eh:
         est = sum(
             overlap(float(b["lo"]), float(b["hi"]), b["count"])
             for b in eh["buckets"]
         )
         tier = "equi_height"
-    elif st.get("histogram"):
-        h = st["histogram"]
+    elif h and h_formula == "int_width_first":
         cmin, cmax = float(st["min"]), float(st["max"])
-        # reconstruct the width-first integer bucket bounds the engine
-        # committed (txn.analyze): w = (hi-lo) div bins + 1
+        # width-first integer bounds (txn.analyze): w = (hi-lo) div
+        # bins + 1; bucket b covers [lo + b*w, lo + (b+1)*w - 1]
         w = (int(st["max"]) - int(st["min"])) // h["bins"] + 1
         est = sum(
             overlap(cmin + b * w, min(cmin + (b + 1) * w - 1, cmax), c)
+            for b, c in enumerate(h["counts"])
+        )
+        tier = "equi_width"
+    elif h and h_formula == "float_floor":
+        cmin, cmax = float(st["min"]), float(st["max"])
+        # float-floor bounds (txn.analyze fractional tier): w =
+        # (hi-lo)/bins; bucket b covers [lo + b*w, lo + (b+1)*w), the
+        # last bucket clamped to cmax (the analyze expr's `least`)
+        w = (cmax - cmin) / h["bins"] or 1.0
+        est = sum(
+            overlap(cmin + b * w, cmax if b == h["bins"] - 1 else cmin + (b + 1) * w, c)
             for b, c in enumerate(h["counts"])
         )
         tier = "equi_width"

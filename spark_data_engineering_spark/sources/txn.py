@@ -292,6 +292,11 @@ class TxnTable:
         # from the per-file partitionValues (see _read_files_meta).
         self._hive_cache: bool | None = None
         self._hive_cache_v: int = -1
+        # True once a set_partitioning commit landed (mixed layouts
+        # possible) — sticky, re-stamped by _stamp_props so resolution
+        # terminates near the head once set (see partition_evolved())
+        self._pevolved_cache: bool | None = None
+        self._pevolved_cache_v: int = -1
         # generated columns (Delta's GENERATED ALWAYS AS): name -> SQL
         # expression, declared at creation, recorded in every commit,
         # immutable once recorded — see generated_cols() for resolution.
@@ -506,7 +511,14 @@ class TxnTable:
                         break
             self._pcols_cache_v = head
             return self._pcols_cache
-        found: tuple[str, ...] = ()
+        # ``None`` = no commit carries the field (table predates the
+        # property / is empty); ``()`` = a commit EXPLICITLY recorded an
+        # unpartitioned scheme (set_partitioning(())). The distinction
+        # matters: an explicit empty scheme must both win over a stale
+        # constructor param and trip the immutability guard — `found or
+        # param` would silently resurrect the dropped scheme and the
+        # handle's next commit would re-stamp it (lost DDL).
+        found: tuple[str, ...] | None = None
         for v in reversed(self._commit_files()):
             if v <= head:
                 c = self._read_commit(v)
@@ -514,14 +526,15 @@ class TxnTable:
                     found = tuple(c["partition_cols"])
                     break
         if at_version is not None:
-            return found
-        if found and self._pcols_param and self._pcols_param != found:
+            return found if found is not None else ()
+        if found is not None and self._pcols_param and self._pcols_param != found:
             raise ValueError(
                 f"table {self.table_dir} is partitioned by {found}; "
                 f"re-declaring partition_cols={self._pcols_param} is "
-                "refused (partitioning is immutable once recorded)"
+                "refused (partitioning is immutable once recorded; use "
+                "set_partitioning to evolve it)"
             )
-        self._pcols_cache = found or self._pcols_param
+        self._pcols_cache = found if found is not None else self._pcols_param
         self._pcols_cache_v = head
         return self._pcols_cache
 
@@ -568,6 +581,47 @@ class TxnTable:
         if at_version is None:
             self._hive_cache = found
             self._hive_cache_v = head
+        return found
+
+    def partition_evolved(self, at_version: int | None = None) -> bool:
+        """True iff a ``set_partitioning`` commit exists at or below the
+        version — mixed file layouts are then possible and consumers
+        (``table_info``, ``overwrite(replace_where=...)`` diagnostics)
+        must reason per-file. A sticky LOG property (ADVICE r11: the
+        old ``table_info`` implementation re-read EVERY commit per
+        call): ``set_partitioning`` stamps ``partition_evolved`` and
+        ``_stamp_props`` re-stamps it on every later commit, so once
+        set, resolution terminates at the head commit; commits from
+        before the marker existed are covered by also treating a
+        ``partition-evolve`` action record as True during the walk.
+        Version-keyed cache, incremental refresh like
+        ``partition_cols``/``hive_origin``."""
+        head = self.version() if at_version is None else at_version
+
+        def _hit(c: dict) -> bool:
+            return bool(c.get("partition_evolved")) or (
+                c.get("action") == "partition-evolve"
+            )
+
+        if at_version is None and self._pevolved_cache is not None:
+            if head == self._pevolved_cache_v:
+                return self._pevolved_cache
+            for v in reversed(self._commit_files()):
+                if v <= self._pevolved_cache_v:
+                    break
+                if v <= head and _hit(self._read_commit(v)):
+                    self._pevolved_cache = True
+                    break
+            self._pevolved_cache_v = head
+            return self._pevolved_cache
+        found = False
+        for v in reversed(self._commit_files()):
+            if v <= head and _hit(self._read_commit(v)):
+                found = True
+                break
+        if at_version is None:
+            self._pevolved_cache = found
+            self._pevolved_cache_v = head
         return found
 
     def generated_cols(self, at_version: int | None = None) -> dict[str, str]:
@@ -730,6 +784,8 @@ class TxnTable:
             record["identity_cols"] = {k: dict(s) for k, s in ic.items()}
         if self.hive_origin(at_version):
             record["hive_origin"] = True
+        if self.partition_evolved(at_version):
+            record["partition_evolved"] = True
         return record
 
     def _with_generated(self, df: DataFrame) -> DataFrame:
@@ -3376,23 +3432,30 @@ class TxnTable:
         Same-scheme re-declaration is refused loudly (a no-op DDL is a
         caller bug)."""
         cols = tuple(cols)
-        cur = self.partition_cols()
-        if cols == cur:
-            raise ValueError(
-                f"set_partitioning: table is already partitioned by "
-                f"{cur or '()'} — nothing to evolve"
-            )
-        live_cols = {
-            f["name"] for f in (self.table_schema() or []) if not f.get("dropped")
-        }
-        unknown = [c for c in cols if live_cols and c not in live_cols]
-        if unknown:
-            raise ValueError(
-                f"set_partitioning: no such column(s) {unknown} "
-                f"(have {sorted(live_cols)})"
-            )
         for _ in range(5):
+            # validation runs INSIDE the retry loop against the freshly
+            # read head (ADVICE r11): after losing a race to a
+            # concurrent set_partitioning or drop_column, a retry must
+            # not commit a same-scheme re-declaration or a scheme
+            # naming a just-dropped column
             v0 = self.version()
+            cur = self.partition_cols(v0)
+            if cols == cur:
+                raise ValueError(
+                    f"set_partitioning: table is already partitioned by "
+                    f"{cur or '()'} — nothing to evolve"
+                )
+            live_cols = {
+                f["name"]
+                for f in (self.table_schema(v0) or [])
+                if not f.get("dropped")
+            }
+            unknown = [c for c in cols if live_cols and c not in live_cols]
+            if unknown:
+                raise ValueError(
+                    f"set_partitioning: no such column(s) {unknown} "
+                    f"(have {sorted(live_cols)})"
+                )
             rec = {
                 "version": v0 + 1,
                 "action": "partition-evolve",
@@ -3404,7 +3467,10 @@ class TxnTable:
             # is recorded explicitly so resolution never falls through
             # to an older scheme
             rec["partition_cols"] = list(cols)
+            rec["partition_evolved"] = True
             if self._try_commit(rec):
+                self._pevolved_cache = True
+                self._pevolved_cache_v = v0 + 1
                 # this handle's caches and its construction-time param
                 # now describe the new scheme (the param guard otherwise
                 # refuses the very evolution it just performed)
@@ -3621,6 +3687,7 @@ class TxnTable:
                 st = stats[c]
                 if st["min"] is None or st["max"] is None:
                     continue
+                formula = None
                 if field_types.get(c) in int_types:
                     # overflow-safe pure-integer buckets (round-10
                     # advice): the multiply form ((x-lo)*N) div (hi-lo+1)
@@ -3637,6 +3704,7 @@ class TxnTable:
                         f"cast((cast(`{c}` as decimal(38,0)) - ({lo})) "
                         f"div {w} as bigint)"
                     )
+                    formula = "int_width_first"
                 elif field_types.get(c) in ("double", "float", "decimal"):
                     lo_f, hi_f = float(st["min"]), float(st["max"])
                     w = (hi_f - lo_f) / histogram_bins or 1.0
@@ -3644,6 +3712,7 @@ class TxnTable:
                         f"least(cast(floor((`{c}` - {lo_f!r}) / {w!r}) "
                         f"as bigint), {int(histogram_bins) - 1}L)"
                     )
+                    formula = "float_floor"
                 else:
                     continue  # histogram only for numeric columns
                 counts = {
@@ -3653,8 +3722,14 @@ class TxnTable:
                     .agg(F.count(F.lit(1)).alias("__n"))
                     .collect()  # bounded: <= histogram_bins rows
                 }
+                # the formula marker versions the bucket-bound math so
+                # consumers (plans/advisor.estimate_range_rows) never
+                # reconstruct bounds with a different formula than the
+                # one that binned the counts (ADVICE r11: payloads from
+                # older code carry no marker and are skipped there)
                 st["histogram"] = {
                     "bins": int(histogram_bins),
+                    "formula": formula,
                     "counts": [
                         counts.get(b, 0) for b in range(histogram_bins)
                     ],
@@ -4764,13 +4839,7 @@ class TxnTable:
             # or below this version — mixed layouts possible, see
             # set_partitioning)
             "analyze_fresh": self.analyzed_rows(v) is not None,
-            "partition_evolved": any(
-                self._read_commit(cv).get("action") == "partition-evolve"
-                for cv in self._commit_files()
-                if cv <= v
-            )
-            if v
-            else False,
+            "partition_evolved": self.partition_evolved(v) if v else False,
         }
 
     def generate_manifest(self, at_version: int | None = None) -> str:

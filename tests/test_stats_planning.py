@@ -252,3 +252,59 @@ def test_estimate_range_rows_tiers(spark, tmp_path, no_count):
     t4.analyze(spark, columns=["k"], equi_height_bins=5)
     sk = estimate_range_rows(t4, "k", 0, 0)
     assert sk["rows"] >= 60  # most buckets are the point bucket [0, 0]
+
+
+def test_estimate_range_rows_fractional_and_legacy(
+    spark, tmp_path, no_count
+):
+    """ADVICE r11 (advisor.py equi-width tier): fractional columns used
+    to crash on int("123.5") and would have been misbinned by the
+    integer width-first reconstruction; payloads without the formula
+    marker (committed by pre-marker code) could silently misbin. The
+    fractional tier now replays the float-floor bounds the analyze expr
+    used; unmarked payloads fall through to min/max uniform."""
+    from spark_data_engineering_spark.plans.advisor import (
+        estimate_range_rows,
+    )
+
+    # fractional column: 100 doubles uniform on [0.5, 99.5]
+    t = TxnTable(str(tmp_path), "t")
+    t.append(
+        spark.createDataFrame(
+            [Row(k=float(i) + 0.5) for i in range(100)]
+        ).coalesce(1)
+    )
+    t.analyze(spark, columns=["k"], histogram_bins=4)
+    st = t.column_stats()["columns"]["k"]
+    assert st["histogram"]["formula"] == "float_floor"
+    ew = estimate_range_rows(t, "k", 0.0, 49.9)  # ~half the mass
+    assert ew["tier"] == "equi_width"
+    assert ew["rows"] == pytest.approx(50, abs=5)
+    # integer columns keep the int_width_first marker
+    t2 = TxnTable(str(tmp_path), "t2")
+    t2.append(
+        spark.createDataFrame([Row(k=i) for i in range(100)]).coalesce(1)
+    )
+    t2.analyze(spark, columns=["k"], histogram_bins=4)
+    assert (
+        t2.column_stats()["columns"]["k"]["histogram"]["formula"]
+        == "int_width_first"
+    )
+    # legacy payload without the marker: skip the histogram, use min/max
+    import json as _json
+    import glob as _glob
+    import os as _os
+
+    log = sorted(_glob.glob(_os.path.join(t2.table_dir, "_txn_log", "*.json")))
+    for p in reversed(log):
+        with open(p) as fh:
+            c = _json.load(fh)
+        cs = c.get("column_stats")
+        if cs and "k" in cs:
+            del cs["k"]["histogram"]["formula"]
+            with open(p, "w") as fh:
+                _json.dump(c, fh)
+            break
+    t2b = TxnTable(str(tmp_path), "t2")  # fresh handle, no stats cache
+    legacy = estimate_range_rows(t2b, "k", 0, 49)
+    assert legacy["tier"] == "min_max_uniform"

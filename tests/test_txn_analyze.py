@@ -73,7 +73,11 @@ def test_analyze_histogram_integer_exact(spark, tmp_path):
     stats = t.analyze(spark, columns=["k"], histogram_bins=4)
     h = stats["k"]["histogram"]
     # (k - 0) div 25 (w = 99 div 4 + 1): exactly 25 per bucket
-    assert h == {"bins": 4, "counts": [25, 25, 25, 25]}
+    assert h == {
+        "bins": 4,
+        "formula": "int_width_first",
+        "counts": [25, 25, 25, 25],
+    }
     # committed and read back without a scan
     assert (
         t.column_stats()["columns"]["k"]["histogram"]["counts"]

@@ -219,3 +219,46 @@ def test_stale_handle_commit_does_not_revert_evolution(spark, tmp_path):
         for f, st in fresh.file_stats().items()
     }
     assert any(v.get("q") == "y" for v in pv.values()), pv
+
+
+def test_reopened_old_param_handle_cannot_revert_unpartitioning(
+    spark, tmp_path
+):
+    """ADVICE r11 (txn.py pcols cache): after ``set_partitioning(())``
+    the explicit empty scheme is falsy, so ``found or _pcols_param``
+    used to fall back to a reopened handle's stale constructor param
+    and skip the immutability guard — its next commit re-stamped the
+    dropped scheme (the same lost-DDL class as the round-11 race).
+    An explicit empty scheme must (a) refuse a conflicting constructor
+    param outright and (b) resolve to () for a param-less handle."""
+    t = TxnTable(str(tmp_path), "t", partition_cols=("p",))
+    t.append(_df(spark, [(1, "a", "z")]))
+    t.set_partitioning(spark, ())  # explicit unpartitioning
+    # (a) reopening with the OLD constructor param is refused, not
+    # silently honored
+    stale = TxnTable(str(tmp_path), "t", partition_cols=("p",))
+    with pytest.raises(ValueError, match="refused"):
+        stale.partition_cols()
+    # (b) a param-less handle resolves the explicit empty scheme and
+    # its commits keep stamping it
+    clean = TxnTable(str(tmp_path), "t")
+    assert clean.partition_cols() == ()
+    clean.append(_df(spark, [(2, "b", "y")]))
+    fresh = TxnTable(str(tmp_path), "t")
+    assert fresh.partition_cols() == (), "unpartitioning was reverted"
+
+
+def test_partition_evolved_is_a_stamped_log_property(spark, evolved):
+    """ADVICE r11 (table_info O(commits)): partition_evolved resolves
+    like other log properties — set_partitioning stamps it and every
+    later commit re-stamps it, so resolution terminates at the head
+    instead of re-reading the whole log per table_info call."""
+    t = evolved
+    assert t.partition_evolved() is True
+    # a later unrelated commit re-stamps the sticky flag (the O(1) path)
+    t.append(_df(spark, [(9, "mm", "w")]))
+    head = t.version()
+    assert t._read_commit(head).get("partition_evolved") is True
+    fresh = TxnTable(t.table_dir.rsplit("/", 1)[0], "t")
+    assert fresh.partition_evolved() is True
+    assert fresh.detail()["partition_evolved"] is True
