@@ -151,6 +151,61 @@ HEADLINE = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Calibration canary (VERDICT r11 task 2): a fixed CPU-bound workload
+# measured IN the same session, interleaved with the queries, so a
+# round-over-round bench delta can be split mechanically into
+# environment drift (the canary moved with it) and query regression
+# (the canary did not). Three rounds in a row the headline absorbed
+# 10-30% uniform host drift that a judge had to adjudicate by hand
+# against the full audit sweep; the canary makes that arithmetic.
+#
+# Two probes, both deterministic and IO-free:
+#   - jvm: a 4B-row whole-stage-codegen aggregate (spark.range ->
+#     sum(hash)) — tracks executor-side CPU contention/throttle, the
+#     regime nearly every benched query runs in. Sized so task-
+#     scheduling jitter is small relative to compute (~1.3 s steady;
+#     at 512M the probe was ~0.5 s and 30% scheduler noise). Two
+#     warm-up runs: the probe JITs across the first run, not just the
+#     first job;
+#   - py:  a pure-Python LCG loop — tracks driver/Python-worker CPU.
+#
+# CANARY_BASELINE.json (committed, measured on a quiet host) anchors
+# normalization: cnorm = total * (baseline_jvm / measured_jvm) is the
+# headline total re-expressed in baseline-host seconds.
+
+CANARY_JVM_ROWS = 4_000_000_000
+CANARY_PY_ITERS = 4_000_000
+
+
+def canary_jvm(spark) -> float:
+    """Wall seconds for the fixed JVM-side probe (one run)."""
+    t0 = time.time()
+    spark.range(CANARY_JVM_ROWS).selectExpr(
+        "sum(hash(id)) as h", "sum(hash(id + 1)) as m"
+    ).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def canary_py() -> float:
+    """Wall seconds for the fixed pure-Python probe (one run)."""
+    t0 = time.time()
+    acc = 0
+    for i in range(CANARY_PY_ITERS):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFFFFFF
+    return time.time() - t0
+
+
+def canary_baseline() -> "dict | None":
+    """The committed quiet-host reference, or None before one exists."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "CANARY_BASELINE.json")
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -181,7 +236,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: list[float] = []
-    for name in HEADLINE:
+    # canary samples interleave with the query loop (start / midpoints /
+    # end) so the probe sees the same environment window the queries do;
+    # the first TWO jvm runs warm codegen/JIT outside the samples
+    canary_jvm(spark)
+    canary_jvm(spark)
+    canary_samples: dict[str, list[float]] = {"jvm": [], "py": []}
+
+    def sample_canary() -> None:
+        canary_samples["jvm"].append(round(canary_jvm(spark), 3))
+        canary_samples["py"].append(round(canary_py(), 3))
+
+    sample_canary()
+    canary_at = {len(HEADLINE) // 3, (2 * len(HEADLINE)) // 3}
+    for qi, name in enumerate(HEADLINE):
+        if qi in canary_at:
+            sample_canary()
         fn = registry.QUERIES[name]
 
         def one_run() -> float:
@@ -234,6 +304,20 @@ def main() -> None:
         if med > 0 and len(steady) > 1:
             spreads.append(100.0 * (max(steady) - min(steady)) / med)
 
+    sample_canary()  # closing sample
+    canary = {
+        "jvm": round(statistics.median(canary_samples["jvm"]), 3),
+        "py": round(statistics.median(canary_samples["py"]), 3),
+    }
+    base = canary_baseline()
+    # cnorm: the headline total in baseline-host seconds — divide out
+    # the measured environment factor. Median canary, not best: the
+    # queries pay the typical environment, so the normalizer must too.
+    cnorm = (
+        round(sum(timings.values()) * base["jvm"] / canary["jvm"], 3)
+        if base and canary["jvm"] > 0
+        else None
+    )
     total = round(sum(timings.values()), 3)
     rich = {
         "metric": "headline_queries_total",
@@ -244,6 +328,10 @@ def main() -> None:
         "median_total": round(sum(medians.values()), 3),
         "noise_band_pct": round(statistics.median(spreads), 1) if spreads else None,
         "runs": runs,
+        "canary": canary,
+        "canary_samples": canary_samples,
+        "canary_baseline": base,
+        "cnorm": cnorm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # full per-run medians live in a local file; the stdout line must fit
@@ -260,6 +348,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "canary": canary,
+        "cnorm": cnorm,
         "sf": rich["sf"],
     }
     line = json.dumps(compact, separators=(",", ":"))
