@@ -2117,6 +2117,92 @@ def txn_merge_evolution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_scoped_compact_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def txn_scoped_compact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped layout migration under the gate (round 12; VERDICT r11
+    task 4 — Iceberg ``rewrite_data_files(filter)`` after a spec
+    change, sources/txn.py::compact(scope='pre-evolution')): odd keys
+    land partitioned by o_orderstatus, ONE metadata commit evolves the
+    layout to o_orderpriority, even keys land under the new scheme —
+    at which point ``replace_where`` on o_orderpriority is REFUSED
+    (old-scheme files are not value-pure on it). The scoped compact
+    rewrites ONLY the pre-evolution files (current-scheme files
+    survive byte-identical — pinned in
+    tests/test_txn_partition_evolution.py), unblocking a dynamic
+    partition overwrite that doubles the 1-URGENT cohort's prices.
+    The grouped aggregate over the final table must hash-match SQL
+    reconstructing the doubled cohort with a CASE over the original
+    parquet — migration, purity gate, and replace all agree.
+    Doubling a double is exact in binary, so the DECIMAL(18,2)
+    revenue hash cannot drift."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"scopedcompact:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/scopedcompact-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(
+            tmp_root, "orders_sc", partition_cols=("o_orderstatus",)
+        )
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+        t.set_partitioning(spark, ("o_orderpriority",))
+        t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+        # mixed layout: the dynamic partition overwrite must refuse
+        # until the scoped compact migrates the old-scheme files
+        try:
+            t.overwrite(
+                o.filter(F.col("o_orderpriority") == "1-URGENT"),
+                replace_where={"o_orderpriority": "1-URGENT"},
+            )
+            raise AssertionError(
+                "replace_where accepted a mixed layout — purity gate lost"
+            )
+        except ValueError:
+            pass
+        t.compact(spark, scope="pre-evolution")
+        t.overwrite(
+            o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            replace_where={"o_orderpriority": "1-URGENT"},
+        )
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_sc")
+    return t.read(spark).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
     "txn_analyze_equiheight",
     oracle="""
     WITH r AS (

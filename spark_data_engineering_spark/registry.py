@@ -73,22 +73,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #        head the r10 P2 queue by construction.
 CHECK_PRIORITY: tuple[str, ...] = (
     # Round-12 derivation (tools/derive_window.py against
-    # CORRECTNESS_r01-r11; CORRECTNESS_r11 = 50/50 green, so the r11
-    # window's names all carry fresh r11 evidence and rotate out):
-    #   P1 = 0 at round open (new round-12 gate queries enter here as
-    #        they land; re-run tools/derive_window.py --check after each
-    #        registration and re-rotate).
-    #   P2 = the r7 cohort (27 names, the oldest evidence — exactly the
-    #        round-11 P3 cut: wide_lineitem, latest_order_per_customer,
-    #        ... tpch_q1_pricing_summary), then the r8 cohort, oldest
-    #        evidence first.
-    #   P3 = the r8 cohort overflows by 24: cut at registration order
-    #        (global_maxima, customer_running_revenue,
-    #        top10_customers_by_revenue, the semi/anti pair, set-ops,
-    #        pivot/cube/grouping-sets, gapfill/anomalies, quartiles,
-    #        rrf_fusion_search, the r8 streaming-txn cohort,
-    #        txn_autocompact_revenue) — each keeps its r8 hash-green row
-    #        + pytest pins and heads the r13 P2 queue by construction.
+    # CORRECTNESS_r01-r11).
+    "txn_scoped_compact_revenue",
     "wide_lineitem",
     "latest_order_per_customer",
     "rollup_flag_status",
@@ -138,7 +124,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "media_format_profile",
     "media_feature_knn",
     "project_derive_filter",
-    "collect_explode_roundtrip",
 )
 
 

@@ -4183,6 +4183,7 @@ class TxnTable:
         zorder_by: list[str] | None = None,
         zorder_bits: int = 8,
         where: dict[str, object] | None = None,
+        scope: str | None = None,
     ) -> int:
         """OPTIMIZE [ZORDER BY]: bin-pack the live files into ~target-sized
         files and swap them in one atomic commit. With ``zorder_by``, rows
@@ -4213,11 +4214,48 @@ class TxnTable:
         value for a key (pre-partition legacy commits) are
         conservatively INCLUDED — rewriting an extra file is a no-op
         semantically, while skipping one would leave the target
-        partition's rows fragmented."""
+        partition's rows fragmented.
+
+        ``scope="pre-evolution"`` (VERDICT r11 task 4; Iceberg's
+        ``rewrite_data_files(filter)`` after a spec change): rewrite
+        ONLY the live files whose recorded ``partitionValues`` lack one
+        or more of the CURRENT partition columns — the files staged
+        under a pre-``set_partitioning`` scheme. Selection is
+        metadata-only (partitionValues ride the log); the rewrite
+        re-stages through the current scheme, so afterwards every live
+        file is value-pure on it and ``overwrite(replace_where=...)``
+        unblocks — without rewriting the current-scheme files, which on
+        a 100 TB table is nearly the whole table. A table with no
+        pre-evolution files (or explicitly unpartitioned) is a no-op.
+        Mutually exclusive with ``where`` (a pre-evolution file has no
+        recorded value to match a partition predicate against)."""
         v0 = self.version()
         if zorder_by is None:
             zorder_by = self._cluster_by()
         files = self.live_files(v0)
+        if scope is not None:
+            if scope != "pre-evolution":
+                raise ValueError(
+                    f"compact: unknown scope {scope!r} "
+                    "(expected 'pre-evolution')"
+                )
+            if where:
+                raise ValueError(
+                    "compact: scope='pre-evolution' and where=... are "
+                    "mutually exclusive — pre-evolution files carry no "
+                    "recorded value for the current partition columns"
+                )
+            pcols = self.partition_cols(v0)
+            stats = self.file_stats(v0)
+            files = [
+                f
+                for f in files
+                if any(
+                    c
+                    not in ((stats.get(f) or {}).get("partitionValues") or {})
+                    for c in pcols
+                )
+            ]
         if where:
             pcols = self.partition_cols(v0)
             bad = [c for c in where if c not in pcols]

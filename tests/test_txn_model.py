@@ -152,6 +152,11 @@ _op = st.one_of(
     # one partition value — visible no-op; on an UNPARTITIONED table
     # the predicate must be refused as a perfect no-op
     st.tuples(st.just("compact_where"), st.integers(0, 99)),
+    # scoped layout migration (round 12): compact(scope='pre-evolution')
+    # rewrites ONLY files staged under a pre-set_partitioning scheme —
+    # visible no-op; afterwards every live file must be value-pure on
+    # the current scheme (the replace_where unblock invariant)
+    st.tuples(st.just("compact_evolved")),
     # auto-compaction: bin-pack only sub-threshold small files —
     # visible state unchanged, DVs materialized, value-purity kept
     st.tuples(st.just("compact_small")),
@@ -586,6 +591,18 @@ def test_random_op_sequence_matches_model(
                 continue
             cur = table.partition_cols()
             table.set_partitioning(spark, () if cur else ("val",))
+        elif op[0] == "compact_evolved":
+            table.compact(
+                spark, scope="pre-evolution", target_file_bytes=1 << 20
+            )
+            pcols = table.partition_cols()
+            if pcols:
+                fstats = table.file_stats(table.version())
+                assert all(
+                    c in (st.get("partitionValues") or {})
+                    for st in fstats.values()
+                    for c in pcols
+                ), "scoped compact left a pre-evolution file live"
         elif op[0] == "merge_evolve":
             keys = sorted(set(op[1]))
             src = spark.createDataFrame(

@@ -262,3 +262,43 @@ def test_partition_evolved_is_a_stamped_log_property(spark, evolved):
     fresh = TxnTable(t.table_dir.rsplit("/", 1)[0], "t")
     assert fresh.partition_evolved() is True
     assert fresh.detail()["partition_evolved"] is True
+
+
+def test_scoped_compact_migrates_only_pre_evolution_files(spark, evolved):
+    """VERDICT r11 task 4 (Iceberg rewrite_data_files(filter) after a
+    spec change): compact(scope='pre-evolution') rewrites ONLY the
+    files staged under the old scheme — current-scheme files survive
+    byte-identical — and replace_where unblocks afterwards."""
+    t = evolved
+    v0 = t.version()
+    stats0 = t.file_stats(v0)
+    current = {
+        f for f, st in stats0.items()
+        if "q" in (st.get("partitionValues") or {})
+    }
+    old = set(stats0) - current
+    assert old and current  # the fixture really is mixed-layout
+    with pytest.raises(ValueError, match="predate partitioning"):
+        t.overwrite(_df(spark, [(9, "mm", "x")]), replace_where={"q": "x"})
+    t.compact(spark, scope="pre-evolution")
+    stats1 = t.file_stats(t.version())
+    # zero current-scheme files touched; every old-scheme file replaced
+    assert current <= set(stats1)
+    assert not (old & set(stats1))
+    # the rewritten rows are now value-pure on the current scheme
+    assert all(
+        "q" in (st.get("partitionValues") or {}) for st in stats1.values()
+    )
+    t.overwrite(_df(spark, [(9, "mm", "x")]), replace_where={"q": "x"})
+    got = {(r.k, r.q) for r in t.read(spark).collect()}
+    assert got == {(1, "zz"), (2, "zz"), (4, "y"), (9, "x")}
+    # row-neutral commit: CDF/streams triage it like any compact
+    assert t.count_rows() == 4
+    # a second scoped pass is a no-op (nothing predates the scheme now)
+    v_before = t.version()
+    assert t.compact(spark, scope="pre-evolution") == v_before
+    # guards: unknown scope, and scope+where together
+    with pytest.raises(ValueError, match="unknown scope"):
+        t.compact(spark, scope="nope")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(spark, scope="pre-evolution", where={"q": "x"})
