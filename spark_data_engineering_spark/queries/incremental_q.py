@@ -2203,6 +2203,89 @@ def txn_scoped_compact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_widen_column_revenue",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'evolved' ELSE 'legacy' END
+             AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_custkey AS BIGINT)
+                    + CASE WHEN o_orderkey % 2 = 0
+                           THEN 1099511627776 ELSE 0 END) AS BIGINT)
+             AS key_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def txn_widen_column_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN type widening under the gate (round 12; VERDICT r11
+    task 5 — Delta 3.x type widening / Iceberg int->long,
+    sources/txn.py::widen_column): odd keys land with o_custkey as a
+    32-bit INT; ONE metadata commit widens the column to BIGINT; even
+    keys land with keys offset by 2^40 — values a 32-bit column cannot
+    hold (the long-lived-table scenario: an upstream key outgrowing
+    int32 becomes one commit, not a 100 TB rewrite). The narrow files
+    are never rewritten — reads upcast their int32 pages through the
+    explicit read schema (_physical_read_schema; mergeSchema refuses
+    mixed int/long footers, and its per-file footer merge at planning
+    time is itself the 100 TB anti-pattern the explicit schema
+    removes). The per-cohort key sums and revenue must hash-match SQL
+    reconstructing the offset with a CASE over the original parquet —
+    legacy pages, widened pages, and the aggregate agree exactly
+    (integer sums: no float drift possible)."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"widencol:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/widencol-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_wc")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey",
+            F.col("o_custkey").cast("int").alias("o_custkey"),
+            "o_totalprice",
+        )
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+        t.widen_column(spark, "o_custkey", "bigint")
+        t.append(
+            o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+                "o_custkey",
+                F.col("o_custkey").cast("bigint") + F.lit(2**40),
+            )
+        )
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_wc")
+    return (
+        t.read(spark)
+        .groupBy(
+            F.when(F.col("o_custkey") >= 2**40, "evolved")
+            .otherwise("legacy")
+            .alias("cohort")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_custkey").cast("bigint").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
     "txn_analyze_equiheight",
     oracle="""
     WITH r AS (

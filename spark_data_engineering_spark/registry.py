@@ -73,8 +73,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #        head the r10 P2 queue by construction.
 CHECK_PRIORITY: tuple[str, ...] = (
     # Round-12 derivation (tools/derive_window.py against
-    # CORRECTNESS_r01-r11).
+    # CORRECTNESS_r01-r11; CORRECTNESS_r11 = 50/50 green, so the r11
+    # window's names all carry fresh r11 evidence and rotate out):
+    #   P1 = the round-12 gate queries, never driver-checked —
+    #        txn_scoped_compact_revenue (compact scope='pre-evolution'
+    #        layout migration), txn_widen_column_revenue (ALTER COLUMN
+    #        type widening).
+    #   P2 = the r7 cohort (27 names, the oldest evidence — exactly the
+    #        round-11 P3 cut), then the r8 cohort, oldest first.
+    #   P3 = the r8 cohort overflows: cut at registration order; each
+    #        cut name keeps its r8 hash-green row + pytest pins and
+    #        heads the r13 P2 queue by construction.
     "txn_scoped_compact_revenue",
+    "txn_widen_column_revenue",
     "wide_lineitem",
     "latest_order_per_customer",
     "rollup_flag_status",
@@ -123,7 +134,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "txn_identity_rows",
     "media_format_profile",
     "media_feature_knn",
-    "project_derive_filter",
 )
 
 

@@ -1372,6 +1372,35 @@ class TxnTable:
                     return c["schema"]
         return []
 
+    # type-widening lattice (round 12; Delta 3.x ALTER COLUMN type
+    # widening / Iceberg schema evolution): integer-family upcasts,
+    # float->double, decimal precision-up at the same scale. Verified
+    # against Spark 4.x's parquet reader, which upcasts old physical
+    # pages on scan when the read schema is wider (int32 pages read as
+    # BIGINT etc.) — so widening is one metadata commit and zero
+    # rewrites. Everything else (narrowing, cross-family, string<->
+    # numeric) is refused: it would need a value-transforming rewrite.
+    _WIDEN_INT_ORDER = ("byte", "short", "integer", "long")
+
+    @staticmethod
+    def _is_widening(cur, new) -> bool:
+        """True iff ``new`` is a STRICT widening of ``cur`` under the
+        lattice above. Types are logged-schema values (plain strings
+        for every widenable family; complex types are dicts and never
+        widenable)."""
+        if not isinstance(cur, str) or not isinstance(new, str):
+            return False
+        if cur.startswith("decimal(") and new.startswith("decimal("):
+            import re
+
+            pc, sc = (int(x) for x in re.findall(r"\d+", cur)[:2])
+            pn, sn = (int(x) for x in re.findall(r"\d+", new)[:2])
+            return sn == sc and pn > pc
+        ints = TxnTable._WIDEN_INT_ORDER
+        if cur in ints and new in ints:
+            return ints.index(new) > ints.index(cur)
+        return (cur, new) == ("float", "double")
+
     @staticmethod
     def _merge_schema_lists(base: list[dict], incoming: list[dict]) -> list[dict]:
         """Name-wise union, base order first — used at commit time to
@@ -1429,10 +1458,18 @@ class TxnTable:
                 merged.append(entry)
                 by_name[f.name] = entry
             elif prev["type"] != entry["type"]:
+                if self._is_widening(entry["type"], prev["type"]):
+                    # the batch is NARROWER than the (widened) declared
+                    # type — safe: the file stages at its own physical
+                    # width, reads upcast through the logical schema
+                    # (exactly how pre-widen files already read)
+                    continue
                 raise ValueError(
                     f"schema enforcement: column {f.name!r} is "
                     f"{prev['type']} in the table but {entry['type']} in "
-                    "the incoming batch; cast explicitly to change types"
+                    "the incoming batch; cast explicitly, or widen the "
+                    "table first (widen_column) if the batch is the "
+                    "wider one"
                 )
         return merged
 
@@ -1460,10 +1497,26 @@ class TxnTable:
                 for c in [s["name"], *s.get("prev_names", ())]
                 if c in df.columns
             ]
+            # numeric columns cast to the declared logical type: a no-op
+            # for matching frames (Catalyst folds trivial casts), the
+            # exact upcast for frames read at a pre-widening physical
+            # width (CDF's removed-side diff reads at schema v-1,
+            # conforms at v). Numeric-only — the widenable family —
+            # because a complex-type self-cast trips Spark's analyzer
+            # on containsNull flag mismatches
+            from pyspark.sql.types import NumericType
+
+            def _c(expr):
+                return expr.cast(dt) if isinstance(dt, NumericType) else expr
+
             if len(present) == 1:
-                cols.append(F.col(present[0]).alias(s["name"]))
+                cols.append(_c(F.col(present[0])).alias(s["name"]))
             elif present:
-                cols.append(F.coalesce(*[F.col(c) for c in present]).alias(s["name"]))
+                cols.append(
+                    _c(F.coalesce(*[F.col(c) for c in present])).alias(
+                        s["name"]
+                    )
+                )
             else:
                 # files that predate an ADD COLUMN read NULL (Delta's
                 # rule); defaults are materialized at WRITE time by
@@ -2142,9 +2195,22 @@ class TxnTable:
         never resurrect (a rewrite that bypassed this would re-emit
         DV-deleted rows into new files)."""
         paths = [os.path.join(self.data_dir, f) for f in files]
+        # explicit read schema when the log carries one (round 12, type
+        # widening): files staged at different physical widths (int32
+        # pages under a later-widened BIGINT column) cannot go through
+        # mergeSchema — Spark refuses to merge int/long footers — but
+        # the parquet reader upcasts fine when TOLD the wider type. It
+        # is also the scale win: mergeSchema reads every footer at
+        # PLANNING time (per-object GETs at 100 TB), an explicit schema
+        # reads none. Legacy tables (no logged schema) keep mergeSchema.
+        sch = self._physical_read_schema(at_version)
+        reader = (
+            spark.read.schema(sch)
+            if sch is not None
+            else spark.read.option("mergeSchema", "true")
+        )
         df = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*paths)
+            reader.parquet(*paths)
             .withColumn("__file", F.col("_metadata.file_name"))
             .withColumn("__ridx", F.col("_metadata.row_index"))
         )
@@ -2179,6 +2245,38 @@ class TxnTable:
             # read correctly and the join is a no-op over them.
             df = self._project_partition_values(spark, df, files, at_version)
         return df
+
+    def _physical_read_schema(self, at_version: int | None = None):
+        """The parquet read schema covering every PHYSICAL column
+        identity the version's files may hold — live names and their
+        ``prev_names`` (pre-rename files keep the old physical name)
+        and dropped tombstones — each at its LOGICAL (possibly widened)
+        type. Any name a file lacks reads NULL (standard parquet
+        behavior, same as the mergeSchema path). None for legacy
+        tables whose commits predate schema tracking.
+
+        Sound by construction: a column's logged type is only ever
+        widened (``widen_column`` refuses narrowing), and a file can
+        only be live at a version whose schema is at least as wide as
+        the file's own staging schema — so the version's read schema
+        can always represent every live file's pages."""
+        logical = self.table_schema(at_version)
+        if not logical:
+            return None
+        from pyspark.sql.types import (
+            StructField,
+            StructType,
+            _parse_datatype_json_value,
+        )
+
+        fields, seen = [], set()
+        for s in logical:
+            dt = _parse_datatype_json_value(s["type"])
+            for nm in (s["name"], *s.get("prev_names", ())):
+                if nm not in seen:
+                    seen.add(nm)
+                    fields.append(StructField(nm, dt, True))
+        return StructType(fields)
 
     # file-count ceiling for the map-literal projection tier; above it
     # the broadcast-join tier keeps the plan size bounded
@@ -3339,6 +3437,69 @@ class TxnTable:
 
         return self._commit("add_column", [], [], schema_transform=xf)
 
+    def widen_column(
+        self, spark: SparkSession, name: str, new_type: str
+    ) -> int:
+        """ALTER COLUMN ... TYPE, widening only (round 12; Delta 3.x
+        type widening / Iceberg schema evolution int->long,
+        decimal(p,s)->decimal(p+k,s), float->double): ONE metadata
+        commit re-declares the column's logical type — no file is
+        touched. Old files keep their narrow physical pages and every
+        read upcasts them through the explicit read schema
+        (``_physical_read_schema``; Spark's parquet reader does the
+        upcast per page — verified int32->BIGINT, float->double,
+        decimal precision-up). Writes at the OLD width stay accepted
+        (they stage narrow, read wide — ``_merged_schema``); writes
+        and MERGE sources already AT the widened type stop being a
+        type conflict. Narrowing and cross-family changes are refused
+        — they would need a value-transforming rewrite. Old snapshots
+        replay the narrow schema (schema is a log property).
+
+        This is the long-lived-table survival surface: an upstream INT
+        key outgrowing 2^31 becomes one commit instead of a 100 TB
+        rewrite."""
+        if name in self.partition_cols():
+            raise ValueError(
+                f"widen_column: {name!r} is a partition column — the "
+                "commit log's per-file partitionValues and pruning "
+                "metadata are keyed by its declared type; partitioning "
+                "is immutable (rewrite into a new table to re-type it)"
+            )
+        # validate + normalize through Spark's own DDL parser
+        ty = json.loads(
+            spark.createDataFrame([], f"x {new_type}")
+            .schema.fields[0]
+            .dataType.json()
+        )
+
+        def xf(base: list[dict]) -> list[dict]:
+            base = base or self._seeded_schema(spark)
+            out, found = [], False
+            for f in base:
+                f = dict(f)
+                if f["name"] == name and not f.get("dropped"):
+                    found = True
+                    if f["type"] == ty:
+                        raise ValueError(
+                            f"widen_column: {name!r} is already "
+                            f"{ty!r} — nothing to widen"
+                        )
+                    if not self._is_widening(f["type"], ty):
+                        raise ValueError(
+                            f"widen_column: {f['type']!r} -> {ty!r} is "
+                            "not a widening (integer-family upcasts, "
+                            "float->double, decimal precision-up at the "
+                            "same scale); narrowing or cross-family "
+                            "changes need a rewrite into a new column"
+                        )
+                    f["type"] = ty
+                out.append(f)
+            if not found:
+                raise ValueError(f"widen_column: no column {name!r}")
+            return out
+
+        return self._commit("widen_column", [], [], schema_transform=xf)
+
     def set_column_default(
         self, spark: SparkSession, name: str, default
     ) -> int:
@@ -3935,6 +4096,7 @@ class TxnTable:
             "rename_column",
             "add_column",
             "drop_column",
+            "widen_column",
             "compact",
         }
     )
@@ -5572,6 +5734,7 @@ class TxnTable:
                 "rename_column",
                 "drop_column",
                 "add_column",
+                "widen_column",
             ):
                 raise ConcurrentWriteError(
                     "rebase_branch: the parent evolved its schema "
@@ -5586,7 +5749,12 @@ class TxnTable:
         to_replay = [r for r in recs if not r.get("branch_inherited")]
         for rec in to_replay:
             act = rec.get("action")
-            if act in ("rename_column", "drop_column", "add_column"):
+            if act in (
+                "rename_column",
+                "drop_column",
+                "add_column",
+                "widen_column",
+            ):
                 raise ValueError(
                     "rebase_branch: branch carries schema-evolution "
                     f"commits ({act}); compact the branch first"
@@ -5772,6 +5940,7 @@ class TxnTable:
                 "rename_column",
                 "drop_column",
                 "add_column",
+                "widen_column",
             ):
                 raise ValueError(
                     "merge_branch: branch carries schema-evolution commits "

@@ -755,7 +755,12 @@ class TxnStreamReader(DataSourceStreamReader):
             lo = self._snap_version
         for v in range(lo + 1, end["version"] + 1):
             c = self._table._read_commit(v)
-            if c["action"] in ("rename_column", "drop_column", "add_column"):
+            if c["action"] in (
+                "rename_column",
+                "drop_column",
+                "add_column",
+                "widen_column",
+            ):
                 # metadata-only: moves no data. Already reflected in the
                 # stream's resolved column map -> nothing to do; newer ->
                 # the mapping is stale and silently reading would emit
