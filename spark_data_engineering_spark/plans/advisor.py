@@ -69,12 +69,17 @@ def join_size_advisor(
     Returns one dict per table, input order::
 
         {"table", "rows", "row_bytes", "est_bytes", "broadcast",
-         "key", "key_ndv", "rows_per_key", "skewed", "reason"}
+         "key", "key_ndv", "rows_per_key", "skewed", "reason",
+         ["max_rows_per_key", "salt_factor"]}
 
     ``broadcast`` is True/False when fresh ANALYZE evidence decides it,
     None when the table needs an ANALYZE first (``reason`` says so —
     the advisor never runs a job to find out). ``skewed`` flags
-    rows/NDV multiplicity above 16 on the join key.
+    rows/NDV multiplicity above 16 on the join key; when the newest
+    ANALYZE carries equi-height buckets for the key, the worst
+    bucket's count/NDV gives ``max_rows_per_key`` (the hot-key
+    multiplicity a global average hides) and a concrete
+    ``salt_factor`` recommendation (power of two, capped at 64).
     """
     limit = threshold if isinstance(threshold, int) else _size_bytes(threshold)
     out: list[dict] = []
@@ -127,7 +132,55 @@ def join_size_advisor(
                     rows_per_key=round(nn / ndv, 2),
                     skewed=nn / ndv > _SKEW_MULTIPLICITY,
                 )
-                if rec["skewed"]:
+                # equi-height tier (VERDICT r11 task 6): per-bucket
+                # count/NDV exposes the WORST key's multiplicity, which
+                # a global rows/NDV average hides — a table with one
+                # hot key among a million uniform ones reads as flat on
+                # the average but its hot bucket (uniform count per
+                # bucket, tiny NDV) screams. The salting factor the
+                # verdict recommends comes from that worst bucket, not
+                # the flat 16x flag.
+                eh = (col.get("histogram_eh") or {}).get("buckets")
+                if eh:
+                    # a hot key hot enough to matter SPANS buckets
+                    # (equi-height splits it into consecutive point
+                    # buckets, lo == hi == the value), so its true
+                    # count is the sum across them — per-bucket
+                    # count/ndv alone would divide the hot key by the
+                    # number of buckets it fills
+                    point_tot: dict = {}
+                    for b in eh:
+                        if b["lo"] == b["hi"]:
+                            point_tot[b["lo"]] = (
+                                point_tot.get(b["lo"], 0) + b["count"]
+                            )
+                    max_mult = max(
+                        max(point_tot.values(), default=0.0),
+                        max(
+                            b["count"] / max(int(b.get("ndv", 1)), 1)
+                            for b in eh
+                        ),
+                    )
+                    rec["max_rows_per_key"] = round(max_mult, 2)
+                    if max_mult > _SKEW_MULTIPLICITY:
+                        rec["skewed"] = True
+                        # smallest power of two bringing the hot key's
+                        # per-salt share under the multiplicity bar,
+                        # capped: salting beyond the shuffle parallelism
+                        # only multiplies the build side for nothing
+                        f = 2
+                        while (
+                            f < 64
+                            and max_mult / f > _SKEW_MULTIPLICITY
+                        ):
+                            f *= 2
+                        rec["salt_factor"] = f
+                        rec["reason"] += (
+                            f"; hot bucket averages {max_mult:.0f} "
+                            f"rows/value (equi-height) — salt by "
+                            f"{f} or rely on AQE skew-join"
+                        )
+                if rec["skewed"] and "salt" not in rec["reason"]:
                     rec["reason"] += (
                         f"; key '{key}' averages {nn / ndv:.0f} rows/value"
                         " — salt it or rely on AQE skew-join"
