@@ -862,3 +862,146 @@ def test_emptied_table_ops_are_noops_then_reusable(spark, tmp_path):
     # the table is not dead: a later append resumes normal life
     table.append(spark.createDataFrame([(7,)], "val int").coalesce(1))
     assert [r.val for r in table.read(spark).collect()] == [7]
+
+
+# ---------------------------------------------------------------------------
+# Two-handle concurrent-DDL interleavings (round 12; VERDICT r11 task 7).
+# Both round-11 finds — the lost-DDL head-cache race and the hive
+# projection gate — were STALE-HANDLE classes the single-handle walk
+# only grazed: one handle resolves table state, another commits DDL,
+# and the first handle's next commit must not act on (or re-stamp) the
+# world it cached. This mode drives one table through two independent
+# TxnTable handles ("a" opened at creation, "b" opened before the first
+# op — neither ever re-opened), interleaving data commits and the full
+# DDL family, and after EVERY op asserts on a THIRD, fresh handle:
+# model equality, fsck, and that all three handles agree on
+# partition_cols / schema (the exact surface a stale cache reverts).
+
+_H_OP = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(st.integers(0, 99), min_size=1, max_size=3),
+    ),
+    st.tuples(st.just("delete_le"), st.integers(0, 99)),
+    st.tuples(st.just("partition_evolve")),
+    st.tuples(st.just("widen_val")),
+    st.tuples(st.just("add_extra"), st.integers(0, 9)),
+    st.tuples(
+        st.just("merge_evolve"),
+        st.lists(st.integers(0, 99), min_size=1, max_size=3),
+    ),
+    st.tuples(st.just("compact_evolved")),
+    st.tuples(st.just("set_props"), st.integers(0, 99)),
+)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), _H_OP),
+        min_size=3,
+        max_size=_MAXOPS,
+    ),
+    st.integers(0, 10**6),
+)
+def test_two_handle_ddl_interleavings(spark, tmp_path_factory, ops, seq_id):
+    import pytest as _pytest
+
+    root = str(tmp_path_factory.mktemp(f"txn2h{seq_id}"))
+    a = TxnTable(root, "t", checkpoint_every=3)
+    a.append(
+        spark.createDataFrame([(1,), (2,)], "val int").coalesce(1)
+    )
+    model = [1, 2]
+    b = TxnTable(root, "t")  # independent handle (another process)
+    handles = {"a": a, "b": b}
+    prop_model: dict[str, str] = {}
+    defaults: dict[str, int] = {}  # extra column -> its add-time default
+    n_extra = 0
+
+    def df_of(vals, h):
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "val int"
+        ).coalesce(1)
+        return df
+
+    for who, op in ops:
+        h = handles[who]
+        if op[0] == "append":
+            h.append(df_of(op[1], h))
+            model.extend(op[1])
+        elif op[0] == "delete_le":
+            h.delete_where(spark, F.col("val") <= op[1])
+            model = [v for v in model if v > op[1]]
+        elif op[0] == "partition_evolve":
+            cur = h.partition_cols()
+            h.set_partitioning(spark, () if cur else ("val",))
+        elif op[0] == "widen_val":
+            if "val" in h.partition_cols():
+                with _pytest.raises(ValueError, match="partition column"):
+                    h.widen_column(spark, "val", "bigint")
+            elif {
+                f["name"]: f["type"] for f in h.table_schema()
+            }.get("val") == "long":
+                with _pytest.raises(ValueError, match="nothing to widen"):
+                    h.widen_column(spark, "val", "bigint")
+            else:
+                h.widen_column(spark, "val", "bigint")
+        elif op[0] == "add_extra":
+            n_extra += 1
+            name = f"x{n_extra}"
+            h.add_column(spark, name, "int", default=op[1])
+            defaults[name] = op[1]
+        elif op[0] == "merge_evolve":
+            keys = sorted(set(op[1]))
+            src = spark.createDataFrame(
+                [(v, v * 3) for v in keys], "val int, mcol int"
+            ).coalesce(1)
+            h.merge(spark, src, on=["val"], schema_evolution=True)
+            model = model + [k for k in keys if k not in model]
+        elif op[0] == "compact_evolved":
+            h.compact(
+                spark, scope="pre-evolution", target_file_bytes=1 << 20
+            )
+            pcols = h.partition_cols()
+            if pcols:
+                fstats = h.file_stats(h.version())
+                assert all(
+                    c in (st_.get("partitionValues") or {})
+                    for st_ in fstats.values()
+                    for c in pcols
+                ), "scoped compact left a pre-evolution file live"
+        elif op[0] == "set_props":
+            k = f"k{op[1] % 3}"
+            if op[1] % 3 == 2 and k in prop_model:
+                h.unset_properties([k])
+                prop_model.pop(k, None)
+            else:
+                h.set_properties({k: str(op[1])})
+                prop_model[k] = str(op[1])
+        # ---- invariants on a FRESH third handle, after every op ----
+        fresh = TxnTable(root, "t")
+        try:
+            rows = fresh.read(spark).collect()
+        except FileNotFoundError:
+            rows = []
+        assert sorted(r.val for r in rows) == sorted(model), f"after {op}"
+        # the lost-DDL surface: all three handles must resolve the SAME
+        # scheme and schema — a stale cache on the idle handle would
+        # diverge here (and its next commit would revert the DDL)
+        assert (
+            a.partition_cols()
+            == b.partition_cols()
+            == fresh.partition_cols()
+        ), f"partition_cols diverged across handles after {op}"
+        assert a.table_schema() == b.table_schema() == fresh.table_schema(), (
+            f"schema diverged across handles after {op}"
+        )
+        assert fresh.properties() == prop_model, f"props diverged after {op}"
+        for r in rows:
+            if hasattr(r, "mcol"):
+                assert r.mcol in (None, r.val * 3), (r.val, r.mcol)
+            for name, d in defaults.items():
+                if hasattr(r, name):
+                    assert getattr(r, name) in (None, d), (name, r.val)
+        assert fresh.fsck()["ok"], f"fsck after {op}"
