@@ -1372,15 +1372,24 @@ class TxnTable:
                     return c["schema"]
         return []
 
-    # type-widening lattice (round 12; Delta 3.x ALTER COLUMN type
-    # widening / Iceberg schema evolution): integer-family upcasts,
-    # float->double, decimal precision-up at the same scale. Verified
-    # against Spark 4.x's parquet reader, which upcasts old physical
-    # pages on scan when the read schema is wider (int32 pages read as
-    # BIGINT etc.) — so widening is one metadata commit and zero
-    # rewrites. Everything else (narrowing, cross-family, string<->
-    # numeric) is refused: it would need a value-transforming rewrite.
+    # type-widening lattice (round 12; Delta 4.0 ALTER COLUMN type
+    # widening / Iceberg schema evolution):
+    #   - integer-family upcasts (byte -> short -> int -> long)
+    #   - byte/short/int -> double (long -> double REFUSED: values
+    #     beyond 2^53 are not exactly representable — Delta's rule)
+    #   - float -> double
+    #   - integer family -> decimal with enough integer digits to hold
+    #     every source value (byte 3, short 5, int 10, long 19)
+    #   - decimal(pc,sc) -> decimal(pn,sn) with sn >= sc and integer-
+    #     digit capacity preserved (pn - sn >= pc - sc)
+    # Every edge verified against Spark 4.x's parquet reader, which
+    # upcasts old physical pages on scan when the read schema is wider
+    # (int32 as BIGINT/DOUBLE/DECIMAL, int64 as DECIMAL, decimal
+    # rescale) — so widening is one metadata commit and zero rewrites.
+    # Everything else (narrowing, string<->numeric, long->double) is
+    # refused: it would need a value-transforming rewrite.
     _WIDEN_INT_ORDER = ("byte", "short", "integer", "long")
+    _WIDEN_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 19}
 
     @staticmethod
     def _is_widening(cur, new) -> bool:
@@ -1390,16 +1399,29 @@ class TxnTable:
         widenable)."""
         if not isinstance(cur, str) or not isinstance(new, str):
             return False
-        if cur.startswith("decimal(") and new.startswith("decimal("):
-            import re
+        import re
 
-            pc, sc = (int(x) for x in re.findall(r"\d+", cur)[:2])
-            pn, sn = (int(x) for x in re.findall(r"\d+", new)[:2])
-            return sn == sc and pn > pc
+        def _ps(t):
+            p, s = (int(x) for x in re.findall(r"\d+", t)[:2])
+            return p, s
+
+        if cur.startswith("decimal(") and new.startswith("decimal("):
+            pc, sc = _ps(cur)
+            pn, sn = _ps(new)
+            return (
+                (pn, sn) != (pc, sc)
+                and sn >= sc
+                and pn - sn >= pc - sc
+            )
         ints = TxnTable._WIDEN_INT_ORDER
         if cur in ints and new in ints:
             return ints.index(new) > ints.index(cur)
-        return (cur, new) == ("float", "double")
+        if cur in ints and new.startswith("decimal("):
+            pn, sn = _ps(new)
+            return pn - sn >= TxnTable._WIDEN_INT_DIGITS[cur]
+        if cur in ("byte", "short", "integer", "float") and new == "double":
+            return True
+        return False
 
     @staticmethod
     def _merge_schema_lists(base: list[dict], incoming: list[dict]) -> list[dict]:

@@ -70,6 +70,13 @@ def test_widen_refusals(spark, tmp_path):
         t.widen_column(spark, "x", "float")  # narrowing
     with pytest.raises(ValueError, match="not a widening"):
         t.widen_column(spark, "k", "string")  # cross-family
+    with pytest.raises(ValueError, match="not a widening"):
+        # long -> double is lossy beyond 2^53 (Delta refuses it too)
+        t2v = TxnTable(str(tmp_path), "tl")
+        t2v.append(
+            spark.createDataFrame([(1,)], "k bigint").coalesce(1)
+        )
+        t2v.widen_column(spark, "k", "double")
     with pytest.raises(ValueError, match="nothing to widen"):
         t.widen_column(spark, "k", "int")  # same type = no-op DDL
     with pytest.raises(ValueError, match="no column"):
@@ -99,9 +106,14 @@ def test_widen_float_and_decimal(spark, tmp_path):
     assert dict(got.dtypes)["d"] == "decimal(14,2)"
     row = got.collect()[0]
     assert row.f == 1.5 and float(row.d) == 12.34
-    # scale change is refused (value-transforming, not a pure widening)
+    # scale-up with preserved integer-digit capacity IS a widening
+    # (Delta 4.0; the parquet reader rescales on read) ...
+    t.widen_column(spark, "d", "decimal(16,4)")
+    r2 = t.read(spark).collect()[0]
+    assert float(r2.d) == 12.34 and dict(t.read(spark).dtypes)["d"] == "decimal(16,4)"
+    # ... losing integer digits is not (12 -> 6 digits left of the dot)
     with pytest.raises(ValueError, match="not a widening"):
-        t.widen_column(spark, "d", "decimal(16,4)")
+        t.widen_column(spark, "d", "decimal(10,4)")
 
 
 def test_merge_source_at_widened_type(spark, tmp_path):
@@ -167,3 +179,27 @@ def test_branch_refusal_parity(spark, tmp_path):
     t.widen_column(spark, "k", "bigint")  # parent evolves after base
     with pytest.raises(ConcurrentWriteError, match="evolved its schema"):
         t.rebase_branch(b2)
+
+
+def test_widen_int_to_double_and_decimal(spark, tmp_path):
+    """Delta 4.0 lattice: int -> double and int -> decimal (enough
+    integer digits) are one-commit widenings; the parquet reader
+    serves old int32 pages at the widened type."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(_ints(spark, 3))
+    t.widen_column(spark, "k", "double")
+    t.append(
+        spark.createDataFrame(
+            [(2.5, "frac")], "k double, tag string"
+        ).coalesce(1)
+    )
+    got = dict((r.tag, r.k) for r in t.read(spark).collect())
+    assert got == {"r3": 3.0, "frac": 2.5}
+    t2 = TxnTable(str(tmp_path), "t2")
+    t2.append(_ints(spark, 4))
+    with pytest.raises(ValueError, match="not a widening"):
+        t2.widen_column(spark, "k", "decimal(9,0)")  # 9 < 10 digits
+    t2.widen_column(spark, "k", "decimal(12,2)")
+    r = t2.read(spark).collect()[0]
+    assert float(r.k) == 4.0
+    assert dict(t2.read(spark).dtypes)["k"] == "decimal(12,2)"
