@@ -1431,17 +1431,37 @@ class TxnTable:
         if not base:
             return [dict(f) for f in incoming]
         merged = [dict(f) for f in base]
-        names = {f["name"] for f in merged}
+        by_name = {f["name"]: f for f in merged}
         for f in incoming:
-            if f["name"] not in names:
-                merged.append(dict(f))
-                names.add(f["name"])
+            cur = by_name.get(f["name"])
+            if cur is None:
+                ent = dict(f)
+                merged.append(ent)
+                by_name[f["name"]] = ent
+            elif cur.get("type") != f.get("type") and TxnTable._is_widening(
+                cur.get("type"), f.get("type")
+            ):
+                # lattice JOIN on type collisions (round 12): an
+                # auto-widening merge (or a racing widen_column) carries
+                # a wider entry than the head — base-wins folding would
+                # silently DROP the widening; taking the wider of the
+                # two is monotone and commutative, so races converge
+                cur["type"] = f["type"]
         return merged
 
-    def _merged_schema(self, df: DataFrame) -> list[dict]:
+    def _merged_schema(
+        self, df: DataFrame, auto_widen: bool = False
+    ) -> list[dict]:
         """Previous logical schema + columns ``df`` adds (appended in
         order). Same-name/different-type is schema ENFORCEMENT, not
-        evolution — refuse, like Delta without an explicit cast."""
+        evolution — refuse, like Delta without an explicit cast.
+        ``auto_widen=True`` (MERGE with ``schema_evolution=True`` —
+        Delta's automatic type widening under withSchemaEvolution):
+        a source column whose type is a strict WIDENING of the target's
+        widens the declared type in this write's own commit instead of
+        refusing; partition columns stay refused (their recorded
+        partitionValues and pruning metadata are keyed by the declared
+        type)."""
         merged = self.table_schema()
         if not merged:
             # legacy table (commits predate schema tracking): seed from
@@ -1485,6 +1505,13 @@ class TxnTable:
                     # type — safe: the file stages at its own physical
                     # width, reads upcast through the logical schema
                     # (exactly how pre-widen files already read)
+                    continue
+                if (
+                    auto_widen
+                    and self._is_widening(prev["type"], entry["type"])
+                    and f.name not in self.partition_cols()
+                ):
+                    prev["type"] = entry["type"]
                     continue
                 raise ValueError(
                     f"schema enforcement: column {f.name!r} is "
@@ -2775,7 +2802,8 @@ class TxnTable:
             # merge that consumes no source values evolves NOTHING —
             # only its key columns are type-checked
             schema = self._merged_schema(
-                source if consumes_source else source.select(*on)
+                source if consumes_source else source.select(*on),
+                auto_widen=schema_evolution,
             )
             parts = []
             changes = []  # (frame, change_type) when cdf=True
@@ -2861,7 +2889,9 @@ class TxnTable:
                     # it without the schema entry would make every read
                     # silently drop the assigned ids (deep model-search
                     # finding, round 8)
-                    schema = self._merged_schema(ins)
+                    schema = self._merged_schema(
+                        ins, auto_widen=schema_evolution
+                    )
                 parts.append(ins)
                 if cdf:
                     changes.append((ins, "insert"))

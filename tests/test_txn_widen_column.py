@@ -203,3 +203,35 @@ def test_widen_int_to_double_and_decimal(spark, tmp_path):
     r = t2.read(spark).collect()[0]
     assert float(r.k) == 4.0
     assert dict(t2.read(spark).dtypes)["k"] == "decimal(12,2)"
+
+
+def test_merge_auto_widens_with_schema_evolution(spark, tmp_path):
+    """Delta's automatic type widening under withSchemaEvolution: a
+    source whose key outgrew the target's INT widens the declared type
+    in the merge's own commit (without the flag it stays a refusal);
+    partition columns stay refused even with the flag."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(_ints(spark, 1, 2))
+    wide_src = spark.createDataFrame(
+        [(2, "upd"), (2**40, "new")], "k bigint, tag string"
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="widen"):
+        t.merge(spark, wide_src, on=["k"])  # strict regime refuses
+    t.merge(spark, wide_src, on=["k"], schema_evolution=True)
+    assert {
+        f["name"]: f["type"] for f in t.table_schema()
+    }["k"] == "long"
+    got = {(r.k, r.tag) for r in t.read(spark).collect()}
+    assert got == {(1, "r1"), (2, "upd"), (2**40, "new")}
+    # partition-column widening never rides a merge, flag or not
+    tp = TxnTable(str(tmp_path), "tp", partition_cols=("k",))
+    tp.append(_ints(spark, 1))
+    with pytest.raises(ValueError, match="cast explicitly|widen"):
+        tp.merge(
+            spark,
+            spark.createDataFrame(
+                [(2**40, "x")], "k bigint, tag string"
+            ).coalesce(1),
+            on=["k"],
+            schema_evolution=True,
+        )
