@@ -79,6 +79,12 @@ HEADLINE = (
     # rows within the stdout budget
     # r10 audit: crossed the 2 s bar (2.07 s steady) — tier 1 requires it
     "dedup_cluster_stats",
+    # r12 audit: txn_widen_column_revenue entered >2 s steady (2.45 s —
+    # a full orders read through the widened schema) — tier 1 requires
+    # it; funded by dropping streaming_expectations_quarantine (0.52 s
+    # steady; the streaming machinery keeps ten benched rows and the
+    # query keeps its driver hash row + pytest pins)
+    "txn_widen_column_revenue",
     # incremental_daily_revenue (0.14 s) dropped r9 to fund the
     # pipeline_daily_category_report tier-1 row within the stdout
     # budget: the cached-lifecycle read-back machinery stays benched
@@ -139,7 +145,9 @@ HEADLINE = (
     "doc_hierarchy_depths",
     "txn_snapshot_join",
     "dv_delete_report",
-    "streaming_expectations_quarantine",
+    # streaming_expectations_quarantine (0.52 s steady) dropped r12 to
+    # fund the txn_widen_column_revenue tier-1 row within the stdout
+    # budget — quarantine machinery stays pytest-pinned + driver-hashed
     "export_webdataset_shards",
     "rrf_fusion_search",
     # txn_branch_merge_revenue (0.38 s steady) dropped r9-late to fund
