@@ -235,3 +235,30 @@ def test_merge_auto_widens_with_schema_evolution(spark, tmp_path):
             on=["k"],
             schema_evolution=True,
         )
+
+
+def test_stream_aborts_on_mid_stream_widen(spark, tmp_path):
+    """Mid-stream widen_column invalidates the stream's resolved column
+    map exactly like rename/add/drop (the reader would keep serving the
+    NARROW type for post-widen files): planning a batch range spanning
+    a widen commit newer than stream start must abort for a restart —
+    Delta's mid-stream schema-evolution contract."""
+    from spark_data_engineering_spark.sources.txn_datasource import (
+        TxnStreamReader,
+    )
+
+    t = TxnTable(str(tmp_path), "t")
+    t.append(_ints(spark, 1, 2))
+    reader = TxnStreamReader(
+        t.table_dir, t.read(spark).schema, ignore_changes=False
+    )
+    start = reader.latestOffset()  # snapshot drained; tail from here
+    t.widen_column(spark, "k", "bigint")
+    t.append(
+        spark.createDataFrame(
+            [(2**40, "big")], "k bigint, tag string"
+        ).coalesce(1)
+    )
+    end = reader.latestOffset()
+    with pytest.raises(RuntimeError, match="widen_column.*restart"):
+        reader.partitions(start, end)
