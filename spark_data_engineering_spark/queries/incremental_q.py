@@ -2286,6 +2286,70 @@ def txn_widen_column_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_tag_pinned_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_orderkey % 2 = 1
+    GROUP BY 1
+    """,
+)
+def txn_tag_pinned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags under the gate (round 12; Iceberg named references,
+    sources/txn.py::create_tag): odd keys land and are tagged
+    ``release``; even keys land; a delete rewrites part of the table;
+    ``vacuum(keep_versions=1)`` then expires every untagged historical
+    file — and the TAG must still read the release snapshot exactly,
+    because tagged versions are GC ref roots (the 100 TB contract: the
+    corpus release a training run pinned stays readable through
+    routine retention). The aggregate over ``read(tag="release")``
+    must hash-match SQL over the odd-key cohort of the original
+    parquet."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"tagpin:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/tagpin-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_tag")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+        t.create_tag("release")
+        t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+        t.delete_where(spark, F.col("o_orderkey") % 5 == 0)
+        t.vacuum(keep_versions=1)
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_tag")
+    return (
+        t.read(spark, tag="release")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
     "txn_analyze_equiheight",
     oracle="""
     WITH r AS (

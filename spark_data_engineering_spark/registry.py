@@ -78,14 +78,23 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #   P1 = the round-12 gate queries, never driver-checked —
     #        txn_scoped_compact_revenue (compact scope='pre-evolution'
     #        layout migration), txn_widen_column_revenue (ALTER COLUMN
-    #        type widening).
+    #        type widening), txn_tag_pinned_revenue (Iceberg-style tags
+    #        as vacuum ref roots).
     #   P2 = the r7 cohort (27 names, the oldest evidence — exactly the
-    #        round-11 P3 cut), then the r8 cohort, oldest first.
-    #   P3 = the r8 cohort overflows: cut at registration order; each
-    #        cut name keeps its r8 hash-green row + pytest pins and
-    #        heads the r13 P2 queue by construction.
+    #        round-11 P3 cut: wide_lineitem .. tpch_q1_pricing_summary),
+    #        then the r8 cohort, oldest evidence first.
+    #   P3 = the r8 cohort overflows: cut at registration order
+    #        (global_maxima, customer_running_revenue, the semi/anti
+    #        pair, set-ops, pivot/cube/grouping-sets, gapfill/anomalies,
+    #        quartiles, rrf_fusion_search, the r8 streaming-txn cohort,
+    #        txn_autocompact_revenue, media_format_profile,
+    #        media_feature_knn, project_derive_filter,
+    #        collect_explode_roundtrip) — each keeps its r8 hash-green
+    #        row + pytest pins and heads the r13 P2 queue by
+    #        construction.
     "txn_scoped_compact_revenue",
     "txn_widen_column_revenue",
+    "txn_tag_pinned_revenue",
     "wide_lineitem",
     "latest_order_per_customer",
     "rollup_flag_status",
@@ -133,7 +142,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "txn_constraint_gate_revenue",
     "txn_identity_rows",
     "media_format_profile",
-    "media_feature_knn",
 )
 
 

@@ -2425,6 +2425,84 @@ class TxnTable:
             )
         return df.drop(*pv_names)
 
+    # ------------------------------------------------------------------
+    # TAGS (round 12; Iceberg named references / Delta's planned tag
+    # surface): a tag is a NAMED, immutable pointer to a version — "the
+    # corpus release run X trained on" — resolved like every other log
+    # property (latest commit carrying the ``tags`` field) and honored
+    # by vacuum as a GC REF ROOT, so the tagged snapshot's files
+    # survive retention that would otherwise expire them. Pure
+    # metadata: create/delete are CAS commits moving no data.
+
+    def tags(self, at_version: int | None = None) -> dict[str, int]:
+        """The table's tags at a version (name -> tagged version)."""
+        head = self.version() if at_version is None else at_version
+        for v in reversed(self._commit_files()):
+            if v <= head:
+                c = self._read_commit(v)
+                if "tags" in c:
+                    return {k: int(x) for k, x in c["tags"].items()}
+        return {}
+
+    def create_tag(self, name: str, at_version: int | None = None) -> int:
+        """CREATE TAG ``name`` at ``at_version`` (default: the head).
+        Refused for an existing name (tags are immutable — delete and
+        re-create to move one, an auditable two-commit trail) and for a
+        version outside the log. Linearized via CAS like the other
+        metadata DDL."""
+        if not name or not isinstance(name, str):
+            raise ValueError("create_tag: name must be a non-empty string")
+        for _ in range(5):
+            head = self.version()
+            v = head if at_version is None else at_version
+            if not (1 <= v <= head):
+                raise ValueError(
+                    f"create_tag: version {v} is outside the log "
+                    f"(1..{head})"
+                )
+            cur = self.tags(head)
+            if name in cur:
+                raise ValueError(
+                    f"create_tag: tag {name!r} already exists "
+                    f"(-> v{cur[name]}); tags are immutable — "
+                    "delete_tag first to move it"
+                )
+            rec = {
+                "version": head + 1,
+                "action": "tag-create",
+                "add": [],
+                "remove": [],
+                "tags": {**cur, name: v},
+            }
+            self._stamp_props(rec)
+            if self._try_commit(rec):
+                return head + 1
+        raise ConcurrentWriteError(
+            "create_tag: lost the commit race 5 times; retry"
+        )
+
+    def delete_tag(self, name: str) -> int:
+        """DROP TAG ``name`` (refused if missing). The tagged version's
+        files become ordinary vacuum candidates again."""
+        for _ in range(5):
+            head = self.version()
+            cur = self.tags(head)
+            if name not in cur:
+                raise ValueError(f"delete_tag: no tag {name!r}")
+            rec = {
+                "version": head + 1,
+                "action": "tag-delete",
+                "add": [],
+                "remove": [],
+                "tags": {k: x for k, x in cur.items() if k != name},
+            }
+            self._stamp_props(rec)
+            if self._try_commit(rec):
+                return head + 1
+        raise ConcurrentWriteError(
+            "delete_tag: lost the commit race 5 times; retry"
+        )
+
     def read(
         self,
         spark: SparkSession,
@@ -2432,6 +2510,7 @@ class TxnTable:
         prune: dict[str, tuple] | None = None,
         prune_eq: dict[str, object] | None = None,
         at_timestamp: float | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot read. ``prune`` maps column -> (lo, hi) and drops files
         whose footer stats cannot intersect the range — the caller still
@@ -2440,11 +2519,21 @@ class TxnTable:
         whose stage-time bloom rules the value out (point lookups).
         Deletion vectors at the version are applied (merge-on-read).
         ``at_timestamp`` (epoch seconds) is ``timestampAsOf`` time
-        travel — resolved to a version through the commit log
-        (mutually exclusive with ``at_version``)."""
+        travel — resolved to a version through the commit log;
+        ``tag`` reads a named reference (``create_tag``). The three
+        travel selectors are mutually exclusive."""
+        if sum(x is not None for x in (at_version, at_timestamp, tag)) > 1:
+            raise ValueError(
+                "pass at most one of at_version / at_timestamp / tag"
+            )
+        if tag is not None:
+            cur = self.tags()
+            if tag not in cur:
+                raise ValueError(
+                    f"read: no tag {tag!r} (have {sorted(cur) or 'none'})"
+                )
+            at_version = cur[tag]
         if at_timestamp is not None:
-            if at_version is not None:
-                raise ValueError("pass at_version OR at_timestamp, not both")
             at_version = self.version_at_timestamp(at_timestamp)
         if at_version is None:
             # pin the head ONCE so the file set and the size-estimation
@@ -4145,6 +4234,8 @@ class TxnTable:
             "dv-prune",
             "repair-stats",
             "partition-evolve",
+            "tag-create",
+            "tag-delete",
             "rename_column",
             "add_column",
             "drop_column",
@@ -4893,6 +4984,12 @@ class TxnTable:
         for v in range(max(1, head - keep_versions + 1), head + 1):
             keep.update(self.live_files(v))
             dv_keep.update(self.dv_state(v)[0])
+        # TAGS are GC ref roots (round 12; Iceberg's retain-refs rule):
+        # a tagged snapshot stays readable forever, whatever
+        # keep_versions says — its live set and sidecars are pinned
+        for tv in sorted(set(self.tags(head).values())):
+            keep.update(self.live_files(tv))
+            dv_keep.update(self.dv_state(tv)[0])
         # live branches share this data dir: every file any branch head
         # references must survive the parent's vacuum (a branch is a ref
         # root, exactly as in Nessie/LakeFS garbage collection).
@@ -5077,6 +5174,7 @@ class TxnTable:
             "constraints": dict(self.constraints(v)),
             "properties": dict(self.properties(v)),
             "branches": branches,
+            "tags": dict(self.tags(v)) if v else {},
             # round 10: hive-adopted files present (reads project
             # partition values), and the newest ANALYZE snapshot
             # version (None = never analyzed) for staleness checks
@@ -5395,6 +5493,8 @@ class TxnTable:
                 "analyze",
                 "repair-stats",
                 "partition-evolve",
+                "tag-create",
+                "tag-delete",
             ):
                 continue  # net-zero row change by construction (the
                 # constraint/property/ANALYZE DDLs are pure metadata)
@@ -5817,6 +5917,12 @@ class TxnTable:
                     "references branch-log versions that do not exist in "
                     "the rebased line; compact the branch first"
                 )
+            if act in ("tag-create", "tag-delete"):
+                raise ValueError(
+                    "rebase_branch: branch carries tag DDL — its tag map "
+                    "references branch-log versions that do not exist in "
+                    "the rebased line; re-create the tag after the rebase"
+                )
             if act in ("properties-set", "properties-unset"):
                 raise ValueError(
                     "rebase_branch: branch carries TBLPROPERTIES DDL — "
@@ -5997,6 +6103,12 @@ class TxnTable:
                 raise ValueError(
                     "merge_branch: branch carries schema-evolution commits "
                     f"({rec['action']}); compact the branch first"
+                )
+            if rec.get("action") in ("tag-create", "tag-delete"):
+                raise ValueError(
+                    "merge_branch: branch carries tag DDL — its tag map "
+                    "references branch-log versions; re-create the tag "
+                    "on the parent after the merge"
                 )
             if rec.get("action") == "dv-prune":
                 # the replay path does not forward dv_remove, and the

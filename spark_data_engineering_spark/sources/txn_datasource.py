@@ -853,6 +853,8 @@ class TxnStreamReader(DataSourceStreamReader):
                 "analyze",
                 "repair-stats",
                 "partition-evolve",
+                "tag-create",
+                "tag-delete",
             ):
                 # CHECK-constraint / TBLPROPERTIES / stats-backfill DDL:
                 # pure metadata, no row changes in either mode

@@ -1,0 +1,82 @@
+"""Tags (round 12; Iceberg named references): immutable named pointers
+to versions, resolved like every other log property, honored by vacuum
+as GC ref roots — a tagged corpus release stays readable forever,
+whatever ``keep_versions`` says."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_data_engineering_spark.sources.txn import TxnTable
+
+
+def _df(spark, *ks):
+    return spark.createDataFrame(
+        [(k, f"r{k}") for k in ks], "k int, tag string"
+    ).coalesce(1)
+
+
+def test_tag_lifecycle_and_read(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(_df(spark, 1, 2))
+    v1 = t.version()
+    t.create_tag("release")  # default: head
+    t.append(_df(spark, 3))
+    assert t.tags() == {"release": v1}
+    # tag read = time travel to the pinned version
+    assert sorted(r.k for r in t.read(spark, tag="release").collect()) == [1, 2]
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 3]
+    # explicit version, refusals
+    t.create_tag("early", at_version=v1)
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("release")
+    with pytest.raises(ValueError, match="outside the log"):
+        t.create_tag("nope", at_version=99)
+    with pytest.raises(ValueError, match="no tag"):
+        t.read(spark, tag="ghost")
+    with pytest.raises(ValueError, match="at most one"):
+        t.read(spark, at_version=1, tag="release")
+    # metadata-only commits: row-neutral for CDF / detail surfaces them
+    assert sorted(r.k for r in t.read_changes(spark, 0).collect()) == [1, 2, 3]
+    assert t.detail()["tags"] == {"release": v1, "early": v1}
+    t.delete_tag("early")
+    assert t.tags() == {"release": v1}
+    with pytest.raises(ValueError, match="no tag"):
+        t.delete_tag("early")
+    assert t.fsck()["ok"]
+
+
+def test_tagged_snapshot_survives_vacuum(spark, tmp_path):
+    """The point of tags at 100 TB: retention expires untagged history,
+    but a tagged release's files are ref roots — pinned through an
+    overwrite + vacuum(keep_versions=1) that expires everything else."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(_df(spark, 1, 2))
+    t.create_tag("train-v1")
+    t.overwrite(_df(spark, 9))  # replaces every file
+    t.append(_df(spark, 10))
+    removed = t.vacuum(keep_versions=1)
+    # the tagged version still reads exactly, post-vacuum
+    assert sorted(
+        r.k for r in t.read(spark, tag="train-v1").collect()
+    ) == [1, 2]
+    assert sorted(r.k for r in t.read(spark).collect()) == [9, 10]
+    # and after the tag is dropped, the same vacuum reclaims its files
+    t.delete_tag("train-v1")
+    removed2 = t.vacuum(keep_versions=1)
+    assert removed2, "dropping the tag should release its files to GC"
+    with pytest.raises(Exception):
+        t.read(spark, tag="train-v1")
+    assert sorted(r.k for r in t.read(spark).collect()) == [9, 10]
+    assert t.fsck()["ok"]
+
+
+def test_tag_ddl_refused_in_branch_replay(spark, tmp_path):
+    t = TxnTable(str(tmp_path), "t")
+    t.append(_df(spark, 1))
+    b = t.branch("rb")
+    b.append(_df(spark, 2))
+    b.create_tag("branch-tag")
+    with pytest.raises(ValueError, match="tag DDL"):
+        t.merge_branch(b)
