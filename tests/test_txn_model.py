@@ -162,6 +162,11 @@ _op = st.one_of(
     # read wide), re-widening and widening a partition column are
     # refused as perfect no-ops; values must survive unchanged
     st.tuples(st.just("widen_val")),
+    # tags (round 12): create a tag at the current head — the tagged
+    # read must equal the tag-time snapshot at the END of the sequence,
+    # through every later rewrite AND through vacuum(keep_versions=1)
+    # (tagged versions are GC ref roots)
+    st.tuples(st.just("tag_head")),
     # auto-compaction: bin-pack only sub-threshold small files —
     # visible state unchanged, DVs materialized, value-purity kept
     st.tuples(st.just("compact_small")),
@@ -310,6 +315,7 @@ def test_random_op_sequence_matches_model(
     vacuumed = False  # read_changes(0) needs every historical file
     n_branches = 0
     prop_model: dict[str, str] = {}  # TBLPROPERTIES model (round 10)
+    tag_model: dict[str, list[int]] = {}  # tag name -> snapshot (round 12)
     extra_domain = {None, 7}  # legal 'extra' values (round-11 set_default)
     n_side = 0  # landing/clone/corpus dir counter (round 10)
 
@@ -636,6 +642,12 @@ def test_random_op_sequence_matches_model(
                 else:
                     table.widen_column(spark, "val", "bigint")
                     assert dict(table.read(spark).dtypes)["val"] == "bigint"
+        elif op[0] == "tag_head":
+            if table.version() == 0:
+                continue
+            name = f"tag{len(tag_model)}"
+            table.create_tag(name)
+            tag_model[name] = sorted(model)
         elif op[0] == "merge_evolve":
             keys = sorted(set(op[1]))
             src = spark.createDataFrame(
@@ -790,6 +802,17 @@ def test_random_op_sequence_matches_model(
     for v, snap in snapshots.items():
         assert read_vals(at_version=v) == snap, f"time travel v{v}"
 
+    # every tag reads its tag-time snapshot — INCLUDING through vacuum
+    # (tagged versions are ref roots; untagged history may be gone)
+    for name, snap in tag_model.items():
+        try:
+            got = sorted(
+                r.val for r in table.read(spark, tag=name).collect()
+            )
+        except FileNotFoundError:
+            got = []
+        assert got == snap, f"tag {name} diverged from its snapshot"
+
     # partitioned: partition pruning is EXACT for every surviving value
     # (pruned read == filtered model), and each kept file that RECORDED
     # a val partition value carries the queried one (value-purity held
@@ -885,6 +908,11 @@ _H_OP = st.one_of(
     st.tuples(st.just("delete_le"), st.integers(0, 99)),
     st.tuples(st.just("partition_evolve")),
     st.tuples(st.just("widen_val")),
+    # tags (round 12): create a tag at the current head — the tagged
+    # read must equal the tag-time snapshot at the END of the sequence,
+    # through every later rewrite AND through vacuum(keep_versions=1)
+    # (tagged versions are GC ref roots)
+    st.tuples(st.just("tag_head")),
     st.tuples(st.just("add_extra"), st.integers(0, 9)),
     st.tuples(
         st.just("merge_evolve"),
