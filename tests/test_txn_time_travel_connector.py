@@ -128,7 +128,7 @@ def test_read_at_timestamp_and_connector_option(spark, tmp_path):
     assert sorted(
         r.id for r in t.read(spark, at_timestamp=15.0).collect()
     ) == [1]
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one|not both"):
         t.read(spark, at_version=1, at_timestamp=15.0)
     old = (
         spark.read.format("txn")
