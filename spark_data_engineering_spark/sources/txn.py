@@ -297,6 +297,11 @@ class TxnTable:
         # terminates near the head once set (see partition_evolved())
         self._pevolved_cache: bool | None = None
         self._pevolved_cache_v: int = -1
+        # tag map cache (round 12), version-keyed like the others —
+        # _stamp_props consults tags() on EVERY commit, and an uncached
+        # resolution is a full log scan on untagged tables
+        self._tags_cache: dict[str, int] | None = None
+        self._tags_cache_v: int = -1
         # generated columns (Delta's GENERATED ALWAYS AS): name -> SQL
         # expression, declared at creation, recorded in every commit,
         # immutable once recorded — see generated_cols() for resolution.
@@ -786,6 +791,14 @@ class TxnTable:
             record["hive_origin"] = True
         if self.partition_evolved(at_version):
             record["partition_evolved"] = True
+        # tags re-stamp like the other log properties so resolution
+        # stays near the head on long-lived tagged tables — but NEVER
+        # over a map the caller already set (create_tag/delete_tag put
+        # their NEW map in the record before stamping)
+        if "tags" not in record:
+            tg = self.tags(at_version)
+            if tg:
+                record["tags"] = dict(tg)
         return record
 
     def _with_generated(self, df: DataFrame) -> DataFrame:
@@ -2435,14 +2448,38 @@ class TxnTable:
     # metadata: create/delete are CAS commits moving no data.
 
     def tags(self, at_version: int | None = None) -> dict[str, int]:
-        """The table's tags at a version (name -> tagged version)."""
+        """The table's tags at a version (name -> tagged version).
+        Version-keyed cache with incremental refresh (the pattern of
+        ``partition_cols``/``hive_origin``/``partition_evolved``):
+        ``_stamp_props`` consults this on every commit, so resolution
+        must not walk the whole log per write."""
         head = self.version() if at_version is None else at_version
+        if at_version is None and self._tags_cache is not None:
+            if head == self._tags_cache_v:
+                return dict(self._tags_cache)
+            for v in reversed(self._commit_files()):
+                if v <= self._tags_cache_v:
+                    break
+                if v <= head:
+                    c = self._read_commit(v)
+                    if "tags" in c:
+                        self._tags_cache = {
+                            k: int(x) for k, x in c["tags"].items()
+                        }
+                        break
+            self._tags_cache_v = head
+            return dict(self._tags_cache)
+        found: dict[str, int] = {}
         for v in reversed(self._commit_files()):
             if v <= head:
                 c = self._read_commit(v)
                 if "tags" in c:
-                    return {k: int(x) for k, x in c["tags"].items()}
-        return {}
+                    found = {k: int(x) for k, x in c["tags"].items()}
+                    break
+        if at_version is None:
+            self._tags_cache = dict(found)
+            self._tags_cache_v = head
+        return found
 
     def create_tag(self, name: str, at_version: int | None = None) -> int:
         """CREATE TAG ``name`` at ``at_version`` (default: the head).

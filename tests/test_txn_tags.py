@@ -80,3 +80,25 @@ def test_tag_ddl_refused_in_branch_replay(spark, tmp_path):
     b.create_tag("branch-tag")
     with pytest.raises(ValueError, match="tag DDL"):
         t.merge_branch(b)
+
+
+def test_tags_are_restamped_near_the_head(spark, tmp_path):
+    """_stamp_props re-records the tag map on later commits (the log-
+    property pattern), so resolution on a long-lived tagged table reads
+    the head commit, not a walk back to the tag DDL; a stale-cache
+    handle refreshes incrementally and cannot clobber a newer map."""
+    t = TxnTable(str(tmp_path), "t")
+    t.append(_df(spark, 1))
+    v1 = t.version()
+    t.create_tag("rel")
+    t.append(_df(spark, 2))
+    t.append(_df(spark, 3))
+    head = t.version()
+    assert t._read_commit(head).get("tags") == {"rel": v1}
+    # a second handle deletes the tag; the first handle's next commit
+    # must NOT re-stamp the stale map (the lost-DDL class)
+    other = TxnTable(str(tmp_path), "t")
+    other.delete_tag("rel")
+    t.append(_df(spark, 4))
+    fresh = TxnTable(str(tmp_path), "t")
+    assert fresh.tags() == {}, "a stale handle resurrected a deleted tag"
