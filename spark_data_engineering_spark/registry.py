@@ -72,76 +72,61 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #        aggregation machinery stays in-window via q5/q7/q10); they
 #        head the r10 P2 queue by construction.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # Round-12 derivation (tools/derive_window.py against
-    # CORRECTNESS_r01-r11; CORRECTNESS_r11 = 50/50 green, so the r11
-    # window's names all carry fresh r11 evidence and rotate out):
-    #   P1 = the round-12 gate queries, never driver-checked —
-    #        txn_scoped_compact_revenue (compact scope='pre-evolution'
-    #        layout migration), txn_widen_column_revenue (ALTER COLUMN
-    #        type widening), txn_tag_pinned_revenue (Iceberg-style tags
-    #        as vacuum ref roots).
-    #   P2 = the r7 cohort (27 names, the oldest evidence — exactly the
-    #        round-11 P3 cut: wide_lineitem .. tpch_q1_pricing_summary),
-    #        then the r8 cohort, oldest evidence first.
-    #   P3 = the r8 cohort overflows: cut at registration order
-    #        (global_maxima, customer_running_revenue, the semi/anti
-    #        pair, set-ops, pivot/cube/grouping-sets, gapfill/anomalies,
-    #        quartiles, rrf_fusion_search, the r8 streaming-txn cohort,
-    #        txn_autocompact_revenue, media_format_profile,
-    #        media_feature_knn, project_derive_filter,
-    #        collect_explode_roundtrip) — each keeps its r8 hash-green
-    #        row + pytest pins and heads the r13 P2 queue by
-    #        construction.
-    "txn_scoped_compact_revenue",
-    "txn_widen_column_revenue",
-    "txn_tag_pinned_revenue",
-    "wide_lineitem",
-    "latest_order_per_customer",
-    "rollup_flag_status",
-    "hourly_event_stats",
-    "customer_rank_suite",
-    "bloom_pruned_supplier_revenue",
-    "fuzzy_part_name_pairs",
-    "doc_hierarchy_depths",
-    "k_anonymity_report",
-    "daily_order_report",
-    "daily_category_report",
-    "daily_category_report_bucketed",
-    "hybrid_search_rerank",
-    "scd2_customer_tiers",
-    "scd2_pit_revenue",
-    "embedding_dup_clusters",
-    "knn_int8_quantized",
-    "ann_index_search_exhaustive",
-    "hard_negative_pairs",
-    "ab_test_report",
-    "bootstrap_revenue_ci",
-    "streaming_enriched_event_stats",
-    "streaming_sessionize_events",
-    "streaming_neardup_survivors",
-    "streaming_heavy_hitters",
-    "streaming_distinct_users",
-    "tpch_q1_pricing_summary",
-    "bottomk_sample_per_source",
-    "expectations_orders_report",
-    "scrub_boilerplate_segments",
-    "export_webdataset_shards",
-    "orders_by_year_quarter",
-    "part_name_analysis",
-    "customer_tiers",
-    "unpivot_brand_metrics",
-    "corrupt_record_quarantine",
-    "txn_restore_revenue",
-    "txn_partition_pruned_revenue",
-    "txn_generated_cols_revenue",
-    "txn_replace_where_revenue",
-    "txn_update_revenue",
-    "txn_branch_merge_revenue",
-    "txn_branch_rebase_revenue",
-    "txn_dv_maintenance_revenue",
-    "txn_constraint_gate_revenue",
-    "txn_identity_rows",
-    "media_format_profile",
+    # Round-13 window: r8-stale cohort (27 incl
+    # collect_explode_roundtrip, global_maxima, project_derive_filter,
+    # sessionize_events, streaming_txn_* family, txn_fsck_report,
+    # txn_clone_revenue) + r9 heads to 50; r12 window (r7-stale + r8
+    # heads) retires fully green
+    "media_feature_knn",
+    "project_derive_filter",
+    "collect_explode_roundtrip",
+    "global_maxima",
+    "customer_running_revenue",
+    "top10_customers_by_revenue",
+    "customers_without_orders",
+    "customers_with_high_value_orders",
+    "segment_set_ops",
+    "distinct_counts",
+    "pivot_status_by_flag",
+    "orders_above_customer_avg",
+    "quantity_band_join",
+    "cube_flag_status",
+    "grouping_sets_flag_status",
+    "daily_revenue_gapfilled",
+    "daily_revenue_anomalies",
+    "customer_value_quartiles",
+    "rrf_fusion_search",
+    "streaming_txn_source_revenue",
+    "streaming_txn_cdf_revenue",
+    "streaming_materialized_view_revenue",
+    "streaming_txn_cdf_merge_revenue",
+    "streaming_click_purchase_join",
+    "streaming_txn_upsert_revenue",
+    "streaming_expectations_quarantine",
+    "txn_autocompact_revenue",
+    "stratified_sample_documents",
+    "train_split_counts",
+    "pack_sequences",
+    "corpus_curation_counts",
+    "doc_repetition_metrics",
+    "doc_pii_scrub",
+    "asof_purchase_click",
+    "sessionize_events",
+    "signup_click_purchase_funnel",
+    "event_type_map_roundtrip",
+    "event_rollup_multires",
+    "txn_pushdown_revenue",
+    "txn_snapshot_join",
+    "txn_writer_roundtrip_revenue",
+    "txn_detail_summary",
+    "txn_properties_revenue",
+    "txn_convert_revenue",
+    "txn_clone_revenue",
+    "txn_copy_into_revenue",
+    "txn_schema_evolution_revenue",
+    "txn_hidden_partition_revenue",
+    "txn_fsck_report",
+    "txn_reorg_purge_revenue",
 )
 
 
@@ -197,6 +182,61 @@ _R11_WINDOW: tuple[str, ...] = (
     "column_stats_report",
     "corpus_snapshot_diff",
     "dim_customer",
+)
+
+
+# The round-12 window, kept for the audit trail.
+_R12_WINDOW: tuple[str, ...] = (
+    "txn_scoped_compact_revenue",
+    "txn_widen_column_revenue",
+    "txn_tag_pinned_revenue",
+    "wide_lineitem",
+    "latest_order_per_customer",
+    "rollup_flag_status",
+    "hourly_event_stats",
+    "customer_rank_suite",
+    "bloom_pruned_supplier_revenue",
+    "fuzzy_part_name_pairs",
+    "doc_hierarchy_depths",
+    "k_anonymity_report",
+    "daily_order_report",
+    "daily_category_report",
+    "daily_category_report_bucketed",
+    "hybrid_search_rerank",
+    "scd2_customer_tiers",
+    "scd2_pit_revenue",
+    "embedding_dup_clusters",
+    "knn_int8_quantized",
+    "ann_index_search_exhaustive",
+    "hard_negative_pairs",
+    "ab_test_report",
+    "bootstrap_revenue_ci",
+    "streaming_enriched_event_stats",
+    "streaming_sessionize_events",
+    "streaming_neardup_survivors",
+    "streaming_heavy_hitters",
+    "streaming_distinct_users",
+    "tpch_q1_pricing_summary",
+    "bottomk_sample_per_source",
+    "expectations_orders_report",
+    "scrub_boilerplate_segments",
+    "export_webdataset_shards",
+    "orders_by_year_quarter",
+    "part_name_analysis",
+    "customer_tiers",
+    "unpivot_brand_metrics",
+    "corrupt_record_quarantine",
+    "txn_restore_revenue",
+    "txn_partition_pruned_revenue",
+    "txn_generated_cols_revenue",
+    "txn_replace_where_revenue",
+    "txn_update_revenue",
+    "txn_branch_merge_revenue",
+    "txn_branch_rebase_revenue",
+    "txn_dv_maintenance_revenue",
+    "txn_constraint_gate_revenue",
+    "txn_identity_rows",
+    "media_format_profile",
 )
 
 

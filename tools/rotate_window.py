@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import re
 import subprocess
+import textwrap
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -52,10 +53,18 @@ def main() -> int:
     assert m, "CHECK_PRIORITY tuple not found"
     old_names = re.findall(r'"([^"]+)"', m.group(1))
 
-    comment = (
+    raw = (
         sys.argv[1]
         if len(sys.argv) > 1
-        else "    # Derived by tools/derive_window.py (see its rule doc)."
+        else "Derived by tools/derive_window.py (see its rule doc)."
+    )
+    # Normalize to wrapped "    # ..." lines so a raw prose comment
+    # can't be injected as bare (syntax-breaking) source.
+    comment = "\n".join(
+        line if line.lstrip().startswith("#") else "    # " + line.strip()
+        for chunk in raw.splitlines()
+        for line in textwrap.wrap(chunk, width=66) or [""]
+        if line.strip()
     )
     new_body = comment + "\n" + "\n".join(f'    "{n}",' for n in names)
     src = src.replace(
