@@ -204,13 +204,23 @@ def canary_py() -> float:
     return time.time() - t0
 
 
-def canary_baseline() -> "dict | None":
-    """The committed quiet-host reference, or None before one exists."""
-    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "CANARY_BASELINE.json")
+def canary_baseline(path: "str | None" = None) -> "dict | None":
+    """The committed quiet-host reference, or None before one exists
+    (or when the file is malformed — a broken baseline must degrade to
+    cnorm=None, never abort the bench after the queries already ran)."""
+    p = path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "CANARY_BASELINE.json"
+    )
     try:
         with open(p) as fh:
-            return json.load(fh)
-    except OSError:
+            base = json.load(fh)
+        # validate the keys cnorm arithmetic needs up front — a
+        # malformed/partial baseline must degrade to "no baseline"
+        # (cnorm=None), not abort the bench after every query ran
+        float(base["jvm"])
+        float(base["py"])
+        return base
+    except (OSError, ValueError, KeyError, TypeError):
         return None
 
 

@@ -1405,13 +1405,9 @@ class TxnTable:
     _WIDEN_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 19}
 
     @staticmethod
-    def _is_widening(cur, new) -> bool:
-        """True iff ``new`` is a STRICT widening of ``cur`` under the
-        lattice above. Types are logged-schema values (plain strings
-        for every widenable family; complex types are dicts and never
-        widenable)."""
-        if not isinstance(cur, str) or not isinstance(new, str):
-            return False
+    def _atomic_widening(cur: str, new: str) -> bool:
+        """True iff atomic type ``new`` is a STRICT widening of atomic
+        ``cur`` under the lattice above (logged-schema string values)."""
         import re
 
         def _ps(t):
@@ -1437,6 +1433,123 @@ class TxnTable:
         return False
 
     @staticmethod
+    def _is_widening(cur, new) -> bool:
+        """True iff ``new`` is a STRICT widening of ``cur``: atomic
+        types per the lattice above, complex types RECURSIVELY (round
+        13; Delta 4.0 widens nested struct fields and array/map value
+        types too). A complex ``new`` widens ``cur`` when the two share
+        the exact shape — same struct field names in the same order,
+        same nullability flags, identical map KEY types (keys are
+        join/grouping identity; re-typing them is a rewrite) — every
+        leaf is equal-or-wider, and at least one leaf strictly widened.
+        Sound for the same reason as the flat case: parquet's reader
+        upcasts nested leaf pages per column chunk when handed the
+        wider read schema (verified: struct<int>→struct<bigint>,
+        array<int>→array<bigint>, map value, nested decimal)."""
+        if isinstance(cur, str) and isinstance(new, str):
+            return TxnTable._atomic_widening(cur, new)
+        if (
+            isinstance(cur, dict)
+            and isinstance(new, dict)
+            and cur.get("type") == new.get("type")
+        ):
+            if cur == new:
+                return False
+            t = cur.get("type")
+            if t == "struct":
+                fc = cur.get("fields") or []
+                fn = new.get("fields") or []
+                if [f["name"] for f in fc] != [f["name"] for f in fn]:
+                    return False
+                widened = False
+                for f, g in zip(fc, fn):
+                    if f.get("nullable", True) != g.get("nullable", True):
+                        return False
+                    if f["type"] == g["type"]:
+                        continue
+                    if not TxnTable._is_widening(f["type"], g["type"]):
+                        return False
+                    widened = True
+                return widened
+            if t == "array":
+                return cur.get("containsNull", True) == new.get(
+                    "containsNull", True
+                ) and TxnTable._is_widening(
+                    cur.get("elementType"), new.get("elementType")
+                )
+            if t == "map":
+                return (
+                    cur.get("keyType") == new.get("keyType")
+                    and cur.get("valueContainsNull", True)
+                    == new.get("valueContainsNull", True)
+                    and TxnTable._is_widening(
+                        cur.get("valueType"), new.get("valueType")
+                    )
+                )
+        return False
+
+    @staticmethod
+    def _join_types(a, b):
+        """The lattice JOIN of two logged types — per-LEAF wider of the
+        two — or None when they are incomparable (different shape, or
+        some leaf pair widens in neither direction). Needed because
+        widening is per-leaf partial order, not total: racing widens of
+        DIFFERENT nested fields of the same struct produce two types
+        neither of which widens the other, yet their JOIN (both fields
+        wide) is exactly where the races must converge
+        (``_merge_schema_lists``; a directional ``_is_widening`` test
+        would let base-wins folding silently drop one widen)."""
+        if a == b:
+            return a
+        if isinstance(a, str) and isinstance(b, str):
+            if TxnTable._atomic_widening(a, b):
+                return b
+            if TxnTable._atomic_widening(b, a):
+                return a
+            return None
+        if (
+            isinstance(a, dict)
+            and isinstance(b, dict)
+            and a.get("type") == b.get("type")
+        ):
+            t = a.get("type")
+            if t == "struct":
+                fa = a.get("fields") or []
+                fb = b.get("fields") or []
+                if [f["name"] for f in fa] != [f["name"] for f in fb]:
+                    return None
+                fields = []
+                for f, g in zip(fa, fb):
+                    if f.get("nullable", True) != g.get("nullable", True):
+                        return None
+                    j = TxnTable._join_types(f["type"], g["type"])
+                    if j is None:
+                        return None
+                    nf = dict(f)
+                    nf["type"] = j
+                    fields.append(nf)
+                return {**a, "fields": fields}
+            if t == "array":
+                if a.get("containsNull", True) != b.get(
+                    "containsNull", True
+                ):
+                    return None
+                j = TxnTable._join_types(
+                    a.get("elementType"), b.get("elementType")
+                )
+                return None if j is None else {**a, "elementType": j}
+            if t == "map":
+                if a.get("keyType") != b.get("keyType") or a.get(
+                    "valueContainsNull", True
+                ) != b.get("valueContainsNull", True):
+                    return None
+                j = TxnTable._join_types(
+                    a.get("valueType"), b.get("valueType")
+                )
+                return None if j is None else {**a, "valueType": j}
+        return None
+
+    @staticmethod
     def _merge_schema_lists(base: list[dict], incoming: list[dict]) -> list[dict]:
         """Name-wise union, base order first — used at commit time to
         fold a possibly-stale incoming schema over the current log head
@@ -1451,15 +1564,20 @@ class TxnTable:
                 ent = dict(f)
                 merged.append(ent)
                 by_name[f["name"]] = ent
-            elif cur.get("type") != f.get("type") and TxnTable._is_widening(
-                cur.get("type"), f.get("type")
-            ):
-                # lattice JOIN on type collisions (round 12): an
-                # auto-widening merge (or a racing widen_column) carries
-                # a wider entry than the head — base-wins folding would
-                # silently DROP the widening; taking the wider of the
-                # two is monotone and commutative, so races converge
-                cur["type"] = f["type"]
+            elif cur.get("type") != f.get("type"):
+                # lattice JOIN on type collisions (round 12; made
+                # per-LEAF in round 13): an auto-widening merge or a
+                # racing widen_column carries a wider entry than the
+                # head — base-wins folding would silently DROP the
+                # widening. The JOIN is per nested leaf because racing
+                # widens of DIFFERENT struct fields produce two types
+                # neither of which widens the other; their JOIN (both
+                # leaves wide) is monotone and commutative, so races
+                # converge. Incomparable collisions (None) keep base —
+                # genuine conflicts are refused upstream at write time.
+                j = TxnTable._join_types(cur.get("type"), f.get("type"))
+                if j is not None and j != cur.get("type"):
+                    cur["type"] = j
         return merged
 
     def _merged_schema(
@@ -1519,13 +1637,18 @@ class TxnTable:
                     # width, reads upcast through the logical schema
                     # (exactly how pre-widen files already read)
                     continue
-                if (
-                    auto_widen
-                    and self._is_widening(prev["type"], entry["type"])
-                    and f.name not in self.partition_cols()
-                ):
-                    prev["type"] = entry["type"]
-                    continue
+                if auto_widen and f.name not in self.partition_cols():
+                    # per-leaf JOIN, not a directional test (round 13):
+                    # a nested batch may widen one struct field while
+                    # the table is already wider on another — the JOIN
+                    # (both leaves wide) is the Delta typeWidening fold;
+                    # the staged file keeps its own physical widths and
+                    # reads upcast per leaf, so this is sound exactly
+                    # like the flat case
+                    j = self._join_types(prev["type"], entry["type"])
+                    if j is not None:
+                        prev["type"] = j
+                        continue
                 raise ValueError(
                     f"schema enforcement: column {f.name!r} is "
                     f"{prev['type']} in the table but {entry['type']} in "
@@ -2489,9 +2612,14 @@ class TxnTable:
         metadata DDL."""
         if not name or not isinstance(name, str):
             raise ValueError("create_tag: name must be a non-empty string")
+        # resolve the target ONCE, before the CAS loop: with
+        # at_version=None the tag pins the head the CALLER saw when it
+        # asked — re-resolving inside a retry would silently pin a
+        # racing writer's newer snapshot instead (ADVICE r12)
+        target = self.version() if at_version is None else at_version
         for _ in range(5):
             head = self.version()
-            v = head if at_version is None else at_version
+            v = target
             if not (1 <= v <= head):
                 raise ValueError(
                     f"create_tag: version {v} is outside the log "
@@ -3633,47 +3761,132 @@ class TxnTable:
         — they would need a value-transforming rewrite. Old snapshots
         replay the narrow schema (schema is a log property).
 
+        ``name`` may be a DOTTED PATH into a nested type (round 13;
+        Delta 4.0 typeWidening covers nested fields):
+        ``widen_column("meta.id", "bigint")`` widens a struct field,
+        the segment ``element`` descends an array's element type and
+        ``value`` a map's value type (``widen_column("xs.element",
+        "bigint")``, ``"m.value"``, ``"meta.tags.element"``). Map KEYS
+        are refused — they are join/grouping identity; re-typing them
+        needs a rewrite. The read path needs no special casing: the
+        widened nested type lands in the logged schema, and
+        ``_physical_read_schema`` already hands the whole (nested) type
+        to the parquet reader, which upcasts nested leaf pages per
+        column chunk exactly as it does flat ones.
+
         This is the long-lived-table survival surface: an upstream INT
         key outgrowing 2^31 becomes one commit instead of a 100 TB
         rewrite."""
-        if name in self.partition_cols():
-            raise ValueError(
-                f"widen_column: {name!r} is a partition column — the "
-                "commit log's per-file partitionValues and pruning "
-                "metadata are keyed by its declared type; partitioning "
-                "is immutable (rewrite into a new table to re-type it)"
-            )
         # validate + normalize through Spark's own DDL parser
         ty = json.loads(
             spark.createDataFrame([], f"x {new_type}")
             .schema.fields[0]
             .dataType.json()
         )
+        root, _, rest = name.partition(".")
+        path = rest.split(".") if rest else []
+
+        def _rewrite(t, segs, at):
+            """Rebuild ``t`` with the leaf at ``segs`` replaced by
+            ``ty`` (validated as a strict widening); ``at`` is the
+            dotted prefix already descended, for messages."""
+            if not segs:
+                if t == ty:
+                    raise ValueError(
+                        f"widen_column: {name!r} is already "
+                        f"{ty!r} — nothing to widen"
+                    )
+                if not self._is_widening(t, ty):
+                    raise ValueError(
+                        f"widen_column: {t!r} -> {ty!r} is "
+                        "not a widening (integer-family upcasts, "
+                        "float->double, decimal precision-up at the "
+                        "same scale); narrowing or cross-family "
+                        "changes need a rewrite into a new column"
+                    )
+                return ty
+            seg, tail = segs[0], segs[1:]
+            here = f"{at}.{seg}"
+            if isinstance(t, dict) and t.get("type") == "struct":
+                fields, hit = [], False
+                for f in t.get("fields") or []:
+                    if f["name"] == seg:
+                        hit = True
+                        nf = dict(f)
+                        nf["type"] = _rewrite(f["type"], tail, here)
+                        fields.append(nf)
+                    else:
+                        fields.append(f)
+                if not hit:
+                    raise ValueError(
+                        f"widen_column: no nested field {here!r} "
+                        f"(struct has "
+                        f"{[f['name'] for f in t.get('fields') or []]})"
+                    )
+                return {**t, "fields": fields}
+            if isinstance(t, dict) and t.get("type") == "array":
+                if seg == "element":
+                    return {
+                        **t,
+                        "elementType": _rewrite(
+                            t.get("elementType"), tail, here
+                        ),
+                    }
+                raise ValueError(
+                    f"widen_column: {at!r} is an array — descend its "
+                    f"element type with 'element', not {seg!r}"
+                )
+            if isinstance(t, dict) and t.get("type") == "map":
+                if seg == "value":
+                    return {
+                        **t,
+                        "valueType": _rewrite(
+                            t.get("valueType"), tail, here
+                        ),
+                    }
+                if seg == "key":
+                    raise ValueError(
+                        f"widen_column: {here!r} is a map KEY type — "
+                        "keys are join/grouping identity and files "
+                        "hash them at the declared type; re-typing "
+                        "them needs a rewrite into a new column"
+                    )
+                raise ValueError(
+                    f"widen_column: {at!r} is a map — descend its "
+                    f"value type with 'value', not {seg!r}"
+                )
+            raise ValueError(
+                f"widen_column: {at!r} is {t!r} — cannot descend "
+                f"into {seg!r} (only struct fields, array 'element', "
+                "map 'value' nest)"
+            )
 
         def xf(base: list[dict]) -> list[dict]:
+            # the partition-column guard runs HERE, inside _commit's CAS
+            # retry (the transform replays against the fresh head each
+            # attempt, like set_partitioning's in-loop revalidation): a
+            # concurrent set_partitioning naming this column between a
+            # pre-loop check and the commit would otherwise land a
+            # widened partition column whose recorded partitionValues
+            # and pruning metadata are keyed by the old type
+            if root in self.partition_cols():
+                raise ValueError(
+                    f"widen_column: {root!r} is a partition column — "
+                    "the commit log's per-file partitionValues and "
+                    "pruning metadata are keyed by its declared type; "
+                    "partitioning is immutable (rewrite into a new "
+                    "table to re-type it)"
+                )
             base = base or self._seeded_schema(spark)
             out, found = [], False
             for f in base:
                 f = dict(f)
-                if f["name"] == name and not f.get("dropped"):
+                if f["name"] == root and not f.get("dropped"):
                     found = True
-                    if f["type"] == ty:
-                        raise ValueError(
-                            f"widen_column: {name!r} is already "
-                            f"{ty!r} — nothing to widen"
-                        )
-                    if not self._is_widening(f["type"], ty):
-                        raise ValueError(
-                            f"widen_column: {f['type']!r} -> {ty!r} is "
-                            "not a widening (integer-family upcasts, "
-                            "float->double, decimal precision-up at the "
-                            "same scale); narrowing or cross-family "
-                            "changes need a rewrite into a new column"
-                        )
-                    f["type"] = ty
+                    f["type"] = _rewrite(f["type"], path, root)
                 out.append(f)
             if not found:
-                raise ValueError(f"widen_column: no column {name!r}")
+                raise ValueError(f"widen_column: no column {root!r}")
             return out
 
         return self._commit("widen_column", [], [], schema_transform=xf)

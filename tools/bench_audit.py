@@ -109,12 +109,25 @@ def main() -> None:
     headline = set(bench.HEADLINE)
     registry.load_all()
     spark = get_spark("bench-audit")
+    # Fixed warm-up preamble (VERDICT r12 task 2): the sweep's first few
+    # timings otherwise absorb residual JVM JIT / codegen / Python-worker
+    # cold-start beyond the two noop ops — and when the sweep order
+    # followed CHECK_PRIORITY, window rotation moved DIFFERENT queries
+    # into that cold slot each round, masquerading as 2-4x regressions
+    # in --compare. The preamble is a fixed, rotation-independent set of
+    # throwaway executions covering the hot engine paths (join+agg,
+    # date bucketing, pandas-UDF pool), run before any timing starts.
     registry.QUERIES["daily_order_report"](spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    for warm in ("tpch_q1_pricing_summary", "hourly_event_stats",
+                 "wide_lineitem"):
+        registry.QUERIES[warm](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     import statistics
 
@@ -129,7 +142,12 @@ def main() -> None:
     n_q = len(registry.QUERIES)
     canary_at = {n_q // 3, (2 * n_q) // 3}
     walls: dict[str, float] = {}
-    for qi, (name, fn) in enumerate(registry.QUERIES.items()):
+    # Canonical sweep order = sorted names, NOT registry (CHECK_PRIORITY)
+    # order: the registry reorders on every window rotation, and a
+    # query's position in the sweep must never change between the two
+    # files a --compare adjudicates.
+    sweep = sorted(registry.QUERIES.items())
+    for qi, (name, fn) in enumerate(sweep):
         if qi in canary_at:
             sample_canary()
         t0 = time.time()
