@@ -2286,6 +2286,119 @@ def txn_widen_column_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_widen_nested_revenue",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'evolved' ELSE 'legacy' END
+             AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_custkey AS BIGINT)
+                    + CASE WHEN o_orderkey % 2 = 0
+                           THEN 1099511627776 ELSE 0 END) AS BIGINT)
+             AS key_sum,
+           CAST(SUM(2 * (CAST(o_custkey AS BIGINT)
+                    + CASE WHEN o_orderkey % 2 = 0
+                           THEN 1099511627776 ELSE 0 END) + 1) AS BIGINT)
+             AS arr_key_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def txn_widen_nested_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED type widening under the gate (round 13; VERDICT r12 task
+    3 — Delta 4.0 typeWidening covers nested fields,
+    sources/txn.py::widen_column dotted paths): odd keys land with a
+    struct<custkey:int> column and an array<int> key list; TWO metadata
+    commits widen ``info.custkey`` and ``keys.element`` to BIGINT; even
+    keys land with custkeys offset by 2^40 — values the nested int32
+    leaves cannot hold. No file is rewritten: the narrow nested pages
+    upcast through the explicit read schema (the parquet reader
+    converts per leaf column chunk, exactly like the flat case — and
+    mergeSchema would refuse the mixed int/long nested footers
+    outright, so the explicit-schema path is also what makes mixed
+    nested widths READABLE at all). Per-cohort struct-leaf sums, array
+    element sums (via F.aggregate, JVM-side), and revenue must
+    hash-match SQL reconstructing the offset over the original parquet
+    — integer sums, no float drift possible."""
+    import uuid
+
+    from spark_data_engineering_spark.cacheutil import code_digest, sweep_stale
+    from spark_data_engineering_spark.sources import txn as _txn_mod
+
+    stat = os.stat(f"{sf_dir}/orders.parquet")
+    digest = hashlib.md5(
+        f"widennested:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}:"
+        f"{code_digest(_txn_mod)}".encode()
+    ).hexdigest()[:16]
+    os.makedirs("/tmp/spark_de_incremental", exist_ok=True)
+    sweep_stale("/tmp/spark_de_incremental")
+    root = f"/tmp/spark_de_incremental/widennested-{digest}"
+    if not claim(root):
+        tmp_root = f"{root}.build-{uuid.uuid4().hex}"
+        t = TxnTable(tmp_root, "orders_wn")
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_custkey").cast("int").alias("custkey")
+            ).alias("info"),
+            F.array(
+                F.col("o_custkey").cast("int"),
+                (F.col("o_custkey") + 1).cast("int"),
+            ).alias("keys"),
+            "o_totalprice",
+        )
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+        t.widen_column(spark, "info.custkey", "bigint")
+        t.widen_column(spark, "keys.element", "bigint")
+        off = F.lit(2**40).cast("bigint")
+        t.append(
+            o.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey",
+                F.struct(
+                    (F.col("info.custkey").cast("bigint") + off).alias(
+                        "custkey"
+                    )
+                ).alias("info"),
+                F.array(
+                    F.col("keys")[0].cast("bigint") + off,
+                    F.col("keys")[1].cast("bigint") + off,
+                ).alias("keys"),
+                "o_totalprice",
+            )
+        )
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            shutil.rmtree(tmp_root, ignore_errors=True)  # racer published
+    t = TxnTable(root, "orders_wn")
+    return (
+        t.read(spark)
+        .groupBy(
+            F.when(F.col("info.custkey") >= 2**40, "evolved")
+            .otherwise("legacy")
+            .alias("cohort")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("info.custkey").cast("bigint").alias("key_sum"),
+            F.sum(
+                F.aggregate(
+                    "keys",
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+            )
+            .cast("bigint")
+            .alias("arr_key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
     "txn_tag_pinned_revenue",
     oracle="""
     SELECT o_orderpriority,

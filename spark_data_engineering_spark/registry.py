@@ -72,11 +72,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #        aggregation machinery stays in-window via q5/q7/q10); they
 #        head the r10 P2 queue by construction.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # Round-13 window: r8-stale cohort (27 incl
-    # collect_explode_roundtrip, global_maxima, project_derive_filter,
-    # sessionize_events, streaming_txn_* family, txn_fsck_report,
-    # txn_clone_revenue) + r9 heads to 50; r12 window (r7-stale + r8
-    # heads) retires fully green
+    # r13 window v2: same derivation as v1 (r8-stale cohort + r9 heads)
+    # with the new r13 gate query txn_widen_nested_revenue entering at
+    # P1, displacing the tail
+    "txn_widen_nested_revenue",
     "media_feature_knn",
     "project_derive_filter",
     "collect_explode_roundtrip",
@@ -126,7 +125,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "txn_schema_evolution_revenue",
     "txn_hidden_partition_revenue",
     "txn_fsck_report",
-    "txn_reorg_purge_revenue",
 )
 
 

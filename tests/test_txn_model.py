@@ -908,11 +908,20 @@ _H_OP = st.one_of(
     st.tuples(st.just("delete_le"), st.integers(0, 99)),
     st.tuples(st.just("partition_evolve")),
     st.tuples(st.just("widen_val")),
-    # tags (round 12): create a tag at the current head — the tagged
-    # read must equal the tag-time snapshot at the END of the sequence,
-    # through every later rewrite AND through vacuum(keep_versions=1)
-    # (tagged versions are GC ref roots)
+    # NESTED widening (round 13): the seed carries meta struct<id:int>
+    # with id = val*10; one handle widens meta.id -> bigint while the
+    # other may be appending / merging at the narrow shape — the
+    # id==val*10 domain must hold on every row that has a meta, through
+    # every later rewrite, and re-widening must refuse
+    st.tuples(st.just("widen_nested")),
+    # tags (round 12; handler added round 13 — the op was in the set
+    # but unhandled, a silent no-op): tag the current head; after EVERY
+    # later op each tag must still read its tag-time snapshot exactly
     st.tuples(st.just("tag_head")),
+    # tag-vs-vacuum (round 13, VERDICT r12 task 6): retention on one
+    # handle while the other tags/rewrites — tagged versions are GC
+    # ref roots, so every tag survives keep_versions=1
+    st.tuples(st.just("vacuum")),
     st.tuples(st.just("add_extra"), st.integers(0, 9)),
     st.tuples(
         st.just("merge_evolve"),
@@ -937,14 +946,20 @@ def test_two_handle_ddl_interleavings(spark, tmp_path_factory, ops, seq_id):
 
     root = str(tmp_path_factory.mktemp(f"txn2h{seq_id}"))
     a = TxnTable(root, "t", checkpoint_every=3)
+    # the seed carries a NESTED column (id = val*10) so widen_nested
+    # and narrow-shape concurrent writers exercise the recursive
+    # lattice; later appends omit meta entirely (reads NULL)
     a.append(
-        spark.createDataFrame([(1,), (2,)], "val int").coalesce(1)
+        spark.createDataFrame(
+            [(1, (10,)), (2, (20,))], "val int, meta struct<id:int>"
+        ).coalesce(1)
     )
     model = [1, 2]
     b = TxnTable(root, "t")  # independent handle (another process)
     handles = {"a": a, "b": b}
     prop_model: dict[str, str] = {}
     defaults: dict[str, int] = {}  # extra column -> its add-time default
+    tag_model: dict[str, list[int]] = {}  # tag -> sorted vals at tag time
     n_extra = 0
 
     def df_of(vals, h):
@@ -975,6 +990,26 @@ def test_two_handle_ddl_interleavings(spark, tmp_path_factory, ops, seq_id):
                     h.widen_column(spark, "val", "bigint")
             else:
                 h.widen_column(spark, "val", "bigint")
+        elif op[0] == "widen_nested":
+            meta_ty = {
+                f["name"]: f["type"] for f in h.table_schema()
+            }.get("meta")
+            leaf = (
+                meta_ty["fields"][0]["type"]
+                if isinstance(meta_ty, dict)
+                else None
+            )
+            if leaf == "long":
+                with _pytest.raises(ValueError, match="nothing to widen"):
+                    h.widen_column(spark, "meta.id", "bigint")
+            else:
+                h.widen_column(spark, "meta.id", "bigint")
+        elif op[0] == "tag_head":
+            name = f"tag{len(tag_model)}"
+            h.create_tag(name)
+            tag_model[name] = sorted(model)
+        elif op[0] == "vacuum":
+            h.vacuum(keep_versions=1, min_age_s=0.0)
         elif op[0] == "add_extra":
             n_extra += 1
             name = f"x{n_extra}"
@@ -1029,7 +1064,21 @@ def test_two_handle_ddl_interleavings(spark, tmp_path_factory, ops, seq_id):
         for r in rows:
             if hasattr(r, "mcol"):
                 assert r.mcol in (None, r.val * 3), (r.val, r.mcol)
+            if hasattr(r, "meta") and r.meta is not None:
+                # the nested domain survives widening + every rewrite
+                assert r.meta.id == r.val * 10, (r.val, r.meta)
             for name, d in defaults.items():
                 if hasattr(r, name):
                     assert getattr(r, name) in (None, d), (name, r.val)
+        # tag-vs-vacuum: every tag still reads its tag-time snapshot —
+        # through later rewrites on EITHER handle and keep_versions=1
+        # retention (tagged versions are GC ref roots)
+        for tname, tvals in tag_model.items():
+            try:
+                got = sorted(
+                    r.val for r in fresh.read(spark, tag=tname).collect()
+                )
+            except FileNotFoundError:
+                got = []  # empty-at-tag-time snapshot (documented raise)
+            assert got == tvals, f"tag {tname} diverged after {op}"
         assert fresh.fsck()["ok"], f"fsck after {op}"
