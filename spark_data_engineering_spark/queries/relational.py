@@ -427,13 +427,26 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     2x the requested rsd (1%); the oracle expects TRUE. A sketch whose
     error bound breaks hash-mismatches the gate."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # Dedup to (flag, partkey) BEFORE aggregating (r13 optimization):
+    # combining countDistinct with approx_count_distinct in one aggregate
+    # makes the distinct-agg rewrite key the partial HLL sketch by
+    # (flag, partkey) — at rsd=0.01 that is a 1639-word (~13 KB) buffer
+    # per distinct pair, ~2.6 GB materialized+shuffled for a 10 MB input
+    # (plans/r13/approx_distinct_parts_before.txt: Results [1641 cols]).
+    # HLL registers are duplicate- and order-insensitive, so the estimate
+    # over the distinct set is bit-identical to the multiset's; the exact
+    # count is COUNT over the deduped rows. One narrow-row shuffle + 3
+    # final sketches instead of 200k.
+    dedup = li.select(
+        F.col("l_returnflag").alias("returnflag"), "l_partkey"
+    ).distinct()
+    return dedup.groupBy("returnflag").agg(
+        F.count("l_partkey").alias("exact_parts"),
         (
             F.abs(
-                F.approx_count_distinct("l_partkey", 0.01) - F.countDistinct("l_partkey")
+                F.approx_count_distinct("l_partkey", 0.01) - F.count("l_partkey")
             )
-            <= F.lit(0.02) * F.countDistinct("l_partkey")
+            <= F.lit(0.02) * F.count("l_partkey")
         ).alias("hll_within_2pct"),
     )
 

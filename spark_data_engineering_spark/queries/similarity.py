@@ -297,22 +297,42 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, queries_df, k=10, n_probe=12, rerank_with=emb
         ),
     }
+    # r13 optimization (guide §2.4 — share exchanges): the old assembly
+    # ran one left_semi + scalar agg + crossJoin PER method (7 joins, 7
+    # aggs, 7 crossJoins unioned). The per-method frames all share the
+    # (query_id, neighbor_id) schema, so tag each with its method name,
+    # union FIRST, and run ONE broadcast semi-join against the 50-row
+    # brute-force set + ONE groupBy(method) count. A right join against
+    # the literal method list keeps a method's row (hits=0) even if its
+    # search returns nothing — the old per-branch scalar aggs emitted a
+    # 0-count row on empty input, and that contract must survive the
+    # groupBy. Hit counts and totals are integers; recall arithmetic is
+    # unchanged, so the report is value-identical.
     total = bf.agg(F.count(F.lit(1)).alias("total"))
-    reports = [
-        approx.select("query_id", "neighbor_id")
-        .join(bf, ["query_id", "neighbor_id"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .crossJoin(total)
-        .select(
-            F.lit(name).alias("method"),
-            F.round(F.col("hits") / F.col("total"), 4).alias("recall_at_10"),
+    tagged = [
+        approx.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
         )
         for name, approx in methods.items()
     ]
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+    all_methods = tagged[0]
+    for t in tagged[1:]:
+        all_methods = all_methods.unionByName(t)
+    method_names = spark.createDataFrame(
+        [(n,) for n in methods], "method string"
+    )
+    hits = (
+        all_methods.join(bf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .join(F.broadcast(method_names), "method", "right")
+    )
+    return hits.crossJoin(total).select(
+        "method",
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / F.col("total"), 4
+        ).alias("recall_at_10"),
+    )
 
 
 @query("ann_index_search_exhaustive", oracle=_BF_TOP10_ORACLE)
@@ -523,70 +543,91 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("id_b").alias("vec_id")))
         .distinct()
     )
-    n_vec = emb.agg(F.count(F.lit(1)).alias("v")).select(
-        F.lit("n_vectors").alias("metric"), F.col("v").cast("double").alias("value")
-    )
-    n_exact = exact_drops.agg(F.count(F.lit(1)).alias("v")).select(
-        F.lit("n_exact_drops").alias("metric"), F.col("v").cast("double").alias("value")
-    )
-    n_sem = sem_drops.agg(F.count(F.lit(1)).alias("v")).select(
-        F.lit("n_sem_drops").alias("metric"), F.col("v").cast("double").alias("value")
-    )
-    validity = (
-        sem_drops.join(pair_ids, "vec_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("valid"))
-        .crossJoin(sem_drops.agg(F.count(F.lit(1)).alias("total")))
-        .select(
-            F.lit("drop_validity").alias("metric"),
-            F.round(F.col("valid") / F.greatest(F.col("total"), F.lit(1)), 4).alias(
-                "value"
-            ),
-        )
-    )
-    recall = (
-        sem_drops.join(exact_drops, "vec_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("hit"))
-        .crossJoin(exact_drops.agg(F.count(F.lit(1)).alias("total")))
-        .select(
-            F.lit("drop_recall").alias("metric"),
-            F.round(F.col("hit") / F.greatest(F.col("total"), F.lit(1)), 4).alias(
-                "value"
-            ),
-        )
-    )
     sem2_drops = sem2_cc.filter(F.col("vec_id") != F.col("cluster_id")).select(
         "vec_id"
     )
-    n_sem2 = sem2_drops.agg(F.count(F.lit(1)).alias("v")).select(
-        F.lit("n_sem_drops_overlap2").alias("metric"),
-        F.col("v").cast("double").alias("value"),
-    )
-    validity2 = (
-        sem2_drops.join(pair_ids, "vec_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("valid"))
-        .crossJoin(sem2_drops.agg(F.count(F.lit(1)).alias("total")))
-        .select(
-            F.lit("drop_validity_overlap2").alias("metric"),
-            F.round(F.col("valid") / F.greatest(F.col("total"), F.lit(1)), 4).alias(
-                "value"
-            ),
+
+    # r13 optimization (guide §2.4 — share exchanges): the old assembly
+    # built 8 single-row branches (each a scalar agg, four of them with a
+    # left_semi + crossJoin of a second scalar agg) and unioned them — 12
+    # aggregates and 4 crossJoins in one plan. The validity/recall
+    # memberships are flags on the SAME drops frame, so compute each
+    # regime's (total, valid, hit) in ONE aggregate over two broadcast
+    # left joins (drop ids are unique on both sides, so the joins cannot
+    # multiply rows and count(flag) counts exactly the semi-join
+    # survivors), crossJoin the four tiny one-row frames, and stack() the
+    # wide row into the same 8 (metric, value) rows. F.round on the same
+    # integer-ratio arithmetic — value-identical.
+    def _drop_metrics(drops: DataFrame) -> DataFrame:
+        return (
+            drops.join(
+                F.broadcast(pair_ids.withColumn("_p", F.lit(1))), "vec_id", "left"
+            )
+            .join(
+                F.broadcast(exact_drops.withColumn("_e", F.lit(1))),
+                "vec_id",
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count("_p").alias("valid"),
+                F.count("_e").alias("hit"),
+            )
         )
+
+    def _ratio(num, den):
+        return F.round(num / F.greatest(den, F.lit(1)), 4)
+
+    sem_m = _drop_metrics(sem_drops).select(
+        F.col("total").alias("s_total"),
+        F.col("valid").alias("s_valid"),
+        F.col("hit").alias("s_hit"),
     )
-    recall2 = (
-        sem2_drops.join(exact_drops, "vec_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("hit"))
-        .crossJoin(exact_drops.agg(F.count(F.lit(1)).alias("total")))
-        .select(
-            F.lit("drop_recall_overlap2").alias("metric"),
-            F.round(F.col("hit") / F.greatest(F.col("total"), F.lit(1)), 4).alias(
-                "value"
-            ),
+    sem2_m = _drop_metrics(sem2_drops).select(
+        F.col("total").alias("s2_total"),
+        F.col("valid").alias("s2_valid"),
+        F.col("hit").alias("s2_hit"),
+    )
+    wide = (
+        emb.agg(F.count(F.lit(1)).alias("n_vec"))
+        .crossJoin(exact_drops.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(sem_m)
+        .crossJoin(sem2_m)
+    )
+    return wide.select(
+        F.expr(
+            "stack(8, "
+            "'n_vectors', cast(n_vec as double), "
+            "'n_exact_drops', cast(n_exact as double), "
+            "'n_sem_drops', cast(s_total as double), "
+            "'drop_validity', null, "
+            "'drop_recall', null, "
+            "'n_sem_drops_overlap2', cast(s2_total as double), "
+            "'drop_validity_overlap2', null, "
+            "'drop_recall_overlap2', null) as (metric, _raw)"
+        ),
+        "s_total",
+        "s_valid",
+        "s_hit",
+        "s2_total",
+        "s2_valid",
+        "s2_hit",
+        "n_exact",
+    ).select(
+        "metric",
+        F.when(F.col("metric") == "drop_validity", _ratio(F.col("s_valid"), F.col("s_total")))
+        .when(F.col("metric") == "drop_recall", _ratio(F.col("s_hit"), F.col("n_exact")))
+        .when(
+            F.col("metric") == "drop_validity_overlap2",
+            _ratio(F.col("s2_valid"), F.col("s2_total")),
         )
+        .when(
+            F.col("metric") == "drop_recall_overlap2",
+            _ratio(F.col("s2_hit"), F.col("n_exact")),
+        )
+        .otherwise(F.col("_raw"))
+        .alias("value"),
     )
-    out = n_vec
-    for r in (n_exact, n_sem, validity, recall, n_sem2, validity2, recall2):
-        out = out.unionByName(r)
-    return out
 
 
 @query(
