@@ -818,10 +818,21 @@ def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match; ``percentile_approx(col, p, 10000)`` is the documented
     at-scale swap (single-pass GK sketch, no full sort)."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        NR.round2(F.expr("percentile(l_extendedprice, 0.25)")).alias("q25"),
-        NR.round2(F.expr("percentile(l_extendedprice, 0.50)")).alias("q50"),
-        NR.round2(F.expr("percentile(l_extendedprice, 0.75)")).alias("q75"),
+    # r13 optimization (guide §2.3): one array-percentile aggregate
+    # instead of three scalar ones — a single counts-map buffer per
+    # group/partition is built, serialized, shuffled and merged instead
+    # of three identical copies (the partial percentile buffer holds a
+    # value->count map of the whole column; it dominates this plan's
+    # shuffle). Same exact-percentile algorithm over the same buffer, so
+    # each quartile is bit-identical to the scalar form.
+    q = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))").alias("_q")
+    )
+    return q.select(
+        "returnflag",
+        NR.round2(F.col("_q")[0]).alias("q25"),
+        NR.round2(F.col("_q")[1]).alias("q50"),
+        NR.round2(F.col("_q")[2]).alias("q75"),
     )
 
 

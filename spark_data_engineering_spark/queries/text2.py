@@ -8,6 +8,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spark_data_engineering_spark.functions import numeric as NR
+from spark_data_engineering_spark.materialize import materialize
 from spark_data_engineering_spark.registry import query
 from spark_data_engineering_spark.sources import load_table
 
@@ -291,16 +292,26 @@ def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CMS_W
 
     rs = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
-    hashed = tokens.select("token", rs).select(
-        "r", _cell(F.col("token"), F.col("r")).alias("c")
-    )
-    cells = hashed.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
-    top10 = (
+    # r13 optimization (guide §2.3 — aggregate before you multiply): a
+    # cell's count is the number of token OCCURRENCES hashing into it,
+    # which equals the tf-weighted sum over DISTINCT tokens:
+    # cnt(r,c) = Σ_token tf(token)·[cell(r,token)=c]. So build the word-
+    # frequency table once (vocab rows, not occurrence rows), hash each
+    # distinct token 4x instead of each occurrence 4x, and SUM(tf) into
+    # cells — identical counters, ~20x fewer md5s at sf0.1, and the tf
+    # table is shared with the top-10 side (one scan+explode instead of
+    # two). At corpus scale this is the standard persisted-wordcount
+    # shape; the materialize pins the shared frame for both consumers.
+    tf_tab = (
         tokens.groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .orderBy(F.col("tf").desc(), F.col("token").asc())
-        .limit(10)
+        .transform(materialize)
     )
+    hashed = tf_tab.select("token", "tf", rs).select(
+        "r", _cell(F.col("token"), F.col("r")).alias("c"), "tf"
+    )
+    cells = hashed.groupBy("r", "c").agg(F.sum("tf").alias("cnt"))
+    top10 = tf_tab.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(10)
     probes = top10.select(
         "token", "tf", rs
     ).select("token", "tf", "r", _cell(F.col("token"), F.col("r")).alias("c"))
