@@ -321,12 +321,18 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     method_names = spark.createDataFrame(
         [(n,) for n in methods], "method string"
     )
-    hits = (
-        all_methods.join(bf, ["query_id", "neighbor_id"], "left_semi")
+    # bf is materialized (localCheckpoint → LogicalRDD, NO size stats →
+    # Catalyst assumes huge and plans SortMergeJoin); it is 50 rows, so
+    # broadcast explicitly (guide §3.1 — estimates are wrong after
+    # materialization, hint what you know). The semi-join pushes down
+    # into every union branch as a BroadcastHashJoin. Same for the
+    # hits aggregate (≤7 rows) joined under the preserved method list.
+    hits_agg = (
+        all_methods.join(F.broadcast(bf), ["query_id", "neighbor_id"], "left_semi")
         .groupBy("method")
         .agg(F.count(F.lit(1)).alias("hits"))
-        .join(F.broadcast(method_names), "method", "right")
     )
+    hits = method_names.join(F.broadcast(hits_agg), "method", "left")
     return hits.crossJoin(total).select(
         "method",
         F.round(
