@@ -58,12 +58,20 @@ def pagerank_fixed_point(
     edges = edges.repartition(p, "src").transform(materialize)
     nodes = nodes.repartition(p, "node")
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    # r13 optimization (guide §2.4): edges ⋈ deg is loop-INVARIANT —
+    # computing it inside the loop re-ran the degree aggregate and its
+    # join every iteration (5 extra aggs + joins in the unrolled plan).
+    # Materialize (src, dst, deg) once; each iteration is then one join
+    # against the current ranks + one aggregate + the node left join.
+    edges_deg = (
+        edges.join(deg, "src").select("src", "dst", "deg").transform(materialize)
+    )
     base = int((0.15 * SCALE) / n)  # == FLOOR, same IEEE ops as the SQL oracle
     ranks = nodes.select("node", F.lit(SCALE // n).cast("bigint").alias("rank"))
     for it in range(iterations):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks, edges["src"] == ranks["node"])
+            edges_deg
+            .join(ranks, edges_deg["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.floor(F.col("rank").cast("double") / F.col("deg"))
