@@ -127,3 +127,20 @@ def test_large_path_arrow_build_and_probe(spark):
     assert m // 64 > B._JVM_INLINE_WORDS  # probe must take the Arrow path
     hits = keys.filter(B.bloom_might_contain(bitmap, m, k, F.col("k"))).count()
     assert hits == 5000  # no false negatives on either large path
+
+
+def test_bloom_prune_matches_column_form(spark, sf_dir):
+    """bloom_prune (broadcast-row words) keeps exactly the rows the
+    Column-form bloom_might_contain keeps — same bitmap, same keys."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey", "l_quantity")
+    sup = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_nationkey") < 5
+    ).select("s_suppkey")
+    bitmap, m, k = B.build_bloom(sup, "s_suppkey", expected_items=max(1, sup.count()))
+    col_rows = li.filter(
+        B.bloom_might_contain(bitmap, m, k, F.col("l_suppkey"))
+    ).count()
+    df_form = B.bloom_prune(li, bitmap, m, k, "l_suppkey")
+    assert df_form.count() == col_rows
+    # the helper column must not leak into the output schema
+    assert df_form.columns == ["l_suppkey", "l_quantity"]
