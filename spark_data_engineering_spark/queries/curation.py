@@ -1137,7 +1137,15 @@ def cdc_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. Reports chunks ≥{_CDC_W} chars shared by ≥2 docs. Cost is
     the position explode (~doc length rows per doc), one doc-keyed
     window, one fingerprint shuffle."""
-    d = load_table(spark, "documents", sf_dir)
+    # spread docs across the cluster BEFORE the position explode: the
+    # per-char md5 stage otherwise runs at the parallelism of the
+    # (small) input file list — measured 1 partition / 1 task doing all
+    # ~1.4M window hashes at sf0.1 (guide §2.2). Explicit count so AQE's
+    # byte-based coalescing can't re-serialize a stage whose row count
+    # multiplies ~300x after this exchange.
+    d = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     pos = d.select(
         "doc_id",
         "text",
