@@ -71,7 +71,19 @@ def shingle_index(
     """
     from pyspark.sql import Window as W
 
-    toks = df.select(
+    # one PRE-explode exchange on the doc id replaces the POST-explode
+    # token exchange the window would otherwise insert: hashpartitioning
+    # on _id satisfies both the window's and the dedup's clustered
+    # distribution (subset rule), so the plan still has exactly ONE
+    # Exchange — now carrying raw text bytes instead of exploded token
+    # rows (guide §2.3), and the tokenize/explode stage runs at cluster
+    # parallelism instead of input-file parallelism (measured: the whole
+    # corpus in 1 scan partition at sf0.1; guide §2.2). Explicit count
+    # because AQE sizes by pre-explode bytes.
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    toks = spread.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
     )
