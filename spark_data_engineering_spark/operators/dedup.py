@@ -76,13 +76,13 @@ def shingle_index(
     # on _id satisfies both the window's and the dedup's clustered
     # distribution (subset rule), so the plan still has exactly ONE
     # Exchange — now carrying raw text bytes instead of exploded token
-    # rows (guide §2.3). No explicit partition count: AQE sizes the
-    # exchange from the (pre-explode) bytes, which is right here — the
-    # explode is cheap split/concat, and a forced wide fan-out floods
-    # every downstream consumer stage with near-empty tasks on small
-    # corpora (measured: jaccard_pairs_prefix, six consumers of the
-    # checkpointed index, 6.4 s at a forced 32 vs 3.3 s AQE-sized).
-    spread = df.repartition(id_col)
+    # rows (guide §2.3), and the tokenize/explode stage runs at cluster
+    # parallelism instead of input-file parallelism (measured: the whole
+    # corpus in 1 scan partition at sf0.1; guide §2.2). Explicit count
+    # because AQE sizes by pre-explode bytes.
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
     toks = spread.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
