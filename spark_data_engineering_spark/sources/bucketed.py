@@ -12,7 +12,23 @@ deployment (Delta/Iceberg keep the semantics with their own clustering).
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """An in-memory catalog forgets tables between sessions but the
+    warehouse directory survives; saveAsTable refuses to reuse the
+    orphaned location, so clear it before rewriting."""
+    if spark.catalog.tableExists(table):
+        return  # a registered table is overwritten cleanly by mode("overwrite")
+    warehouse = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    stale = warehouse / table.split(".")[-1].lower()
+    if stale.exists():
+        shutil.rmtree(stale)
 
 
 def write_bucketed(
@@ -24,6 +40,7 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (and optionally sorted) managed table.
     Sorting within buckets lets SortMergeJoin skip its sort stage too."""
+    _clear_stale_location(df.sparkSession, table)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_key)
     if sort:
         writer = writer.sortBy(bucket_key)
@@ -45,23 +62,14 @@ def ensure_bucketed_fact_pair(
     deployment this is the ingest-time layout decision; here the bench
     pays the write on first use and every rerun reads bucket-aware."""
     import re
-    import shutil
-    from pathlib import Path
-    from urllib.parse import urlparse
 
     from spark_data_engineering_spark.sources.tables import load_table
 
     token = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").split("/")[-1])
     li_t, o_t = f"b_lineitem_{token}", f"b_orders_{token}"
-    warehouse = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
     for name, table in (("lineitem", li_t), ("orders", o_t)):
         if not spark.catalog.tableExists(table):
-            # An in-memory catalog forgets tables between sessions but the
-            # warehouse directory survives; saveAsTable refuses to reuse the
-            # orphaned location, so clear it before rewriting.
-            stale = warehouse / table
-            if stale.exists():
-                shutil.rmtree(stale)
+            # write_bucketed clears a stale orphaned warehouse location itself
             key = "l_orderkey" if name == "lineitem" else "o_orderkey"
             write_bucketed(
                 load_table(spark, name, sf_dir), table, key, num_buckets=num_buckets

@@ -21,6 +21,27 @@ def bucketed_tables(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_write_bucketed_clears_stale_orphaned_location(spark, sf_dir):
+    """A warehouse directory left behind by an interrupted session is not
+    registered in a fresh in-memory metastore; a bare saveAsTable then dies
+    with LOCATION_ALREADY_EXISTS. write_bucketed must clear the orphan."""
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    table = "b_stale_orphan"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    orphan = warehouse / table
+    orphan.mkdir(parents=True, exist_ok=True)
+    (orphan / "leftover.parquet").write_bytes(b"stale")
+    try:
+        li = load_table(spark, "lineitem", sf_dir).select("l_orderkey").limit(10)
+        write_bucketed(li, table, "l_orderkey", num_buckets=2)
+        assert spark.table(table).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_bucketed_join_has_no_shuffle(spark, bucketed_tables, sf_dir):
     li_t, o_t = bucketed_tables
     li, o = read_table(spark, li_t), read_table(spark, o_t)
