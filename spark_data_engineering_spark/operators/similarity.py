@@ -407,6 +407,7 @@ def ivf_knn(
     kmeans_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate k-NN: partition the corpus into
     ``n_centroids`` Voronoi cells via a small k-means, then score each
@@ -421,10 +422,19 @@ def ivf_knn(
     join-free mapInPandas pass over the corpus. At 1B vectors this is the
     standard sharded-ANN layout: cells ~ balanced, probe cost =
     n_probe/n_centroids of a full scan.
+
+    ``centroids`` lets a caller that already trained the identical
+    centroid set (same corpus, same ``train_ivf_centroids`` parameters)
+    pass it in and skip the duplicate training pass — the assignment and
+    scoring below are unchanged.
     """
     import numpy as np
 
-    cents = train_ivf_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    )
     n_centroids = len(cents)
     sc = corpus.sparkSession.sparkContext
     b_cents = sc.broadcast(cents)

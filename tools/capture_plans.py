@@ -16,6 +16,8 @@ Usage:
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
@@ -40,9 +42,11 @@ def main() -> None:
     for name in names:
         try:
             df = qs[name](spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # public API (ADVICE r13): explain(mode=...) prints; capture it
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            plan = buf.getvalue()
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
             plan = f"ERROR capturing plan: {exc!r}\n"
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
