@@ -23,6 +23,7 @@ Scale design:
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,6 +55,35 @@ def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("_tokens", F.split(F.col(text_col), " "))
 
 
+# Pre-explode bytes of raw text per spread partition. The posexplode
+# multiplies rows ~tokens-per-doc×, so 64 KiB of input text is tens of
+# MB of token rows per task — a sensible task size at any scale. The
+# r13 fixed defaultParallelism spread flooded the checkpointed index's
+# downstream consumer stages with near-empty partitions on small
+# corpora (measured sf0.1 sweep, tools/ab_shingle.py: k=8 beats k=32 on
+# jaccard_prefix 1.67 vs 1.93, ngram 0.92 vs 1.07, minhash 2.25 vs
+# 2.46, containment 0.97 vs 1.06, dedup_cluster_stats 1.44 vs 1.64;
+# simhash alone preferred 32 by 0.16 — family net favors data-sizing).
+_SPREAD_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SHINGLE_SPREAD_BYTES", str(64 * 1024))
+)
+
+
+def _spread_partitions(df: DataFrame) -> int:
+    """Partition count for the pre-explode spread in ``shingle_index``:
+    one partition per ``_SPREAD_TARGET_BYTES`` of (estimated, pre-
+    explode) input, clamped to cluster parallelism — big corpora still
+    saturate the cluster; tiny ones stop paying 32-task scheduling in
+    every downstream stage of the materialized index. Uses the
+    optimizer's size estimate (no job)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # estimate unavailable — keep the scale-safe cap
+        return sc.defaultParallelism
+    return max(1, min(sc.defaultParallelism, -(-est // _SPREAD_TARGET_BYTES)))
+
+
 def shingle_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -80,9 +110,7 @@ def shingle_index(
     # parallelism instead of input-file parallelism (measured: the whole
     # corpus in 1 scan partition at sf0.1; guide §2.2). Explicit count
     # because AQE sizes by pre-explode bytes.
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    )
+    spread = df.repartition(_spread_partitions(df), id_col)
     toks = spread.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
