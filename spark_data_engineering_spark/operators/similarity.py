@@ -249,11 +249,19 @@ def cosine_pairs_blocked(
         F.col(vec_col).alias("_vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
     )
-    # a row joins every group where its block is either side; the i==j
-    # group gets each row once (dropDuplicates on the join keys below)
+    # a row joins every group where its block is either side. The old
+    # form dropDuplicates'd the union (the i==j diagonal group received
+    # each row from BOTH sides), paying a full extra Exchange of the
+    # vector payload; duplicates arise ONLY on the diagonal, and only
+    # from the right branch, so excluding bi==bj there reproduces the
+    # exact same membership with one payload shuffle instead of two
+    # (guide §2.3 — shuffle fewer bytes).
     left = src.join(F.broadcast(block_pairs), F.col("_blk") == F.col("bi"))
-    right = src.join(F.broadcast(block_pairs), F.col("_blk") == F.col("bj"))
-    members = left.unionByName(right).dropDuplicates(["bi", "bj", "_id"])
+    right = src.join(
+        F.broadcast(block_pairs),
+        (F.col("_blk") == F.col("bj")) & (F.col("bi") != F.col("bj")),
+    )
+    members = left.unionByName(right)
 
     def score_group(pdf):
         import pandas as pd

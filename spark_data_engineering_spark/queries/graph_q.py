@@ -123,24 +123,20 @@ def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    # the sparse edge set feeds FIVE consumers (three triangle join
-    # legs, the degree pass, and the edge count); materialize it once
-    # or each re-executes the full blocked all-pairs plan (measured
-    # 42 s -> ~8 s at sf0.01) — same eager-cut finding as
-    # minhash_lsh_dedup's candidate set
+    # the sparse edge set feeds FOUR consumers (three triangle join
+    # legs and the degree pass, which also carries the edge count);
+    # materialize it once or each re-executes the full blocked
+    # all-pairs plan (measured 42 s -> ~8 s at sf0.01) — same eager-cut
+    # finding as minhash_lsh_dedup's candidate set
     e = (
         cosine_pairs_blocked(emb, threshold=0.45)
         .select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .transform(materialize)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.d") == F.col("e2.s"))
-        .join(
-            e3,
-            (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.d") == F.col("e2.d")),
-        )
-        .count()
+    tri_df = e1.join(e2, F.col("e1.d") == F.col("e2.s")).join(
+        e3,
+        (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.d") == F.col("e2.d")),
     )
     deg = (
         e.select(F.col("s").alias("v"))
@@ -148,13 +144,26 @@ def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("dg"))
     )
-    stats = deg.agg(
+    # r14 (guide §2.4/§2.6): the edge count rides the degree aggregate
+    # (sum(dg) is exactly 2|E| — every edge row contributes two degree
+    # increments), dropping the third full pass over the checkpointed
+    # edge set; the remaining two actions (triangle join, degree stats)
+    # are independent, so they run as concurrent driver jobs instead of
+    # back to back.
+    stats_df = deg.agg(
         F.count(F.lit(1)).alias("n_vertices"),
         F.sum(F.col("dg") * (F.col("dg") - 1) / 2).alias("n_wedges"),
-    ).first()
+        F.sum("dg").alias("deg_total"),
+    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        tri_f = pool.submit(tri_df.count)
+        stats_f = pool.submit(stats_df.first)
+        tri, stats = tri_f.result(), stats_f.result()
     import math as _math
 
-    n_edges = e.count()
+    n_edges = int(stats["deg_total"] or 0) // 2
     n_vertices = int(stats["n_vertices"] or 0)
     wedges = int(stats["n_wedges"] or 0)
     cc = _math.floor((3.0 * tri / max(wedges, 1)) * 10000 + 0.5) / 10000

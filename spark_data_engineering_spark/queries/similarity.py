@@ -567,17 +567,38 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     cents = S.train_ivf_centroids(emb, 4)  # one k-means for both rows
-    # one fused assignment + pair pass serves BOTH regimes: pairs whose
-    # endpoints share their primary cell reproduce n_overlap=1's
-    # components exactly (equivalence pinned in tests/test_semdedup.py)
-    pairs_all, pairs_primary = overlap_pair_sets(
-        emb, threshold=0.45, n_clusters=4, centroids=cents
-    )
     ids = emb.select("vec_id")
-    sem_cc = dedup_clusters(pairs_primary, ids, id_col="vec_id")
-    sem2_cc = dedup_clusters(pairs_all, ids, id_col="vec_id")
-    pairs = S.cosine_pairs_blocked(emb, threshold=0.45).transform(materialize)
-    exact = dedup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
+
+    # r14 (guide §2.6 — overlap independent jobs): the SemDeDup chain
+    # (fused assignment+pair pass, then two CC runs) and the exact chain
+    # (blocked all-pairs materialize, then its CC run) are independent,
+    # and each dedup_clusters fires eager driver jobs (edge count +
+    # union-find collect) that used to serialize; run the chains — and
+    # the two SemDeDup CCs — as concurrent driver jobs. Same frames,
+    # same results, in the same variables.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _chain_semdedup():
+        # one fused assignment + pair pass serves BOTH regimes: pairs
+        # whose endpoints share their primary cell reproduce
+        # n_overlap=1's components exactly (equivalence pinned in
+        # tests/test_semdedup.py)
+        pairs_all, pairs_primary = overlap_pair_sets(
+            emb, threshold=0.45, n_clusters=4, centroids=cents
+        )
+        with ThreadPoolExecutor(max_workers=2) as p2:
+            f1 = p2.submit(dedup_clusters, pairs_primary, ids, "vec_id")
+            f2 = p2.submit(dedup_clusters, pairs_all, ids, "vec_id")
+            return f1.result(), f2.result()
+
+    def _chain_exact():
+        pairs = S.cosine_pairs_blocked(emb, threshold=0.45).transform(materialize)
+        return pairs, dedup_clusters(pairs, ids, "vec_id")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sem = pool.submit(_chain_semdedup)
+        f_exact = pool.submit(_chain_exact)
+        (sem_cc, sem2_cc), (pairs, exact) = f_sem.result(), f_exact.result()
     exact_drops = exact.filter(F.col("vec_id") != F.col("cluster_id")).select("vec_id")
     sem_drops = sem_cc.filter(F.col("vec_id") != F.col("cluster_id")).select("vec_id")
     pair_ids = (

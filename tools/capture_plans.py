@@ -21,7 +21,9 @@ import io
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# resolve the repo root from THIS file so a checkout/worktree of an older
+# tree captures its own code, not /root/repo's
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from spark_data_engineering_spark.session import get_spark  # noqa: E402
