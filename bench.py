@@ -248,6 +248,19 @@ def main() -> None:
     # stops after one extra run (retries continue only while improving).
     import statistics
 
+    # Cold-build accounting (VERDICT r13 #5, additions-only): the ANN
+    # index family persists derived indexes under /tmp keyed on data +
+    # code digest, so best-of-N never includes the build. Record whether
+    # the cache root was cold when the bench started and, for the cached-
+    # index queries, their FIRST sample (= build + first run when cold)
+    # next to the steady best — the build cost is reported, not buried.
+    # Headline `queries` timing and methodology are unchanged.
+    import glob as _glob
+
+    ann_cache_cold = not _glob.glob("/tmp/spark_de_ann_index/*")
+    CACHED_INDEX_QUERIES = ("ann_recall_report", "ann_index_incremental_search")
+    first_sample: dict[str, float] = {}
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     retry_above = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_ABOVE", "1.2"))
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4"))
@@ -289,6 +302,8 @@ def main() -> None:
         # lock a 2.9 s-steady query into the no-retry tier and commit
         # the 8 s noise number (embedding_dup_clusters, BENCH_r09).
         samples = [one_run()]
+        if name in CACHED_INDEX_QUERIES:
+            first_sample[name] = round(samples[0], 3)
         if samples[0] >= 3.0:
             samples.append(one_run())  # confirm: heavy, or a noise hit?
         heavy = min(samples) >= 3.0
@@ -337,6 +352,10 @@ def main() -> None:
         else None
     )
     total = round(sum(timings.values()), 3)
+    cold_build = {
+        "ann_cache_cold_at_start": ann_cache_cold,
+        "first_sample": first_sample,
+    }
     rich = {
         "metric": "headline_queries_total",
         "value": total,
@@ -350,6 +369,7 @@ def main() -> None:
         "canary_samples": canary_samples,
         "canary_baseline": base,
         "cnorm": cnorm,
+        "cold_build": cold_build,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # full per-run medians live in a local file; the stdout line must fit
@@ -370,6 +390,20 @@ def main() -> None:
         "cnorm": cnorm,
         "sf": rich["sf"],
     }
+    # cold-build visibility (additions-only; full record always in
+    # bench_local.json "cold_build"): compact abbreviation "cb" =
+    # [cache_cold_at_start, first_sample(ann_recall_report),
+    #  first_sample(ann_index_incremental_search)] rides along ONLY when
+    # it fits the driver's ~2000-char stdout tail with margin — the
+    # alternative (the fallback below trimming the query map) would read
+    # as dropped queries, which is never worth a telemetry field.
+    with_cb = {
+        **compact,
+        "cb": [int(ann_cache_cold)]
+        + [round(first_sample.get(q, -1.0), 2) for q in CACHED_INDEX_QUERIES],
+    }
+    if len(json.dumps(with_cb, separators=(",", ":"))) <= 1960:
+        compact = with_cb
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1980:
         # last-ditch: drop the slowest-to-name half of the per-query map

@@ -188,6 +188,12 @@ def bloom_prune(
     if len(words_arr) > _JVM_INLINE_WORDS:
         key_col = F.col(fact_key)
         return fact.filter(bloom_might_contain(bitmap, m, k, key_col))
+    if _WORDS_COL in fact.columns:
+        # the helper column would shadow (or be dropped with) the
+        # caller's — fail loudly instead of an ambiguous-column surprise
+        raise ValueError(
+            f"bloom_prune: fact already has a column named {_WORDS_COL!r}"
+        )
     words = [int(w) for w in words_arr.astype(np.int64)]
     words_df = fact.sparkSession.createDataFrame(
         [(words,)], f"{_WORDS_COL} array<bigint>"

@@ -546,6 +546,14 @@ def dedup_clusters(
     The canonical "keep one per cluster" dedup post-step: near-dup pairs
     are pairwise, but duplicates are transitive.
 
+    ``pairs`` should be a DISTINCT (id_a, id_b) set: union-find and
+    min-label propagation are duplicate-edge-insensitive, so duplicates
+    never change the RESULT, but since r13 the edge count that gates the
+    driver-vs-distributed path measures the multiset — heavy duplication
+    inflates the collect volume and can push a small graph onto the
+    distributed path. Every in-repo producer (jaccard/LSH/simhash/cosine
+    pair generators) already emits distinct pairs.
+
     Adaptive execution: edge sets at or under 200k rows (a bounded
     driver collect — two bigints per row, ~3 MB worst case, the same
     bounded-collect contract as query vectors and bloom bitmaps) run

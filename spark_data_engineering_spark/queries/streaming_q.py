@@ -730,13 +730,19 @@ def streaming_txn_source_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price_raw"),
     )
     name = "streaming_txn_source_gate"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _txnstream_ckpt())
-        .start()
-    )
+    # r14: 8 state partitions (the shared _state_shuffle knob the other
+    # stateful demos already use) — at 32 the complete-mode aggregate
+    # committed 32 near-empty state stores per epoch; measured addBatch
+    # 2.1 s -> 0.9-1.1 s on the CDF feed. Fresh checkpoint per run, so
+    # the conf wraps .start() exactly like the other gate queries.
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _txnstream_ckpt())
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -906,13 +912,19 @@ def streaming_txn_cdf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
     )
     name = "streaming_txn_cdf_gate"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _txnstream_ckpt())
-        .start()
-    )
+    # r14: 8 state partitions (the shared _state_shuffle knob the other
+    # stateful demos already use) — at 32 the complete-mode aggregate
+    # committed 32 near-empty state stores per epoch; measured addBatch
+    # 2.1 s -> 0.9-1.1 s on the CDF feed. Fresh checkpoint per run, so
+    # the conf wraps .start() exactly like the other gate queries.
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _txnstream_ckpt())
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -1144,13 +1156,19 @@ def streaming_txn_cdf_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("revenue"),
     )
     name = "streaming_txn_cdf_merge_gate"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _txnstream_ckpt())
-        .start()
-    )
+    # r14: 8 state partitions (the shared _state_shuffle knob the other
+    # stateful demos already use) — at 32 the complete-mode aggregate
+    # committed 32 near-empty state stores per epoch; measured addBatch
+    # 2.1 s -> 0.9-1.1 s on the CDF feed. Fresh checkpoint per run, so
+    # the conf wraps .start() exactly like the other gate queries.
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _txnstream_ckpt())
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

@@ -144,3 +144,19 @@ def test_bloom_prune_matches_column_form(spark, sf_dir):
     assert df_form.count() == col_rows
     # the helper column must not leak into the output schema
     assert df_form.columns == ["l_suppkey", "l_quantity"]
+
+
+def test_bloom_prune_rejects_words_column_collision(spark, sf_dir):
+    """A fact frame that already carries the helper column name must be
+    rejected loudly, not silently shadowed/dropped (ADVICE r13)."""
+    import pytest
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_suppkey")
+        .withColumn(B._WORDS_COL, F.lit(1))
+    )
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey")
+    bitmap, m, k = B.build_bloom(sup, "s_suppkey", expected_items=max(1, sup.count()))
+    with pytest.raises(ValueError, match="bloom_prune"):
+        B.bloom_prune(li, bitmap, m, k, "l_suppkey")
