@@ -44,6 +44,12 @@ def pagerank_fixed_point(
     ≥ 1, so there are no dangling nodes to redistribute). Returns
     (node, rank_fp) with rank_fp in BIGINT micro-units of probability.
     """
+    # r14 (guide §2.4): materialize the RAW edge set first — the node
+    # derivation and the old post-repartition materialize each re-ran
+    # the caller's whole edge pipeline (for the click graph: an events
+    # scan + JSON extract + distinct per union branch — four source
+    # passes before the loop). Everything below reads this checkpoint.
+    edges = edges.transform(materialize)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -55,7 +61,7 @@ def pagerank_fixed_point(
     # graphs — the dedup_clusters lesson); at cluster scale pass a
     # pre-partitioned edge set and this coalesce is a no-op
     p = max(2, min(32, n // 50_000 + 2))
-    edges = edges.repartition(p, "src").transform(materialize)
+    edges = edges.repartition(p, "src")
     nodes = nodes.repartition(p, "node")
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
     # r13 optimization (guide §2.4): edges ⋈ deg is loop-INVARIANT —

@@ -64,7 +64,10 @@ def pagerank_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("i:"),
             F.get_json_object("props", "$.k").cast("bigint").cast("string"),
         ).alias("dst"),
-    ).distinct()
+        # materialize before the direction union: both branches would
+        # otherwise re-run the events scan + JSON extract + distinct in
+        # one job (guide §2.4 — don't compute things twice)
+    ).distinct().transform(materialize)
     edges = ed.union(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank_fixed_point(edges, iterations=_ITERS)
 
