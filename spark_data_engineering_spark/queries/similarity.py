@@ -566,7 +566,6 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_data_engineering_spark.operators.semdedup import overlap_pair_sets
 
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = S.train_ivf_centroids(emb, 4)  # one k-means for both rows
     ids = emb.select("vec_id")
 
     # r14 (guide §2.6 — overlap independent jobs): the SemDeDup chain
@@ -582,7 +581,9 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one fused assignment + pair pass serves BOTH regimes: pairs
         # whose endpoints share their primary cell reproduce
         # n_overlap=1's components exactly (equivalence pinned in
-        # tests/test_semdedup.py)
+        # tests/test_semdedup.py). The k-means (one sample-collect job)
+        # lives inside this chain so the exact chain starts immediately.
+        cents = S.train_ivf_centroids(emb, 4)
         pairs_all, pairs_primary = overlap_pair_sets(
             emb, threshold=0.45, n_clusters=4, centroids=cents
         )
