@@ -72,59 +72,60 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #        aggregation machinery stays in-window via q5/q7/q10); they
 #        head the r10 P2 queue by construction.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # r13 window v2: same derivation as v1 (r8-stale cohort + r9 heads)
-    # with the new r13 gate query txn_widen_nested_revenue entering at
-    # P1, displacing the tail
-    "txn_widen_nested_revenue",
-    "media_feature_knn",
-    "project_derive_filter",
-    "collect_explode_roundtrip",
-    "global_maxima",
-    "customer_running_revenue",
-    "top10_customers_by_revenue",
-    "customers_without_orders",
-    "customers_with_high_value_orders",
-    "segment_set_ops",
-    "distinct_counts",
-    "pivot_status_by_flag",
-    "orders_above_customer_avg",
-    "quantity_band_join",
-    "cube_flag_status",
-    "grouping_sets_flag_status",
-    "daily_revenue_gapfilled",
-    "daily_revenue_anomalies",
-    "customer_value_quartiles",
-    "rrf_fusion_search",
-    "streaming_txn_source_revenue",
-    "streaming_txn_cdf_revenue",
-    "streaming_materialized_view_revenue",
-    "streaming_txn_cdf_merge_revenue",
-    "streaming_click_purchase_join",
-    "streaming_txn_upsert_revenue",
-    "streaming_expectations_quarantine",
-    "txn_autocompact_revenue",
-    "stratified_sample_documents",
-    "train_split_counts",
-    "pack_sequences",
-    "corpus_curation_counts",
-    "doc_repetition_metrics",
-    "doc_pii_scrub",
-    "asof_purchase_click",
-    "sessionize_events",
-    "signup_click_purchase_funnel",
-    "event_type_map_roundtrip",
-    "event_rollup_multires",
-    "txn_pushdown_revenue",
-    "txn_snapshot_join",
-    "txn_writer_roundtrip_revenue",
-    "txn_detail_summary",
-    "txn_properties_revenue",
-    "txn_convert_revenue",
-    "txn_clone_revenue",
-    "txn_copy_into_revenue",
-    "txn_schema_evolution_revenue",
-    "txn_hidden_partition_revenue",
-    "txn_fsck_report",
+    # r14 rotation after CORRECTNESS_r13 landed: P1 never-checked
+    # (none), P2 oldest-green cohorts first (r12-refreshed set rotates
+    # out, the r11-and-older cohort rotates in), P3 family
+    # representatives per derive_window.FAMILIES.
+    "txn_reorg_purge_revenue",
+    "txn_manifest_revenue",
+    "txn_merge_sync_revenue",
+    "txn_history_audit",
+    "media_decode_metadata",
+    "media_frame_samples",
+    "approx_distinct_parts",
+    "events_json_extract",
+    "sql_revenue_by_nation",
+    "signup_cohort_retention",
+    "approx_quantiles_lineitem",
+    "customer_trailing_7d_revenue",
+    "salted_join_brand_quantity",
+    "text_index_search",
+    "embedding_near_dup",
+    "knn_ivf_exhaustive",
+    "knn_lsh_exhaustive",
+    "semantic_dedup_report",
+    "streaming_hourly_event_stats",
+    "streaming_txn_sink_revenue",
+    "doc_stats",
+    "doc_quality_and_lang",
+    "heavy_hitter_tokens",
+    "token_run_lengths",
+    "tpch_q6_forecast_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_priority_exists",
+    "mixture_sample_counts",
+    "context_length_buckets",
+    "benchmark_contamination",
+    "chunk_documents",
+    "boilerplate_chunks",
+    "doc_classifier_scores",
+    "curation_decisions",
+    "export_training_shards",
+    "export_shuffled_shards",
+    "padding_efficiency_report",
+    "cdc_boilerplate_chunks",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "dedup_keep_best",
+    "containment_pairs",
+    "dedup_cluster_stats",
+    "csv_events_hourly_stats",
+    "pagerank_click_graph",
+    "incremental_daily_revenue",
+    "incremental_daily_revenue_merged",
+    "incremental_daily_order_report",
 )
 
 
@@ -235,6 +236,61 @@ _R12_WINDOW: tuple[str, ...] = (
     "txn_constraint_gate_revenue",
     "txn_identity_rows",
     "media_format_profile",
+)
+
+
+# The round-13 window, kept for the audit trail.
+_R13_WINDOW: tuple[str, ...] = (
+    "txn_widen_nested_revenue",
+    "media_feature_knn",
+    "project_derive_filter",
+    "collect_explode_roundtrip",
+    "global_maxima",
+    "customer_running_revenue",
+    "top10_customers_by_revenue",
+    "customers_without_orders",
+    "customers_with_high_value_orders",
+    "segment_set_ops",
+    "distinct_counts",
+    "pivot_status_by_flag",
+    "orders_above_customer_avg",
+    "quantity_band_join",
+    "cube_flag_status",
+    "grouping_sets_flag_status",
+    "daily_revenue_gapfilled",
+    "daily_revenue_anomalies",
+    "customer_value_quartiles",
+    "rrf_fusion_search",
+    "streaming_txn_source_revenue",
+    "streaming_txn_cdf_revenue",
+    "streaming_materialized_view_revenue",
+    "streaming_txn_cdf_merge_revenue",
+    "streaming_click_purchase_join",
+    "streaming_txn_upsert_revenue",
+    "streaming_expectations_quarantine",
+    "txn_autocompact_revenue",
+    "stratified_sample_documents",
+    "train_split_counts",
+    "pack_sequences",
+    "corpus_curation_counts",
+    "doc_repetition_metrics",
+    "doc_pii_scrub",
+    "asof_purchase_click",
+    "sessionize_events",
+    "signup_click_purchase_funnel",
+    "event_type_map_roundtrip",
+    "event_rollup_multires",
+    "txn_pushdown_revenue",
+    "txn_snapshot_join",
+    "txn_writer_roundtrip_revenue",
+    "txn_detail_summary",
+    "txn_properties_revenue",
+    "txn_convert_revenue",
+    "txn_clone_revenue",
+    "txn_copy_into_revenue",
+    "txn_schema_evolution_revenue",
+    "txn_hidden_partition_revenue",
+    "txn_fsck_report",
 )
 
 
